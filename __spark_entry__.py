@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator from SURVEY.md §2 as
+`(spark, sf_dir) -> DataFrame`; `oracle_sql()` gives the DuckDB-equivalent
+SQL for the correctness gate. Implementations live in the
+`gmall_flink_200621_spark` package; this module is wiring only.
 """
 
 from __future__ import annotations
@@ -13,26 +12,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gmall_flink_200621_spark.plans import pipelines as P
+from gmall_flink_200621_spark.plans.oracle import PIPELINE_ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (hot_items: sliding-window Top-N) on sf0.001."""
+    return P.hot_items(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference pipeline parity (SURVEY.md §2, events table)
+        "hot_items": P.hot_items,
+        "hot_items_sql": P.hot_items_sql,
+        "hot_urls": P.hot_urls,
+        "page_view": P.page_view,
+        "page_view_salted": P.page_view_salted,
+        "uv_exact": P.uv_exact,
+        "uv_approx": P.uv_approx,
+        "market_by_channel": P.market_by_channel,
+        "ad_click_by_province": P.ad_click_by_province,
+        "ad_click_blacklist": P.ad_click_blacklist,
+        "ad_clicks_filtered": P.ad_clicks_filtered,
+        "login_fail": P.login_fail,
+        "login_fail_run": P.login_fail_run,
+        "order_timeout": P.order_timeout,
+        "order_receipt_join": P.order_receipt_join,
+        "order_receipt_reconcile": P.order_receipt_reconcile,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(PIPELINE_ORACLES)

@@ -1,0 +1,82 @@
+"""Sources: batch + streaming loaders (SURVEY.md §2.1 S1-S4).
+
+The reference reads header-less positional CSV (`env.readTextFile`,
+HotItemApp.java:36) and sockets (HotUrlApp.java:38); here every source is a
+declarative `spark.read` / `spark.readStream` so Catalyst gets pushdown and
+pruning. Parquet is the primary format (the driver's testdata); CSV loaders
+replicate the reference's split-and-cast parse maps (HotItemApp.java:37-44)
+as `from_csv`-style schema reads instead of per-row Python.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table. Parquet scan → full pushdown/pruning.
+
+    The testdata's `events.ts` is parquet TIMESTAMP(NANOS), which Spark does
+    not map natively; we read nanos as a long (`legacy.parquet.nanosAsLong`)
+    and rebuild a TimestampType column (µs precision, truncating — identical
+    to what a native ns→µs read would produce).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv(spark: SparkSession, path: str, schema, sep: str = ",") -> DataFrame:
+    """Positional header-less CSV with an explicit schema.
+
+    Replaces the reference's per-row `String.split(",")` parse maps
+    (e.g. HotItemApp.java:37-44) with a schema'd scan — the parse happens
+    JVM-side inside the CSV datasource, not in user code.
+    """
+    return spark.read.csv(path, schema=schema, sep=sep, header=False)
+
+
+def read_csv_stream(spark: SparkSession, path: str, schema, sep: str = ",") -> DataFrame:
+    """Streaming file source over the same schema (file-replay of S1)."""
+    return spark.readStream.schema(schema).csv(path, sep=sep, header=False)
+
+
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S2 socket source (HotUrlApp.java:38) — returns a `value: string` stream."""
+    return spark.readStream.format("socket").option("host", host).option("port", port).load()
+
+
+def rate_market_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """S3: the reference's random MarketUserBehavior generator
+    (MarketBehaviorSource.java:10-42, 1 event/100ms ≈ 10 rows/s) as a
+    `rate` source with synthesized columns — fully JVM-side, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    behaviors = F.array(*[F.lit(x) for x in ("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")])
+    channels = F.array(*[F.lit(x) for x in ("app store", "wechat", "weibo", "tieba")])
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        (F.xxhash64("value") % 1000000).alias("user_id"),
+        F.element_at(behaviors, (F.pmod(F.xxhash64("value", F.lit(1)), F.lit(4)) + 1).cast("int")).alias("behavior"),
+        F.element_at(channels, (F.pmod(F.xxhash64("value", F.lit(2)), F.lit(4)) + 1).cast("int")).alias("channel"),
+        F.col("timestamp").alias("ts"),
+    )
