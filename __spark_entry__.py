@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gmall_flink_200621_spark.plans import pipelines as P
 from gmall_flink_200621_spark.plans.oracle import PIPELINE_ORACLES
+from gmall_flink_200621_spark.plans.tpch import TPCH_QUERIES
+from gmall_flink_200621_spark.plans.tpch_oracle import TPCH_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,8 +42,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_timeout": P.order_timeout,
         "order_receipt_join": P.order_receipt_join,
         "order_receipt_reconcile": P.order_receipt_reconcile,
+        # relational analytics surface (TPC-H-ish star schema)
+        **TPCH_QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(PIPELINE_ORACLES)
+    return {**PIPELINE_ORACLES, **TPCH_ORACLES}
