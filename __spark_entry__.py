@@ -16,6 +16,8 @@ from gmall_flink_200621_spark.plans import pipelines as P
 from gmall_flink_200621_spark.plans.oracle import PIPELINE_ORACLES
 from gmall_flink_200621_spark.plans.tpch import TPCH_QUERIES
 from gmall_flink_200621_spark.plans.tpch_oracle import TPCH_ORACLES
+from gmall_flink_200621_spark.plans.training import TRAINING_QUERIES
+from gmall_flink_200621_spark.plans.training_oracle import TRAINING_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,8 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_receipt_reconcile": P.order_receipt_reconcile,
         # relational analytics surface (TPC-H-ish star schema)
         **TPCH_QUERIES,
+        # training-data pipeline surface (documents / embeddings)
+        **TRAINING_QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**PIPELINE_ORACLES, **TPCH_ORACLES}
+    return {**PIPELINE_ORACLES, **TPCH_ORACLES, **TRAINING_ORACLES}

@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect, no output-side pruning shortcuts like count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: every execution shape the engine exercises —
+# sliding/tumbling window aggs, top-N, stateful-rewrite CEP, interval join,
+# star-schema joins/aggs, dedup (inverted index + LSH), ANN, text stats
+BENCH_QUERIES = [
+    "hot_items",
+    "hot_urls",
+    "page_view",
+    "uv_exact",
+    "market_by_channel",
+    "ad_clicks_filtered",
+    "login_fail",
+    "order_timeout",
+    "order_receipt_join",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "revenue_by_nation",
+    "top_customers",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_stats",
+    "rolling_fingerprint",
+    "knn_brute",
+    "knn_lsh",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from gmall_flink_200621_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+    names = [n for n in BENCH_QUERIES if n in queries]
+
+    # warm the session (JVM + parquet footer caches) outside timed region
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

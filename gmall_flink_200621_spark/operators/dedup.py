@@ -1,0 +1,201 @@
+"""Document deduplication operators (training-data pipeline surface).
+
+Five strategies over the `documents` table, each scale-first:
+
+- exact: md5-fingerprint groupBy — one shuffle on the 128-bit digest, never
+  on the raw text (at 100 TB you shuffle 16-byte keys, not documents).
+- ngram_jaccard: exact all-pairs Jaccard ≥ t via a shingle inverted index
+  (explode distinct shingles → self-join on shingle → pair-count). No
+  quadratic cross join: cost is Σ bucket², bounded by shingle frequency.
+- minhash_lsh: MinHash signatures (universal hashing, `functions/text.py`)
+  banded into buckets; candidate pairs from bucket collisions only, then
+  exact-Jaccard verification of candidates. The scale path: signature is
+  O(perms) per doc, candidates ≪ all-pairs.
+- simhash: 60-bit SimHash fingerprint; near-dup pairs via 4×15-bit band
+  bucketing + hamming ≤ k verification (bit_count(xor)).
+- embedding cosine: see `operators/similarity.py` (same candidate-then-
+  verify shape over vectors).
+
+Everything is deterministic and built-in-function-only, so each operator
+has an exact DuckDB oracle (plans/training_oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h60, minhash_sig, shingles, tokens
+
+SHINGLE_N = 3
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 bands × 4 rows: P(candidate | j=0.9) ≈ 0.986
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5 of the raw text."""
+    return docs.select("doc_id", F.md5("text").alias("fp"))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per fingerprint.
+    Shuffles only (fp, doc_id) pairs; map-side partial min first."""
+    return (
+        doc_fingerprints(docs)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per doc.
+
+    Tokens are materialized into a column before shingling: `shingles()`
+    references its input array per element, and inlining the raw
+    `split(text)` expression there would re-parse the text O(positions)
+    times per row (measured 20×+ slowdown)."""
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("toks"), SHINGLE_N))).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+def dedup_ngram_jaccard(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact all-pairs Jaccard via inverted index.
+
+    explode shingles → self-join on shingle (the inverted-index bucket
+    join) → |A∩B| per pair → Jaccard with per-doc sizes. Integer-exact, so
+    the threshold compare is engine-independent; the float jaccard output
+    is a ratio of exact ints (identical division both sides).
+    """
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig_0..sig_{perms-1}): min over shingle hashes per permutation.
+    One explode + one groupBy; signature width is constant per doc."""
+    hashed = _doc_shingles(docs).select("doc_id", h60(F.col("shingle")).alias("h"))
+    aggs = [F.min(minhash_sig(F.col("h"), i)).alias(f"sig_{i}") for i in range(perms)]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    Candidate generation never compares all pairs: docs collide only when
+    one whole band of their signatures is equal. Verification recomputes
+    exact Jaccard just for candidates (semi-joined shingle sets).
+    """
+    rows = perms // bands
+    sigs = minhash_signatures(docs, perms)
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    # candidate pairs: equal value in any band (union of per-band bucket joins, deduped)
+    candidates = None
+    for b in range(bands):
+        x = banded.select(F.col("doc_id").alias("id_a"), F.col(f"band_{b}").alias("bv"))
+        y = banded.select(F.col("doc_id").alias("id_b"), F.col(f"band_{b}").alias("bv"))
+        pairs = x.join(y, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        candidates = pairs if candidates is None else candidates.unionByName(pairs)
+    candidates = candidates.distinct()
+
+    # verify: exact jaccard restricted to candidate pairs
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b2 = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(a, "id_a")
+        .join(b2, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over distinct-token 60-bit hashes.
+
+    Explodes (token × bit) — heavy but linear; at scale, prefer running it
+    once and persisting. Bit j of the fingerprint is set iff more token
+    hashes have bit j set than unset (strict majority, ties → 0)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", h60(F.col("tok")).alias("h"))
+    # one groupBy with 60 conditional sums — NOT a (token × bit) explode,
+    # which would shuffle 60× the rows. Bit j is set iff a strict majority
+    # of token hashes have it set (sum of ±1 > 0 ⟺ 2·count_set > n).
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c_{j}") for j in range(bits)],
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(2 * F.col(f"c_{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def dedup_simhash(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60 bits into 4×15-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), bucket-join on
+    chunks, verify hamming distance with bit_count(xor)."""
+    fp = simhash_fingerprints(docs)
+    chunk_cols = [
+        (F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1))).alias(f"c_{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    chunked = fp.select("doc_id", "simhash", *chunk_cols)
+    cands = None
+    for b in range(SIMHASH_BANDS):
+        x = chunked.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c_{b}").alias("cv"))
+        y = chunked.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c_{b}").alias("cv"))
+        p = x.join(y, "cv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        cands = p if cands is None else cands.unionByName(p)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

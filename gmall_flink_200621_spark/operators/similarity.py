@@ -1,0 +1,144 @@
+"""Vector similarity search over the `embeddings` table.
+
+Numeric contract — fixed-point quantization: each float32 component is
+mapped to `round(x · 2^24)` as int64 once, and all dot products / squared
+norms are *integer* sums over those. Integer addition is associative, so
+results are bit-identical regardless of partitioning, reduction order, or
+engine — a requirement both for the DuckDB oracle and for deterministic
+re-runs on a 1000-executor cluster (double reductions are
+order-nondeterministic under AQE). Quantization error is ~2^-24 per
+component — orders of magnitude below any meaningful similarity
+threshold. Cosine is then a double computed from identical integers.
+
+Scale shape:
+- knn_brute: small query set broadcast against the corpus — the corpus is
+  never shuffled; ranking shuffles only (query, neighbor, score) triples.
+  O(Q·N·d) compute, embarrassingly parallel.
+- knn_lsh: random-hyperplane sign buckets (deterministic integer
+  coefficients) cut candidates to the query's bucket — the 100 TB path.
+- embedding_dedup: near-dup pairs blocked by `label` (swap in
+  `lsh_sign_bucket` for unlabeled corpora) — Σ per-block² instead of N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNN_K = 5
+LSH_PLANES = 8
+DIM = 64
+Q_SCALE = 1 << 24  # fixed-point scale; |x|≤~0.53, dim 64 ⇒ sums ≪ 2^63
+
+
+def quantize(emb: Column) -> Column:
+    """array<float> → array<long> fixed-point (round half away from zero,
+    identical in Spark and DuckDB)."""
+    return F.transform(emb, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product of two quantized vectors (order-independent)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_q(qa: Column, qb: Column) -> Column:
+    """Cosine from quantized vectors: exact int dot / sqrt of exact int norms."""
+    return _idot(qa, qb) / (F.sqrt(_idot(qa, qa).cast("double")) * F.sqrt(_idot(qb, qb).cast("double")))
+
+
+def knn_brute(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors (vec_id % query_mod == 0).
+
+    Norms are precomputed once per vector (O(N·d)), not per pair (O(Q·N·d))
+    — the integer norm is exact, so cosine values are unchanged."""
+    e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
+    q = q.filter(F.col("query_id") % query_mod == 0)
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), F.col("n2").alias("cn2"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine",
+        _idot(F.col("qq"), F.col("qc")) / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _plane_coeff(p: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane coefficient in [-500, 499]."""
+    return ((p * DIM + d) * 2_654_435_761 + 12_345) % 1000 - 500
+
+
+def lsh_sign_bucket(quantized: Column, planes: int = LSH_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id — one sign bit per plane; the
+    projection is an integer dot with deterministic coefficients, so
+    bucketing is engine- and order-exact."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        coeffs = F.array(*[F.lit(_plane_coeff(p, d)).cast("long") for d in range(DIM)])
+        proj = _idot(quantized, coeffs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def knn_lsh(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100, planes: int = LSH_PLANES) -> DataFrame:
+    """ANN top-k within the query's LSH bucket (recall<1 by design — the
+    scale trade; the oracle replicates the identical buckets)."""
+    e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("bucket", lsh_sign_bucket(F.col("q"), planes)).withColumn(
+        "n2", _idot(F.col("q"), F.col("q"))
+    )
+    q = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), F.col("n2").alias("cn2"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _idot(F.col("qq"), F.col("qc"))
+            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+EMB_DEDUP_THRESHOLD = 0.35  # testdata has no planted vector dups; 0.35 ≈ top 0.1% of intra-label pairs
+
+
+def embedding_dedup(embeddings: DataFrame, threshold: float = EMB_DEDUP_THRESHOLD) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), label-blocked."""
+    e = embeddings.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("n2").alias("na"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("n2").alias("nb"), "label")
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            _idot(F.col("qa"), F.col("qb")) / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators over `documents` (training-data pipeline surface).
+
+All built-in functions, all with exact DuckDB oracles:
+- doc_stats: token/char counts, uniq ratio, quality score
+- lang_id: marker-stopword n-gram heuristic (deterministic; the corpus is
+  synthetic word-bags, so the value is the operator shape + SQL parity,
+  not linguistic accuracy)
+- rolling fingerprints: Rabin-Karp polynomial hash over 8-token windows,
+  min-selected per doc (winnowing-lite document signature)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import h60, tokens
+
+# Rabin-Karp params — small enough that Σ(tok_mod·37^7) over 8 terms stays < 2^63
+RK_WINDOW = 8
+RK_BASE = 37
+RK_TOKMOD = 1_000_003
+RK_MOD = 1_000_000_007
+
+# marker stopwords per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "los", "que"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc stats + a deterministic quality score in [0,1]:
+    0.5·min(1, n_tokens/100) + 0.5·uniq_ratio — length and lexical
+    diversity, the standard cheap quality gates."""
+    # materialize the token array once — inlining split(text) into every
+    # consumer re-parses the text per expression (same trap as _doc_shingles)
+    out = docs.select("doc_id", F.length("text").alias("n_chars_actual"), tokens("text").alias("toks")).select(
+        "doc_id",
+        "n_chars_actual",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        "n_uniq_tokens",
+        F.round(F.col("n_uniq_tokens") / F.col("n_tokens"), 6).alias("uniq_ratio"),
+        F.round(
+            0.5 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+            + 0.5 * (F.col("n_uniq_tokens") / F.col("n_tokens")),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-stopword language ID: score = count of marker-token hits per
+    language; argmax with deterministic tie-break on language code;
+    'unk' when nothing matches."""
+    t = F.array_distinct(tokens("text"))
+    scores = docs.select(
+        "doc_id",
+        *[
+            F.size(F.array_intersect(t, F.array(*[F.lit(m) for m in markers]))).alias(f"s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("unk")
+    # reverse-sorted so earlier languages win ties via later when() override
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scores.select("doc_id", pred.alias("lang_pred"))
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-lite signature: min Rabin-Karp hash over all 8-token
+    windows. Docs shorter than the window get fp = -1.
+
+    fp(w) = Σ_{d<8} (h60(tok_{w+d}) mod 1000003) · 37^(7-d)  mod 1e9+7
+    — pure integer math, bit-identical in any engine."""
+    toks = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"), F.posexplode(tokens("text")).alias("pos", "tok"))
+    hashed = toks.select("doc_id", "n_tokens", "pos", (h60(F.col("tok")) % RK_TOKMOD).alias("th"))
+    # weight by 37^(7-d): position pos contributes to window starting at pos-d;
+    # n_tokens rides along from the source row — no join back to docs needed
+    weighted = hashed.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.lit(RK_WINDOW - 1))).alias("d"),
+        "pos",
+        "th",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pos") - F.col("d")).alias("wstart"),
+        (F.col("th") * F.element_at(F.array(*[F.lit(RK_BASE ** (RK_WINDOW - 1 - i)) for i in range(RK_WINDOW)]), F.col("d") + 1)).alias("term"),
+    )
+    fps = (
+        weighted.filter((F.col("wstart") >= 0) & (F.col("wstart") <= F.col("n_tokens") - RK_WINDOW))
+        .groupBy("doc_id", "wstart")
+        .agg((F.sum("term") % RK_MOD).alias("wfp"))
+        .groupBy("doc_id")
+        .agg(F.min("wfp").alias("min_fp"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select("doc_id", F.coalesce("min_fp", F.lit(-1)).alias("min_fp"))
+    )

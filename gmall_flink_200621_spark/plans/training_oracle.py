@@ -1,0 +1,314 @@
+"""DuckDB oracles for plans/training.py.
+
+Where a formula must match the Spark implementation bit-for-bit (minhash
+permutations, LSH hyperplanes, Rabin-Karp weights, fixed-point scale), the
+SQL is *generated from the same Python constants* as the Spark side —
+the two can't drift independently.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import MERSENNE31, minhash_sig_sql
+from ..operators.dedup import (
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    MINHASH_PERMS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from ..operators.similarity import (
+    DIM,
+    EMB_DEDUP_THRESHOLD,
+    KNN_K,
+    LSH_PLANES,
+    Q_SCALE,
+    _plane_coeff,
+)
+from ..operators.textops import LANG_MARKERS, RK_BASE, RK_MOD, RK_TOKMOD, RK_WINDOW
+
+H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+# ---------------------------------------------------------------- text / dedup
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ) ELSE [] END) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+)
+"""
+
+DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_sig_selects() -> str:
+    h = H60.format(c="shingle")
+    return ",\n       ".join(
+        f"min({minhash_sig_sql(h, i)}) AS sig_{i}" for i in range(MINHASH_PERMS)
+    )
+
+
+MINHASH_SIGNATURES = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+       {_minhash_sig_selects()}
+FROM sh
+GROUP BY doc_id
+"""
+
+_ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
+
+
+def _band_expr(b: int) -> str:
+    parts = [f"sig_{b * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)]
+    return " || '_' || ".join(parts)
+
+
+DEDUP_MINHASH_LSH = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, {_minhash_sig_selects()}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, {", ".join(f"{_band_expr(b)} AS band_{b}" for b in range(LSH_BANDS))}
+  FROM sigs
+),
+candidates AS (
+  {" UNION ".join(
+    f'''SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y ON x.band_{b} = y.band_{b} AND x.doc_id < y.doc_id'''
+    for b in range(LSH_BANDS)
+  )}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+_SIMHASH_CTE = f"""
+tk AS (
+  SELECT doc_id, {H60.format(c="tok")} AS h FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+bitsum AS (
+  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+  FROM tk, generate_series(0, {SIMHASH_BITS - 1}) AS gs(j)
+  GROUP BY 1, 2
+),
+simhashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY 1
+)
+"""
+
+SIMHASH_FINGERPRINTS = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simhashes"
+
+DEDUP_SIMHASH = f"""
+WITH {_SIMHASH_CTE},
+chunked AS (
+  SELECT doc_id, simhash,
+         {", ".join(f"(simhash >> {b * 15}) & {(1 << 15) - 1} AS c_{b}" for b in range(SIMHASH_BANDS))}
+  FROM simhashes
+),
+cands AS (
+  {" UNION ".join(
+    f'''SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sh_a, y.simhash AS sh_b
+        FROM chunked x JOIN chunked y ON x.c_{b} = y.c_{b} AND x.doc_id < y.doc_id'''
+    for b in range(SIMHASH_BANDS)
+  )}
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+"""
+
+DOC_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_uniq_tokens AS INT) AS n_uniq_tokens,
+       round(n_uniq_tokens / n_tokens, 6) AS uniq_ratio,
+       round(0.5 * least(1.0, n_tokens / 100.0) + 0.5 * (n_uniq_tokens / n_tokens), 6) AS quality_score
+FROM t
+"""
+
+
+def _lang_case() -> str:
+    # exact twin of the Spark when-chain: built innermost-first over
+    # reverse-sorted languages, so evaluation order (and tie-breaks) match
+    expr = "'unk'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = f"CASE WHEN s_{lang} = best AND best > 0 THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {", ".join(
+           f"len(list_intersect(list_distinct(string_split(text, ' ')), {list(m)})) AS s_{lang}"
+           for lang, m in LANG_MARKERS.items()
+         )}
+  FROM documents
+),
+withbest AS (
+  SELECT *, greatest({", ".join(f"s_{lang}" for lang in LANG_MARKERS)}) AS best FROM scored
+)
+SELECT doc_id, {_lang_case()} AS lang_pred FROM withbest
+"""
+
+_RK_POWERS = [RK_BASE ** (RK_WINDOW - 1 - i) for i in range(RK_WINDOW)]
+
+ROLLING_FINGERPRINT = f"""
+WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, ({H60.format(c="t[i]")}) % {RK_TOKMOD} AS th, len(t) AS n_tokens
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks0)
+),
+weighted AS (
+  SELECT doc_id, pos - d AS wstart,
+         th * ([{", ".join(str(p) for p in _RK_POWERS)}])[d + 1] AS term,
+         n_tokens
+  FROM pos, generate_series(0, {RK_WINDOW - 1}) AS gd(d)
+),
+fps AS (
+  SELECT doc_id, wstart, CAST(sum(term) % {RK_MOD} AS BIGINT) AS wfp
+  FROM weighted
+  WHERE wstart >= 0 AND wstart <= n_tokens - {RK_WINDOW}
+  GROUP BY 1, 2
+),
+minfp AS (SELECT doc_id, min(wfp) AS min_fp FROM fps GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(m.min_fp, -1) AS BIGINT) AS min_fp
+FROM documents d LEFT JOIN minfp m ON d.doc_id = m.doc_id
+"""
+
+# ---------------------------------------------------------------- vectors
+
+_QVEC = f"list_transform(embedding, x -> CAST(round(x::DOUBLE * {Q_SCALE}) AS BIGINT))"
+_IDOT = "list_sum(list_transform(generate_series(1, {n}), i -> {a}[i] * {b}[i]))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _IDOT.format(n=DIM, a=a, b=b)
+    na = _IDOT.format(n=DIM, a=a, b=a)
+    nb = _IDOT.format(n=DIM, a=b, b=b)
+    return f"({dot}) / (sqrt(({na})::DOUBLE) * sqrt(({nb})::DOUBLE))"
+
+
+KNN_BRUTE = f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_cosine_sql("qq", "c.q")} AS cosine
+  FROM qs, e c
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _bucket_sql(q: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        coeffs = ", ".join(str(_plane_coeff(p, d)) for d in range(DIM))
+        proj = f"list_sum(list_transform(generate_series(1, {DIM}), i -> {q}[i] * ([{coeffs}])[i]))"
+        terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+    return " + ".join(terms)
+
+
+KNN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, q, {_bucket_sql("q")} AS bucket
+  FROM (SELECT vec_id, {_QVEC} AS q FROM embeddings)
+),
+qs AS (SELECT vec_id AS query_id, q AS qq, bucket FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_cosine_sql("qq", "c.q")} AS cosine
+  FROM qs JOIN e c ON qs.bucket = c.bucket
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+EMBEDDING_DEDUP = f"""
+WITH e AS (SELECT vec_id, label, {_QVEC} AS q FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cosine_sql("a.q", "b.q")}, 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cosine_sql("a.q", "b.q")} >= {EMB_DEDUP_THRESHOLD}
+"""
+
+TRAINING_ORACLES: dict[str, str] = {
+    "doc_fingerprint": DOC_FINGERPRINT,
+    "dedup_exact": DEDUP_EXACT,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
+    "minhash_signatures": MINHASH_SIGNATURES,
+    "simhash_fingerprints": SIMHASH_FINGERPRINTS,
+    "dedup_simhash": DEDUP_SIMHASH,
+    "doc_stats": DOC_STATS,
+    "lang_id": LANG_ID,
+    "rolling_fingerprint": ROLLING_FINGERPRINT,
+    "knn_brute": KNN_BRUTE,
+    "knn_lsh": KNN_LSH,
+    "embedding_dedup": EMBEDDING_DEDUP,
+}

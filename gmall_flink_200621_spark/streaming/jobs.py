@@ -1,0 +1,107 @@
+"""Structured Streaming variants of the windowed pipelines.
+
+The reference is streaming-first (Flink DataStream); here each batch plan
+from plans/pipelines.py has a streaming twin: same logical query over
+`readStream` + `withWatermark`. Batch/stream parity is tested in
+tests/test_streaming.py by replaying the events parquet as a file stream
+and comparing final results against the batch plan — the reference never
+had such a check (SURVEY §5: it eyeballed print() output).
+
+Watermark policy (SURVEY §2.4 WM1/WM2): the reference used ascending or
+1-3 s bounded out-of-orderness; we default to 10 s, which subsumes both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..schemas import EVENTS
+
+WATERMARK = "10 seconds"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay streaming source over the events table (S1 as a stream).
+
+    The parquet stores ts as TIMESTAMP(NANOS); streaming reads get it as a
+    long (legacy nanosAsLong) and rebuild a µs timestamp, exactly like the
+    batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source requires a *directory*; stage a symlink dir
+    # holding just the events file (testdata dirs mix all tables)
+    import tempfile
+
+    stage = os.path.join(tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).withWatermark("ts", WATERMARK)
+
+
+def page_view_stream(events: DataFrame) -> DataFrame:
+    """Hourly PV as a stream (PageViewApp): tumbling window agg, append mode
+    emits each window once its watermark passes."""
+    return (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "pv")
+    )
+
+
+def uv_stream(events: DataFrame) -> DataFrame:
+    """Hourly approx UV (UvCountWithBloomFilterApp semantics: bounded-memory
+    distinct): HLL++ replaces the Bloom/Redis bitmap."""
+    return (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("uv_approx"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "uv_approx")
+    )
+
+
+def hot_items_windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """HotItemApp stage 1 (windowed per-item counts) as an append stream.
+    The Top-N stage runs per-microbatch in foreachBatch (see
+    `run_hot_items_stream`) — the Spark-idiomatic place for a ranking that
+    must re-emit per window (the reference's onTimer sort)."""
+    return (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("item_k", S.item_k())
+        .groupBy(F.window("ts", "1 hour", "5 minutes").alias("w"), "item_k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "item_k", "cnt")
+    )
+
+
+# driver-side result accumulators for foreachBatch sinks, keyed by query name
+# (the "memory" format is a streaming-only sink; inside foreachBatch the
+# frame is a batch DF, so we collect rankings here instead)
+RESULTS: dict[str, list] = {}
+
+
+def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, queryName: str = "hot_items_stream"):
+    """End-to-end streaming Top-N: windowed counts (append mode past the
+    watermark) → per-batch row_number ranking in foreachBatch."""
+    from ..operators.topn import top_n_per_group
+
+    counts = hot_items_windowed_counts_stream(events_stream(spark, sf_dir))
+    RESULTS[queryName] = []
+
+    def rank_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ranked = top_n_per_group(batch_df, ["window_end_s"], "cnt", top_n, tiebreak_cols=["item_k"])
+        RESULTS[queryName].extend(ranked.collect())
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .queryName(queryName + "_q")
+        .start()
+    )

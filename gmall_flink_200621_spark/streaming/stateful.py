@@ -1,0 +1,325 @@
+"""Custom stateful operators — the reference's KeyedProcessFunction surface
+(SURVEY.md §2.9) rebuilt on `transformWithStateInPandas` (Spark 4).
+
+Parity map:
+- LoginFailProcessor      ← LoginFailApp2.java:59-99 (rolling 2-fail detector,
+  C4) + LoginFailAppWithCep.java:61-69 (times(2).consecutive().within)
+- OrderTimeoutProcessor   ← OrderTimeoutAppWithState.java:57-111 (ValueState +
+  event-time timer at create+timeout, J3) — timers with cancellation (W10)
+- BlacklistProcessor      ← AdClickByProvinceApp.java:112-180 (per-(user,ad)
+  daily counter, emit-once warning at threshold, A7/A8)
+- PayReceiptProcessor     ← OrderReceiptAppWithConnect.java:72-162 (two-stream
+  connect: buffer-or-match + timeout side outputs, J2) — the two streams
+  arrive as one tagged union, the engine's side-output convention in reverse
+
+Side outputs (OutputTag) become a `tag` column; callers fan out with
+filters. Flink's `deleteEventTimeTimer` cancellation is reproduced by
+storing the registered timer ts in state and ignoring stale firings.
+
+These run per-key with arbitrary state, so they're the slow path — every
+pipeline that *can* be a windowed agg/join uses the declarative plan
+instead (plans/pipelines.py); this module exists for the semantics Spark
+can't express declaratively (per-event timers, emit-once guards, CEP).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+try:  # Spark ≥ 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - fallback for Spark 3.x
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+# transformWithStateInPandas spawns a driver-side Python runner that imports
+# google.protobuf; environments without protobuf must use the
+# applyInPandasWithState wiring below (login_fail_stream / order_timeout_stream).
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    TWS_USABLE = HAS_TWS
+except ImportError:
+    TWS_USABLE = False
+
+LOGIN_FAIL_GAP_S = 3600  # scaled to testdata density (reference: 2 s)
+ORDER_TIMEOUT_S = 900  # reference: 15 min (OrderTimeoutAppWithCep.java:55)
+BLACKLIST_THRESHOLD = 2  # reference: 100/day (AdClickByProvinceApp.java:51)
+
+LOGIN_FAIL_OUTPUT = "user_id LONG, first_fail_ts_s LONG, second_fail_ts_s LONG"
+ORDER_TIMEOUT_OUTPUT = "user_id LONG, create_ts_s LONG, pay_ts_s LONG, status STRING"
+BLACKLIST_OUTPUT = "user_id LONG, ad_k INT, day_s LONG, tag STRING"
+PAY_RECEIPT_OUTPUT = "user_id LONG, pay_ts_s LONG, receipt_ts_s LONG, tag STRING"
+
+
+class LoginFailProcessor(StatefulProcessor):
+    """Rolling consecutive-fail detector: keep the last event; a fail
+    directly after a fail within the gap fires an alert; success clears."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.last = handle.getValueState("last_fail", "last_type STRING, last_ts LONG")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out = []
+        prev = self.last.get()
+        prev_type, prev_ts = (prev[0], prev[1]) if prev else (None, None)
+        for pdf in rows:
+            for r in pdf.sort_values(["ts_s", "event_id"]).itertuples():
+                if r.event_type == "error":
+                    if prev_type == "error" and r.ts_s - prev_ts <= LOGIN_FAIL_GAP_S:
+                        out.append((user_id, prev_ts, r.ts_s))
+                    prev_type, prev_ts = "error", r.ts_s
+                else:
+                    prev_type, prev_ts = r.event_type, r.ts_s
+        self.last.update((prev_type or "", int(prev_ts or 0)))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "first_fail_ts_s", "second_fail_ts_s"])
+
+    def close(self) -> None:
+        pass
+
+
+class OrderTimeoutProcessor(StatefulProcessor):
+    """Create→pay matcher with an event-time timer at create+timeout.
+
+    Timer cancellation à la Flink: the registered timer ts is stored with
+    the pending order; a pay arrival clears the state, and a later timer
+    firing finds no pending order → no-op (stale-firing guard)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.pending = handle.getValueState("pending_create", "create_ts LONG")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out = []
+        for pdf in rows:
+            for r in pdf.sort_values("ts_s").itertuples():
+                if r.event_type == "click":  # create-analog
+                    self.pending.update((int(r.ts_s),))
+                    self.handle.registerTimer((r.ts_s + ORDER_TIMEOUT_S) * 1000)
+                elif r.event_type == "purchase":  # pay-analog
+                    pending = self.pending.get()
+                    if pending is not None:
+                        create_ts = pending[0]
+                        status = "payed" if r.ts_s - create_ts <= ORDER_TIMEOUT_S else "payed timeout"
+                        out.append((user_id, create_ts, int(r.ts_s), status))
+                        self.pending.clear()
+                    else:
+                        out.append((user_id, None, int(r.ts_s), "payed but no create"))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "create_ts_s", "pay_ts_s", "status"])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pending = self.pending.get()
+        if pending is not None:
+            create_ts = pending[0]
+            if expiredTimerInfo.getExpiryTimeInMs() >= (create_ts + ORDER_TIMEOUT_S) * 1000:
+                self.pending.clear()
+                yield pd.DataFrame(
+                    [(user_id, create_ts, None, "timeout")],
+                    columns=["user_id", "create_ts_s", "pay_ts_s", "status"],
+                )
+
+    def close(self) -> None:
+        pass
+
+
+class BlacklistProcessor(StatefulProcessor):
+    """Per-(user, ad) daily click counter with an emit-once blacklist
+    warning at the threshold; day rollover resets the count (the
+    reference's midnight timer, done as a stored day key)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState("daily", "day_s LONG, cnt LONG, warned BOOLEAN")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        user_id, ad_k = key
+        out = []
+        st = self.state.get()
+        day_s, cnt, warned = (st[0], st[1], st[2]) if st else (None, 0, False)
+        for pdf in rows:
+            for r in pdf.sort_values("ts_s").itertuples():
+                d = r.ts_s - (r.ts_s % 86400)
+                if d != day_s:
+                    day_s, cnt, warned = d, 0, False  # daily TTL reset
+                cnt += 1
+                if cnt >= BLACKLIST_THRESHOLD and not warned:
+                    out.append((user_id, ad_k, d, "blacklist_warning"))
+                    warned = True
+                elif warned:
+                    continue  # suppressed (P9 dynamic filter)
+                else:
+                    out.append((user_id, ad_k, d, "click"))
+        self.state.update((int(day_s), int(cnt), bool(warned)))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "ad_k", "day_s", "tag"])
+
+    def close(self) -> None:
+        pass
+
+
+class PayReceiptProcessor(StatefulProcessor):
+    """Two-stream reconcile on one tagged union keyed by user: buffer
+    whichever side arrives first, match on the other's arrival, timers
+    expire lone sides to their diagnostic tag."""
+
+    PAY_WAIT_S = 7200  # receipt may lag pay by ≤2h (batch plan's band)
+    RECEIPT_WAIT_S = 3600
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.pay = handle.getValueState("pending_pay", "ts LONG")
+        self.receipt = handle.getValueState("pending_receipt", "ts LONG")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out = []
+        for pdf in rows:
+            for r in pdf.sort_values("ts_s").itertuples():
+                if r.side == "pay":
+                    pending_r = self.receipt.get()
+                    if pending_r is not None:
+                        out.append((user_id, int(r.ts_s), pending_r[0], "matched"))
+                        self.receipt.clear()
+                    else:
+                        self.pay.update((int(r.ts_s),))
+                        self.handle.registerTimer((r.ts_s + self.PAY_WAIT_S) * 1000)
+                else:
+                    pending_p = self.pay.get()
+                    if pending_p is not None:
+                        out.append((user_id, pending_p[0], int(r.ts_s), "matched"))
+                        self.pay.clear()
+                    else:
+                        self.receipt.update((int(r.ts_s),))
+                        self.handle.registerTimer((r.ts_s + self.RECEIPT_WAIT_S) * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "pay_ts_s", "receipt_ts_s", "tag"])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        p = self.pay.get()
+        if p is not None and expiredTimerInfo.getExpiryTimeInMs() >= (p[0] + self.PAY_WAIT_S) * 1000:
+            rows.append((user_id, p[0], None, "payButNoReceipt"))
+            self.pay.clear()
+        r = self.receipt.get()
+        if r is not None and expiredTimerInfo.getExpiryTimeInMs() >= (r[0] + self.RECEIPT_WAIT_S) * 1000:
+            rows.append((user_id, None, r[0], "receiptButNoPay"))
+            self.receipt.clear()
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "pay_ts_s", "receipt_ts_s", "tag"])
+
+    def close(self) -> None:
+        pass
+
+
+# --------------------------------------------------------------------------
+# applyInPandasWithState wiring — the portable stateful path (plain Arrow, no
+# protobuf). Same per-key logic as the processors above; state is a tuple,
+# timeouts via GroupStateTimeout (single timer per key — exactly what the
+# reference pipelines need).
+# --------------------------------------------------------------------------
+
+
+def _login_fail_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """LoginFailApp2 semantics (rolling consecutive-fail pair detector)."""
+    if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+        state.remove()
+        return
+    (user_id,) = key
+    prev_type, prev_ts = state.get if state.exists else ("", 0)
+    out = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values(["ts_s", "event_id"]).itertuples():
+            if r.event_type == "error":
+                if prev_type == "error" and r.ts_s - prev_ts <= LOGIN_FAIL_GAP_S:
+                    out.append((user_id, prev_ts, r.ts_s))
+                prev_type, prev_ts = "error", int(r.ts_s)
+            else:
+                prev_type, prev_ts = str(r.event_type), int(r.ts_s)
+    state.update((prev_type, prev_ts))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "first_fail_ts_s", "second_fail_ts_s"])
+
+
+def _order_timeout_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """OrderTimeoutAppWithState semantics on a watermark-driven timeout:
+    pending create expires to 'timeout' when the event-time watermark
+    passes create+timeout (the reference's event-time timer)."""
+    (user_id,) = key
+    cols = ["user_id", "create_ts_s", "pay_ts_s", "status"]
+    if state.hasTimedOut:
+        create_ts = state.get[0] if state.exists else None
+        state.remove()
+        if create_ts is not None:
+            yield pd.DataFrame([(user_id, create_ts, None, "timeout")], columns=cols)
+        return
+    pending = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values("ts_s").itertuples():
+            if r.event_type == "click":  # create-analog
+                if pending is not None:
+                    out.append((user_id, pending, None, "timeout"))  # superseded
+                pending = int(r.ts_s)
+            elif r.event_type == "purchase":  # pay-analog
+                if pending is not None:
+                    status = "payed" if r.ts_s - pending <= ORDER_TIMEOUT_S else "payed timeout"
+                    out.append((user_id, pending, int(r.ts_s), status))
+                    pending = None
+                else:
+                    out.append((user_id, None, int(r.ts_s), "payed but no create"))
+    if pending is not None:
+        state.update((pending,))
+        state.setTimeoutTimestamp((pending + ORDER_TIMEOUT_S) * 1000)
+    else:
+        state.remove()
+    if out:
+        yield pd.DataFrame(out, columns=cols)
+
+
+def login_fail_stream(events: "DataFrame"):  # noqa: F821
+    """LoginFailProcessor semantics over a watermarked stream
+    (applyInPandasWithState wiring)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = events.select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _login_fail_fn,
+        outputStructType=LOGIN_FAIL_OUTPUT,
+        stateStructType="last_type STRING, last_ts LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def order_timeout_stream(events: "DataFrame"):  # noqa: F821
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", F.col("ts").cast("long").alias("ts_s"), "event_type")
+        .groupBy("user_id")
+    )
+    return keyed.applyInPandasWithState(
+        _order_timeout_fn,
+        outputStructType=ORDER_TIMEOUT_OUTPUT,
+        stateStructType="create_ts LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,193 @@
+"""Unit tests on tiny hand-computed inputs — the per-operator layer the
+reference never had (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, ts_s, user_id, event_type, k)"""
+    return spark.createDataFrame(
+        [(i, float(ts), u, et, '{"k": %d}' % k, 1.0) for (i, ts, u, et, k) in rows],
+        "event_id long, _ts double, user_id long, event_type string, props string, value double",
+    ).select(
+        "event_id", F.col("_ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+
+
+class TestWindowedAgg:
+    def test_tumbling_count(self, spark):
+        from gmall_flink_200621_spark.operators.windows import windowed_agg
+
+        df = _events_df(spark, [(1, 10, 1, "view", 1), (2, 3599, 2, "view", 1), (3, 3600, 3, "view", 1)])
+        out = windowed_agg(df, "ts", "1 hour").collect()
+        got = {r.window_end_s: r.cnt for r in out}
+        assert got == {3600: 2, 7200: 1}
+
+    def test_sliding_assigns_all_windows(self, spark):
+        from gmall_flink_200621_spark.operators.windows import windowed_agg
+
+        df = _events_df(spark, [(1, 0, 1, "view", 1)])
+        out = windowed_agg(df, "ts", "1 hour", "5 minutes").collect()
+        # one event belongs to 12 sliding windows; ends at +5min..+60min
+        assert sorted(r.window_end_s for r in out) == [300 * i for i in range(1, 13)]
+
+    def test_keys(self, spark):
+        from gmall_flink_200621_spark.operators.windows import windowed_agg
+
+        df = _events_df(spark, [(1, 0, 1, "view", 7), (2, 1, 1, "view", 7), (3, 2, 1, "view", 9)])
+        from gmall_flink_200621_spark.functions.scalars import item_k
+
+        out = windowed_agg(df, "ts", "1 hour", keys={"item_k": item_k()}).collect()
+        assert {(r.item_k, r.cnt) for r in out} == {(7, 2), (9, 1)}
+
+
+class TestTopN:
+    def test_rank_and_tiebreak(self, spark):
+        from gmall_flink_200621_spark.operators.topn import top_n_per_group
+
+        df = spark.createDataFrame(
+            [("w1", "a", 3), ("w1", "b", 5), ("w1", "c", 3), ("w1", "d", 1), ("w2", "x", 2)],
+            "g string, k string, cnt long",
+        )
+        out = top_n_per_group(df, ["g"], "cnt", 3, tiebreak_cols=["k"]).collect()
+        w1 = sorted((r.rank, r.k) for r in out if r.g == "w1")
+        assert w1 == [(1, "b"), (2, "a"), (3, "c")]  # tie 3-3 broken by key asc
+        assert [(r.rank, r.k) for r in out if r.g == "w2"] == [(1, "x")]
+
+
+class TestCEPLag:
+    def test_login_fail_pairs(self, spark, sf_dir):
+        """fail→fail within gap alerts; success in between resets."""
+        from gmall_flink_200621_spark.plans.pipelines import login_fail
+
+        # build a micro events table via temp view substitution is overkill;
+        # test the operator shape directly on a small frame
+        df = _events_df(
+            spark,
+            [
+                (1, 0, 1, "error", 0),
+                (2, 10, 1, "error", 0),      # pair with #1
+                (3, 20, 1, "signup", 0),     # resets
+                (4, 30, 1, "error", 0),      # no pair (prev is signup)
+                (5, 0, 2, "error", 0),
+                (6, 9000, 2, "error", 0),    # > 1h gap → no pair
+            ],
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = df.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        alerts = seq.filter(
+            (F.col("event_type") == "error")
+            & (F.col("prev_type") == "error")
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 1 hour"))
+        ).collect()
+        assert len(alerts) == 1 and alerts[0].user_id == 1
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, spark):
+        from gmall_flink_200621_spark.operators.dedup import dedup_exact
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "aa bb cc"), (3, "zz yy")], "doc_id long, text string"
+        )
+        out = {r.keep_id: r.n_copies for r in dedup_exact(docs).collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_jaccard_identical_docs(self, spark):
+        from gmall_flink_200621_spark.operators.dedup import dedup_ngram_jaccard
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+            "doc_id long, text string",
+        )
+        out = dedup_ngram_jaccard(docs, threshold=0.9).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+    def test_minhash_lsh_finds_planted_dups(self, spark, sf_dir):
+        """The testdata plants ~25 near-dup docs; LSH must surface pairs."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup_minhash_lsh(docs).collect()
+        assert len(pairs) >= 10  # planted dups have jaccard ≥ 0.89
+        assert all(r.jaccard >= 0.8 for r in pairs)
+
+    def test_simhash_hamming_zero_for_identical(self, spark):
+        from gmall_flink_200621_spark.operators.dedup import dedup_simhash
+
+        docs = spark.createDataFrame(
+            [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4")], "doc_id long, text string"
+        )
+        out = dedup_simhash(docs).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+class TestSimilarity:
+    def test_knn_self_excluded_and_ranked(self, spark):
+        from gmall_flink_200621_spark.operators.similarity import knn_brute
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [0.9, 0.1], 0),
+                (2, [0.0, 1.0], 0),
+                (3, [-1.0, 0.0], 0),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        # patch DIM via direct call: vectors here are 2-d, aggregate handles any len
+        out = knn_brute(emb, k=2, query_mod=4).collect()  # queries: vec 0
+        by_rank = {r.rank: r.neighbor_id for r in out if r.query_id == 0}
+        assert by_rank == {1: 1, 2: 2}  # most similar first, self excluded
+
+
+class TestMultimodal:
+    def test_extract_features_shape(self, spark):
+        from gmall_flink_200621_spark.operators.multimodal import (
+            FEATURE_DIM,
+            extract_features,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, n=12)
+        out = extract_features(media).collect()
+        assert len(out) == 12
+        assert all(len(r.features) == FEATURE_DIM for r in out)
+        # deterministic: same payload → same features
+        again = extract_features(synthetic_media(spark, n=12)).collect()
+        assert sorted(map(str, out)) == sorted(map(str, again))
+
+    def test_frame_sampling_explodes_rows(self, spark):
+        from gmall_flink_200621_spark.operators.multimodal import sample_frames, synthetic_media
+
+        media = synthetic_media(spark, n=9)  # 3 audio + 3 video, 5000ms each
+        out = sample_frames(media, every_ms=1000).collect()
+        assert len(out) == 6 * 5  # 5 frames per a/v item
+        assert {r.frame_ts_ms for r in out} == {0, 1000, 2000, 3000, 4000}
+
+    def test_resize_updates_metadata(self, spark):
+        from gmall_flink_200621_spark.operators.multimodal import resize_images, synthetic_media
+
+        media = synthetic_media(spark, n=6)
+        out = resize_images(media, 32, 32).collect()
+        assert len(out) == 2  # only images
+        assert all(r.width == 32 and r.height == 32 for r in out)
+
+    def test_real_decoder_is_stubbed(self, spark):
+        import pytest as _pytest
+
+        from gmall_flink_200621_spark.operators.multimodal import DECODERS
+
+        with _pytest.raises(NotImplementedError):
+            DECODERS["real"](b"x", "image")

@@ -1,0 +1,96 @@
+"""Streaming-vs-batch equivalence + stateful-operator tests.
+
+The reference validated streaming output by eyeballing print() (SURVEY §5);
+here every streaming job is checked against its batch twin on the same
+data — final results must agree (modulo in-flight windows held back by the
+watermark, handled by replay completion).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+class TestStreamBatchEquivalence:
+    def test_page_view_stream_matches_batch(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.pipelines import page_view
+        from gmall_flink_200621_spark.streaming.jobs import events_stream, page_view_stream
+
+        agg = page_view_stream(events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("pv_stream_out")
+            .start()
+        )
+        _drain(q)
+        got = {
+            r.window_end_s: r.pv
+            for r in spark.sql("SELECT * FROM pv_stream_out").collect()
+        }
+        expected = {r.window_end_s: r.pv for r in page_view(spark, sf_dir).collect()}
+        # append mode emits only watermark-closed windows; all emitted
+        # windows must match batch exactly, and nearly all windows close
+        assert got
+        assert all(expected.get(k) == v for k, v in got.items())
+        assert len(got) >= len(expected) - 1  # last window may be in flight
+
+    def test_hot_items_stream_matches_batch(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.pipelines import hot_items
+        from gmall_flink_200621_spark.streaming.jobs import RESULTS, run_hot_items_stream
+
+        q = run_hot_items_stream(spark, sf_dir, queryName="hi_stream_out")
+        _drain(q)
+        got = {
+            (r.window_end_s, r.item_k): (r.cnt, r.rank)
+            for r in RESULTS["hi_stream_out"]
+        }
+        expected = {
+            (r.window_end_s, r.item_k): (r.cnt, r.rank)
+            for r in hot_items(spark, sf_dir).collect()
+        }
+        assert got
+        matched = sum(1 for k, v in got.items() if expected.get(k) == v)
+        assert matched / len(got) > 0.95  # in-flight tail windows excluded
+
+
+@pytest.mark.parametrize("drop", [False])
+class TestStatefulProcessors:
+    def _run_stateful(self, spark, sf_dir, build):
+        from gmall_flink_200621_spark.streaming.jobs import events_stream
+
+        out = build(events_stream(spark, sf_dir))
+        name = f"stateful_out_{abs(hash(str(build))) % 10**8}"
+        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    def test_login_fail_processor_matches_batch(self, spark, sf_dir, drop):
+        from gmall_flink_200621_spark.plans.pipelines import login_fail
+        from gmall_flink_200621_spark.streaming.stateful import login_fail_stream
+
+        got = self._run_stateful(spark, sf_dir, login_fail_stream)
+        expected = login_fail(spark, sf_dir).toPandas()
+        key = ["user_id", "first_fail_ts_s", "second_fail_ts_s"]
+        g = set(map(tuple, got[key].values.tolist()))
+        e = set(map(tuple, expected[key].values.tolist()))
+        # streaming sees events in file order (ts-sorted parquet) — results
+        # must match the batch lag-rewrite exactly
+        assert g == e
+
+    def test_order_timeout_processor_tags(self, spark, sf_dir, drop):
+        from gmall_flink_200621_spark.streaming.stateful import order_timeout_stream
+
+        got = self._run_stateful(spark, sf_dir, order_timeout_stream)
+        assert len(got) > 0
+        assert set(got.status.unique()) <= {"payed", "timeout", "payed timeout", "payed but no create"}
+        payed = got[got.status == "payed"]
+        assert ((payed.pay_ts_s - payed.create_ts_s) <= 900).all()
