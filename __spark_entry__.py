@@ -16,6 +16,9 @@ from gmall_flink_200621_spark.plans import pipelines as P
 from gmall_flink_200621_spark.plans.oracle import PIPELINE_ORACLES
 from gmall_flink_200621_spark.plans.tpch import TPCH_QUERIES
 from gmall_flink_200621_spark.plans.tpch_oracle import TPCH_ORACLES
+from gmall_flink_200621_spark.plans.extras import EXTRA_ORACLES, EXTRA_QUERIES
+from gmall_flink_200621_spark.plans.reference_oracle import REFERENCE_ORACLES
+from gmall_flink_200621_spark.plans.reference_parity import REFERENCE_QUERIES
 from gmall_flink_200621_spark.plans.training import TRAINING_QUERIES
 from gmall_flink_200621_spark.plans.training_oracle import TRAINING_ORACLES
 
@@ -48,8 +51,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TPCH_QUERIES,
         # training-data pipeline surface (documents / embeddings)
         **TRAINING_QUERIES,
+        # reference fixtures with the reference's exact parameters
+        **REFERENCE_QUERIES,
+        # broader engine surface (sessionization, pivot, percentiles, JSON)
+        **EXTRA_QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**PIPELINE_ORACLES, **TPCH_ORACLES, **TRAINING_ORACLES}
+    return {
+        **PIPELINE_ORACLES,
+        **TPCH_ORACLES,
+        **TRAINING_ORACLES,
+        **REFERENCE_ORACLES,
+        **EXTRA_ORACLES,
+    }

@@ -1,0 +1,140 @@
+"""Additional engine-surface queries beyond direct reference parity:
+sessionization, pivot, exact percentiles, JSON extraction stats — standard
+OLAP shapes the engine exposes for free via Spark, each oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+
+SESSION_GAP_S = 1800  # 30 min inactivity closes a session
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream: a session breaks after
+    30 min of per-user inactivity. The classic lag+cumsum rewrite — one
+    shuffle on user_id, sessions assembled without any stateful op."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(F.col("ts_s") - F.lag("ts_s").over(w) > SESSION_GAP_S, 1).otherwise(
+            F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").alias("session_start_s"),
+            F.max("ts_s").alias("session_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_id", "session_start_s", "session_end_s", "n_events")
+    )
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts, pivoted to columns (P/U pivot surface)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type.
+
+    Uses Spark's exact `percentile` (sort-based, same linear interpolation
+    as DuckDB's quantile_cont) — NOT percentile_approx, which is
+    sketch-valued and engine-specific. Rounded to 6dp for the last-ulp
+    interpolation divide."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + distribution stats per k-bucket (the engine's
+    semi-structured surface: get_json_object pushdownable scan + agg)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            F.round(F.min("value"), 6).alias("value_min"),
+            F.round(F.max("value"), 6).alias("value_max"),
+        )
+    )
+
+
+EXTRA_QUERIES = {
+    "sessionize": sessionize,
+    "event_type_pivot": event_type_pivot,
+    "value_percentiles": value_percentiles,
+    "props_extract_stats": props_extract_stats,
+}
+
+EXTRA_ORACLES: dict[str, str] = {
+    "sessionize": f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id FROM events
+), marked AS (
+  SELECT user_id, ts_s, event_id,
+         CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+              WHEN ts_s - lag(ts_s) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sessions AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
+       count(*) AS n_events
+FROM sessions GROUP BY 1, 2
+""",
+    "event_type_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY 1
+""",
+    "value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+    "props_extract_stats": """
+SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max
+FROM events GROUP BY 1
+""",
+}

@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the plan properties that matter at
+100 TB must hold at any sf. These assert on explain() output, not timing —
+catching a lost pushdown/broadcast in CI instead of in production."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+class TestPushdown:
+    def test_q6_filters_reach_scan(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.tpch import tpch_q6
+
+        s = _formatted(tpch_q6(spark, sf_dir))
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", s).group(1)
+        assert "GreaterThanOrEqual(l_shipdate" in pushed
+        assert "LessThan(l_shipdate" in pushed
+        assert "GreaterThanOrEqual(l_discount" in pushed
+        assert "LessThan(l_quantity" in pushed
+
+    def test_q6_schema_pruned(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.tpch import tpch_q6
+
+        s = _formatted(tpch_q6(spark, sf_dir))
+        read = re.search(r"ReadSchema: struct<([^>]*)>", s).group(1)
+        cols = {c.split(":")[0] for c in read.split(",")}
+        # only the 4 needed columns — a 16-column read would be a regression
+        assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+    def test_filter_pushdown_on_events(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.pipelines import page_view
+
+        s = _formatted(page_view(spark, sf_dir))
+        assert "EqualTo(event_type,view)" in s  # reaches PushedFilters
+
+
+class TestJoinStrategies:
+    def test_q3_broadcasts_dims(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.tpch import tpch_q3
+
+        s = _plan(tpch_q3(spark, sf_dir))
+        assert s.count("BroadcastHashJoin") >= 1
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+
+    def test_interval_join_is_equi_keyed(self, spark, sf_dir):
+        """The time-band predicate must ride an equi hash join on user_id,
+        never degrade to a nested-loop over the cross product."""
+        from gmall_flink_200621_spark.plans.pipelines import order_receipt_join
+
+        s = _plan(order_receipt_join(spark, sf_dir))
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
+
+    def test_anti_join_used_for_blacklist(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.pipelines import ad_clicks_filtered
+
+        assert "LeftAnti" in _plan(ad_clicks_filtered(spark, sf_dir))
+
+
+class TestAggregation:
+    def test_windowed_agg_is_partial_final(self, spark, sf_dir):
+        """Sliding-window counts must use two-phase hash aggregation
+        (map-side combine) — the property that keeps shuffle bytes
+        O(groups) instead of O(rows × windows)."""
+        from gmall_flink_200621_spark.plans.pipelines import hot_items
+
+        s = _plan(hot_items(spark, sf_dir))
+        assert s.count("HashAggregate") >= 2  # partial + final
+
+    def test_no_python_udfs_in_declarative_plans(self, spark, sf_dir):
+        """Every reference pipeline stays JVM-side (whole-stage codegen);
+        Python appears only in the explicitly-pandas operators."""
+        import __spark_entry__ as entry_mod
+
+        for name in ["hot_items", "page_view", "uv_exact", "order_timeout", "tpch_q1", "dedup_minhash_lsh"]:
+            s = _plan(entry_mod.queries()[name](spark, sf_dir))
+            assert "BatchEvalPython" not in s, name
+            assert "ArrowEvalPython" not in s, name
