@@ -1,0 +1,78 @@
+"""W7/W8/T3 semantics tests against the hand-rolled Flink-exact lateness
+state machine (streaming/late_data.py).
+
+The invariant that pins everything down is CONSERVATION: for every
+(window, url), live count + post-expiry dropped count == the batch-mode
+count. Nothing double-counted by re-fires, nothing silently lost."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def _run(spark, sf_dir, name):
+    from gmall_flink_200621_spark.streaming.late_data import STATE, run_hot_urls_late_stream
+
+    q = run_hot_urls_late_stream(spark, sf_dir, query_name=name)
+    q.processAllAvailable()
+    progress = q.recentProgress
+    q.stop()
+    return STATE[name], progress
+
+
+class TestLateDataSemantics:
+    def test_conservation_and_refires(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.pipelines import hot_urls
+        from gmall_flink_200621_spark.operators.windows import windowed_agg
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from pyspark.sql import functions as F
+        from gmall_flink_200621_spark.functions import scalars as S
+
+        st, progress = _run(spark, sf_dir, "late_conservation")
+
+        # ≥3 micro-batches actually ran (else lateness was never exercised)
+        assert len([p for p in progress if p["numInputRows"] > 0]) >= 3
+
+        # batch-mode windowed counts (ground truth)
+        e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+        batch = {
+            (r.window_end_s, r.url_k): r.cnt
+            for r in windowed_agg(
+                e, "ts", "10 minutes", "5 minutes", keys={"url_k": S.url_k()}
+            ).collect()
+        }
+
+        # conservation: live + dropped == batch, for every (window, url)
+        merged: Counter = Counter(st["counts"])
+        merged.update(st["dropped"])
+        assert dict(merged) == batch
+
+        # the jittered replay must exercise BOTH late paths
+        assert st["refires"], "no within-budget late re-fires happened"
+        assert st["side"], "no beyond-budget side-output events happened"
+
+        # every side-output event's windows are all expired ⇒ every one of
+        # its (window,url) contributions sits in dropped, none in counts
+        for ts_s, url in st["side"][:50]:
+            from gmall_flink_200621_spark.streaming.late_data import _window_ends
+
+            for wend in _window_ends(ts_s):
+                assert (wend, url) in st["dropped"]
+
+    def test_upsert_ranking_is_consistent_with_live_counts(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.topn import top_n_per_group
+
+        st, _ = _run(spark, sf_dir, "late_rank")
+        data = [(w, u, c) for (w, u), c in st["counts"].items()]
+        expected = {
+            (r.window_end_s, r.url_k): (r.cnt, r.rank)
+            for r in top_n_per_group(
+                spark.createDataFrame(data, "window_end_s long, url_k string, cnt long"),
+                ["window_end_s"],
+                "cnt",
+                5,
+                tiebreak_cols=["url_k"],
+            ).collect()
+        }
+        got = {(r.window_end_s, r.url_k): (r.cnt, r.rank) for r in st["ranking"]}
+        assert got == expected
