@@ -57,8 +57,15 @@ def main() -> None:
     queries = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in queries]
 
-    # warm the session (JVM + parquet footer caches) outside timed region
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # warm the session (JVM, codegen, parquet footers for every table)
+    # outside the timed region so per-query numbers reflect steady state
+    from gmall_flink_200621_spark.schemas import TESTDATA_TABLES
+    from gmall_flink_200621_spark.sources.loaders import load_table
+
+    for t in TESTDATA_TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            load_table(spark, SF_DIR, t).count()
 
     per_query: dict[str, float] = {}
     for name in names:

@@ -289,6 +289,115 @@ def _order_timeout_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[
         yield pd.DataFrame(out, columns=cols)
 
 
+def _blacklist_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """AdClickByProvinceApp blacklist semantics: per-(user,ad) daily counter,
+    emit-once warning at the cap, suppression after, day rollover resets."""
+    user_id, ad_k = key
+    st = state.get if state.exists else (None, 0, False)
+    day_s, cnt, warned = st
+    out = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values("ts_s").itertuples():
+            d = int(r.ts_s - (r.ts_s % 86400))
+            if d != day_s:
+                day_s, cnt, warned = d, 0, False  # daily TTL reset (the midnight timer)
+            cnt += 1
+            if cnt == BLACKLIST_THRESHOLD and not warned:
+                out.append((user_id, ad_k, d, "blacklist_warning"))
+                warned = True
+            elif not warned:
+                out.append((user_id, ad_k, d, "click"))
+            # else: suppressed (P9 dynamic filter)
+    state.update((int(day_s), int(cnt), bool(warned)))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "ad_k", "day_s", "tag"])
+
+
+def _pay_receipt_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """OrderReceiptAppWithConnect semantics on a tagged union: buffer the
+    first-arriving side, match on the other's arrival; an event-time
+    timeout expires the lone side to its diagnostic tag."""
+    (user_id,) = key
+    cols = ["user_id", "pay_ts_s", "receipt_ts_s", "tag"]
+    if state.hasTimedOut:
+        pay_ts, receipt_ts = state.get if state.exists else (None, None)
+        state.remove()
+        rows = []
+        if pay_ts is not None:
+            rows.append((user_id, pay_ts, None, "payButNoReceipt"))
+        if receipt_ts is not None:
+            rows.append((user_id, None, receipt_ts, "receiptButNoPay"))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+        return
+    pay_ts, receipt_ts = state.get if state.exists else (None, None)
+    out = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values("ts_s").itertuples():
+            if r.side == "pay":
+                if receipt_ts is not None:
+                    out.append((user_id, int(r.ts_s), receipt_ts, "matched"))
+                    receipt_ts = None
+                else:
+                    pay_ts = int(r.ts_s)
+            else:
+                if pay_ts is not None:
+                    out.append((user_id, pay_ts, int(r.ts_s), "matched"))
+                    pay_ts = None
+                else:
+                    receipt_ts = int(r.ts_s)
+    if pay_ts is not None or receipt_ts is not None:
+        state.update((pay_ts, receipt_ts))
+        wait_from = pay_ts if pay_ts is not None else receipt_ts
+        state.setTimeoutTimestamp((wait_from + PayReceiptProcessor.PAY_WAIT_S) * 1000)
+    else:
+        state.remove()
+    if out:
+        yield pd.DataFrame(out, columns=cols)
+
+
+def blacklist_stream(events: "DataFrame"):  # noqa: F821
+    """BlacklistProcessor semantics (A7/A8/P9) over the click stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions import scalars as S
+
+    keyed = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", S.ad_k().alias("ad_k"), F.col("ts").cast("long").alias("ts_s"))
+        .groupBy("user_id", "ad_k")
+    )
+    return keyed.applyInPandasWithState(
+        _blacklist_fn,
+        outputStructType=BLACKLIST_OUTPUT,
+        stateStructType="day_s LONG, cnt LONG, warned BOOLEAN",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def pay_receipt_stream(events: "DataFrame"):  # noqa: F821
+    """PayReceiptProcessor semantics (J2) over a tagged union of the pay
+    ('purchase') and receipt ('signup') sides."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tagged = events.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id",
+        "ts",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.when(F.col("event_type") == "purchase", F.lit("pay")).otherwise(F.lit("receipt")).alias("side"),
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _pay_receipt_fn,
+        outputStructType=PAY_RECEIPT_OUTPUT,
+        stateStructType="pay_ts LONG, receipt_ts LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def login_fail_stream(events: "DataFrame"):  # noqa: F821
     """LoginFailProcessor semantics over a watermarked stream
     (applyInPandasWithState wiring)."""
