@@ -52,3 +52,44 @@ def windowed_agg(
         *keys.keys(),
         *[c for c in out.columns if c not in ("w", *keys.keys())],
     )
+
+
+def sliding_count_two_level(
+    df: DataFrame,
+    ts_col: str,
+    size_s: int,
+    slide_s: int,
+    keys: dict[str, Column],
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Sliding-window count via two-level aggregation: count per
+    (slide-bucket, key) FIRST, then explode each bucket into its size/slide
+    windows and re-sum.
+
+    Identical results to `windowed_agg` (same epoch-aligned assignment),
+    different physical shape: the expensive first aggregation touches each
+    input row ONCE (no ×size/slide Expand before the partial agg), and the
+    window explode runs on the already-tiny bucket counts. At 100 TB with
+    a 1h/5min window this is 12× less map-side hash-aggregate input on the
+    hot path — the same trick the reference hand-built as
+    AggregateFunction-in-window-state (HotItemApp.java:72-93), lifted one
+    level up."""
+    keyed = df
+    for k, v in keys.items():
+        keyed = keyed.withColumn(k, v)
+    buckets = (
+        keyed.withColumn("__bucket", F.col(ts_col).cast("long") - F.col(ts_col).cast("long") % slide_s)
+        .groupBy("__bucket", *keys.keys())
+        .agg(F.count(F.lit(1)).alias("__bcnt"))
+    )
+    n = size_s // slide_s
+    return (
+        buckets.withColumn("__j", F.explode(F.sequence(F.lit(1), F.lit(n))))
+        .select(
+            (F.col("__bucket") + F.col("__j") * slide_s).alias("window_end_s"),
+            *keys.keys(),
+            "__bcnt",
+        )
+        .groupBy("window_end_s", *keys.keys())
+        .agg(F.sum("__bcnt").alias(count_alias))
+    )

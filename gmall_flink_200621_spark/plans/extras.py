@@ -86,11 +86,32 @@ def props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch UV (the A6 scale path beyond plain
+    approx_count_distinct): per-day HLL sketches built once, then merged
+    upward for the whole-range estimate WITHOUT rescanning events — the
+    pattern that replaces the reference's Redis bitmap at 100 TB (store
+    daily sketches, union on demand). Estimator-valued → rows-only check."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("pv"),
+    )
+    return (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_estimate"),
+            F.sum("pv").alias("pv_total"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 EXTRA_QUERIES = {
     "sessionize": sessionize,
     "event_type_pivot": event_type_pivot,
     "value_percentiles": value_percentiles,
     "props_extract_stats": props_extract_stats,
+    "uv_sketch_rollup": uv_sketch_rollup,  # rows-only (estimator-valued)
 }
 
 EXTRA_ORACLES: dict[str, str] = {

@@ -57,11 +57,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 items per sliding 1h/5min window (HotItemApp.java:54-64).
 
-    filter(pv) → windowed count per item → row_number ≤ 5 per window end.
-    One shuffle for the agg (partial map-side first), one for the rank.
+    filter(pv) → two-level sliding count (per-5min-bucket pre-agg, then
+    bucket→window rollup — each input row aggregated once, no ×12 window
+    Expand on the hot path) → row_number ≤ 5 per window end.
     """
+    from ..operators.windows import sliding_count_two_level
+
     e = _events(spark, sf_dir).filter(F.col("event_type") == "view")
-    counts = windowed_agg(e, "ts", "1 hour", "5 minutes", keys={"item_k": S.item_k()})
+    counts = sliding_count_two_level(e, "ts", 3600, 300, keys={"item_k": S.item_k()})
     return top_n_per_group(counts, ["window_end_s"], "cnt", TOP_N, tiebreak_cols=["item_k"]).select(
         "window_end_s", "item_k", "cnt", "rank"
     )
