@@ -67,11 +67,16 @@ def main() -> None:
         if os.path.exists(p):
             load_table(spark, SF_DIR, t).count()
 
+    # min of 2 runs per query: steady-state timing, resilient to transient
+    # host contention (co-resident JVMs can skew a single pass 5-40x)
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

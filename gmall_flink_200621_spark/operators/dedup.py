@@ -22,6 +22,7 @@ has an exact DuckDB oracle (plans/training_oracle.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,7 +74,9 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     the threshold compare is engine-independent; the float jaccard output
     is a ratio of exact ints (identical division both sides).
     """
-    sh = _doc_shingles(docs)
+    # the shingle frame feeds the self-join twice plus the size agg —
+    # persist so the tokenize+explode runs once, not 3×
+    sh = _doc_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -119,7 +122,9 @@ def dedup_minhash_lsh(
         F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sigs.select("doc_id", *band_cols)
+    # banded signatures feed `bands` self-joins; the shingle frame feeds
+    # signature computation AND the verification joins — persist both
+    banded = sigs.select("doc_id", *band_cols).persist()
     # candidate pairs: equal value in any band (union of per-band bucket joins, deduped)
     candidates = None
     for b in range(bands):
@@ -130,7 +135,7 @@ def dedup_minhash_lsh(
     candidates = candidates.distinct()
 
     # verify: exact jaccard restricted to candidate pairs
-    sh = _doc_shingles(docs)
+    sh = _doc_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b2 = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -157,24 +162,44 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
     Explodes (token × bit) — heavy but linear; at scale, prefer running it
     once and persisting. Bit j of the fingerprint is set iff more token
     hashes have bit j set than unset (strict majority, ties → 0)."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", h60(F.col("tok")).alias("h"))
-    # one groupBy with 60 conditional sums — NOT a (token × bit) explode,
-    # which would shuffle 60× the rows. Bit j is set iff a strict majority
-    # of token hashes have it set (sum of ±1 > 0 ⟺ 2·count_set > n).
-    per_doc = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c_{j}") for j in range(bits)],
-    )
-    fp = None
-    for j in range(bits):
-        term = F.when(2 * F.col(f"c_{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return per_doc.select("doc_id", fp.alias("simhash"))
+    # Arrow-batched vectorized computation (mapInPandas), not a JVM
+    # expression: a 60-conditional-sum aggregate compiles into a
+    # pathologically large generated method (codegen-cache thrash measured
+    # 4.6s → 57s in aged sessions), and a (token × bit) explode shuffles
+    # 60× the rows. Per-doc numpy bit-count is O(tokens × bits) with zero
+    # shuffle — the documented Pandas-UDF exception for operators the
+    # built-in expression path can't express efficiently.
+    #
+    # The hash is the same md5-prefix integer the SQL oracle computes
+    # (hashlib.md5 == Spark md5 == DuckDB md5), so results stay
+    # bit-identical. Bit j is set iff a strict majority of distinct-token
+    # hashes have it set. Docs with no tokens are omitted (matching the
+    # aggregate formulation and the oracle).
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        jrange = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = {t for t in (text or "").split(" ") if t}
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                set_counts = ((hs[:, None] >> jrange[None, :]) & 1).sum(axis=0)
+                fp = int(((2 * set_counts > len(toks)).astype(np.int64) << jrange).sum())
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+
+    return docs.select("doc_id", "text").mapInPandas(run, "doc_id long, simhash long")
 
 
 def dedup_simhash(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
@@ -186,7 +211,9 @@ def dedup_simhash(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
         (F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1))).alias(f"c_{b}")
         for b in range(SIMHASH_BANDS)
     ]
-    chunked = fp.select("doc_id", "simhash", *chunk_cols)
+    # the fingerprint pipeline (explode + 60-agg groupBy) feeds 4 self-joins
+    # = 8 recomputations without a persist
+    chunked = fp.select("doc_id", "simhash", *chunk_cols).persist()
     cands = None
     for b in range(SIMHASH_BANDS):
         x = chunked.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c_{b}").alias("cv"))

@@ -53,7 +53,7 @@ def knn_brute(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> Da
     Norms are precomputed once per vector (O(N·d)), not per pair (O(Q·N·d))
     — the integer norm is exact, so cosine values are unchanged."""
     e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
-    e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()  # feeds both join sides
     q = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
     q = q.filter(F.col("query_id") % query_mod == 0)
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), F.col("n2").alias("cn2"))
@@ -97,7 +97,7 @@ def knn_lsh(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100, planes:
     e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("bucket", lsh_sign_bucket(F.col("q"), planes)).withColumn(
         "n2", _idot(F.col("q"), F.col("q"))
-    )
+    ).persist()  # bucketing (8 integer projections) feeds both join sides
     q = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"), "bucket"
     )

@@ -95,8 +95,10 @@ def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 urls per sliding 10min/5min window over GET-analog clicks
     (HotUrlApp.java:57-66: filter GET → window 10min → Top-5)."""
+    from ..operators.windows import sliding_count_two_level
+
     e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
-    counts = windowed_agg(e, "ts", "10 minutes", "5 minutes", keys={"url_k": S.url_k()})
+    counts = sliding_count_two_level(e, "ts", 600, 300, keys={"url_k": S.url_k()})
     return top_n_per_group(counts, ["window_end_s"], "cnt", TOP_N, tiebreak_cols=["url_k"]).select(
         "window_end_s", "url_k", "cnt", "rank"
     )
@@ -154,9 +156,11 @@ def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """App-market counts by (channel, behavior) per sliding 1h/15min window,
     UNINSTALL-analog excluded (MarketByChannelApp.java:31-34)."""
+    from ..operators.windows import sliding_count_two_level
+
     e = _events(spark, sf_dir).filter(F.col("event_type") != "error")
-    return windowed_agg(
-        e, "ts", "1 hour", "15 minutes",
+    return sliding_count_two_level(
+        e, "ts", 3600, 900,
         keys={"channel": S.channel(), "behavior": F.col("event_type")},
     ).select("window_end_s", "channel", "behavior", "cnt")
 
@@ -164,8 +168,10 @@ def market_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ad_click_by_province(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ad clicks by province per sliding 1h/20min window
     (AdClickByProvinceApp.java:58-61)."""
+    from ..operators.windows import sliding_count_two_level
+
     e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
-    return windowed_agg(e, "ts", "1 hour", "20 minutes", keys={"province": S.province()}).select(
+    return sliding_count_two_level(e, "ts", 3600, 1200, keys={"province": S.province()}).select(
         "window_end_s", "province", "cnt"
     )
 

@@ -64,6 +64,26 @@ def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     return spark.readStream.format("socket").option("host", host).option("port", port).load()
 
 
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S4 Kafka connector (declared but unused in the reference,
+    pom.xml:40-48): value bytes surfaced as a string column for the same
+    parse maps the CSV sources use. Requires the spark-sql-kafka package
+    on the classpath; untestable in this environment (no broker)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value", "timestamp")
+    )
+
+
 def rate_market_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """S3: the reference's random MarketUserBehavior generator
     (MarketBehaviorSource.java:10-42, 1 event/100ms ≈ 10 rows/s) as a
