@@ -56,17 +56,14 @@ def _receipts(spark: SparkSession) -> DataFrame:
 
 def ref_ad_click_by_province(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Province click counts per sliding 1h/5s window — epoch-integer window
-    math (no timestamp casts: window_end_s = 5s-bucket + j·5)."""
-    e = _ad_clicks(spark)
-    return (
-        e.select(
-            "province",
-            F.explode(F.sequence(F.lit(1), F.lit(AD_WINDOW_S // AD_SLIDE_S))).alias("j"),
-            (F.col("ts") - F.col("ts") % AD_SLIDE_S).alias("bucket"),
-        )
-        .select("province", (F.col("bucket") + F.col("j") * AD_SLIDE_S).alias("window_end_s"))
-        .groupBy("window_end_s", "province")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    math (window_end_s = 5s-bucket + j·5), two-level: raw rows are counted
+    per (5s bucket, province) FIRST, and only the tiny bucket counts are
+    exploded into their 720 windows (AdClickByProvinceApp.java:59 semantics;
+    at scale this keeps the 720× Expand off the raw-row path)."""
+    from ..operators.windows import sliding_count_two_level
+
+    return sliding_count_two_level(
+        _ad_clicks(spark), "ts", AD_WINDOW_S, AD_SLIDE_S, keys={"province": F.col("province")}
     )
 
 

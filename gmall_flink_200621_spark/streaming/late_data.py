@@ -10,14 +10,41 @@ Flink semantics being reproduced (HotUrlApp.java:52-61, HotUrlApp2.java:111-190)
   (`sideOutputLateData`, W8) instead of vanishing;
 - watermark = max event time − bounded out-of-orderness (WM2).
 
-Spark's built-in windowed aggregation drops beyond-watermark rows
-*silently*, so the exact semantics live in a foreachBatch state machine
-(per SURVEY §7.4: "exact re-fire semantics need stateful op"): the
-un-aggregated click stream arrives in micro-batches, and the handler owns
-watermark tracking, per-(window,key) counts, expiry, the side output, and
-the per-fire Top-N upsert. State is a driver-side dict here (observable in
-tests); at scale it is the same algorithm over a keyed store (RocksDB
-state store / Delta MERGE) with the watermark broadcast from the engine.
+DISTRIBUTED DESIGN (round 2 — replaces the round-1 driver-side dict):
+the whole per-(window, key) state machine runs inside
+`applyInPandasWithState` keyed by `url_k`, i.e. in executor-side keyed
+state exactly like the reference's per-key MapState
+(HotUrlApp2.java:124-128). Verified properties of Spark's operator that
+make this exact:
+
+- rows older than the watermark are NOT pre-filtered before the stateful
+  operator, so the handler sees every late event and owns the
+  live/expired/side-output classification itself;
+- `GroupState.getCurrentWatermarkMs()` exposes the query-global watermark
+  (max event time seen in prior batches − delay) — precisely WM2 — so no
+  driver-side watermark tracking is needed ("watermark broadcast via
+  batch max" is what Spark's WatermarkTracker already does);
+- state expiry uses `GroupStateTimeout.EventTimeTimeout` armed at
+  `min(live window end) + allowedLateness` — the reference's cleanup
+  timer at windowEnd+60s (HotUrlApp2.java:139,145-149).
+
+Per key and micro-batch the handler is vectorized (numpy over the Arrow
+batch, no per-row Python loop) and emits *delta rows*:
+
+- tag='fire'/'refire': a (window, url) count changed — carries the new
+  cumulative count (the T3 upsert; 'refire' when the window had already
+  fired, i.e. window_end <= watermark);
+- tag='dropped':      contributions arriving after the window expired
+  (what batch mode would still have credited — conservation witness);
+- tag='side':         an event whose every window has expired (W8).
+
+The stream sink is Spark's distributed parquet file sink — the raw
+stream is NEVER collected to the driver. `STATE[name]` (the test- and
+user-observable view: final counts, dropped, refires, side output, final
+upsert ranking) is materialized lazily AFTER the query finishes by
+aggregating the delta log with ordinary DataFrame ops; only final
+aggregates are collected, bounded by |windows × urls|, not by the event
+count.
 
 The staged replay source makes the scenario real: time-contiguous chunks
 so the watermark advances batch by batch, plus a jittered fraction of
@@ -30,6 +57,10 @@ from __future__ import annotations
 
 import os
 import tempfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,9 +74,25 @@ OUT_OF_ORDER_S = 3600  # WM2, scaled to testdata density
 ALLOWED_LATENESS_S = 5 * 86400  # W7 budget, scaled (reference: 60 s on demo data)
 LATE_FRACTION = 0.05  # of each chunk deferred one batch
 
-# per query name: watermark, live counts, expired-window drop counts,
-# re-fired (window,key) pairs, side-output events, final ranking
-STATE: dict[str, dict] = {}
+DELTA_SCHEMA = "url_k STRING, window_end_s LONG, cnt LONG, ts_s LONG, tag STRING"
+_STATE_SCHEMA = "wends ARRAY<LONG>, cnts ARRAY<LONG>"
+
+# query name -> (spark, delta-log dir, top_n); consumed lazily by STATE
+_RUNS: dict[str, tuple] = {}
+
+
+class _StateView(dict):
+    """Test-/user-observable view of a finished query: materialized on
+    first access by aggregating the distributed delta log (final
+    aggregates only — never the raw stream)."""
+
+    def __getitem__(self, name):  # noqa: D105
+        if name in _RUNS:
+            super().__setitem__(name, _finalize(*_RUNS.pop(name)))
+        return super().__getitem__(name)
+
+
+STATE: dict[str, dict] = _StateView()
 
 
 def staged_replay_source(spark: SparkSession, sf_dir: str, n_files: int = 3) -> DataFrame:
@@ -73,7 +120,6 @@ def staged_replay_source(spark: SparkSession, sf_dir: str, n_files: int = 3) -> 
             files[i].append(chunk[~late_mask])
         else:
             files[i].append(chunk)
-    import pandas as pd
 
     for i in range(n_files):
         pd.concat(files[i]).to_parquet(os.path.join(stage, f"part-{i}.parquet"), index=False)
@@ -91,56 +137,142 @@ def _window_ends(ts_s: int) -> list[int]:
     return [bucket + j * SLIDE_S for j in range(1, WINDOW_S // SLIDE_S + 1)]
 
 
+def _late_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-url lateness state machine (executor-side keyed state).
+
+    State = the live {window_end: cumulative count} map (HotUrlApp2's
+    MapState); windows past `end + allowedLateness` are evicted — their
+    final count was already carried by their last fire/refire delta."""
+    wm_ms = state.getCurrentWatermarkMs()
+    wm = wm_ms // 1000 if wm_ms > 0 else None  # None == -inf (no data yet)
+
+    st_wends, st_cnts = state.get if state.exists else ([], [])
+    live = dict(zip(list(st_wends), list(st_cnts)))
+
+    def evict_and_persist() -> None:
+        if wm is not None:
+            for w in [w for w in live if w + ALLOWED_LATENESS_S <= wm]:
+                del live[w]  # cleanup timer analogue (HotUrlApp2.java:145-149)
+        if live:
+            state.update((list(live.keys()), [int(c) for c in live.values()]))
+            state.setTimeoutTimestamp((min(live) + ALLOWED_LATENESS_S) * 1000)
+        else:
+            state.remove()
+
+    if state.hasTimedOut:
+        evict_and_persist()
+        return
+
+    (url_k,) = key
+    pdfs = [p for p in pdf_iter if len(p)]
+    if not pdfs:
+        evict_and_persist()
+        return
+    ts = pd.concat(pdfs)["ts_s"].to_numpy(dtype=np.int64)
+    buckets = ts - ts % SLIDE_S
+    n_slides = WINDOW_S // SLIDE_S
+    all_wends = np.concatenate([buckets + j * SLIDE_S for j in range(1, n_slides + 1)])
+
+    if wm is None:
+        live_mask = np.ones(len(all_wends), dtype=bool)
+        side_mask = np.zeros(len(ts), dtype=bool)
+    else:
+        live_mask = all_wends + ALLOWED_LATENESS_S > wm  # W7: window still accepts
+        side_mask = buckets + WINDOW_S + ALLOWED_LATENESS_S <= wm  # W8: all expired
+
+    out: list[tuple] = []
+    wends_u, deltas = np.unique(all_wends[live_mask], return_counts=True)
+    for wend, delta in zip(wends_u.tolist(), deltas.tolist()):
+        cnt = live.get(wend, 0) + delta
+        live[wend] = cnt
+        refire = wm is not None and wend <= wm  # window had already fired
+        out.append((url_k, wend, cnt, None, "refire" if refire else "fire"))
+    d_wends, d_deltas = np.unique(all_wends[~live_mask], return_counts=True)
+    for wend, delta in zip(d_wends.tolist(), d_deltas.tolist()):
+        out.append((url_k, wend, delta, None, "dropped"))
+    for t in ts[side_mask].tolist():
+        out.append((url_k, None, None, t, "side"))
+
+    evict_and_persist()
+    if out:
+        yield pd.DataFrame(out, columns=["url_k", "window_end_s", "cnt", "ts_s", "tag"])
+
+
+def _finalize(spark: SparkSession, log_dir: str, top_n: int) -> dict:
+    """Aggregate the delta log into the observable view. DataFrame ops
+    end-to-end; only final (window × url)-bounded aggregates are
+    collected."""
+    try:
+        log = spark.read.schema(DELTA_SCHEMA).parquet(log_dir)
+    except Exception:  # no file ever written (empty stream)
+        return {"counts": {}, "dropped": {}, "refires": set(), "side": [], "ranking": []}
+    log = log.persist()
+    # fire counts are cumulative per (window, url): the final value is the max
+    counts_df = (
+        log.filter(F.col("tag").isin("fire", "refire"))
+        .groupBy("window_end_s", "url_k")
+        .agg(F.max("cnt").alias("cnt"))
+        .persist()
+    )
+    counts = {(r.window_end_s, r.url_k): r.cnt for r in counts_df.collect()}
+    dropped = {
+        (r.window_end_s, r.url_k): r.cnt
+        for r in (
+            log.filter(F.col("tag") == "dropped")
+            .groupBy("window_end_s", "url_k")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+    }
+    refires = {
+        (r.window_end_s, r.url_k)
+        for r in log.filter(F.col("tag") == "refire").select("window_end_s", "url_k").distinct().collect()
+    }
+    side = [(r.ts_s, r.url_k) for r in log.filter(F.col("tag") == "side").select("ts_s", "url_k").collect()]
+    ranking = top_n_per_group(
+        counts_df.select("window_end_s", "url_k", "cnt"),
+        ["window_end_s"],
+        "cnt",
+        top_n,
+        tiebreak_cols=["url_k"],
+    ).collect()
+    counts_df.unpersist()
+    log.unpersist()
+    return {"counts": counts, "dropped": dropped, "refires": refires, "side": side, "ranking": ranking}
+
+
 def run_hot_urls_late_stream(
     spark: SparkSession, sf_dir: str, top_n: int = 5, query_name: str = "hot_urls_late"
 ):
-    """HotUrlApp2 end-to-end with exact Flink lateness semantics."""
+    """HotUrlApp2 end-to-end with exact Flink lateness semantics, fully
+    distributed: keyed state in `applyInPandasWithState`, delta output to
+    the parquet file sink, no driver collect anywhere on the stream path."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     clicks = (
         staged_replay_source(spark, sf_dir)
         .filter(F.col("event_type") == "click")
-        .select(F.col("ts").cast("long").alias("ts_s"), S.url_k().alias("url_k"))
+        .withWatermark("ts", f"{OUT_OF_ORDER_S} seconds")
+        .select("ts", F.col("ts").cast("long").alias("ts_s"), S.url_k().alias("url_k"))
     )
 
-    st = STATE[query_name] = {
-        "wm": float("-inf"),
-        "counts": {},  # (wend, url) -> cnt, live windows only
-        "dropped": {},  # (wend, url) -> cnt dropped after expiry (for conservation)
-        "refires": set(),  # (wend, url) updated after first fire
-        "side": [],  # events with every window expired (W8)
-        "ranking": [],
-    }
+    deltas = clicks.groupBy("url_k").applyInPandasWithState(
+        _late_fn,
+        outputStructType=DELTA_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
-    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
-        if not rows:
-            return
-        wm = st["wm"]
-        for r in rows:
-            any_open = False
-            for wend in _window_ends(r.ts_s):
-                if wend + ALLOWED_LATENESS_S > wm:  # window still accepts (W7)
-                    key = (wend, r.url_k)
-                    st["counts"][key] = st["counts"].get(key, 0) + 1
-                    if wend <= wm:  # window already fired once → this is a re-fire
-                        st["refires"].add(key)
-                    any_open = True
-                else:  # expired window: count what batch mode would have credited
-                    dkey = (wend, r.url_k)
-                    st["dropped"][dkey] = st["dropped"].get(dkey, 0) + 1
-            if not any_open:
-                st["side"].append((r.ts_s, r.url_k))  # W8 side output
-        # advance the watermark exactly like WM2: max event time − delay
-        st["wm"] = max(wm, max(r.ts_s for r in rows) - OUT_OF_ORDER_S)
-        # T3: upsert + re-rank from the replaced counts
-        data = [(w, u, c) for (w, u), c in st["counts"].items()]
-        if data:
-            ranked = top_n_per_group(
-                spark.createDataFrame(data, "window_end_s long, url_k string, cnt long"),
-                ["window_end_s"],
-                "cnt",
-                top_n,
-                tiebreak_cols=["url_k"],
-            )
-            st["ranking"] = ranked.collect()
-
-    return clicks.writeStream.outputMode("append").foreachBatch(on_batch).queryName(query_name).start()
+    log_dir = tempfile.mkdtemp(prefix="spark_graft_latelog_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_lateckpt_")
+    STATE.pop(query_name, None)
+    _RUNS[query_name] = (spark, log_dir, top_n)
+    return (
+        deltas.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", log_dir)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )

@@ -33,6 +33,12 @@ class TestLateDataSemantics:
         # ≥3 micro-batches actually ran (else lateness was never exercised)
         assert len([p for p in progress if p["numInputRows"] > 0]) >= 3
 
+        # distributed shape: keyed state lives in the stateful operator and
+        # the sink is the parquet file sink — no driver collect of the stream
+        with_data = [p for p in progress if p["numInputRows"] > 0]
+        assert any(p.get("stateOperators") for p in with_data)
+        assert all("FileSink" in p["sink"]["description"] for p in with_data)
+
         # batch-mode windowed counts (ground truth)
         e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
         batch = {
