@@ -67,16 +67,17 @@ def main() -> None:
         if os.path.exists(p):
             load_table(spark, SF_DIR, t).count()
 
-    # min of 2 runs per query: steady-state timing, resilient to transient
-    # host contention (co-resident JVMs can skew a single pass 5-40x)
-    per_query: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    # min over 2 INTERLEAVED passes: steady-state timing resilient to
+    # transient host contention (observed 5-40x stalls that hit whatever
+    # queries run during a burst; back-to-back repeats of one query land
+    # both runs inside the same burst, interleaved passes don't)
+    per_query: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(2):
+        for name in names:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            per_query[name] = min(per_query[name], time.perf_counter() - t0)
+    per_query = {n: round(v, 3) for n, v in per_query.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -35,6 +35,11 @@ JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 HAMMING_MAX = 3
+# Document-frequency cap: shingles occurring in more docs than this are
+# dropped from the inverted index / signatures (see _doc_shingles). On the
+# testdata max df is 9, so 50 changes nothing; at corpus scale it bounds
+# the Σ df² bucket-join blowup. Mirrored in the DuckDB oracles.
+DF_CAP = 50
 
 
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
@@ -52,22 +57,47 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-gram shingles per doc.
+def _doc_shingles(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per doc, with
+    hyper-frequent shingles (document frequency > df_cap) dropped.
+
+    Why the cap is sound: a shingle present in >df_cap documents is
+    boilerplate (stopword n-grams, licence headers) and contributes up to
+    C(df, 2) rows to every inverted-index self-join — the one quadratic
+    skew term in the pipeline (Σ df² over shingles). Dropping k such
+    shingles from a pair's universe perturbs its Jaccard by at most
+    k / (|A∪B| − k): numerator and denominator each shrink by at most k,
+    so J' = (i−s)/(u−s) with s ≤ k stays within that bound of J = i/u.
+    With df_cap chosen ≫ typical near-dup cluster size, true duplicates
+    keep J ≈ 1 while the index stays skew-free. The frequent-shingle list
+    is tiny by construction (> df_cap occurrences each), so the filter is
+    a broadcast anti-join — no extra shuffle of the shingle frame.
 
     Tokens are materialized into a column before shingling: `shingles()`
     references its input array per element, and inlining the raw
     `split(text)` expression there would re-parse the text O(positions)
     times per row (measured 20×+ slowdown)."""
     toked = docs.select("doc_id", tokens("text").alias("toks"))
-    return toked.select(
+    sh = toked.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("toks"), SHINGLE_N))).alias("shingle"),
     ).filter(F.col("shingle") != "")
+    if df_cap is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti").select("doc_id", "shingle")
 
 
-def dedup_ngram_jaccard(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact all-pairs Jaccard via inverted index.
+def dedup_ngram_jaccard(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, df_cap: int | None = DF_CAP
+) -> DataFrame:
+    """Exact all-pairs Jaccard via inverted index (df-capped shingles —
+    see _doc_shingles for the skew/error-bound argument).
 
     explode shingles → self-join on shingle (the inverted-index bucket
     join) → |A∩B| per pair → Jaccard with per-doc sizes. Integer-exact, so
@@ -76,7 +106,7 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     """
     # the shingle frame feeds the self-join twice plus the size agg —
     # persist so the tokenize+explode runs once, not 3×
-    sh = _doc_shingles(docs).persist()
+    sh = _doc_shingles(docs, df_cap).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -96,10 +126,14 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     )
 
 
-def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, perms: int = MINHASH_PERMS, df_cap: int | None = DF_CAP
+) -> DataFrame:
     """(doc_id, sig_0..sig_{perms-1}): min over shingle hashes per permutation.
-    One explode + one groupBy; signature width is constant per doc."""
-    hashed = _doc_shingles(docs).select("doc_id", h60(F.col("shingle")).alias("h"))
+    One explode + one groupBy; signature width is constant per doc.
+    Signatures are computed over the df-capped shingle set so they estimate
+    the same capped Jaccard the verification step computes."""
+    hashed = _doc_shingles(docs, df_cap).select("doc_id", h60(F.col("shingle")).alias("h"))
     aggs = [F.min(minhash_sig(F.col("h"), i)).alias(f"sig_{i}") for i in range(perms)]
     return hashed.groupBy("doc_id").agg(*aggs)
 
@@ -109,15 +143,17 @@ def dedup_minhash_lsh(
     threshold: float = JACCARD_THRESHOLD,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    df_cap: int | None = DF_CAP,
 ) -> DataFrame:
-    """MinHash + LSH banding + exact-Jaccard verification.
+    """MinHash + LSH banding + exact-Jaccard verification, both over the
+    df-capped shingle set (see _doc_shingles).
 
     Candidate generation never compares all pairs: docs collide only when
     one whole band of their signatures is equal. Verification recomputes
     exact Jaccard just for candidates (semi-joined shingle sets).
     """
     rows = perms // bands
-    sigs = minhash_signatures(docs, perms)
+    sigs = minhash_signatures(docs, perms, df_cap)
     band_cols = [
         F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -135,7 +171,7 @@ def dedup_minhash_lsh(
     candidates = candidates.distinct()
 
     # verify: exact jaccard restricted to candidate pairs
-    sh = _doc_shingles(docs).persist()
+    sh = _doc_shingles(docs, df_cap).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b2 = sh.select(F.col("doc_id").alias("id_b"), "shingle")

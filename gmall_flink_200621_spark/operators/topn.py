@@ -26,11 +26,32 @@ def top_n_per_group(
     n: int,
     tiebreak_cols: list[str] | None = None,
     rank_alias: str = "rank",
+    prune_salts: int | None = None,
 ) -> DataFrame:
-    """Keep the top `n` rows per group by `order_col` desc (deterministic)."""
+    """Keep the top `n` rows per group by `order_col` desc (deterministic).
+
+    `prune_salts=S` enables the EXACT two-stage pre-prune for extreme
+    per-group cardinality: stage 1 ranks within (group, hash-salt) — S
+    parallel sub-sorts instead of one task sorting the whole group — and
+    keeps each sub-top-n; stage 2 ranks the surviving ≤ n·S rows per
+    group. Exact because every global top-n row is the top-≤n of its own
+    salt bucket, whatever the hash distribution; ties break on the same
+    tiebreak columns in both stages, so the final ranking is identical to
+    the single-stage form (oracle hashes unchanged). At 100 TB this turns
+    a |keys|-row single-partition sort per window into S bounded sorts +
+    an n·S-row final sort."""
     order: list[Column] = [F.col(order_col).desc()]
     for c in tiebreak_cols or []:
         order.append(F.col(c).asc())
+    if prune_salts and prune_salts > 1:
+        salt_src = [F.col(c) for c in (tiebreak_cols or [order_col])]
+        w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+        df = (
+            df.withColumn("__salt", F.pmod(F.xxhash64(*salt_src), F.lit(prune_salts)))
+            .withColumn("__pr", F.row_number().over(w1))
+            .filter(F.col("__pr") <= n)
+            .drop("__salt", "__pr")
+        )
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn(rank_alias, F.row_number().over(w))

@@ -91,18 +91,28 @@ def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct): per-day HLL sketches built once, then merged
     upward for the whole-range estimate WITHOUT rescanning events — the
     pattern that replaces the reference's Redis bitmap at 100 TB (store
-    daily sketches, union on demand). Estimator-valued → rows-only check."""
+    daily sketches, union on demand).
+
+    Bounded-error oracle: the hashed output carries the exact overall UV
+    plus `est_ok` = |merged-sketch estimate − exact| ≤ 5%·exact (≫3σ for
+    the default lgConfigK=12, rsd≈1.6%); the oracle expects TRUE, so the
+    sketch's error bound is hash-checked rather than rows-only."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("pv"),
     )
-    return (
-        daily.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_estimate"),
-            F.sum("pv").alias("pv_total"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+        F.sum("pv").alias("pv_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("uv"))
+    return merged.crossJoin(exact).select(
+        "uv",
+        "pv_total",
+        "n_days",
+        (F.abs(F.col("__est") - F.col("uv")) <= F.col("uv") * F.lit(0.05)).alias("est_ok"),
     )
 
 
@@ -111,7 +121,7 @@ EXTRA_QUERIES = {
     "event_type_pivot": event_type_pivot,
     "value_percentiles": value_percentiles,
     "props_extract_stats": props_extract_stats,
-    "uv_sketch_rollup": uv_sketch_rollup,  # rows-only (estimator-valued)
+    "uv_sketch_rollup": uv_sketch_rollup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -157,5 +167,13 @@ SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_bucket,
        round(min(value), 6) AS value_min,
        round(max(value), 6) AS value_max
 FROM events GROUP BY 1
+""",
+    # uv_sketch_rollup: exact uv hash-checked; est_ok (sketch within 5%) must be TRUE
+    "uv_sketch_rollup": """
+SELECT count(DISTINCT user_id) AS uv,
+       count(*) AS pv_total,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       TRUE AS est_ok
+FROM events WHERE event_type = 'view'
 """,
 }

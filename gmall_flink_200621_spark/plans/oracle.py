@@ -79,6 +79,16 @@ FROM events WHERE event_type = 'view'
 GROUP BY 1
 """
 
+# uv_approx: the estimate is engine-specific, but its error bound is not —
+# the query emits exact uv (hash-checked) + est_ok, which must be TRUE
+UV_APPROX = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 3600 seconds, ts))) AS BIGINT) + 3600 AS window_end_s,
+       count(DISTINCT user_id) AS uv,
+       TRUE AS est_ok
+FROM events WHERE event_type = 'view'
+GROUP BY 1
+"""
+
 MARKET_BY_CHANNEL = """
 SELECT CAST(floor(epoch(time_bucket(INTERVAL 900 seconds, ts))) AS BIGINT) + j * 900 AS window_end_s,
        'ch' || CAST(user_id % 4 AS VARCHAR) AS channel,
@@ -216,9 +226,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "hot_items_sql": HOT_ITEMS,
     "hot_urls": HOT_URLS,
     "page_view": PAGE_VIEW,
-    "page_view_salted": PAGE_VIEW.replace("count(*) AS pv", "count(*) AS pv"),
+    "page_view_salted": PAGE_VIEW,  # salted two-phase count ≡ plain PV
     "uv_exact": UV_EXACT,
-    # uv_approx: estimator-specific → rows-only check (no oracle)
+    "uv_approx": UV_APPROX,
     "market_by_channel": MARKET_BY_CHANNEL,
     "ad_click_by_province": AD_CLICK_BY_PROVINCE,
     "ad_click_blacklist": AD_CLICK_BLACKLIST,

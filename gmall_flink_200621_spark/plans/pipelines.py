@@ -65,9 +65,9 @@ def hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir).filter(F.col("event_type") == "view")
     counts = sliding_count_two_level(e, "ts", 3600, 300, keys={"item_k": S.item_k()})
-    return top_n_per_group(counts, ["window_end_s"], "cnt", TOP_N, tiebreak_cols=["item_k"]).select(
-        "window_end_s", "item_k", "cnt", "rank"
-    )
+    return top_n_per_group(
+        counts, ["window_end_s"], "cnt", TOP_N, tiebreak_cols=["item_k"], prune_salts=8
+    ).select("window_end_s", "item_k", "cnt", "rank")
 
 
 def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,9 +99,9 @@ def hot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
     counts = sliding_count_two_level(e, "ts", 600, 300, keys={"url_k": S.url_k()})
-    return top_n_per_group(counts, ["window_end_s"], "cnt", TOP_N, tiebreak_cols=["url_k"]).select(
-        "window_end_s", "url_k", "cnt", "rank"
-    )
+    return top_n_per_group(
+        counts, ["window_end_s"], "cnt", TOP_N, tiebreak_cols=["url_k"], prune_salts=8
+    ).select("window_end_s", "url_k", "cnt", "rank")
 
 
 # --------------------------------------------------------------------- pv / uv
@@ -144,10 +144,28 @@ def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly approx UV — the reference's 2^29-bit Bloom filter + Redis bitmap
     (UvCountWithBloomFilterApp.java:87-161) is exactly what HLL++
     `approx_count_distinct` replaces: bounded memory, mergeable across
-    executors, no external store. No SQL oracle (estimator-specific values);
-    driver records rows-only."""
+    executors, no external store.
+
+    Bounded-error oracle: the estimate itself is engine-specific, so the
+    hashed output carries the exact per-window UV plus `est_ok` =
+    |estimate − exact| ≤ 5%·exact (≫3σ for rsd=1%) evaluated inside the
+    query; the oracle expects `est_ok` ≡ TRUE, turning the estimator's
+    error bound into a hash-checked correctness property."""
     e = _events(spark, sf_dir).filter(F.col("event_type") == "view")
-    return windowed_agg(e, "ts", "1 hour", aggs=[F.approx_count_distinct("user_id", rsd=0.01).alias("uv_approx")])
+    agg = windowed_agg(
+        e,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.countDistinct("user_id").alias("uv"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("__est"),
+        ],
+    )
+    return agg.select(
+        "window_end_s",
+        "uv",
+        (F.abs(F.col("__est") - F.col("uv")) <= F.col("uv") * F.lit(0.05)).alias("est_ok"),
+    )
 
 
 # --------------------------------------------------------------------- market / ads

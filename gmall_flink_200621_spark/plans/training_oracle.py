@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..functions.text import MERSENNE31, minhash_sig_sql
 from ..operators.dedup import (
+    DF_CAP,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
     LSH_BANDS,
@@ -31,15 +32,20 @@ H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
 
 # ---------------------------------------------------------------- text / dedup
 
-_SHINGLES_CTE = """
+_SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_distinct(
       list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
     ) ELSE [] END) AS shingle
     FROM toks
   ) WHERE shingle <> ''
+),
+-- df-cap mirror (operators/dedup.py DF_CAP): drop hyper-frequent shingles
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= {DF_CAP})
 )
 """
 

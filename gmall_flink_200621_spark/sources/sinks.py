@@ -38,13 +38,41 @@ def console_sink(df: DataFrame, label: str = "", n: int = 20) -> None:
 
 
 def foreach_batch_upsert(store: dict, key_cols: list[str]):
-    """S6-style external keyed store as a foreachBatch function: idempotent
-    upsert per micro-batch (re-running an epoch converges, matching the
-    reference's SETBIT/HINCRBY-once-per-element intent without an external
-    service)."""
+    """S6-style external keyed store as a foreachBatch function —
+    TEST-HARNESS-ONLY: the driver-side dict exists so tests can observe
+    upsert idempotence without an external service; it collects the batch
+    to the driver by construction. The production shape is
+    `foreach_batch_upsert_partitioned` below (per-partition connections,
+    nothing through the driver)."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         for r in batch_df.collect():
             store[tuple(r[c] for c in key_cols)] = r.asDict()
+
+    return fn
+
+
+def foreach_batch_upsert_partitioned(connect, key_cols: list[str]):
+    """S6 external keyed store, production shape: each partition opens its
+    own client (`connect()` runs ON THE EXECUTOR) and upserts its rows —
+    the exact analog of the reference's per-subtask Jedis connection
+    (UvCountWithBloomFilterApp.java:100-123), with exactly-once-per-epoch
+    convergence from upsert idempotence. The driver never sees a row.
+
+    `connect` must be a picklable zero-arg factory returning an object
+    with `upsert(key_tuple, row_dict)` and optionally `close()`."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        def write_partition(rows) -> None:
+            client = connect()
+            try:
+                for r in rows:
+                    client.upsert(tuple(r[c] for c in key_cols), r.asDict())
+            finally:
+                close = getattr(client, "close", None)
+                if close:
+                    close()
+
+        batch_df.foreachPartition(write_partition)
 
     return fn

@@ -81,6 +81,57 @@ def hot_items_windowed_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def order_receipt_join_stream(spark: SparkSession, sf_dir: str, delay: str = "30 days") -> DataFrame:
+    """J1 as Spark's NATIVE stream-stream interval join — the exact
+    streaming analog of `intervalJoin.between(-3s, +5s)` on txId
+    (OrderReceiptAppWithJoin.java:58-61): two independent watermarked
+    streams, equi key + event-time band, inner join.
+
+    Spark's symmetric hash join emits matches eagerly and uses the
+    watermark + band to evict buffered rows, exactly Flink's interval-join
+    state retention. `delay` is the WM2 out-of-orderness budget: it must
+    cover the source's worst reordering (the staged replay defers rows by
+    up to one chunk span ≈ 10 days, so 30 days keeps results batch-exact;
+    a production deployment would use the reference's seconds-scale
+    delay, trading late matches for state size)."""
+    from ..plans.pipelines import RECEIPT_HI, RECEIPT_LO
+    from .late_data import staged_replay_source
+
+    pays = (
+        staged_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("pay_id"), F.col("ts").alias("pay_ts"))
+        .withWatermark("pay_ts", delay)
+    )
+    receipts = (
+        staged_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("receipt_id"),
+            F.col("ts").alias("receipt_ts"),
+        )
+        .withWatermark("receipt_ts", delay)
+    )
+    lo, hi = F.expr(f"INTERVAL {RECEIPT_LO}"), F.expr(f"INTERVAL {RECEIPT_HI}")
+    return (
+        pays.join(
+            receipts,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("receipt_ts") >= F.col("pay_ts") - lo)
+            & (F.col("receipt_ts") <= F.col("pay_ts") + hi),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "pay_id",
+            F.col("pay_ts").cast("long").alias("pay_ts_s"),
+            "receipt_id",
+            F.col("receipt_ts").cast("long").alias("receipt_ts_s"),
+        )
+    )
+
+
 # driver-side result accumulators for foreachBatch sinks, keyed by query name
 # (the "memory" format is a streaming-only sink; inside foreachBatch the
 # frame is a batch DF, so we collect rankings here instead)

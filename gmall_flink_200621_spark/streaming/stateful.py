@@ -105,6 +105,12 @@ class OrderTimeoutProcessor(StatefulProcessor):
         for pdf in rows:
             for r in pdf.sort_values("ts_s").itertuples():
                 if r.event_type == "click":  # create-analog
+                    prev = self.pending.get()
+                    if prev is not None:
+                        # a second create supersedes the pending one: emit it as
+                        # 'timeout' (same as _order_timeout_fn, so the two
+                        # wirings of this operator agree on every input)
+                        out.append((user_id, prev[0], None, "timeout"))
                     self.pending.update((int(r.ts_s),))
                     self.handle.registerTimer((r.ts_s + ORDER_TIMEOUT_S) * 1000)
                 elif r.event_type == "purchase":  # pay-analog
@@ -172,51 +178,77 @@ class BlacklistProcessor(StatefulProcessor):
 class PayReceiptProcessor(StatefulProcessor):
     """Two-stream reconcile on one tagged union keyed by user: buffer
     whichever side arrives first, match on the other's arrival, timers
-    expire lone sides to their diagnostic tag."""
+    expire lone sides to their diagnostic tag.
+
+    The reference keys by unique txId so at most ONE event per side can be
+    pending (OrderReceiptAppWithConnect.java:75-84); the events analog keys
+    by user_id, where a second same-side event is normal (two purchases
+    before any signup). Each side therefore buffers a FIFO *list* — nothing
+    is ever silently overwritten: every event either matches (earliest
+    pending first) or times out to its diagnostic tag. Waits stay
+    asymmetric like the reference's pay+5s / receipt+3s
+    (OrderReceiptAppWithConnect.java:98,127): PAY_WAIT_S for buffered pays,
+    RECEIPT_WAIT_S for buffered receipts."""
 
     PAY_WAIT_S = 7200  # receipt may lag pay by ≤2h (batch plan's band)
     RECEIPT_WAIT_S = 3600
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
-        self.pay = handle.getValueState("pending_pay", "ts LONG")
-        self.receipt = handle.getValueState("pending_receipt", "ts LONG")
+        self.pays = handle.getValueState("pending_pays", "ts ARRAY<LONG>")
+        self.receipts = handle.getValueState("pending_receipts", "ts ARRAY<LONG>")
+
+    def _load(self, st) -> list[int]:
+        v = st.get()
+        return list(v[0]) if v is not None and v[0] is not None else []
+
+    def _store(self, st, vals: list[int]) -> None:
+        if vals:
+            st.update(([int(v) for v in vals],))
+        else:
+            st.clear()
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         out = []
+        pays, receipts = self._load(self.pays), self._load(self.receipts)
         for pdf in rows:
             for r in pdf.sort_values("ts_s").itertuples():
                 if r.side == "pay":
-                    pending_r = self.receipt.get()
-                    if pending_r is not None:
-                        out.append((user_id, int(r.ts_s), pending_r[0], "matched"))
-                        self.receipt.clear()
+                    if receipts:
+                        out.append((user_id, int(r.ts_s), receipts.pop(0), "matched"))
                     else:
-                        self.pay.update((int(r.ts_s),))
+                        pays.append(int(r.ts_s))
                         self.handle.registerTimer((r.ts_s + self.PAY_WAIT_S) * 1000)
                 else:
-                    pending_p = self.pay.get()
-                    if pending_p is not None:
-                        out.append((user_id, pending_p[0], int(r.ts_s), "matched"))
-                        self.pay.clear()
+                    if pays:
+                        out.append((user_id, pays.pop(0), int(r.ts_s), "matched"))
                     else:
-                        self.receipt.update((int(r.ts_s),))
+                        receipts.append(int(r.ts_s))
                         self.handle.registerTimer((r.ts_s + self.RECEIPT_WAIT_S) * 1000)
+        self._store(self.pays, pays)
+        self._store(self.receipts, receipts)
         if out:
             yield pd.DataFrame(out, columns=["user_id", "pay_ts_s", "receipt_ts_s", "tag"])
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
         rows = []
-        p = self.pay.get()
-        if p is not None and expiredTimerInfo.getExpiryTimeInMs() >= (p[0] + self.PAY_WAIT_S) * 1000:
-            rows.append((user_id, p[0], None, "payButNoReceipt"))
-            self.pay.clear()
-        r = self.receipt.get()
-        if r is not None and expiredTimerInfo.getExpiryTimeInMs() >= (r[0] + self.RECEIPT_WAIT_S) * 1000:
-            rows.append((user_id, None, r[0], "receiptButNoPay"))
-            self.receipt.clear()
+        keep_p = []
+        for p in self._load(self.pays):
+            if expiry >= (p + self.PAY_WAIT_S) * 1000:
+                rows.append((user_id, p, None, "payButNoReceipt"))
+            else:
+                keep_p.append(p)
+        keep_r = []
+        for r in self._load(self.receipts):
+            if expiry >= (r + self.RECEIPT_WAIT_S) * 1000:
+                rows.append((user_id, None, r, "receiptButNoPay"))
+            else:
+                keep_r.append(r)
+        self._store(self.pays, keep_p)
+        self._store(self.receipts, keep_r)
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "pay_ts_s", "receipt_ts_s", "tag"])
 
@@ -314,42 +346,54 @@ def _blacklist_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.D
 
 
 def _pay_receipt_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """OrderReceiptAppWithConnect semantics on a tagged union: buffer the
-    first-arriving side, match on the other's arrival; an event-time
-    timeout expires the lone side to its diagnostic tag."""
+    """OrderReceiptAppWithConnect semantics on a tagged union, FIFO list
+    buffers per side (see PayReceiptProcessor: keyed by user_id a second
+    same-side event is normal and must never overwrite the pending one).
+    The single GroupState timeout is armed at the EARLIEST pending
+    deadline — pay+PAY_WAIT_S / receipt+RECEIPT_WAIT_S, asymmetric like
+    the reference's pay+5s / receipt+3s — and on firing expires exactly
+    the entries whose deadline the watermark passed, then re-arms."""
     (user_id,) = key
     cols = ["user_id", "pay_ts_s", "receipt_ts_s", "tag"]
-    if state.hasTimedOut:
-        pay_ts, receipt_ts = state.get if state.exists else (None, None)
-        state.remove()
-        rows = []
-        if pay_ts is not None:
-            rows.append((user_id, pay_ts, None, "payButNoReceipt"))
-        if receipt_ts is not None:
-            rows.append((user_id, None, receipt_ts, "receiptButNoPay"))
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
-        return
-    pay_ts, receipt_ts = state.get if state.exists else (None, None)
+    wm_ms = state.getCurrentWatermarkMs()
+    st = state.get if state.exists else ([], [])
+    pays = list(st[0]) if st[0] is not None else []
+    receipts = list(st[1]) if st[1] is not None else []
     out = []
-    for pdf in pdf_iter:
-        for r in pdf.sort_values("ts_s").itertuples():
-            if r.side == "pay":
-                if receipt_ts is not None:
-                    out.append((user_id, int(r.ts_s), receipt_ts, "matched"))
-                    receipt_ts = None
-                else:
-                    pay_ts = int(r.ts_s)
+    if state.hasTimedOut:
+        keep_p = []
+        for p in pays:
+            if (p + PayReceiptProcessor.PAY_WAIT_S) * 1000 <= wm_ms:
+                out.append((user_id, p, None, "payButNoReceipt"))
             else:
-                if pay_ts is not None:
-                    out.append((user_id, pay_ts, int(r.ts_s), "matched"))
-                    pay_ts = None
+                keep_p.append(p)
+        keep_r = []
+        for r in receipts:
+            if (r + PayReceiptProcessor.RECEIPT_WAIT_S) * 1000 <= wm_ms:
+                out.append((user_id, None, r, "receiptButNoPay"))
+            else:
+                keep_r.append(r)
+        pays, receipts = keep_p, keep_r
+    else:
+        for pdf in pdf_iter:
+            for r in pdf.sort_values("ts_s").itertuples():
+                if r.side == "pay":
+                    if receipts:
+                        out.append((user_id, int(r.ts_s), receipts.pop(0), "matched"))
+                    else:
+                        pays.append(int(r.ts_s))
                 else:
-                    receipt_ts = int(r.ts_s)
-    if pay_ts is not None or receipt_ts is not None:
-        state.update((pay_ts, receipt_ts))
-        wait_from = pay_ts if pay_ts is not None else receipt_ts
-        state.setTimeoutTimestamp((wait_from + PayReceiptProcessor.PAY_WAIT_S) * 1000)
+                    if pays:
+                        out.append((user_id, pays.pop(0), int(r.ts_s), "matched"))
+                    else:
+                        receipts.append(int(r.ts_s))
+    deadlines = [(p + PayReceiptProcessor.PAY_WAIT_S) * 1000 for p in pays] + [
+        (r + PayReceiptProcessor.RECEIPT_WAIT_S) * 1000 for r in receipts
+    ]
+    if deadlines:
+        state.update((pays, receipts))
+        # a deadline already behind the watermark fires on the next batch
+        state.setTimeoutTimestamp(max(min(deadlines), wm_ms + 1))
     else:
         state.remove()
     if out:
@@ -392,7 +436,7 @@ def pay_receipt_stream(events: "DataFrame"):  # noqa: F821
     return tagged.groupBy("user_id").applyInPandasWithState(
         _pay_receipt_fn,
         outputStructType=PAY_RECEIPT_OUTPUT,
-        stateStructType="pay_ts LONG, receipt_ts LONG",
+        stateStructType="pays ARRAY<LONG>, receipts ARRAY<LONG>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

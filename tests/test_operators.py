@@ -56,6 +56,21 @@ class TestTopN:
         assert w1 == [(1, "b"), (2, "a"), (3, "c")]  # tie 3-3 broken by key asc
         assert [(r.rank, r.k) for r in out if r.g == "w2"] == [(1, "x")]
 
+    def test_salted_pre_prune_is_exact(self, spark):
+        """prune_salts must not change results: same rows, same ranks, for
+        any salt count — including heavy ties and keys >> n."""
+        from gmall_flink_200621_spark.operators.topn import top_n_per_group
+
+        rows = [(f"w{g}", f"k{i:03d}", (i * 7) % 13) for g in range(4) for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, k string, cnt long")
+        base = {(r.g, r.rank, r.k, r.cnt) for r in top_n_per_group(df, ["g"], "cnt", 5, tiebreak_cols=["k"]).collect()}
+        for s in (2, 3, 8, 64):
+            pruned = {
+                (r.g, r.rank, r.k, r.cnt)
+                for r in top_n_per_group(df, ["g"], "cnt", 5, tiebreak_cols=["k"], prune_salts=s).collect()
+            }
+            assert pruned == base, s
+
 
 class TestCEPLag:
     def test_login_fail_pairs(self, spark, sf_dir):
@@ -122,6 +137,28 @@ class TestDedup:
         pairs = dedup_minhash_lsh(docs).collect()
         assert len(pairs) >= 10  # planted dups have jaccard ≥ 0.89
         assert all(r.jaccard >= 0.8 for r in pairs)
+
+    def test_df_cap_drops_boilerplate_skew(self, spark):
+        """Planted stopword-heavy skew: every doc shares a 30-word
+        boilerplate header, so uncapped Jaccard calls unrelated docs
+        near-dups AND the inverted index gets an O(n²) hot bucket per
+        boilerplate shingle. With the df cap the boilerplate shingles are
+        dropped: spurious pairs vanish, the genuinely-similar pair (shared
+        distinctive 10-word tail, df=2) survives."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_ngram_jaccard
+
+        boiler = " ".join(f"b{i}" for i in range(30))
+        tail = " ".join(f"x{i}" for i in range(10))
+        rows = [(i, f"{boiler} u{i}") for i in range(1, 11)]
+        rows += [(11, f"{tail} y1"), (12, f"{tail} y2")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        uncapped = {(r.id_a, r.id_b) for r in dedup_ngram_jaccard(docs, df_cap=None).collect()}
+        # boilerplate alone makes all 45 unrelated pairs "duplicates"
+        assert {(a, b) for a in range(1, 11) for b in range(a + 1, 11)} <= uncapped
+
+        capped = {(r.id_a, r.id_b) for r in dedup_ngram_jaccard(docs, df_cap=5).collect()}
+        assert capped == {(11, 12)}
 
     def test_simhash_hamming_zero_for_identical(self, spark):
         from gmall_flink_200621_spark.operators.dedup import dedup_simhash

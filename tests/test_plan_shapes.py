@@ -82,6 +82,16 @@ class TestAggregation:
         s = _plan(hot_items(spark, sf_dir))
         assert s.count("HashAggregate") >= 2  # partial + final
 
+    def test_topn_pre_prune_in_plan(self, spark, sf_dir):
+        """Top-N runs the exact two-stage form: a salted stage-1 rank
+        (bounded sub-sorts) BEFORE the final per-window rank — two Window
+        operators, the first partitioned by (window_end_s, __salt)."""
+        from gmall_flink_200621_spark.plans.pipelines import hot_items
+
+        s = _plan(hot_items(spark, sf_dir))
+        assert s.count("RunningWindowFunction") + s.count("Window") >= 2
+        assert "__salt" in s
+
     def test_no_python_udfs_in_declarative_plans(self, spark, sf_dir):
         """Every reference pipeline stays JVM-side (whole-stage codegen);
         Python appears only in the explicitly-pandas operators."""

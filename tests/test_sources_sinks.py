@@ -107,3 +107,31 @@ class TestParquetSink:
         size1 = len(store)
         fn(df, 0)  # epoch replay → converges, no duplicates
         assert len(store) == size1 > 0
+
+    def test_foreach_partition_upsert_writes_on_executors(self, spark, sf_dir):
+        """Production S6 shape: per-partition client, no row through the
+        driver; epoch replay converges via upsert idempotence."""
+        import glob
+        import json
+        import os
+        import tempfile
+
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.sources.sinks import foreach_batch_upsert_partitioned
+
+        outdir = tempfile.mkdtemp(prefix="spark_graft_kvsink_")
+
+        class FileKV:
+            """Keyed store as one file per key — idempotent by construction."""
+
+            def upsert(self, key, row):
+                with open(os.path.join(outdir, f"{key[0]}.json"), "w") as f:
+                    json.dump(row, f)
+
+        fn = foreach_batch_upsert_partitioned(FileKV, ["user_id"])
+        df = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+        fn(df, 0)
+        n1 = len(glob.glob(os.path.join(outdir, "*.json")))
+        fn(df, 0)  # replay converges
+        n2 = len(glob.glob(os.path.join(outdir, "*.json")))
+        assert n1 == n2 == df.count() > 0

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
 import pytest
 
 
@@ -54,3 +55,48 @@ class TestPayReceiptStream:
         assert lone_pay.receipt_ts_s.isna().all()
         lone_receipt = got[got.tag == "receiptButNoPay"]
         assert lone_receipt.pay_ts_s.isna().all()
+
+    def test_conservation_no_event_lost_or_duplicated(self, spark, sf_dir):
+        """ADVICE regression: with FIFO list buffers a second same-side
+        event can no longer overwrite the pending one. Conservation: every
+        pay/receipt whose deadline the final watermark passed appears in
+        the output EXACTLY as many times as it appeared in the input
+        (matched or timed out); nothing is emitted more often than it
+        arrived."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.stateful import PayReceiptProcessor, pay_receipt_stream
+
+        got = _run(spark, sf_dir, pay_receipt_stream, "pr_conserve")
+        e = load_table(spark, sf_dir, "events")
+
+        def side_in(event_type):
+            return Counter(
+                (r.user_id, r.ts_s)
+                for r in e.filter(F.col("event_type") == event_type)
+                .select("user_id", F.col("ts").cast("long").alias("ts_s"))
+                .collect()
+            )
+
+        pays_in, receipts_in = side_in("purchase"), side_in("signup")
+        wm_s = e.agg(F.max(F.col("ts").cast("long"))).first()[0] - 10  # jobs.WATERMARK
+
+        pays_out = Counter(
+            (r.user_id, int(r.pay_ts_s)) for r in got.itertuples() if not pd.isna(r.pay_ts_s)
+        )
+        receipts_out = Counter(
+            (r.user_id, int(r.receipt_ts_s)) for r in got.itertuples() if not pd.isna(r.receipt_ts_s)
+        )
+        for out, inp, wait in (
+            (pays_out, pays_in, PayReceiptProcessor.PAY_WAIT_S),
+            (receipts_out, receipts_in, PayReceiptProcessor.RECEIPT_WAIT_S),
+        ):
+            # never emit an event more often than it arrived
+            assert all(n <= inp[k] for k, n in out.items())
+            # every expired-or-matched event accounted for exactly once
+            for (u, ts), n in inp.items():
+                if ts + wait <= wm_s:
+                    assert out[(u, ts)] == n, (u, ts, out[(u, ts)], n)

@@ -60,6 +60,29 @@ class TestStreamBatchEquivalence:
         matched = sum(1 for k, v in got.items() if expected.get(k) == v)
         assert matched / len(got) > 0.95  # in-flight tail windows excluded
 
+    def test_order_receipt_join_stream_matches_batch(self, spark, sf_dir):
+        """J1 streaming form: Spark's native symmetric-hash stream-stream
+        join must reproduce the oracle-exact batch interval join row-for-row
+        (OrderReceiptAppWithJoin.java:58-61)."""
+        from gmall_flink_200621_spark.plans.pipelines import order_receipt_join
+        from gmall_flink_200621_spark.streaming.jobs import order_receipt_join_stream
+
+        j = order_receipt_join_stream(spark, sf_dir)
+        q = j.writeStream.outputMode("append").format("memory").queryName("orj_stream").start()
+        q.processAllAvailable()
+        progress = q.recentProgress
+        q.stop()
+        # the actual stream-stream join operator ran (not a batch fallback)
+        assert any(
+            "symmetricHashJoin" in (op.get("operatorName") or "")
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+        )
+        got = {tuple(r) for r in spark.sql("SELECT * FROM orj_stream").collect()}
+        expected = {tuple(r) for r in order_receipt_join(spark, sf_dir).collect()}
+        assert got
+        assert got == expected
+
 
 @pytest.mark.parametrize("drop", [False])
 class TestStatefulProcessors:
