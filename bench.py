@@ -34,8 +34,12 @@ BENCH_QUERIES = [
     "order_receipt_join",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
     "revenue_by_nation",
     "top_customers",
     "dedup_exact",

@@ -103,11 +103,126 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """
 
+_REV = "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.05)
+GROUP BY 1
+"""
+
+TPCH_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {_REV} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+GROUP BY 1, 2, 3
+"""
+
+TPCH_Q9 = f"""
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       {_REV} AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+TPCH_Q10 = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {_REV} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+TPCH_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN per_part a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.avg_qty
+"""
+
+TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS _qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180.0
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(b._qty AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+TPCH_Q22 = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+       count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
 TPCH_ORACLES: dict[str, str] = {
     "tpch_q1": TPCH_Q1,
     "tpch_q3": TPCH_Q3,
+    "tpch_q4": TPCH_Q4,
     "tpch_q5": TPCH_Q5,
     "tpch_q6": TPCH_Q6,
+    "tpch_q7": TPCH_Q7,
+    "tpch_q9": TPCH_Q9,
+    "tpch_q10": TPCH_Q10,
+    "tpch_q13": TPCH_Q13,
+    "tpch_q17": TPCH_Q17,
+    "tpch_q18": TPCH_Q18,
+    "tpch_q22": TPCH_Q22,
     "revenue_by_nation": REVENUE_BY_NATION,
     "top_customers": TOP_CUSTOMERS,
     "sales_rollup": SALES_ROLLUP,
