@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "rolling_fingerprint",
     "knn_brute",
     "knn_lsh",
+    "knn_ivf",
 ]
 
 

@@ -68,6 +68,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_lsh(_emb(spark, sf_dir))
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.knn_ivf(_emb(spark, sf_dir))
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_dedup(_emb(spark, sf_dir))
 
@@ -85,5 +89,6 @@ TRAINING_QUERIES = {
     "rolling_fingerprint": rolling_fingerprint,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_dedup": embedding_dedup,
 }

@@ -21,6 +21,8 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     DIM,
     EMB_DEDUP_THRESHOLD,
+    IVF_CENT_MOD,
+    IVF_NPROBE,
     KNN_K,
     LSH_PLANES,
     Q_SCALE,
@@ -295,6 +297,42 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
+KNN_IVF = f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
+assign AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id AS list_id FROM (
+    SELECT qs.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY qs.vec_id
+                              ORDER BY {_cosine_sql("qs.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e qs, cents c WHERE qs.vec_id % 100 = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cosine_sql("qv.q", "nv.q")} AS cosine
+  FROM probes p
+  JOIN assign a ON p.list_id = a.list_id
+  JOIN e qv ON qv.vec_id = p.query_id
+  JOIN e nv ON nv.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
 EMBEDDING_DEDUP = f"""
 WITH e AS (SELECT vec_id, label, {_QVEC} AS q FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -316,5 +354,6 @@ TRAINING_ORACLES: dict[str, str] = {
     "rolling_fingerprint": ROLLING_FINGERPRINT,
     "knn_brute": KNN_BRUTE,
     "knn_lsh": KNN_LSH,
+    "knn_ivf": KNN_IVF,
     "embedding_dedup": EMBEDDING_DEDUP,
 }

