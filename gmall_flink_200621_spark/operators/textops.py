@@ -58,6 +58,38 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+BPE_CHARS_PER_TOKEN = 4  # the standard ~4-chars/token planning heuristic
+PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # letters / digits / punct runs
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting three ways (the budget/planning numbers a training
+    pipeline needs per document):
+
+    - n_ws_tokens: whitespace tokens;
+    - n_bpe_est:   BPE-ish subword estimate Σ ceil(len(tok)/4) — the
+      ~4-chars-per-token rule, computed exactly in integers;
+    - n_pieces:    regex pre-tokenizer pieces (letter runs | digit runs |
+      single punctuation), the GPT-style pre-tok split shape.
+
+    All built-ins (no UDF): one `aggregate` over the token array plus one
+    `regexp_extract_all`; the regex avoids character-class shorthands so
+    Java (Spark) and RE2 (DuckDB) agree symbol-for-symbol."""
+    toked = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    bpe = F.aggregate(
+        "toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.floor((F.length(t) + BPE_CHARS_PER_TOKEN - 1) / BPE_CHARS_PER_TOKEN).cast("long"),
+    )
+    return toked.select(
+        "doc_id",
+        F.size("toks").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_est"),
+        F.size(F.regexp_extract_all("text", F.lit(PIECE_RE), F.lit(0))).alias("n_pieces"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-stopword language ID: score = count of marker-token hits per
     language; argmax with deterministic tie-break on language code;

@@ -60,6 +60,35 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rolling_fingerprint(_docs(spark, sf_dir))
 
 
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline, one query: keep exactly
+    the documents that (a) survive exact dedup (lowest doc_id per md5),
+    (b) pass the quality gate (score ≥ 0.5), and (c) are confidently
+    English by the marker heuristic — emitting the kept docs with their
+    stats and token budget. The shape every corpus build runs: dedup →
+    filters → budget accounting, all declarative, one pass per operator."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = D.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    stats = T.doc_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    langs = T.lang_id(docs)
+    toks = T.token_counts(docs).select("doc_id", "n_bpe_est")
+    return (
+        docs.select("doc_id")
+        .join(keep_ids, "doc_id")  # (a) canonical copy only
+        .join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .join(toks, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "n_tokens", "n_bpe_est", "quality_score")
+    )
+
+
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute(_emb(spark, sf_dir))
 
@@ -87,6 +116,8 @@ TRAINING_QUERIES = {
     "doc_stats": doc_stats,
     "lang_id": lang_id,
     "rolling_fingerprint": rolling_fingerprint,
+    "token_counts": token_counts,
+    "corpus_prep": corpus_prep,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

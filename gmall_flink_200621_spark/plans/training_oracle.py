@@ -212,6 +212,49 @@ withbest AS (
 SELECT doc_id, {_lang_case()} AS lang_pred FROM withbest
 """
 
+TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> (length(t) + 3) // 4)) AS BIGINT) AS n_bpe_est,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_pieces
+FROM documents
+"""
+
+_LANG_SCORED = ", ".join(
+    f"len(list_intersect(list_distinct(string_split(text, ' ')), {list(m)})) AS s_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+
+
+def _corpus_prep_sql() -> str:
+    return f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+stats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         round(0.5 * least(1.0, len(string_split(text, ' ')) / 100.0)
+               + 0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))), 6) AS quality_score
+  FROM documents
+),
+scored AS (SELECT doc_id, {_LANG_SCORED} FROM documents),
+withbest AS (
+  SELECT *, greatest({", ".join(f"s_{lang}" for lang in LANG_MARKERS)}) AS best FROM scored
+),
+langs AS (SELECT doc_id, {_lang_case()} AS lang_pred FROM withbest),
+toks AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(string_split(text, ' '), t -> (length(t) + 3) // 4)) AS BIGINT) AS n_bpe_est
+  FROM documents
+)
+SELECT s.doc_id, s.n_tokens, t.n_bpe_est, s.quality_score
+FROM stats s
+JOIN keep k ON s.doc_id = k.doc_id
+JOIN langs l ON s.doc_id = l.doc_id
+JOIN toks t ON s.doc_id = t.doc_id
+WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
+"""
+
+
 _RK_POWERS = [RK_BASE ** (RK_WINDOW - 1 - i) for i in range(RK_WINDOW)]
 
 ROLLING_FINGERPRINT = f"""
@@ -352,6 +395,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
     "rolling_fingerprint": ROLLING_FINGERPRINT,
+    "token_counts": TOKEN_COUNTS,
+    "corpus_prep": _corpus_prep_sql(),
     "knn_brute": KNN_BRUTE,
     "knn_lsh": KNN_LSH,
     "knn_ivf": KNN_IVF,
