@@ -84,6 +84,9 @@ def _doc_shingles(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
     ).filter(F.col("shingle") != "")
     if df_cap is None:
         return sh
+    # persist the raw shingle frame: it feeds both the hot-shingle scan and
+    # the anti-join probe — without this the tokenize+explode runs twice
+    sh = sh.persist()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -138,6 +138,63 @@ def order_receipt_join_stream(spark: SparkSession, sf_dir: str, delay: str = "30
 RESULTS: dict[str, list] = {}
 
 
+def run_hot_items_retract_stream(
+    spark: SparkSession, sf_dir: str, top_n: int = 5, queryName: str = "hot_items_retract"
+):
+    """Retract-stream parity for the SQL Top-N (HotItemsWithSQLApp.java:65
+    `toRetractStream`): downstream sees (is_add, row) pairs — every ranking
+    change emits a retraction of the old row then an addition of the new,
+    exactly Flink's retract encoding at micro-batch granularity.
+
+    Shape: windowed counts in UPDATE output mode (each batch delivers only
+    the changed (window, item) aggregates — cumulative totals, computed
+    distributedly); the driver maintains ONLY the current top-N rows per
+    window and diffs per batch. The prune to top-N is lossless because
+    window counts are monotone non-decreasing: an item outside the top-N
+    can re-enter only through its own later update, which arrives as a new
+    delta. Driver state and per-batch traffic are both O(windows × N),
+    never O(events); no watermark is set, so every late update still
+    retracts-and-replaces (the unbounded-state trade Flink's retract mode
+    makes too)."""
+    from ..functions import scalars as S
+    from .late_data import staged_replay_source
+
+    counts = (
+        staged_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withColumn("item_k", S.item_k())
+        .groupBy(F.window("ts", "1 hour", "5 minutes").alias("w"), "item_k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "item_k", "cnt")
+    )
+    RESULTS[queryName] = []
+    top_state: dict[int, dict] = {}  # window_end_s -> {item_k: (cnt, rank)}
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        touched: dict[int, dict] = {}
+        for r in batch_df.collect():  # update-mode aggregate deltas only
+            w = touched.setdefault(r.window_end_s, dict(top_state.get(r.window_end_s, {})))
+            w[r.item_k] = (r.cnt, None)
+        for wend, cand in touched.items():
+            ranked = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_n]
+            new = {item: (cnt_rank[0], i + 1) for i, (item, cnt_rank) in enumerate(ranked)}
+            old = top_state.get(wend, {})
+            for item, (cnt, rank) in old.items():  # retract first, like Flink
+                if new.get(item) != (cnt, rank):
+                    RESULTS[queryName].append((False, wend, item, cnt, rank))
+            for item, (cnt, rank) in new.items():
+                if old.get(item) != (cnt, rank):
+                    RESULTS[queryName].append((True, wend, item, cnt, rank))
+            top_state[wend] = new
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(on_batch)
+        .queryName(queryName + "_q")
+        .start()
+    )
+
+
 def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, queryName: str = "hot_items_stream"):
     """End-to-end streaming Top-N: windowed counts (append mode past the
     watermark) → per-batch row_number ranking in foreachBatch."""

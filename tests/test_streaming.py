@@ -60,6 +60,29 @@ class TestStreamBatchEquivalence:
         matched = sum(1 for k, v in got.items() if expected.get(k) == v)
         assert matched / len(got) > 0.95  # in-flight tail windows excluded
 
+    def test_retract_stream_replays_to_batch_ranking(self, spark, sf_dir):
+        """toRetractStream parity (HotItemsWithSQLApp.java:65): applying the
+        (is_add, row) log in order — retract removes exactly the previously
+        added row — must converge to the batch Top-N, and the staged replay
+        must actually force retractions (late deltas re-rank windows)."""
+        from gmall_flink_200621_spark.plans.pipelines import hot_items
+        from gmall_flink_200621_spark.streaming.jobs import RESULTS, run_hot_items_retract_stream
+
+        q = run_hot_items_retract_stream(spark, sf_dir, queryName="hi_retract")
+        _drain(q)
+        log = RESULTS["hi_retract"]
+        assert any(not entry[0] for entry in log), "no retractions exercised"
+        state: dict = {}
+        for is_add, wend, item, cnt, rank in log:
+            if is_add:
+                state[(wend, item)] = (cnt, rank)
+            else:
+                assert state.pop((wend, item)) == (cnt, rank)
+        expected = {
+            (r.window_end_s, r.item_k): (r.cnt, r.rank) for r in hot_items(spark, sf_dir).collect()
+        }
+        assert state == expected
+
     def test_order_receipt_join_stream_matches_batch(self, spark, sf_dir):
         """J1 streaming form: Spark's native symmetric-hash stream-stream
         join must reproduce the oracle-exact batch interval join row-for-row
