@@ -40,6 +40,31 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE `session_window`
+    operator (the engine's dynamic-gap window surface, also valid in
+    Structured Streaming with watermark-driven merging). Same semantics as
+    the lag+cumsum rewrite in `sessionize` — session boundaries split
+    where per-user inactivity exceeds the gap — so the oracle is the same
+    SQL minus the session ordinal (session_window carries no index;
+    identity is (user, start))."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(F.col("ts").cast("long")).alias("ts_s")
+    )
+    # whole-second event times: session_window splits at diff >= gap on its
+    # input precision, so both engines must see identical integer seconds
+    return (
+        e.groupBy("user_id", F.session_window("ts_s", f"{SESSION_GAP_S} seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max(F.col("ts_s").cast("long")).alias("session_end_s"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            "session_end_s",
+            "n_events",
+        )
+    )
+
+
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type counts, pivoted to columns (P/U pivot surface)."""
     e = load_table(spark, sf_dir, "events")
@@ -118,6 +143,7 @@ def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES = {
     "sessionize": sessionize,
+    "sessionize_native": sessionize_native,
     "event_type_pivot": event_type_pivot,
     "value_percentiles": value_percentiles,
     "props_extract_stats": props_extract_stats,
@@ -142,6 +168,26 @@ WITH e AS (
 SELECT user_id, session_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
        count(*) AS n_events
 FROM sessions GROUP BY 1, 2
+""",
+    # native session_window semantics: split when the whole-second gap
+    # between consecutive events is >= SESSION_GAP_S (session end excl.)
+    "sessionize_native": f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id FROM events
+), marked AS (
+  SELECT user_id, ts_s, event_id,
+         CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+              WHEN ts_s - lag(ts_s) OVER w >= {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sessions AS (
+  SELECT user_id, ts_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
 """,
     "event_type_pivot": """
 SELECT user_id,
