@@ -263,6 +263,24 @@ def login_fail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def login_fail_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 at generic n: `times(3).consecutive().within(1 day)` (gap scaled to testdata density) through the
+    reusable CEP operator (operators/cep.py:consecutive_within) — the
+    reference only instantiates n=2 (LoginFailAppWithCep.java:63); this
+    query oracle-checks the generalized lag-chain for n=3."""
+    from ..operators.cep import consecutive_within
+
+    return consecutive_within(
+        _events(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "error",
+        n=3,
+        within_s=86400,
+        order_cols=["event_id"],
+    )
+
+
 def login_fail_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffered-run variant (LoginFailApp.java:56-125: ListState of fails +
     timer): maximal runs of consecutive failures per user; alert when a run
