@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
+    "token_counts",
+    "corpus_prep",
+    "sessionize_native",
 ]
 
 
