@@ -17,6 +17,8 @@ lineitem⋈orders physical plan contains NO Exchange on either side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .loaders import load_table
@@ -32,7 +34,8 @@ def bucketize(
 ) -> str:
     """Write `table` from sf_dir as a bucketed+sorted catalog table (once;
     reuses an existing copy). Returns the catalog table name."""
-    name = name or f"bkt_{table}_{bucket_col}_{n_buckets}"
+    sf_tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.strip("/"))
+    name = name or f"bkt_{sf_tag}_{table}_{bucket_col}_{n_buckets}"
     if not spark.catalog.tableExists(name):
         (
             load_table(spark, sf_dir, table)
