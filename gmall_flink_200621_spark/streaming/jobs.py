@@ -81,6 +81,42 @@ def hot_items_windowed_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_redelivery_stream(spark: SparkSession, sf_dir: str, within: str = "30 days") -> DataFrame:
+    """Exactly-once-ification of an at-least-once source:
+    `dropDuplicatesWithinWatermark` keeps per-key dedup state only until
+    the watermark passes the budget — the bounded-state exact dedup
+    (A5's streaming form for duplicate DELIVERY, complementing the
+    per-window distinct-user dedup). The staged source re-delivers every
+    7th event in a later file, so the operator is genuinely exercised;
+    output must equal the distinct batch rows."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_redeliver_")
+    pdf = (
+        pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    pdf.to_parquet(os.path.join(stage, "part-0.parquet"), index=False)
+    pdf.iloc[::7].to_parquet(os.path.join(stage, "part-1.parquet"), index=False)  # re-delivery
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return (
+        raw.withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", F.col("ts").cast("long").alias("ts_s"), "event_type")
+    )
+
+
 def order_receipt_join_stream(spark: SparkSession, sf_dir: str, delay: str = "30 days") -> DataFrame:
     """J1 as Spark's NATIVE stream-stream interval join — the exact
     streaming analog of `intervalJoin.between(-3s, +5s)` on txId

@@ -60,6 +60,27 @@ class TestStreamBatchEquivalence:
         matched = sum(1 for k, v in got.items() if expected.get(k) == v)
         assert matched / len(got) > 0.95  # in-flight tail windows excluded
 
+    def test_dedup_redelivery_stream_exactly_once(self, spark, sf_dir):
+        """dropDuplicatesWithinWatermark turns the at-least-once replay
+        (every 7th event re-delivered in a later file) back into
+        exactly-once: the deduped stream equals the distinct batch rows."""
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.jobs import dedup_redelivery_stream
+
+        out = dedup_redelivery_stream(spark, sf_dir)
+        q = out.writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+        q.processAllAvailable()
+        q.stop()
+        got = [tuple(r) for r in spark.sql("SELECT * FROM dedup_stream").collect()]
+        assert len(got) == len(set(got)), "duplicates survived"
+        expected = {
+            (r.event_id, r.user_id, r.ts_s, r.event_type)
+            for r in load_table(spark, sf_dir, "events")
+            .selectExpr("event_id", "user_id", "cast(ts as long) AS ts_s", "event_type")
+            .collect()
+        }
+        assert set(got) == expected
+
     def test_retract_stream_replays_to_batch_ranking(self, spark, sf_dir):
         """toRetractStream parity (HotItemsWithSQLApp.java:65): applying the
         (is_add, row) log in order — retract removes exactly the previously
