@@ -94,6 +94,41 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via percentile_approx (GK-style sketch:
+    mergeable, bounded RANK error 1/accuracy — the re-aggregatable scale
+    path next to the exact sort-based `value_percentiles`).
+
+    Bounded-error oracle, same pattern as uv_approx: the hashed output
+    carries the exact interpolated p50/p90 plus `est_ok`, which asserts
+    in-query that each sketch value lies inside the exact value band at
+    quantile ±2% (the rank-error guarantee for accuracy=1000 is ±0.1%,
+    so the 2% band is a ≫20× safety margin); the oracle expects TRUE."""
+    acc = 1000
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.expr(f"percentile_approx(value, 0.5, {acc})").alias("__a50"),
+        F.expr(f"percentile_approx(value, 0.9, {acc})").alias("__a90"),
+        F.expr("percentile(value, 0.48)").alias("__lo50"),
+        F.expr("percentile(value, 0.52)").alias("__hi50"),
+        F.expr("percentile(value, 0.88)").alias("__lo90"),
+        F.expr("percentile(value, 0.92)").alias("__hi90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "p90",
+        "n",
+        (
+            F.col("__a50").between(F.col("__lo50"), F.col("__hi50"))
+            & F.col("__a90").between(F.col("__lo90"), F.col("__hi90"))
+        ).alias("est_ok"),
+    )
+
+
 def props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction + distribution stats per k-bucket (the engine's
     semi-structured surface: get_json_object pushdownable scan + agg)."""
@@ -146,6 +181,7 @@ EXTRA_QUERIES = {
     "sessionize_native": sessionize_native,
     "event_type_pivot": event_type_pivot,
     "value_percentiles": value_percentiles,
+    "value_quantile_sketch": value_quantile_sketch,
     "props_extract_stats": props_extract_stats,
     "uv_sketch_rollup": uv_sketch_rollup,
 }
@@ -204,6 +240,16 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99,
        count(*) AS n
+FROM events GROUP BY 1
+""",
+    # sketch values are engine-specific; exact quantiles hash-checked,
+    # est_ok (sketch within the exact +-2%-quantile value band) must be TRUE
+    "value_quantile_sketch": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       count(*) AS n,
+       TRUE AS est_ok
 FROM events GROUP BY 1
 """,
     "props_extract_stats": """
