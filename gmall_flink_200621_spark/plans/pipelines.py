@@ -72,19 +72,26 @@ def hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query through the SQL surface (HotItemsWithSQLApp.java:50-62 used
-    Blink `hop`/`hop_end` + row_number; Spark SQL `window()` is the analog)."""
+    Blink `hop`/`hop_end` + row_number; Spark SQL `window()` is the analog),
+    written two-level like the declarative plan: raw rows aggregate once
+    into 5-min buckets, and only the tiny bucket counts explode into their
+    12 sliding windows — no ×12 Expand on the raw-row path."""
     _events(spark, sf_dir).createOrReplaceTempView("events")
     return spark.sql(
         f"""
-        WITH counts AS (
-          SELECT window(ts, '1 hour', '5 minutes').end AS wend,
+        WITH buckets AS (
+          SELECT CAST(window(ts, '5 minutes').end AS LONG) AS bucket_end,
                  CAST(get_json_object(props, '$.k') AS INT) AS item_k,
-                 count(*) AS cnt
+                 count(*) AS bcnt
           FROM events WHERE event_type = 'view'
           GROUP BY 1, 2
+        ), counts AS (
+          SELECT bucket_end + (j - 1) * 300 AS window_end_s, item_k, sum(bcnt) AS cnt
+          FROM buckets LATERAL VIEW explode(sequence(1, 12)) t AS j
+          GROUP BY 1, 2
         ), ranked AS (
-          SELECT CAST(wend AS LONG) AS window_end_s, item_k, cnt,
-                 CAST(row_number() OVER (PARTITION BY wend ORDER BY cnt DESC, item_k ASC) AS INT) AS rank
+          SELECT window_end_s, item_k, cnt,
+                 CAST(row_number() OVER (PARTITION BY window_end_s ORDER BY cnt DESC, item_k ASC) AS INT) AS rank
           FROM counts
         )
         SELECT * FROM ranked WHERE rank <= {TOP_N}

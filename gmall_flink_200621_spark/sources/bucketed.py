@@ -17,6 +17,7 @@ lineitem⋈orders physical plan contains NO Exchange on either side.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,15 @@ def bucketize(
     sf_tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.strip("/"))
     name = name or f"bkt_{sf_tag}_{table}_{bucket_col}_{n_buckets}"
     if not spark.catalog.tableExists(name):
+        # the default in-memory catalog forgets tables across sessions but
+        # the warehouse directory persists; a stale location makes
+        # saveAsTable fail with LOCATION_ALREADY_EXISTS — clear it first
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(re.sub(r"^file:/*", "/", warehouse), name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
         (
             load_table(spark, sf_dir, table)
             .write.bucketBy(n_buckets, bucket_col)
