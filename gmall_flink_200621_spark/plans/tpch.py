@@ -240,6 +240,80 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one nation's share of the
+    revenue sold into a region, per order year — conditional aggregation
+    over a 6-table join; the share divide runs on decimal-exact sums."""
+    target = "NATION_19"
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cust_n = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    supp_n = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target, rev).otherwise(zero)).alias("_tr"),
+            F.sum(rev).alias("_ar"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_tr").cast("double") / F.col("_ar").cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): per-supplier revenue over a quarter,
+    keep the supplier(s) equal to the global max — the scalar-max subquery
+    as a broadcast 1-row join."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    by_supp = l.groupBy("l_suppkey").agg(rev.alias("_rev"))
+    max_rev = by_supp.agg(F.max("_rev").alias("_max"))
+    return (
+        by_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue"))
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): DISJUNCTIVE brand/size/quantity
+    predicate classes — the OR-of-ANDs that must still prune the part dim
+    and ride the hash join, never a cartesian fallback."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    cls1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10)
+    cls2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20)
+    cls3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cls1 | cls2 | cls3)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-type profit (TPC-H Q9 shape): part-name filter + supplier
     nation, revenue per (nation, year). Two broadcast dims over the fact."""
@@ -374,11 +448,14 @@ TPCH_QUERIES = {
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
     "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
     "tpch_q13": tpch_q13,
+    "tpch_q15": tpch_q15,
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
     "tpch_q22": tpch_q22,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,

@@ -129,6 +129,48 @@ WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
 GROUP BY 1, 2, 3
 """
 
+TPCH_Q8 = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_19'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+TPCH_Q15 = """
+WITH by_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(b._rev AS DOUBLE) AS total_revenue
+FROM by_supp b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+WHERE b._rev = (SELECT max(_rev) FROM by_supp)
+"""
+
+TPCH_Q19 = """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity >= 10)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity >= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 30 AND l.l_quantity >= 30)
+"""
+
 TPCH_Q9 = f"""
 SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
        {_REV} AS sum_profit
@@ -217,11 +259,14 @@ TPCH_ORACLES: dict[str, str] = {
     "tpch_q5": TPCH_Q5,
     "tpch_q6": TPCH_Q6,
     "tpch_q7": TPCH_Q7,
+    "tpch_q8": TPCH_Q8,
     "tpch_q9": TPCH_Q9,
     "tpch_q10": TPCH_Q10,
     "tpch_q13": TPCH_Q13,
+    "tpch_q15": TPCH_Q15,
     "tpch_q17": TPCH_Q17,
     "tpch_q18": TPCH_Q18,
+    "tpch_q19": TPCH_Q19,
     "tpch_q22": TPCH_Q22,
     "revenue_by_nation": REVENUE_BY_NATION,
     "top_customers": TOP_CUSTOMERS,
