@@ -195,6 +195,60 @@ def dedup_minhash_lsh(
     )
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every doc
+    gets the min doc_id of its component as `canonical_id` (singletons map
+    to themselves) — the step after pair detection in every corpus build
+    (A~B and B~C must collapse to ONE canonical even when A~C was never
+    emitted as a pair).
+
+    The engine's iterative-algorithm surface: min-label propagation run as
+    a driver-orchestrated loop of joins (the standard Pregel-style shape —
+    per-iteration data stays fully distributed, the driver sees only the
+    converged? scalar). Iterations needed = component diameter; dup
+    clusters are shallow, and `max_iters` bounds pathological chains.
+    Labels decrease monotonically, so zero-changes means fixpoint.
+    The DuckDB oracle computes the same components with a recursive CTE —
+    exact equality, not approximate clustering."""
+    if pairs is None:
+        pairs = dedup_minhash_lsh(docs)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id")).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))).alias(
+                    "canonical_id"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over distinct-token 60-bit hashes.
 

@@ -48,6 +48,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_simhash(_docs(spark, sf_dir))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_clusters(_docs(spark, sf_dir))
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_stats(_docs(spark, sf_dir))
 
@@ -113,6 +117,7 @@ TRAINING_QUERIES = {
     "minhash_signatures": minhash_signatures,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "doc_stats": doc_stats,
     "lang_id": lang_id,
     "rolling_fingerprint": rolling_fingerprint,

@@ -131,6 +131,25 @@ JOIN sizes sb ON c.id_b = sb.doc_id
 WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {JACCARD_THRESHOLD}
 """
 
+# connected components over the LSH pair graph: recursive CTE computes, for
+# every doc, the min doc_id reachable through dup edges — exact equality
+# with the Spark min-label-propagation fixpoint
+DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+)
+SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1
+"""
+
 _SIMHASH_CTE = f"""
 tk AS (
   SELECT doc_id, {H60.format(c="tok")} AS h FROM (
@@ -392,6 +411,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "minhash_signatures": MINHASH_SIGNATURES,
     "simhash_fingerprints": SIMHASH_FINGERPRINTS,
     "dedup_simhash": DEDUP_SIMHASH,
+    "dedup_clusters": DEDUP_CLUSTERS,
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
     "rolling_fingerprint": ROLLING_FINGERPRINT,

@@ -160,6 +160,18 @@ class TestDedup:
         capped = {(r.id_a, r.id_b) for r in dedup_ngram_jaccard(docs, df_cap=5).collect()}
         assert capped == {(11, 12)}
 
+    def test_dedup_clusters_transitive_closure(self, spark):
+        """A~B and B~C must land in ONE cluster even when A~C was never an
+        emitted pair — the property pair-detection alone can't give."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "x"), (9, "lonely")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, pairs=pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
     def test_simhash_hamming_zero_for_identical(self, spark):
         from gmall_flink_200621_spark.operators.dedup import dedup_simhash
 
