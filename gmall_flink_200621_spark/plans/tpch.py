@@ -15,7 +15,7 @@ are bit-identical to the DuckDB oracle and across any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loaders import load_table
@@ -420,6 +420,60 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-supplier orders (TPC-H Q21's join shape: EXISTS plus NOT
+    EXISTS against the same fact under different aliases): suppliers
+    ranked by how many multi-line orders they supplied alone. The
+    reduced schema has no commit/receipt dates, so the lateness predicate
+    becomes multi-line-ness — the plan shape (two correlated semi/anti
+    probes on lineitem) is the point."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    l1 = l.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: another lineitem of the same order (multi-line order)
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("l_orderkey")
+    )
+    # NOT EXISTS: no other supplier on the order
+    others = (
+        l1.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select("l_orderkey")
+    )
+    return (
+        l1.join(multi, "l_orderkey", "left_semi")
+        .join(others, "l_orderkey", "left_anti")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed window aggregation (the one window-function family the rest
+    of the surface doesn't exercise — running totals, not ranking/lag):
+    each customer's cumulative spend over their order sequence."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sales opportunity (TPC-H Q22 shape): customers with
     above-average positive balances and no recent orders — scalar-subquery
@@ -456,7 +510,9 @@ TPCH_QUERIES = {
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
+    "tpch_q21": tpch_q21,
     "tpch_q22": tpch_q22,
+    "customer_running_spend": customer_running_spend,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
     "sales_rollup": sales_rollup,

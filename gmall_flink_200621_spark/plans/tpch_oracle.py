@@ -252,6 +252,29 @@ WHERE c.c_acctbal > avg_bal.avg_bal
 GROUP BY 1
 """
 
+TPCH_Q21 = """
+WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+multi AS (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1),
+solo AS (SELECT l_orderkey FROM l1 GROUP BY 1 HAVING count(DISTINCT l_suppkey) = 1)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM l1
+JOIN multi USING (l_orderkey)
+JOIN solo USING (l_orderkey)
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+CUSTOMER_RUNNING_SPEND = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
 TPCH_ORACLES: dict[str, str] = {
     "tpch_q1": TPCH_Q1,
     "tpch_q3": TPCH_Q3,
@@ -267,7 +290,9 @@ TPCH_ORACLES: dict[str, str] = {
     "tpch_q17": TPCH_Q17,
     "tpch_q18": TPCH_Q18,
     "tpch_q19": TPCH_Q19,
+    "tpch_q21": TPCH_Q21,
     "tpch_q22": TPCH_Q22,
+    "customer_running_spend": CUSTOMER_RUNNING_SPEND,
     "revenue_by_nation": REVENUE_BY_NATION,
     "top_customers": TOP_CUSTOMERS,
     "sales_rollup": SALES_ROLLUP,
