@@ -209,16 +209,27 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
     clusters are shallow, and `max_iters` bounds pathological chains.
     Labels decrease monotonically, so zero-changes means fixpoint.
     The DuckDB oracle computes the same components with a recursive CTE —
-    exact equality, not approximate clustering."""
+    exact equality, not approximate clustering.
+
+    Each iteration's label frame is `localCheckpoint(eager=True)`-ed, not
+    merely persisted: persist caches the DATA but leaves the logical plan
+    growing by one join layer per iteration, so Catalyst re-analyzes an
+    O(iterations)-deep lineage every loop (driver-side planning time and
+    memory grow without bound on deep components). Checkpointing truncates
+    the plan to a leaf, making per-iteration planning cost constant — on a
+    real cluster with lineage-loss concerns, swap for `checkpoint()` with
+    a reliable checkpoint dir; semantics are identical."""
     if pairs is None:
         pairs = dedup_minhash_lsh(docs)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id")).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -233,7 +244,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
                     "canonical_id"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -241,11 +252,9 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
             .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

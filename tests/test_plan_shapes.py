@@ -154,3 +154,27 @@ class TestAggregation:
             s = _plan(entry_mod.queries()[name](spark, sf_dir))
             assert "BatchEvalPython" not in s, name
             assert "ArrowEvalPython" not in s, name
+
+
+class TestIterativeLineage:
+    def test_dedup_clusters_plan_constant_in_iterations(self, spark):
+        """Each label-propagation iteration must plan against a checkpoint
+        leaf, not the accumulated join lineage (r02 symptom: BHJ x816 /
+        agg x2620 nodes in one plan after 20 iterations). A chain graph of
+        diameter d needs d iterations; the optimized plan of the result
+        must be the same tiny leaf regardless of d."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_clusters
+
+        def run(n: int):
+            docs = spark.createDataFrame([(i, "x") for i in range(1, n + 1)], "doc_id long, text string")
+            pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
+            return dedup_clusters(docs, pairs=pairs)
+
+        shallow, deep = run(2), run(9)
+        got = {r.doc_id: r.canonical_id for r in deep.collect()}
+        assert got == {i: 1 for i in range(1, 10)}  # 8-hop chain fully collapsed
+
+        n_shallow = len(shallow._jdf.queryExecution().optimizedPlan().toString().splitlines())
+        n_deep = len(deep._jdf.queryExecution().optimizedPlan().toString().splitlines())
+        assert n_deep == n_shallow  # constant in iteration count
+        assert n_deep <= 3  # a checkpoint leaf, not a join tree
