@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ad_clicks_filtered": P.ad_clicks_filtered,
         "login_fail": P.login_fail,
         "login_fail_n3": P.login_fail_n3,
+        "login_fail_relaxed": P.login_fail_relaxed,
         "login_fail_run": P.login_fail_run,
         "order_timeout": P.order_timeout,
         "order_receipt_join": P.order_receipt_join,

@@ -52,6 +52,34 @@ def consecutive_within(
     return matched.select(*key_cols, *ts_cols)
 
 
+def relaxed_times_within(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    match: Column,
+    n: int,
+    within_s: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Flink's DEFAULT contiguity for `Pattern.begin(A).times(n).within(t)`
+    — relaxed, i.e. without the `.consecutive()` the reference adds at
+    LoginFailAppWithCep.java:63. Non-matching events between occurrences
+    are skipped; matching events cannot be skipped (skipping matches too
+    would be `followedByAny`/combinations mode, a different operator).
+
+    That makes relaxed contiguity exactly strict contiguity over the
+    match-FILTERED subsequence, so the rewrite is: filter to matching
+    events, then the same lag-chain (`consecutive_within` with an
+    always-true predicate). Catalyst sees filter → window: the predicate
+    is pushed to the scan and the shuffle carries only matching rows —
+    strictly cheaper than the unfiltered strict form at any scale.
+    Output: key cols + ts_0..ts_{n-1} (epoch seconds of each occurrence).
+    """
+    return consecutive_within(
+        df.filter(match), key_cols, ts_col, F.lit(True), n, within_s, order_cols
+    )
+
+
 def followed_by_within(
     a: DataFrame,
     b: DataFrame,

@@ -162,6 +162,20 @@ FROM seq
 WHERE event_type = 'error' AND m1 = 'error' AND m2 = 'error' AND ts_s - t2 <= 86400
 """
 
+LOGIN_FAIL_RELAXED = """
+WITH fails AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS t1,
+         lag(CAST(floor(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, t2 AS ts_0, t1 AS ts_1, ts_s AS ts_2
+FROM fails
+WHERE t2 IS NOT NULL AND ts_s - t2 <= 86400
+"""
+
 LOGIN_FAIL_RUN = """
 WITH runs AS (
   SELECT user_id, ts, event_id, event_type,
@@ -251,6 +265,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ad_clicks_filtered": AD_CLICKS_FILTERED,
     "login_fail": LOGIN_FAIL,
     "login_fail_n3": LOGIN_FAIL_N3,
+    "login_fail_relaxed": LOGIN_FAIL_RELAXED,
     "login_fail_run": LOGIN_FAIL_RUN,
     "order_timeout": ORDER_TIMEOUT,
     "order_receipt_join": ORDER_RECEIPT_JOIN,

@@ -288,6 +288,26 @@ def login_fail_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def login_fail_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 under Flink's DEFAULT (relaxed) contiguity: `times(3).within(2h)`
+    with no `.consecutive()` — the engine-generality variant the reference
+    never instantiates (LoginFailAppWithCep.java:63 always adds
+    `consecutive()`). Successes between failures are skipped rather than
+    breaking the pattern; the 3 failures' span must fit the window (1 day,
+    scaled to testdata error density like login_fail_n3)."""
+    from ..operators.cep import relaxed_times_within
+
+    return relaxed_times_within(
+        _events(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "error",
+        n=3,
+        within_s=86400,
+        order_cols=["event_id"],
+    )
+
+
 def login_fail_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffered-run variant (LoginFailApp.java:56-125: ListState of fails +
     timer): maximal runs of consecutive failures per user; alert when a run

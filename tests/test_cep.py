@@ -67,3 +67,32 @@ class TestFollowedByWithin:
         assert tags[(1, 100)] == ("matched", 150)
         assert tags[(1, 500)] == ("timeout", None)   # pay at 150 is before this create
         assert tags[(2, 100)] == ("timeout", None)   # pay too late (9999 > 400)
+
+
+class TestRelaxedTimesWithin:
+    def test_skips_non_matching_events(self, spark):
+        """Flink default contiguity: a success BETWEEN failures is skipped,
+        not pattern-breaking — the exact case where strict consecutive()
+        returns nothing."""
+        from gmall_flink_200621_spark.operators.cep import (
+            consecutive_within,
+            relaxed_times_within,
+        )
+
+        df = _login_df(
+            spark,
+            [
+                (1, 10, "fail"),
+                (1, 11, "success"),  # skipped under relaxed, breaks strict
+                (1, 12, "fail"),
+                (1, 13, "fail"),
+                (2, 10, "fail"),
+                (2, 100, "fail"),
+                (2, 101, "fail"),  # span 91 > within → no match either mode
+            ],
+        )
+        match = F.col("event_type") == "fail"
+        relaxed = relaxed_times_within(df, ["user_id"], "ts", match, n=3, within_s=5).collect()
+        assert [(r.user_id, r.ts_0, r.ts_1, r.ts_2) for r in relaxed] == [(1, 10, 12, 13)]
+        strict = consecutive_within(df, ["user_id"], "ts", match, n=3, within_s=5).collect()
+        assert strict == []
