@@ -495,7 +495,187 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reduced schema has no `partsupp`, so the part-supplier relation
+    is DERIVED from lineitem: per (part, supplier), the minimum observed
+    unit price stands in for ps_supplycost. Double division + min are
+    order-independent (same IEEE ops both engines), so this derived dim is
+    deterministic. One hash-agg over lineitem; at 100 TB it shuffles only
+    (partkey, suppkey, cost) triples."""
+    l = load_table(spark, sf_dir, "lineitem")
+    unit = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+    return l.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("supply_cost"))
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): the correlated MIN subquery
+    — for each qualifying part, the EUROPE supplier(s) with the lowest
+    derived supply cost. The per-part min is a re-aggregation of the same
+    derived relation (broadcast back), never a per-row subquery; all dims
+    broadcast, the only shuffle is the partsupp derivation itself."""
+    ps = _lineitem_supply(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "LARGE")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+    per_part_min = eu_ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(
+            F.broadcast(per_part_min),
+            (eu_ps.l_partkey == F.col("m_partkey"))
+            & (eu_ps.supply_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), eu_ps.l_partkey == p.p_partkey)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supply_cost").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 shape): per-part value for
+    one nation's suppliers, kept when above a FRACTION of the nation's
+    total — the global-scalar HAVING as a broadcast 1-row cross join.
+    Value is the decimal lineitem revenue of the nation's suppliers
+    (availqty·supplycost has no analog in the reduced schema)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    nat_lines = l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+    by_part = nat_lines.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("_v"))
+    total = by_part.agg(F.sum("_v").alias("_t"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_v").cast("double") > F.lit(0.0008) * F.col("_t").cast("double"))
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority classes (TPC-H Q12 shape): fact⋈fact join +
+    conditional two-way CASE aggregation. The reduced schema has no
+    l_shipmode/commit/receipt dates, so the group key is l_returnflag and
+    the date predicate is one shipdate year — the plan shape (orderkey
+    shuffle join, branchless conditional sums) is the point."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 exact scalar shape): one-month window,
+    100·promo/total revenue ratio — the monthly breakdown lives in
+    promo_revenue_share; this is the single-scalar original."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01")) & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_pr"),
+            F.sum(rev).alias("_tr"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_pr").cast("double") / F.col("_tr").cast("double")).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): distinct-supplier
+    count per part descriptor, excluding one brand, one type, and a
+    NOT-IN supplier list (complaints analog: supplier names ending in 7)
+    — semi/anti probes + countDistinct."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 3, 5, 7, 9))
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(complaints), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): nested semi-joins — the
+    suppliers who shipped more than a threshold quantity of qualifying
+    ('small%') parts in one year, restricted to one region. availqty has
+    no analog, so the correlated half-of-stock predicate becomes a
+    shipped-quantity threshold; the two-level IN-subquery plan shape
+    (agg-derived keys → semi join → dim filter) is the point."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    big = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q").cast("double") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
 TPCH_QUERIES = {
+    "tpch_q2": tpch_q2,
+    "tpch_q11": tpch_q11,
+    "tpch_q12": tpch_q12,
+    "tpch_q14": tpch_q14,
+    "tpch_q16": tpch_q16,
+    "tpch_q20": tpch_q20,
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,

@@ -275,7 +275,103 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """
 
+TPCH_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT ps.l_partkey, ps.supply_cost, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), mn AS (
+  SELECT l_partkey, min(supply_cost) AS min_cost FROM eu GROUP BY 1
+)
+SELECT CAST(eu.s_acctbal AS DOUBLE) AS s_acctbal, eu.s_name, eu.n_name,
+       p.p_partkey, p.p_name, eu.supply_cost
+FROM eu
+JOIN mn ON eu.l_partkey = mn.l_partkey AND eu.supply_cost = mn.min_cost
+JOIN part p ON eu.l_partkey = p.p_partkey
+WHERE p.p_size = 5 AND p.p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+TPCH_Q11 = """
+WITH nat_lines AS (
+  SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+), by_part AS (
+  SELECT l_partkey, sum(v) AS pv FROM nat_lines GROUP BY 1
+), total AS (
+  SELECT sum(pv) AS t FROM by_part
+)
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+FROM by_part, total
+WHERE CAST(pv AS DOUBLE) > 0.0008 * CAST(t AS DOUBLE)
+"""
+
+TPCH_Q12 = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+GROUP BY 1
+"""
+
+TPCH_Q14 = """
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= '1997-09-01' AND l.l_shipdate < '1997-10-01'
+"""
+
+TPCH_Q16 = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO' AND p.p_size IN (1, 3, 5, 7, 9)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+TPCH_Q20 = """
+WITH big AS (
+  SELECT DISTINCT l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+  HAVING CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0
+)
+SELECT s.s_suppkey, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM big)
+"""
+
 TPCH_ORACLES: dict[str, str] = {
+    "tpch_q2": TPCH_Q2,
+    "tpch_q11": TPCH_Q11,
+    "tpch_q12": TPCH_Q12,
+    "tpch_q14": TPCH_Q14,
+    "tpch_q16": TPCH_Q16,
+    "tpch_q20": TPCH_Q20,
     "tpch_q1": TPCH_Q1,
     "tpch_q3": TPCH_Q3,
     "tpch_q4": TPCH_Q4,
