@@ -476,3 +476,103 @@ def order_timeout_stream(events: "DataFrame"):  # noqa: F821
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas wiring (Spark 4 TWS) + the capability-gated
+# chooser. Both wirings of each operator share per-key logic (the TWS
+# processor classes above are unit-tested to agree with the portable
+# functions on identical inputs), so selection is an environment decision,
+# not a semantic one: TWS gives multi-timer/multi-state generality, the
+# applyInPandasWithState path runs anywhere plain Arrow runs (the TWS
+# driver worker imports google.protobuf at execution time).
+# --------------------------------------------------------------------------
+
+
+def login_fail_stream_tws(events: "DataFrame"):  # noqa: F821
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    ).groupBy("user_id")
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=LoginFailProcessor(),
+        outputStructType=LOGIN_FAIL_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def order_timeout_stream_tws(events: "DataFrame"):  # noqa: F821
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", F.col("ts").cast("long").alias("ts_s"), "event_type")
+        .groupBy("user_id")
+    )
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=OrderTimeoutProcessor(),
+        outputStructType=ORDER_TIMEOUT_OUTPUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def blacklist_stream_tws(events: "DataFrame"):  # noqa: F821
+    from pyspark.sql import functions as F
+
+    from ..functions import scalars as S
+
+    keyed = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", S.ad_k().alias("ad_k"), F.col("ts").cast("long").alias("ts_s"))
+        .groupBy("user_id", "ad_k")
+    )
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=BlacklistProcessor(),
+        outputStructType=BLACKLIST_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def pay_receipt_stream_tws(events: "DataFrame"):  # noqa: F821
+    from pyspark.sql import functions as F
+
+    tagged = events.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id",
+        "ts",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.when(F.col("event_type") == "purchase", F.lit("pay")).otherwise(F.lit("receipt")).alias("side"),
+    )
+    return tagged.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PayReceiptProcessor(),
+        outputStructType=PAY_RECEIPT_OUTPUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+PORTABLE_WIRINGS = {
+    "login_fail": login_fail_stream,
+    "order_timeout": order_timeout_stream,
+    "blacklist": blacklist_stream,
+    "pay_receipt": pay_receipt_stream,
+}
+
+TWS_WIRINGS = {
+    "login_fail": login_fail_stream_tws,
+    "order_timeout": order_timeout_stream_tws,
+    "blacklist": blacklist_stream_tws,
+    "pay_receipt": pay_receipt_stream_tws,
+}
+
+
+def stateful_stream(name: str, events: "DataFrame", tws_usable: bool | None = None):  # noqa: F821
+    """Capability-gated wiring chooser for the keyed stateful operators:
+    TWS when the environment can execute it (protobuf present), else the
+    portable applyInPandasWithState path. `tws_usable` overrides the probe
+    for tests; both wirings are the same operator by construction."""
+    usable = TWS_USABLE if tws_usable is None else tws_usable
+    return (TWS_WIRINGS if usable else PORTABLE_WIRINGS)[name](events)

@@ -257,3 +257,98 @@ class TestPayReceiptProcessor:
         st = FakeGroupState()
         assert list(_pay_receipt_fn((5,), iter([pdf]), st)) == []
         assert st.timeout_ts == (100 + PayReceiptProcessor.RECEIPT_WAIT_S) * 1000
+
+
+# ------------------------------------------------- wiring chooser (capability gate)
+
+
+class TestWiringChooser:
+    """The TWS_USABLE probe must actually steer wiring selection: the
+    portable applyInPandasWithState plan when TWS can't execute (this
+    env has no google.protobuf), the TWS plan when it can. Construction
+    of BOTH plans is checked; TWS execution needs protobuf, so output
+    agreement between the wirings is pinned by the fake-handle tests
+    above plus the two below."""
+
+    @staticmethod
+    def _stream_events(spark):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .select(
+                F.col("value").alias("user_id"),
+                F.col("timestamp").alias("ts"),
+                F.col("value").alias("event_id"),
+                F.lit("error").alias("event_type"),
+                F.lit('{"k": 3}').alias("props"),
+            )
+        )
+
+    def test_probe_is_negative_in_this_env(self):
+        from gmall_flink_200621_spark.streaming import stateful
+
+        try:
+            import google.protobuf  # noqa: F401
+
+            pytest.skip("protobuf present: probe legitimately positive")
+        except ImportError:
+            pass
+        assert stateful.TWS_USABLE is False
+
+    @pytest.mark.parametrize("name", ["login_fail", "order_timeout", "blacklist", "pay_receipt"])
+    def test_chooser_selects_by_capability(self, spark, name):
+        from gmall_flink_200621_spark.streaming.stateful import stateful_stream
+
+        ev = self._stream_events(spark)
+        portable = stateful_stream(name, ev, tws_usable=False)
+        plan = portable._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" in plan
+        assert "TransformWithState" not in plan
+
+        tws = stateful_stream(name, ev, tws_usable=True)
+        plan = tws._jdf.queryExecution().analyzed().toString()
+        assert "TransformWithState" in plan
+        # both wirings expose the same output schema -> downstream-identical
+        assert tws.schema == portable.schema
+
+    def test_default_probe_selects_portable_here(self, spark):
+        from gmall_flink_200621_spark.streaming import stateful
+
+        if stateful.TWS_USABLE:  # pragma: no cover - protobuf-present envs
+            pytest.skip("TWS executable here; default selection covered above")
+        out = stateful.stateful_stream("login_fail", self._stream_events(spark))
+        assert "FlatMapGroupsInPandasWithState" in out._jdf.queryExecution().analyzed().toString()
+
+
+class TestCrossWiringAgreement:
+    """login_fail and blacklist agreement (order_timeout and pay_receipt
+    agreement live in their processor test classes above): the TWS
+    processor and the portable function are the same operator."""
+
+    def test_login_fail_agreement(self):
+        from gmall_flink_200621_spark.streaming.stateful import _login_fail_fn
+
+        pdf = pd.DataFrame(
+            {
+                "ts_s": [100, 200, 300, 5000, 5100],
+                "event_id": [1, 2, 3, 4, 5],
+                "event_type": ["error", "error", "view", "error", "error"],
+            }
+        )
+        tws_rows, _ = _drive(LoginFailProcessor(), (7,), pdf)
+        st = FakeGroupState()
+        fn_rows = pd.concat(_login_fail_fn((7,), iter([pdf]), st))
+        cols = ["user_id", "first_fail_ts_s", "second_fail_ts_s"]
+        assert tws_rows[cols].values.tolist() == fn_rows[cols].values.tolist()
+
+    def test_blacklist_agreement(self):
+        from gmall_flink_200621_spark.streaming.stateful import _blacklist_fn
+
+        day0, day1 = 1000, 1000 + 86400
+        pdf = pd.DataFrame({"ts_s": [day0, day0 + 1, day0 + 2, day1]})
+        tws_rows, _ = _drive(BlacklistProcessor(), (9, 3), pdf)
+        st = FakeGroupState()
+        fn_rows = pd.concat(_blacklist_fn((9, 3), iter([pdf]), st))
+        cols = ["user_id", "ad_k", "day_s", "tag"]
+        assert tws_rows[cols].values.tolist() == fn_rows[cols].values.tolist()
