@@ -182,51 +182,85 @@ def run_hot_items_retract_stream(
     change emits a retraction of the old row then an addition of the new,
     exactly Flink's retract encoding at micro-batch granularity.
 
-    Shape: windowed counts in UPDATE output mode (each batch delivers only
-    the changed (window, item) aggregates — cumulative totals, computed
-    distributedly); the driver maintains ONLY the current top-N rows per
-    window and diffs per batch. The prune to top-N is lossless because
-    window counts are monotone non-decreasing: an item outside the top-N
-    can re-enter only through its own later update, which arrives as a new
-    delta. Driver state and per-batch traffic are both O(windows × N),
-    never O(events); no watermark is set, so every late update still
-    retracts-and-replaces (the unbounded-state trade Flink's retract mode
-    makes too)."""
+    Shape: events explode into their 12 sliding-window assignments
+    (stateless), then ONE `applyInPandasWithState` keyed by window fuses
+    count + rank + diff — per-window item counts and the current top-N
+    live in keyed state on the executors, and only the (is_add, row)
+    delta rows leave the operator. No driver-side state, no collect():
+    Spark disallows a stateful map after a streaming aggregation, so the
+    aggregation moves INTO the keyed state instead of feeding it. State
+    per key is O(items-in-window) — the same cardinality the windowed
+    aggregate itself would hold — and delta traffic is O(rank changes).
+    No watermark is set, so every late update still retracts-and-replaces
+    (the unbounded-state trade Flink's retract mode makes too)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     from ..functions import scalars as S
     from .late_data import staged_replay_source
 
-    counts = (
+    assigns = (
         staged_replay_source(spark, sf_dir)
         .filter(F.col("event_type") == "view")
-        .withColumn("item_k", S.item_k())
-        .groupBy(F.window("ts", "1 hour", "5 minutes").alias("w"), "item_k")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.end").cast("long").alias("window_end_s"), "item_k", "cnt")
+        .select(S.item_k().alias("item_k"), F.col("ts").cast("long").alias("ts_s"))
+        # windows ending at the next 5-min boundary and the 11 after it
+        .withColumn("first_end", (F.floor(F.col("ts_s") / 300) + 1) * 300)
+        .select(
+            "item_k",
+            F.explode(
+                F.sequence(F.col("first_end"), F.col("first_end") + 11 * 300, F.lit(300))
+            ).alias("window_end_s"),
+        )
     )
-    RESULTS[queryName] = []
-    top_state: dict[int, dict] = {}  # window_end_s -> {item_k: (cnt, rank)}
 
-    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        touched: dict[int, dict] = {}
-        for r in batch_df.collect():  # update-mode aggregate deltas only
-            w = touched.setdefault(r.window_end_s, dict(top_state.get(r.window_end_s, {})))
-            w[r.item_k] = (r.cnt, None)
-        for wend, cand in touched.items():
-            ranked = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_n]
-            new = {item: (cnt_rank[0], i + 1) for i, (item, cnt_rank) in enumerate(ranked)}
-            old = top_state.get(wend, {})
-            for item, (cnt, rank) in old.items():  # retract first, like Flink
-                if new.get(item) != (cnt, rank):
-                    RESULTS[queryName].append((False, wend, item, cnt, rank))
-            for item, (cnt, rank) in new.items():
-                if old.get(item) != (cnt, rank):
-                    RESULTS[queryName].append((True, wend, item, cnt, rank))
-            top_state[wend] = new
+    def topn_retract_fn(key, pdf_iter, state):
+        (wend,) = key
+        st = state.get if state.exists else ([], [], [], [], [])
+        counts = dict(zip(st[0] or [], st[1] or []))
+        old = {
+            int(i): (int(c), int(r))
+            for i, c, r in zip(st[2] or [], st[3] or [], st[4] or [])
+        }
+        for pdf in pdf_iter:
+            for item, n in pdf["item_k"].value_counts().items():
+                counts[int(item)] = counts.get(int(item), 0) + int(n)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        new = {item: (cnt, i + 1) for i, (item, cnt) in enumerate(ranked)}
+        out = []
+        for item, (cnt, rank) in old.items():  # retract first, like Flink
+            if new.get(item) != (cnt, rank):
+                out.append((False, wend, item, cnt, rank))
+        for item, (cnt, rank) in new.items():
+            if old.get(item) != (cnt, rank):
+                out.append((True, wend, item, cnt, rank))
+        state.update(
+            (
+                list(counts.keys()),
+                list(counts.values()),
+                [i for i in new],
+                [c for c, _ in new.values()],
+                [r for _, r in new.values()],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["is_add", "window_end_s", "item_k", "cnt", "rank"]
+            )
 
+    deltas = assigns.groupBy("window_end_s").applyInPandasWithState(
+        topn_retract_fn,
+        outputStructType="is_add BOOLEAN, window_end_s LONG, item_k INT, cnt LONG, rank INT",
+        stateStructType=(
+            "items ARRAY<LONG>, cnts ARRAY<LONG>, "
+            "top_items ARRAY<LONG>, top_cnts ARRAY<LONG>, top_ranks ARRAY<LONG>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
     return (
-        counts.writeStream.outputMode("update")
-        .foreachBatch(on_batch)
-        .queryName(queryName + "_q")
+        deltas.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
         .start()
     )
 

@@ -85,13 +85,15 @@ class TestStreamBatchEquivalence:
         """toRetractStream parity (HotItemsWithSQLApp.java:65): applying the
         (is_add, row) log in order — retract removes exactly the previously
         added row — must converge to the batch Top-N, and the staged replay
-        must actually force retractions (late deltas re-rank windows)."""
+        must actually force retractions (late deltas re-rank windows).
+        The delta log now comes from keyed state via the memory sink —
+        nothing is collected on the driver inside the streaming query."""
         from gmall_flink_200621_spark.plans.pipelines import hot_items
-        from gmall_flink_200621_spark.streaming.jobs import RESULTS, run_hot_items_retract_stream
+        from gmall_flink_200621_spark.streaming.jobs import run_hot_items_retract_stream
 
         q = run_hot_items_retract_stream(spark, sf_dir, queryName="hi_retract")
         _drain(q)
-        log = RESULTS["hi_retract"]
+        log = [tuple(r) for r in spark.sql("SELECT * FROM hi_retract").collect()]
         assert any(not entry[0] for entry in log), "no retractions exercised"
         state: dict = {}
         for is_add, wend, item, cnt, rank in log:
