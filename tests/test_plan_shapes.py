@@ -178,3 +178,62 @@ class TestIterativeLineage:
         n_deep = len(deep._jdf.queryExecution().optimizedPlan().toString().splitlines())
         assert n_deep == n_shallow  # constant in iteration count
         assert n_deep <= 3  # a checkpoint leaf, not a join tree
+
+
+class TestSkewJoin:
+    def test_planted_hot_key_triggers_aqe_skew_split(self, spark):
+        """SCALING.md claims AQE skew-join splitting covers hot keys in the
+        shuffled interval join (reference analog: the hand-salted
+        PageViewApp2.java:55-69). Pin it: plant one user with ~half of all
+        pay rows, run the order_receipt_join shape, and assert the final
+        adaptive plan actually split the skewed partition. Local-scale
+        caveat: default skew thresholds (256 MB) can never trip on test
+        data, so the thresholds — and only the thresholds — are lowered;
+        the decision logic exercised is the real one."""
+        import pyspark.sql.functions as F
+
+        overrides = {
+            # force the sort-merge path (skew splitting doesn't apply to
+            # broadcast joins) and make the planted skew visible at kB scale
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        try:
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
+            n = 200_000
+            # ~50% of pays on user 7, the rest uniform over 1000 users
+            pays = spark.range(n).select(
+                F.when(F.col("id") % 2 == 0, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .alias("user_id"),
+                F.col("id").alias("pay_id"),
+                F.col("id").alias("pay_ts_s"),
+            )
+            receipts = spark.range(50_000).select(
+                (F.col("id") % 1000).alias("r_user"),
+                F.col("id").alias("receipt_id"),
+                F.col("id").alias("receipt_ts_s"),
+            )
+            j = pays.join(
+                receipts,
+                (pays.user_id == receipts.r_user)
+                & (receipts.receipt_ts_s >= pays.pay_ts_s - 360)
+                & (receipts.receipt_ts_s <= pays.pay_ts_s + 720),
+            )
+            # collect() drives THIS DataFrame's QueryExecution (count()
+            # would build a separate one and leave this plan un-finalized)
+            assert len(j.collect()) > 0
+            final = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in final, final[:500]
+            assert "skew=true" in final, final[:2000]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
