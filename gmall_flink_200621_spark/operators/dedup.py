@@ -96,17 +96,10 @@ def _doc_shingles(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti").select("doc_id", "shingle")
 
 
-def dedup_ngram_jaccard(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, df_cap: int | None = DF_CAP
-) -> DataFrame:
-    """Exact all-pairs Jaccard via inverted index (df-capped shingles —
-    see _doc_shingles for the skew/error-bound argument).
-
-    explode shingles → self-join on shingle (the inverted-index bucket
-    join) → |A∩B| per pair → Jaccard with per-doc sizes. Integer-exact, so
-    the threshold compare is engine-independent; the float jaccard output
-    is a ratio of exact ints (identical division both sides).
-    """
+def _shingle_pair_counts(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b) for every doc pair sharing ≥1
+    shingle — the inverted-index core both set-similarity metrics
+    (Jaccard, containment) divide differently. Integer-exact."""
     # the shingle frame feeds the self-join twice plus the size agg —
     # persist so the tokenize+explode runs once, not 3×
     sh = _doc_shingles(docs, df_cap).persist()
@@ -120,12 +113,43 @@ def dedup_ngram_jaccard(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, df_cap: int | None = DF_CAP
+) -> DataFrame:
+    """Exact all-pairs Jaccard via inverted index (df-capped shingles —
+    see _doc_shingles for the skew/error-bound argument).
+
+    explode shingles → self-join on shingle (the inverted-index bucket
+    join) → |A∩B| per pair → Jaccard with per-doc sizes. Integer-exact, so
+    the threshold compare is engine-independent; the float jaccard output
+    is a ratio of exact ints (identical division both sides).
+    """
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        _shingle_pair_counts(docs, df_cap)
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD, df_cap: int | None = DF_CAP
+) -> DataFrame:
+    """Containment similarity |A∩B| / min(|A|,|B|) over the same
+    inverted-index pair counts — the metric that catches SUB-document
+    duplication (a doc wholly contained in a longer one scores ~1.0 here
+    but low Jaccard, the classic boilerplate-wrapper miss)."""
+    return (
+        _shingle_pair_counts(docs, df_cap)
+        .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import h60, tokens
+from ..functions.text import h60, shingles, tokens
 
 # Rabin-Karp params — small enough that Σ(tok_mod·37^7) over 8 terms stays < 2^63
 RK_WINDOW = 8
@@ -55,6 +55,38 @@ def doc_stats(docs: DataFrame) -> DataFrame:
             + 0.5 * (F.col("n_uniq_tokens") / F.col("n_tokens")),
             6,
         ).alias("quality_score"),
+    )
+
+
+def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition (the Gopher/C4-style duplication quality
+    gate): rep_ratio = 1 − distinct/total word n-grams — high values mean
+    a doc repeats its own phrasing (boilerplate loops, generated spam).
+    Linear explode of NON-distinct shingles, one groupBy; docs shorter
+    than n tokens get (0, 0, 0.0)."""
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    per = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_uniq_shingles"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_uniq_shingles", F.lit(0)).alias("n_uniq_shingles"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.lit(1.0) - F.col("n_uniq_shingles") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("rep_ratio"),
+        )
     )
 
 

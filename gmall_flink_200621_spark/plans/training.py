@@ -93,6 +93,42 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_repetition(_docs(spark, sf_dir))
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_containment(_docs(spark, sf_dir))
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus rollup: doc counts, token/char budgets,
+    mean quality. The numbers a data-mixture design reads off before
+    sampling weights are chosen. Mean quality is an integer-scaled sum
+    divided once at the end — partition-order-independent, unlike a naive
+    avg(double); the per-doc scaling is pure integer arithmetic
+    (millionths, floored), never a rounded float, so both engines agree
+    bit-for-bit: q_scaled = 5000·min(100, n_tokens) + (500000·n_uniq)
+    DIV n_tokens."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    stats = T.doc_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_actual", "n_uniq_tokens"
+    )
+    j = docs.select("doc_id", "source", "lang").join(stats, "doc_id")
+    scaled_q = (
+        5000 * F.least(F.lit(100), F.col("n_tokens"))
+        + F.expr("(500000 * CAST(n_uniq_tokens AS BIGINT)) DIV n_tokens")
+    ).cast("long")
+    return j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_actual").alias("total_chars"),
+        (F.sum(scaled_q) / (F.count(F.lit(1)) * F.lit(1e6))).alias("avg_quality"),
+    )
+
+
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute(_emb(spark, sf_dir))
 
@@ -123,6 +159,9 @@ TRAINING_QUERIES = {
     "rolling_fingerprint": rolling_fingerprint,
     "token_counts": token_counts,
     "corpus_prep": corpus_prep,
+    "doc_repetition": doc_repetition,
+    "dedup_containment": dedup_containment,
+    "corpus_profile": corpus_profile,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

@@ -403,7 +403,69 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.q", "b.q")} >= {EMB_DEDUP_THRESHOLD}
 """
 
+DOC_REPETITION = """
+WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shr AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [] END) AS shingle
+    FROM toksr
+  ) WHERE shingle <> ''
+),
+per AS (
+  SELECT doc_id, count(*) AS n_shingles, count(DISTINCT shingle) AS n_uniq_shingles
+  FROM shr GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(per.n_uniq_shingles, 0) AS BIGINT) AS n_uniq_shingles,
+       round(CASE WHEN coalesce(per.n_shingles, 0) > 0
+             THEN 1.0 - per.n_uniq_shingles / per.n_shingles ELSE 0.0 END, 6) AS rep_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+DEDUP_CONTAINMENT = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(c.n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common / least(sa.n_sh, sb.n_sh) >= 0.9
+"""
+
+CORPUS_PROFILE = """
+WITH t AS (
+  SELECT doc_id, source, lang,
+         length(text) AS n_chars_actual,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+  FROM documents
+), q AS (
+  SELECT source, lang, n_tokens, n_chars_actual,
+         CAST(5000 * least(100, n_tokens)
+              + (500000 * n_uniq_tokens) // n_tokens AS BIGINT) AS q_scaled
+  FROM t
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars_actual) AS BIGINT) AS total_chars,
+       CAST(sum(q_scaled) AS BIGINT) / (count(*) * 1e6) AS avg_quality
+FROM q GROUP BY 1, 2
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
+    "doc_repetition": DOC_REPETITION,
+    "dedup_containment": DEDUP_CONTAINMENT,
+    "corpus_profile": CORPUS_PROFILE,
     "doc_fingerprint": DOC_FINGERPRINT,
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
