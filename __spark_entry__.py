@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_timeout": P.order_timeout,
         "order_receipt_join": P.order_receipt_join,
         "order_receipt_reconcile": P.order_receipt_reconcile,
+        "last_click_before_purchase": P.last_click_before_purchase,
     }
     everything = {
         **pipeline_queries,

@@ -192,6 +192,24 @@ HAVING count(*) >= 2
    AND max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) <= 7200
 """
 
+# DuckDB's native ASOF JOIN oracles the sorted-union carry-forward
+# implementation; the right side is pre-deduped per (key, ts) with max id
+# because ASOF tie-breaking among equal timestamps is unspecified
+LAST_CLICK_BEFORE_PURCHASE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts_s
+  FROM events WHERE event_type = 'purchase'
+), c0 AS (
+  SELECT user_id, event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_ts_s
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT user_id, click_ts_s, max(click_id) AS click_id FROM c0 GROUP BY 1, 2
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts_s, c.click_id, c.click_ts_s
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.click_ts_s <= p.purchase_ts_s
+"""
+
 ORDER_TIMEOUT = """
 WITH creates AS (
   SELECT event_id AS create_id, user_id, ts AS create_ts FROM events WHERE event_type = 'click'
@@ -267,6 +285,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "login_fail_n3": LOGIN_FAIL_N3,
     "login_fail_relaxed": LOGIN_FAIL_RELAXED,
     "login_fail_run": LOGIN_FAIL_RUN,
+    "last_click_before_purchase": LAST_CLICK_BEFORE_PURCHASE,
     "order_timeout": ORDER_TIMEOUT,
     "order_receipt_join": ORDER_RECEIPT_JOIN,
     "order_receipt_reconcile": ORDER_RECEIPT_RECONCILE,

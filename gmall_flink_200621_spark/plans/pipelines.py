@@ -334,6 +334,36 @@ def login_fail_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase paired with
+    the user's most recent click at or before it — the feature-backfill
+    join (J1's sibling: latest-prior instead of within-interval). One
+    key shuffle, no range blowup; DuckDB's native ASOF JOIN is the
+    oracle."""
+    from ..operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("long").alias("purchase_ts_s"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("long").alias("click_ts_s"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_ts_s",
+        right_ts="click_ts_s",
+        payload_cols=["click_id", "click_ts_s"],
+        tiebreak="click_id",
+    )
+
+
 # --------------------------------------------------------------------- order flows
 
 

@@ -254,3 +254,45 @@ class TestMultimodal:
 
         with _pytest.raises(NotImplementedError):
             DECODERS["real"](b"x", "image")
+
+
+class TestAsofJoin:
+    def test_backward_match_ties_and_nulls(self, spark):
+        """Inclusive <= at equal timestamps, max-tiebreak among same-ts
+        right rows, null payload when no prior right row exists."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, 10), (1, 101, 25), (2, 102, 10)],
+            "user_id long, purchase_id long, purchase_ts_s long",
+        )
+        right = spark.createDataFrame(
+            # user 1: clicks at 10 (two rows — tiebreak picks id 201) and 20
+            # user 2: only a LATER click at 50 -> no match
+            [(1, 200, 10), (1, 201, 10), (1, 202, 20), (2, 203, 50)],
+            "user_id long, click_id long, click_ts_s long",
+        )
+        out = asof_join(
+            left, right, ["user_id"], "purchase_ts_s", "click_ts_s",
+            ["click_id", "click_ts_s"], tiebreak="click_id",
+        )
+        got = {(r.user_id, r.purchase_id): (r.click_id, r.click_ts_s) for r in out.collect()}
+        assert got == {
+            (1, 100): (201, 10),   # same-ts inclusive match, max click_id wins
+            (1, 101): (202, 20),   # latest prior
+            (2, 102): (None, None),  # only future clicks -> null
+        }
+
+    def test_single_shuffle_no_join_blowup(self, spark):
+        """The plan must be union -> one Exchange on the key -> Window —
+        no join operator at all (the range-join rewrite would blow up)."""
+        from gmall_flink_200621_spark.operators.asof import asof_join
+
+        left = spark.range(100).selectExpr("id % 10 AS k", "id AS lid", "id AS lts")
+        right = spark.range(100).selectExpr("id % 10 AS k", "id AS rid", "id AS rts")
+        out = asof_join(left, right, ["k"], "lts", "rts", ["rid"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # row_number dedup absent here: 1 shuffle
