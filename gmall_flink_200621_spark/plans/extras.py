@@ -176,7 +176,58 @@ def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, priority): all four grouping-set levels in one
+    pass — Catalyst's Expand feeds a single hash aggregate, so the data
+    is scanned once, not once per level. NULL group values mark the
+    rolled-up levels, exactly as in ANSI CUBE."""
+    from pyspark.sql import functions as F
+
+    from ..sources.loaders import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile assignment over per-customer total spend — the
+    bucketing window family (ntile) the rest of the surface doesn't
+    exercise. Total order (spend desc, custkey) makes the decile
+    boundaries engine-independent.
+
+    Scale note: the partition-less window is a single task, but its input
+    is the per-customer AGGREGATE (|customers| rows), never the fact
+    table — same stance as the final top-N stage. At extreme customer
+    cardinality, swap for the distributed rank pattern (range-partitioned
+    sort + per-partition offsets) or approx deciles via percentile_approx."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.loaders import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_t")
+    )
+    w = Window.orderBy(F.desc("_t"), F.asc("o_custkey"))
+    return totals.select(
+        "o_custkey",
+        F.col("_t").cast("double").alias("total_spend"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
 EXTRA_QUERIES = {
+    "sales_cube": sales_cube,
+    "spend_deciles": spend_deciles,
     "sessionize": sessionize,
     "sessionize_native": sessionize_native,
     "event_type_pivot": event_type_pivot,
@@ -187,6 +238,23 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "sales_cube": """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+""",
+    "spend_deciles": """
+WITH totals AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       CAST(t AS DOUBLE) AS total_spend,
+       CAST(ntile(10) OVER (ORDER BY t DESC, o_custkey ASC) AS INT) AS decile
+FROM totals
+""",
     "sessionize": f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id FROM events
