@@ -44,14 +44,19 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TE
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
-def read_csv(spark: SparkSession, path: str, schema, sep: str = ",") -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema, sep: str = ",", mode: str = "PERMISSIVE"
+) -> DataFrame:
     """Positional header-less CSV with an explicit schema.
 
     Replaces the reference's per-row `String.split(",")` parse maps
     (e.g. HotItemApp.java:37-44) with a schema'd scan — the parse happens
-    JVM-side inside the CSV datasource, not in user code.
-    """
-    return spark.read.csv(path, schema=schema, sep=sep, header=False)
+    JVM-side inside the CSV datasource, not in user code. `mode` is the
+    malformed-row policy: PERMISSIVE (default — unparseable fields null
+    out, rows survive), DROPMALFORMED, or FAILFAST; the reference's
+    split-and-cast maps would instead throw mid-stream on the first bad
+    row."""
+    return spark.read.csv(path, schema=schema, sep=sep, header=False, mode=mode)
 
 
 def read_csv_stream(spark: SparkSession, path: str, schema, sep: str = ",") -> DataFrame:

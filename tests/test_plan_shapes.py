@@ -254,3 +254,26 @@ class TestPlansInventoryFresh:
         with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")) as f:
             actual = f.read()
         assert actual == expected, "PLANS.md is stale — run: python tools/plan_audit.py"
+
+
+class TestNewTpchShapes:
+    def test_q2_correlated_min_stays_broadcast(self, spark, sf_dir):
+        """q2's per-part MIN re-aggregation and every dim must broadcast;
+        the only shuffle is the partsupp derivation groupBy."""
+        from gmall_flink_200621_spark.plans.tpch import tpch_q2
+
+        s = _plan(tpch_q2(spark, sf_dir))
+        assert s.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+    def test_q16_not_in_is_anti_join(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.tpch import tpch_q16
+
+        s = _plan(tpch_q16(spark, sf_dir))
+        assert "LeftAnti" in s and "CartesianProduct" not in s
+
+    def test_q20_nested_semi_join(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.tpch import tpch_q20
+
+        s = _plan(tpch_q20(spark, sf_dir))
+        assert "LeftSemi" in s and "CartesianProduct" not in s

@@ -135,3 +135,25 @@ class TestParquetSink:
         fn(df, 0)  # replay converges
         n2 = len(glob.glob(os.path.join(outdir, "*.json")))
         assert n1 == n2 == df.count() > 0
+
+
+class TestMalformedRows:
+    def test_csv_malformed_row_policies(self, spark, tmp_path):
+        """S1 robustness: a production CSV scan must survive bad rows.
+        PERMISSIVE nulls out unparseable fields (row count preserved);
+        DROPMALFORMED drops exactly the bad rows. The reference's
+        String.split parse maps throw on the first bad row instead."""
+        from gmall_flink_200621_spark.sources.loaders import read_csv
+
+        p = tmp_path / "mixed.csv"
+        p.write_text("1,100,ok\n2,not_a_number,bad\n3,300,ok\n")
+        schema = "id INT, val INT, tag STRING"
+
+        permissive = read_csv(spark, str(p), schema).collect()
+        assert len(permissive) == 3
+        byid = {r.id: (r.val, r.tag) for r in permissive}
+        assert byid[2] == (None, "bad")  # field nulled, row kept
+        assert byid[1] == (100, "ok") and byid[3] == (300, "ok")
+
+        dropped = read_csv(spark, str(p), schema, mode="DROPMALFORMED").collect()
+        assert {r.id for r in dropped} == {1, 3}
