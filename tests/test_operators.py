@@ -256,6 +256,39 @@ class TestMultimodal:
             DECODERS["real"](b"x", "image")
 
 
+    def test_media_to_knn_end_to_end(self, spark):
+        """The full multimodal retrieval pipeline: blobs -> mapInPandas
+        feature extraction -> brute cosine kNN over the feature vectors.
+        Deterministic fake decoder => the whole chain is repeatable; the
+        plumbing (schemas, Arrow batches, broadcast query side) is the
+        production shape end-to-end."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.multimodal import (
+            extract_features,
+            synthetic_media,
+        )
+        from gmall_flink_200621_spark.operators.similarity import knn_brute
+
+        media = synthetic_media(spark, n=30)
+        emb = extract_features(media).select(
+            F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+        )
+        out = knn_brute(emb, k=3, query_mod=10).collect()
+        # 3 query vectors (ids 0,10,20), each with exactly 3 ranked neighbors
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+        assert set(by_q) == {0, 10, 20}
+        for q, rows in by_q.items():
+            assert [rk for rk, _, _ in sorted(rows)] == [1, 2, 3]
+            assert all(-1.0 <= c <= 1.0 for _, _, c in rows)
+            assert all(n != q for _, n, _ in rows)
+        # repeatable: the fake decoder + fixed-point math are deterministic
+        again = knn_brute(emb, k=3, query_mod=10).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 class TestAsofJoin:
     def test_backward_match_ties_and_nulls(self, spark):
         """Inclusive <= at equal timestamps, max-tiebreak among same-ts
