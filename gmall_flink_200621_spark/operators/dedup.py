@@ -229,11 +229,13 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
     The engine's iterative-algorithm surface: min-label propagation run as
     a driver-orchestrated loop of joins (the standard Pregel-style shape —
     per-iteration data stays fully distributed, the driver sees only the
-    converged? scalar). Iterations needed = component diameter; dup
-    clusters are shallow, and `max_iters` bounds pathological chains.
-    Labels decrease monotonically, so zero-changes means fixpoint.
-    The DuckDB oracle computes the same components with a recursive CTE —
-    exact equality, not approximate clustering.
+    converged? scalar). Each round does a neighbor-min hop AND a pointer
+    jump (labels follow their own label one step — path compression), so
+    convergence needs O(log diameter) rounds, not O(diameter): a chain of
+    2^k collapses in ~k rounds. Labels decrease monotonically, so
+    zero-changes means fixpoint. The DuckDB oracle computes the same
+    components with a recursive CTE — exact equality, not approximate
+    clustering.
 
     Each iteration's label frame is `localCheckpoint(eager=True)`-ed, not
     merely persisted: persist caches the DATA but leaves the logical plan
@@ -260,14 +262,21 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
             .groupBy("src")
             .agg(F.min("canonical_id").alias("nbr_min"))
         )
+        hopped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))).alias(
+                "canonical_id"
+            ),
+        )
+        # pointer jump: follow the label's own label one hop (labels are
+        # always doc_ids within the component, so the self-join always
+        # matches and the min-monotone invariant is preserved)
+        lab2 = hopped.select(
+            F.col("doc_id").alias("j_id"), F.col("canonical_id").alias("j_canon")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))).alias(
-                    "canonical_id"
-                ),
-            )
+            hopped.join(lab2, hopped.canonical_id == lab2.j_id)
+            .select("doc_id", F.col("j_canon").alias("canonical_id"))
             .localCheckpoint(eager=True)
         )
         changed = (

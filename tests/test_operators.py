@@ -329,3 +329,17 @@ class TestAsofJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("Exchange") <= 2  # row_number dedup absent here: 1 shuffle
+
+
+class TestPointerJumping:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """Pointer jumping must collapse a 33-node chain within 8 rounds
+        (plain one-hop propagation would need 32) — pins the O(log d)
+        convergence the 100 TB posture claims."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_clusters
+
+        n = 33
+        docs = spark.createDataFrame([(i, "x") for i in range(1, n + 1)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
+        got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, pairs=pairs, max_iters=8).collect()}
+        assert got == {i: 1 for i in range(1, n + 1)}
