@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): random small inputs vs brute-force
+Python references for the operators whose edge cases are combinatorial
+(as-of matching, relaxed CEP). Few examples, tiny frames — each example
+runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=20),  # ts
+        st.integers(min_value=0, max_value=9),   # id/tiebreak
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+class TestAsofProperty:
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(left=ROWS, right=ROWS)
+    def test_asof_matches_bruteforce(self, spark, left, right):
+        from gmall_flink_200621_spark.operators.asof import asof_join
+
+        # unique left ids so rows are addressable
+        left = [(k, t, i) for i, (k, t, _) in enumerate(left)]
+        ldf = spark.createDataFrame(left, "k long, lts long, lid long") if left else None
+        rdf = spark.createDataFrame(right, "k long, rts long, rid long") if right else None
+        if ldf is None:
+            return
+        if rdf is None:
+            rdf = spark.createDataFrame([], "k long, rts long, rid long")
+
+        got = {
+            r.lid: (r.rid, r.rts)
+            for r in asof_join(
+                ldf, rdf, ["k"], "lts", "rts", ["rid", "rts"], tiebreak="rid"
+            ).collect()
+        }
+
+        def brute(k, lts):
+            cands = [(rts, rid) for (rk, rts, rid) in right if rk == k and rts <= lts]
+            if not cands:
+                return (None, None)
+            best_ts = max(rts for rts, _ in cands)
+            best_id = max(rid for rts, rid in cands if rts == best_ts)
+            return (best_id, best_ts)
+
+        expected = {lid: brute(k, lts) for (k, lts, lid) in left}
+        assert got == expected
+
+
+class TestRelaxedCepProperty:
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=2),   # user
+                st.integers(min_value=0, max_value=30),  # ts
+                st.booleans(),                           # is_match
+            ),
+            min_size=0,
+            max_size=14,
+        ),
+        n=st.integers(min_value=2, max_value=3),
+        within=st.integers(min_value=1, max_value=10),
+    )
+    def test_relaxed_matches_bruteforce(self, spark, rows, n, within):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.cep import relaxed_times_within
+
+        # unique (user, ts, id) ordering; id doubles as the tiebreak column
+        data = [(u, t, i, "hit" if m else "miss") for i, (u, t, m) in enumerate(rows)]
+        if not data:
+            return
+        df = spark.createDataFrame(data, "user_id long, ts long, event_id long, event_type string")
+        out = relaxed_times_within(
+            df, ["user_id"], "ts", F.col("event_type") == "hit", n=n,
+            within_s=within, order_cols=["event_id"],
+        ).collect()
+        got = {tuple(r) for r in out}
+
+        expected = set()
+        for u in {d[0] for d in data}:
+            seq = sorted([d for d in data if d[0] == u and d[3] == "hit"], key=lambda d: (d[1], d[2]))
+            for i in range(n - 1, len(seq)):
+                window = seq[i - n + 1 : i + 1]
+                if window[-1][1] - window[0][1] <= within:
+                    expected.add((u, *[w[1] for w in window]))
+        assert got == expected
