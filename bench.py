@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "tpch_q2",
     "tpch_q12",
     "tpch_q16",
+    "last_click_before_purchase",
+    "sales_cube",
 ]
 
 
