@@ -168,12 +168,6 @@ def order_receipt_join_stream(spark: SparkSession, sf_dir: str, delay: str = "30
     )
 
 
-# driver-side result accumulators for foreachBatch sinks, keyed by query name
-# (the "memory" format is a streaming-only sink; inside foreachBatch the
-# frame is a batch DF, so we collect rankings here instead)
-RESULTS: dict[str, list] = {}
-
-
 def run_hot_items_retract_stream(
     spark: SparkSession, sf_dir: str, top_n: int = 5, queryName: str = "hot_items_retract"
 ):
@@ -267,16 +261,29 @@ def run_hot_items_retract_stream(
 
 def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, queryName: str = "hot_items_stream"):
     """End-to-end streaming Top-N: windowed counts (append mode past the
-    watermark) → per-batch row_number ranking in foreachBatch."""
+    watermark) → per-batch row_number ranking in foreachBatch → memory
+    sink table named `queryName`. The ranking runs as a distributed batch
+    job inside foreachBatch and the sink write is executor-side — no
+    driver collect anywhere on the path."""
     from ..operators.topn import top_n_per_group
 
     counts = hot_items_windowed_counts_stream(events_stream(spark, sf_dir))
-    RESULTS[queryName] = []
 
     def rank_batch(batch_df: DataFrame, epoch_id: int) -> None:
         ranked = top_n_per_group(batch_df, ["window_end_s"], "cnt", top_n, tiebreak_cols=["item_k"])
-        RESULTS[queryName].extend(ranked.collect())
+        ranked.write.mode("append").saveAsTable(queryName)
 
+    spark.sql(f"DROP TABLE IF EXISTS {queryName}")
+    # the warehouse dir outlives the in-memory catalog across sessions; a
+    # stale location would fail the first saveAsTable (same cleanup as
+    # sources/bucketed.py)
+    import re
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(re.sub(r"^file:/*", "/", warehouse), queryName.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
     return (
         counts.writeStream.outputMode("append")
         .foreachBatch(rank_batch)

@@ -44,13 +44,13 @@ class TestStreamBatchEquivalence:
 
     def test_hot_items_stream_matches_batch(self, spark, sf_dir):
         from gmall_flink_200621_spark.plans.pipelines import hot_items
-        from gmall_flink_200621_spark.streaming.jobs import RESULTS, run_hot_items_stream
+        from gmall_flink_200621_spark.streaming.jobs import run_hot_items_stream
 
         q = run_hot_items_stream(spark, sf_dir, queryName="hi_stream_out")
         _drain(q)
         got = {
             (r.window_end_s, r.item_k): (r.cnt, r.rank)
-            for r in RESULTS["hi_stream_out"]
+            for r in spark.table("hi_stream_out").collect()
         }
         expected = {
             (r.window_end_s, r.item_k): (r.cnt, r.rank)
