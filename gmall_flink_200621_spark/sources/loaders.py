@@ -69,6 +69,23 @@ def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     return spark.readStream.format("socket").option("host", host).option("port", port).load()
 
 
+# the exact record schema the Kafka source emits — used to manufacture
+# broker-less frames for testing the downstream parse path
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_values(raw: DataFrame) -> DataFrame:
+    """The value-decode projection applied to Kafka records: value bytes →
+    string + event timestamp. Factored out of `kafka_stream` so the
+    downstream of the connector (decode → the same parse maps the CSV
+    sources use) is provable on manufactured Kafka-schema frames even
+    where no broker/jar exists."""
+    return raw.selectExpr("CAST(value AS STRING) AS value", "timestamp")
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -78,14 +95,14 @@ def kafka_stream(
     """S4 Kafka connector (declared but unused in the reference,
     pom.xml:40-48): value bytes surfaced as a string column for the same
     parse maps the CSV sources use. Requires the spark-sql-kafka package
-    on the classpath; untestable in this environment (no broker)."""
-    return (
+    on the classpath; untestable in this environment (no broker) — the
+    downstream decode/parse path is covered via `parse_kafka_values`."""
+    return parse_kafka_values(
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
-        .selectExpr("CAST(value AS STRING) AS value", "timestamp")
     )
 
 

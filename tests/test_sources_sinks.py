@@ -157,3 +157,34 @@ class TestMalformedRows:
 
         dropped = read_csv(spark, str(p), schema, mode="DROPMALFORMED").collect()
         assert {r.id for r in dropped} == {1, 3}
+
+
+class TestKafkaParsePath:
+    def test_kafka_value_decode_and_csv_parse(self, spark):
+        """S4 downstream proof without a broker: records in the EXACT
+        schema the Kafka source emits (key/value binary, topic, partition,
+        offset, timestamp) flow through parse_kafka_values and the same
+        from_csv parse map the CSV sources use, yielding typed rows. Only
+        the network hop is env-blocked; everything after the connector is
+        exercised here."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.sources.loaders import (
+            KAFKA_RECORD_SCHEMA,
+            parse_kafka_values,
+        )
+
+        ts = dt.datetime(2020, 6, 21, 12, 0, 0)
+        rows = [
+            (None, b"7,1592733000,click", "events", 0, 0, ts, 0),
+            (None, b"8,1592733001,view", "events", 0, 1, ts, 0),
+        ]
+        raw = spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+        parsed = parse_kafka_values(raw).select(
+            F.from_csv("value", "user_id LONG, ts_s LONG, event_type STRING").alias("r"),
+            "timestamp",
+        ).select("r.*", "timestamp")
+        got = [(r.user_id, r.ts_s, r.event_type) for r in parsed.collect()]
+        assert got == [(7, 1592733000, "click"), (8, 1592733001, "view")]
