@@ -42,6 +42,12 @@ def asof_join(
     `tiebreak`: right column deciding among right rows sharing (key, ts)
     — the max wins, keeping results deterministic (DuckDB's ASOF leaves
     this unspecified, so the oracle pre-dedupes the same way)."""
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"asof_join: non-key columns shared by both sides would collide "
+            f"in the union: {sorted(overlap)} — rename one side first"
+        )
     if tiebreak is not None:
         w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.desc(tiebreak))
         right = (

@@ -525,7 +525,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+    # feeds both the probe side and the per-part MIN re-aggregation —
+    # persist so the lineitem derivation runs once, not twice
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey")).persist()
     per_part_min = eu_ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
     )
