@@ -42,6 +42,31 @@ class TestStreamBatchEquivalence:
         assert all(expected.get(k) == v for k, v in got.items())
         assert len(got) >= len(expected) - 1  # last window may be in flight
 
+    def test_uv_stream_within_hll_error_of_batch(self, spark, sf_dir):
+        """A6 streaming twin: per-window HLL++ approx UV must land within
+        the estimator's error envelope (5% >> 3 sigma at rsd=1%) of the
+        exact batch distinct count for every watermark-closed window."""
+        from gmall_flink_200621_spark.plans.pipelines import uv_exact
+        from gmall_flink_200621_spark.streaming.jobs import events_stream, uv_stream
+
+        agg = uv_stream(events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("uv_stream_out")
+            .start()
+        )
+        _drain(q)
+        got = {
+            r.window_end_s: r.uv_approx
+            for r in spark.sql("SELECT * FROM uv_stream_out").collect()
+        }
+        expected = {r.window_end_s: r.uv for r in uv_exact(spark, sf_dir).collect()}
+        assert got
+        for wend, approx in got.items():
+            exact = expected[wend]
+            assert abs(approx - exact) <= max(1, 0.05 * exact), (wend, approx, exact)
+
     def test_hot_items_stream_matches_batch(self, spark, sf_dir):
         from gmall_flink_200621_spark.plans.pipelines import hot_items
         from gmall_flink_200621_spark.streaming.jobs import run_hot_items_stream
