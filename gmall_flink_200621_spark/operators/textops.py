@@ -58,6 +58,39 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+SPLIT_BUCKETS = 1000
+
+
+def _hash_bucket(seed: str) -> F.Column:
+    """Deterministic per-doc bucket in [0, 1000): 60-bit md5 of
+    seed||doc_id — the reproducibility property a training mixture needs
+    (same seed ⇒ same sample on ANY engine/partitioning; both Spark and
+    DuckDB compute the identical value, so splits are oracle-exact)."""
+    return F.pmod(h60(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))), F.lit(SPLIT_BUCKETS))
+
+
+def deterministic_sample(docs: DataFrame, rate_per_mille: int, seed: str = "s0") -> DataFrame:
+    """Reproducible Bernoulli-style sampling: keep docs whose hash bucket
+    falls below the rate. Unlike rand()/sampleBy, re-running (or running
+    on a different engine or partitioning) selects the SAME documents."""
+    return docs.filter(_hash_bucket(seed) < rate_per_mille)
+
+
+def corpus_split(docs: DataFrame, val_per_mille: int = 50, test_per_mille: int = 50, seed: str = "split0") -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket
+    (default 90/5/5). Same hash recipe as deterministic_sample: the split
+    is a pure function of (seed, doc_id) — stable across reruns, engines,
+    and cluster layouts, and disjoint by construction."""
+    b = _hash_bucket(seed)
+    return docs.select(
+        "doc_id",
+        F.when(b < val_per_mille, F.lit("val"))
+        .when(b < val_per_mille + test_per_mille, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition (the Gopher/C4-style duplication quality
     gate): rep_ratio = 1 − distinct/total word n-grams — high values mean

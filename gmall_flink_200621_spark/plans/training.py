@@ -129,6 +129,24 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible mixture sampling: English docs kept at 30%, everything
+    else at 10% — the data-mixture knob, deterministic in (seed, doc_id)
+    so the sample is identical on any engine or partitioning (no
+    rand()/sampleBy nondeterminism in a corpus definition)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textops import _hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", F.lit(300)).otherwise(F.lit(100))
+    return docs.filter(_hash_bucket("s0") < rate).select("doc_id", "lang")
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.corpus_split(_docs(spark, sf_dir))
+
+
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute(_emb(spark, sf_dir))
 
@@ -162,6 +180,8 @@ TRAINING_QUERIES = {
     "doc_repetition": doc_repetition,
     "dedup_containment": dedup_containment,
     "corpus_profile": corpus_profile,
+    "corpus_sample": corpus_sample,
+    "corpus_split": corpus_split,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

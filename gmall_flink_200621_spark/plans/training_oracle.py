@@ -462,7 +462,24 @@ SELECT source, lang,
 FROM q GROUP BY 1, 2
 """
 
+_BUCKET = "(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)"
+
+CORPUS_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET.format(seed="s0")} < CASE WHEN lang = 'en' THEN 300 ELSE 100 END
+"""
+
+CORPUS_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET.format(seed="split0")} < 50 THEN 'val'
+            WHEN {_BUCKET.format(seed="split0")} < 100 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
+    "corpus_sample": CORPUS_SAMPLE,
+    "corpus_split": CORPUS_SPLIT,
     "doc_repetition": DOC_REPETITION,
     "dedup_containment": DEDUP_CONTAINMENT,
     "corpus_profile": CORPUS_PROFILE,
