@@ -153,6 +153,91 @@ def dedup_containment(
     )
 
 
+BENCH_PER_MILLE = 20  # 2% of docs act as the held-out eval set
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_per_mille: int = BENCH_PER_MILLE,
+    seed: str = "bench0",
+    df_cap: int | None = DF_CAP,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    shingles also appear in the held-out eval set (the n-gram-overlap
+    check every LLM training pipeline runs before training so eval
+    numbers aren't memorization; cf. the GPT-3/Llama 13-gram procedure —
+    here word-3-grams to match the corpus' shingle unit).
+
+    The bench/train split is a pure function of (seed, doc_id) — the same
+    md5 hash-bucket recipe as corpus_split, so NO join is needed to
+    separate the sides: the predicate evaluates row-local on the shingle
+    frame. The eval set is tiny by construction (bench_per_mille/1000 of
+    docs), so its distinct-shingle frame broadcasts, and contamination
+    scoring is one broadcast hash join + one doc_id groupBy — never a
+    self-join, never a shuffle of the corpus text. That is the shape that
+    survives 100 TB: cost is one linear pass over training shingles.
+
+    Output: one row per training doc that has ≥1 shingle —
+    (doc_id, n_shingles, n_hits, hit_frac, contaminated).
+    hit_frac is a single IEEE division of exact ints (engine-identical).
+    """
+    from .textops import _hash_bucket
+
+    is_bench = _hash_bucket(seed) < bench_per_mille
+    # the shingle frame feeds both the bench side and the train side —
+    # persist so tokenize+explode runs once
+    sh = _doc_shingles(docs, df_cap).persist()
+    bench_shingles = sh.filter(is_bench).select("shingle").distinct()
+    hits = bench_shingles.withColumn("hit", F.lit(1))
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(hits), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_shingles")).alias("hit_frac"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def shingle_novelty(docs: DataFrame) -> DataFrame:
+    """Per-doc novelty: the fraction of a doc's distinct shingles that are
+    corpus-unique (document frequency 1) — a diversity/quality signal
+    (low novelty ⇒ the doc is assembled from phrases the corpus already
+    has; high ⇒ genuinely new text). Uses the UNcapped shingle set: df
+    counting is a linear map-side-combinable aggregate, so the quadratic
+    skew argument behind DF_CAP doesn't apply here.
+
+    Shape at scale: one groupBy(shingle) with partial aggregation, one
+    shuffle join back on shingle, one groupBy(doc_id) — all linear in
+    corpus shingle count, no pair terms.
+    """
+    # feeds the df aggregate AND the join back — persist, run explode once
+    sh = _doc_shingles(docs, None).persist()
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, perms: int = MINHASH_PERMS, df_cap: int | None = DF_CAP
 ) -> DataFrame:

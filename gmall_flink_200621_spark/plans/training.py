@@ -147,6 +147,14 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.corpus_split(_docs(spark, sf_dir))
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.decontaminate(_docs(spark, sf_dir))
+
+
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.shingle_novelty(_docs(spark, sf_dir))
+
+
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute(_emb(spark, sf_dir))
 
@@ -182,6 +190,8 @@ TRAINING_QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_sample": corpus_sample,
     "corpus_split": corpus_split,
+    "decontaminate": decontaminate,
+    "shingle_novelty": shingle_novelty,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..functions.text import MERSENNE31, minhash_sig_sql
 from ..operators.dedup import (
+    BENCH_PER_MILLE,
     DF_CAP,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
@@ -477,9 +478,53 @@ SELECT doc_id,
 FROM documents
 """
 
+# operators/dedup.py decontaminate: bench/train split is the same
+# (seed, doc_id) hash bucket; contamination = shingle appears in any
+# bench doc's (df-capped) shingle set. count(CASE ...) is BIGINT in both
+# engines; hit_frac is one IEEE division of exact ints.
+DECONTAMINATE = f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+  SELECT doc_id FROM documents
+  WHERE {_BUCKET.format(seed="bench0")} < {BENCH_PER_MILLE}
+),
+bsh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM bench)
+),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_shingles,
+         count(CASE WHEN shingle IN (SELECT shingle FROM bsh) THEN 1 END) AS n_hits
+  FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       n_hits / n_shingles AS hit_frac,
+       n_hits > 0 AS contaminated
+FROM scored
+"""
+
+# operators/dedup.py shingle_novelty: UNcapped shingle set (sh0), df=1 test
+SHINGLE_NOVELTY = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_shingles,
+         count(CASE WHEN df = 1 THEN 1 END) AS n_unique
+  FROM sh0 JOIN dfreq USING (shingle)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       n_unique / n_shingles AS novelty
+FROM scored
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
     "corpus_sample": CORPUS_SAMPLE,
     "corpus_split": CORPUS_SPLIT,
+    "decontaminate": DECONTAMINATE,
+    "shingle_novelty": SHINGLE_NOVELTY,
     "doc_repetition": DOC_REPETITION,
     "dedup_containment": DEDUP_CONTAINMENT,
     "corpus_profile": CORPUS_PROFILE,

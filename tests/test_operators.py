@@ -128,6 +128,40 @@ class TestDedup:
         out = dedup_ngram_jaccard(docs, threshold=0.9).collect()
         assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
 
+    def test_decontaminate_flags_bench_overlap(self, spark):
+        """doc_id 6 hashes into the bench bucket (md5('bench0:6')%1000 < 20);
+        0 copies its text verbatim → fully contaminated; 1 shares nothing."""
+        from gmall_flink_200621_spark.operators.dedup import decontaminate
+
+        docs = spark.createDataFrame(
+            [
+                (6, "the cat sat on the mat today"),
+                (0, "the cat sat on the mat today"),
+                (1, "completely different words here entirely now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in decontaminate(docs).collect()}
+        # bench doc itself is excluded from the output
+        assert set(out) == {0, 1}
+        assert out[0].contaminated and out[0].hit_frac == 1.0
+        assert not out[1].contaminated and out[1].n_hits == 0
+
+    def test_shingle_novelty_bounds(self, spark):
+        """Verbatim pair → novelty 0 for both; unique doc → novelty 1."""
+        from gmall_flink_200621_spark.operators.dedup import shingle_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d e"),
+                (3, "q r s t u"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.novelty for r in shingle_novelty(docs).collect()}
+        assert out == {1: 0.0, 2: 0.0, 3: 1.0}
+
     def test_minhash_lsh_finds_planted_dups(self, spark, sf_dir):
         """The testdata plants ~25 near-dup docs; LSH must surface pairs."""
         from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
