@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "tpch_q16",
     "last_click_before_purchase",
     "sales_cube",
+    "decontaminate",
+    "shingle_novelty",
 ]
 
 

@@ -177,22 +177,38 @@ def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (segment, priority): all four grouping-set levels in one
-    pass — Catalyst's Expand feeds a single hash aggregate, so the data
-    is scanned once, not once per level. NULL group values mark the
-    rolled-up levels, exactly as in ANSI CUBE."""
+    """CUBE over (segment, priority), two-level: first a plain groupBy to
+    the full (segment, priority) grid — the only pass that touches fact
+    rows, with map-side partial aggregation — then CUBE over that tiny
+    grid, re-aggregating counts/sums as sums. A direct cube() puts
+    Catalyst's Expand UNDER the aggregate, duplicating every fact row
+    once per grouping set (4× scan volume at 100 TB); here Expand sees
+    |segments|×|priorities| rows. Decimal addition is associative, so the
+    two-level sum is bit-identical to the one-level one.
+
+    Correctness bound: requires the dim columns themselves NULL-free
+    (TPC-H guarantees it) — otherwise a data NULL at level 1 would merge
+    with the rollup NULL marker; the general fix is a sentinel coalesce
+    before the pre-agg."""
     from pyspark.sql import functions as F
 
     from ..sources.loaders import load_table
 
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
+    grid = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .cube("c_mktsegment", "o_orderpriority")
+        .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_t"),
+        )
+    )
+    return (
+        grid.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.sum("_t").cast("double").alias("total_price"),
         )
     )
 

@@ -145,6 +145,20 @@ class TestAggregation:
         assert s.count("RunningWindowFunction") + s.count("Window") >= 2
         assert "__salt" in s
 
+    def test_cube_expand_sits_above_preagg(self, spark, sf_dir):
+        """sales_cube is two-level: Expand (×4 grouping sets) must apply
+        to the pre-aggregated (segment, priority) grid, never to fact
+        rows. In the plan string children print below parents, so the
+        grid's HashAggregate pair must appear AFTER the Expand line — a
+        direct cube() would show Expand directly above the join/scan with
+        no aggregate below it."""
+        from gmall_flink_200621_spark.plans.extras import sales_cube
+
+        s = _plan(sales_cube(spark, sf_dir))
+        assert "Expand" in s
+        below_expand = s.split("Expand", 1)[1]
+        assert "HashAggregate" in below_expand
+
     def test_no_python_udfs_in_declarative_plans(self, spark, sf_dir):
         """Every reference pipeline stays JVM-side (whole-stage codegen);
         Python appears only in the explicitly-pandas operators."""
