@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "sales_cube",
     "decontaminate",
     "shingle_novelty",
+    "funnel_conversion",
 ]
 
 

@@ -213,6 +213,69 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 3-stage conversion funnel per user: earliest view, then
+    earliest click STRICTLY after it, then earliest purchase strictly
+    after that — the standard product-analytics funnel (the sequenced
+    generalization of the reference's single followedBy CEP,
+    OrderTimeoutAppWithCep.java:50).
+
+    Shape: ONE shuffle — groupBy(user) collects the (ts, type) array
+    sorted and a built-in aggregate() fold walks it once. No joins, no
+    window functions, no Python. Per-user state during the fold is three
+    longs. (At adversarial per-user event skew the same semantics are
+    expressible as three chained min-aggregations — documented
+    alternative, one extra shuffle each.)
+
+    The fold is order-deterministic: array_sort on (t, e) breaks
+    same-microsecond ties by event name, and the strictly-greater guards
+    make the result identical to the oracle's min-join formulation
+    (min click > t1 == first click after t1 in sorted order).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin(*FUNNEL_STAGES))
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.unix_micros("ts").alias("t"), F.col("event_type").alias("e")))
+        ).alias("evs")
+    )
+    nul = F.lit(None).cast("long")
+    folded = arr.select(
+        "user_id",
+        F.aggregate(
+            "evs",
+            F.struct(nul.alias("t1"), nul.alias("t2"), nul.alias("t3")),
+            lambda acc, x: F.struct(
+                F.when(acc.t1.isNull() & (x.e == FUNNEL_STAGES[0]), x.t).otherwise(acc.t1).alias("t1"),
+                F.when(
+                    acc.t2.isNull() & acc.t1.isNotNull() & (x.e == FUNNEL_STAGES[1]) & (x.t > acc.t1),
+                    x.t,
+                ).otherwise(acc.t2).alias("t2"),
+                F.when(
+                    acc.t3.isNull() & acc.t2.isNotNull() & (x.e == FUNNEL_STAGES[2]) & (x.t > acc.t2),
+                    x.t,
+                ).otherwise(acc.t3).alias("t3"),
+            ),
+        ).alias("f"),
+    )
+    return (
+        folded.filter(F.col("f.t1").isNotNull())
+        .select(
+            "user_id",
+            F.col("f.t1").alias("t_view_us"),
+            F.col("f.t2").alias("t_click_us"),
+            F.col("f.t3").alias("t_purchase_us"),
+            F.when(F.col("f.t3").isNotNull(), 3)
+            .when(F.col("f.t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+
+
 def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) decile assignment over per-customer total spend — the
     bucketing window family (ntile) the rest of the surface doesn't
@@ -242,6 +305,7 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "funnel_conversion": funnel_conversion,
     "sales_cube": sales_cube,
     "spend_deciles": spend_deciles,
     "sessionize": sessionize,
@@ -254,6 +318,30 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    # min-join formulation of the greedy funnel — provably equal to the
+    # Spark fold: first-in-sorted-order with a strictly-greater guard IS
+    # the conditional minimum at each stage.
+    "funnel_conversion": f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND epoch_us(e.ts) > v.t1
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND epoch_us(e.ts) > c.t2
+  GROUP BY 1
+)
+SELECT v.user_id, v.t1 AS t_view_us, c.t2 AS t_click_us, p.t3 AS t_purchase_us,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
     "sales_cube": """
 SELECT c.c_mktsegment, o.o_orderpriority,
        count(*) AS n_orders,

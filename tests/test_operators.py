@@ -323,6 +323,35 @@ class TestMultimodal:
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+class TestFunnel:
+    def test_greedy_stages_and_strict_after(self, spark):
+        from gmall_flink_200621_spark.plans.extras import FUNNEL_STAGES, funnel_conversion
+
+        assert FUNNEL_STAGES == ("view", "click", "purchase")
+        rows = [
+            # user 1: click BEFORE any view must not count; then full funnel
+            (1, 1.0, 1, "click"), (2, 2.0, 1, "view"), (3, 3.0, 1, "click"), (4, 4.0, 1, "purchase"),
+            # user 2: purchase tied with the click (same µs) fails the
+            # strictly-after guard → stage 2
+            (5, 1.0, 2, "view"), (6, 2.0, 2, "click"), (7, 2.0, 2, "purchase"),
+            # user 3: no view at all → excluded
+            (8, 1.0, 3, "click"), (9, 2.0, 3, "purchase"),
+            # user 4: view only → stage 1
+            (10, 5.0, 4, "view"),
+        ]
+        events = _events_df(spark, [(i, ts, u, et, 0) for (i, ts, u, et) in rows])
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            events.write.parquet(f"{d}/events.parquet")
+            out = {r.user_id: r for r in funnel_conversion(spark, d).collect()}
+        assert set(out) == {1, 2, 4}
+        assert (out[1].t_view_us, out[1].t_click_us, out[1].t_purchase_us, out[1].stage) == (
+            2_000_000, 3_000_000, 4_000_000, 3)
+        assert out[2].stage == 2 and out[2].t_purchase_us is None
+        assert out[4].stage == 1 and out[4].t_click_us is None
+
+
 class TestAsofJoin:
     def test_backward_match_ties_and_nulls(self, spark):
         """Inclusive <= at equal timestamps, max-tiebreak among same-ts
