@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from gmall_flink_200621_spark.plans import pipelines as P
+from gmall_flink_200621_spark.plans.analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from gmall_flink_200621_spark.plans.oracle import PIPELINE_ORACLES
 from gmall_flink_200621_spark.plans.tpch import TPCH_QUERIES
 from gmall_flink_200621_spark.plans.tpch_oracle import TPCH_ORACLES
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TRAINING_QUERIES,
         **REFERENCE_QUERIES,
         **EXTRA_QUERIES,
+        **ANALYTICS_QUERIES,
     }
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _NEVER_DRIVER_VERIFIED:
@@ -167,4 +169,5 @@ def oracle_sql() -> dict[str, str]:
         **TRAINING_ORACLES,
         **REFERENCE_ORACLES,
         **EXTRA_ORACLES,
+        **ANALYTICS_ORACLES,
     }

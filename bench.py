@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "shingle_novelty",
     "funnel_conversion",
+    "retention_cohorts",
+    "scd2_snapshot",
+    "session_error_overlap",
+    "heavy_users",
 ]
 
 

@@ -1,0 +1,257 @@
+"""Product-analytics query pack over `events`: cohort retention, SCD2
+state history, exact z-score anomalies, value histograms, concurrent-
+error range join, and exact heavy hitters. Every query is integer-exact
+cross-engine (no rounded floats in any output column) so each has a
+hash-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.frequency import DEFAULT_DENOM, heavy_hitters
+from ..operators.rangejoin import interval_join_binned
+from ..sources.loaders import load_table
+from .extras import SESSION_GAP_S, sessionize
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active epoch day;
+    n_active = distinct users of cohort c active on day c+offset.
+
+    Shape: ONE groupBy(user) collecting (min day, distinct-day array) —
+    per-user state is bounded by the horizon in days — then an explode and
+    a second small agg over (cohort, offset). No self-join of events to
+    events (the naive formulation), no distinct over the full stream.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {US_PER_DAY}").alias("d")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("d").alias("cohort_day"),
+        F.array_distinct(F.collect_list("d")).alias("days"),
+    )
+    return (
+        per_user.select("cohort_day", F.explode("days").alias("d"))
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream: per
+    user, collapse consecutive identical event_types into validity
+    intervals [valid_from, valid_to) with a version ordinal — the
+    change-data-capture compaction every warehouse dimension build runs.
+
+    One shuffle: both window passes share partitioning (user) and
+    ordering (t, event_id), and the filter between them preserves the
+    hash partitioning, so the second pass is sort-only.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    changed = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("t").alias("valid_from_us"),
+        F.lead("t").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is a |z| > 3 outlier within their event_type —
+    computed EXACTLY: cents as int64, sum-of-squares in decimal128, and
+    the z test cleared of divisions:
+
+        (n·v − S)² > 9·(n·SS − S²)   ⇔   ((v−mean)/stddev)² > 9
+
+    so both engines compare the same integers (Spark decimal(38,0) ==
+    DuckDB HUGEINT) — no float summation order, no sqrt. The group stats
+    frame is 5 rows → broadcast join back onto the stream; one shuffle
+    total (the stats agg)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("v_cents").alias("s"),
+        # per-row v² fits int64, but the SUM does not at 100 TB — accumulate decimal
+        F.sum(F.expr("CAST(v_cents AS DECIMAL(38,0)) * v_cents")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        e.join(F.broadcast(g), "event_type")
+        .filter(
+            F.expr(
+                "n >= 2 AND "
+                "(CAST(n AS DECIMAL(38,0)) * v_cents - s) * (CAST(n AS DECIMAL(38,0)) * v_cents - s) "
+                "> 9 * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+            )
+        )
+        .select("event_id", "user_id", "event_type", "v_cents")
+    )
+
+
+HIST_BIN_CENTS = 5000  # 50-currency-unit buckets
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per type (integer cent bins —
+    a plain combinable agg, partial-aggregated map-side)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents")
+    )
+    return (
+        e.groupBy("event_type", F.expr(f"v_cents DIV {HIST_BIN_CENTS}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_cents").alias("sum_cents"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * HIST_BIN_CENTS).alias("bin_lo_cents"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+ERR_BIN_S = 3600  # bin width for the session×error range join
+
+
+def session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every user session, how many OTHER users' error events fell
+    inside the session's [start, end] — a point-in-interval range join
+    with no equality key, executed as the binned equi-join
+    (`operators/rangejoin.py`) instead of a nested-loop. Sessions with
+    zero overlapping external errors are not emitted (inner join)."""
+    sess = sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_s", "session_end_s"
+    )
+    errs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(F.col("ts").cast("long").alias("err_ts_s"), F.col("user_id").alias("err_user"))
+    )
+    j = interval_join_binned(errs, sess, "err_ts_s", "session_start_s", "session_end_s", ERR_BIN_S)
+    return (
+        j.filter(F.col("err_user") != F.col("user_id"))
+        .groupBy("user_id", "session_id", "session_start_s")
+        .agg(F.count(F.lit(1)).alias("n_ext_errors"))
+    )
+
+
+def heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over user_id (≥ 1/400 of all events) via the
+    Misra-Gries candidates + exact-recount plan (`operators/frequency.py`)."""
+    return heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", DEFAULT_DENOM)
+
+
+ANALYTICS_QUERIES = {
+    "retention_cohorts": retention_cohorts,
+    "scd2_snapshot": scd2_snapshot,
+    "value_anomalies": value_anomalies,
+    "value_histogram": value_histogram,
+    "session_error_overlap": session_error_overlap,
+    "heavy_users": heavy_users,
+}
+
+# the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
+_SESSIONS_CTE = f"""
+e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id FROM events
+), marked AS (
+  SELECT user_id, ts_s, event_id,
+         CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+              WHEN ts_s - lag(ts_s) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), numbered AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s
+  FROM numbered GROUP BY 1, 2
+)"""
+
+ANALYTICS_ORACLES: dict[str, str] = {
+    "retention_cohorts": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+a AS (SELECT DISTINCT e.user_id, f.cohort_day, e.d - f.cohort_day AS day_offset
+      FROM e JOIN f USING (user_id))
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+FROM a GROUP BY 1, 2
+""",
+    "scd2_snapshot": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), ch AS (
+  SELECT user_id, event_type, t, event_id, lag(event_type) OVER w AS prev
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), f AS (
+  SELECT user_id, event_type, t, event_id FROM ch
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, t AS valid_from_us,
+       lead(t) OVER w2 AS valid_to_us,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+""",
+    "value_anomalies": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+), g AS (
+  SELECT event_type, sum(CAST(v_cents AS HUGEINT)) AS s,
+         sum(CAST(v_cents AS HUGEINT) * v_cents) AS ss,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM e GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, e.v_cents
+FROM e JOIN g USING (event_type)
+WHERE n >= 2
+  AND (n * e.v_cents - s) * (n * e.v_cents - s) > 9 * (n * ss - s * s)
+""",
+    "value_histogram": f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
+)
+SELECT event_type, v_cents // {HIST_BIN_CENTS} AS bin,
+       (v_cents // {HIST_BIN_CENTS}) * {HIST_BIN_CENTS} AS bin_lo_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY 1, 2, 3
+""",
+    "session_error_overlap": f"""
+WITH {_SESSIONS_CTE},
+err AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS err_ts_s, user_id AS err_user
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_id, s.session_start_s,
+       CAST(count(*) AS BIGINT) AS n_ext_errors
+FROM sess s JOIN err
+  ON err.err_ts_s BETWEEN s.session_start_s AND s.session_end_s
+ AND err.err_user <> s.user_id
+GROUP BY 1, 2, 3
+""",
+    "heavy_users": f"""
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1)
+SELECT c.user_id, c.n_rows,
+       greatest(1, t.total // {DEFAULT_DENOM}) AS threshold
+FROM c, t
+WHERE c.n_rows >= greatest(1, t.total // {DEFAULT_DENOM})
+""",
+}

@@ -1,0 +1,195 @@
+"""Unit tests for the product-analytics pack (plans/analytics.py) and its
+two supporting operators (binned range join, MG heavy hitters)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, rows, d):
+    """rows: (event_id, ts_s, user_id, event_type, value)"""
+    df = spark.createDataFrame(
+        [(i, float(ts), u, et, '{"k": 1}', float(v)) for (i, ts, u, et, v) in rows],
+        "event_id long, _ts double, user_id long, event_type string, props string, value double",
+    ).select(
+        "event_id", F.col("_ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    df.write.parquet(f"{d}/events.parquet")
+
+
+class TestRetentionCohorts:
+    def test_matrix(self, spark):
+        from gmall_flink_200621_spark.plans.analytics import retention_cohorts
+
+        day = 86400
+        rows = [
+            # u1 first active day 0, also active day 1 (twice: distinct-day dedup) and day 3
+            (1, 10, 1, "view", 1), (2, day + 5, 1, "view", 1),
+            (3, day + 6, 1, "click", 1), (4, 3 * day, 1, "view", 1),
+            # u2 first active day 1 only
+            (5, day + 100, 2, "view", 1),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            got = {(r.cohort_day, r.day_offset): r.n_active for r in retention_cohorts(spark, d).collect()}
+        epoch_day = 0  # ts_s below 86400 -> epoch day 0
+        assert got == {
+            (epoch_day, 0): 1,
+            (epoch_day, 1): 1,
+            (epoch_day, 3): 1,
+            (epoch_day + 1, 0): 1,
+        }
+
+
+class TestSCD2:
+    def test_collapse_versions_open_end(self, spark):
+        from gmall_flink_200621_spark.plans.analytics import scd2_snapshot
+
+        rows = [
+            # u1: view, view (collapsed), click, view again -> 3 versions
+            (1, 10, 1, "view", 1), (2, 20, 1, "view", 1),
+            (3, 30, 1, "click", 1), (4, 40, 1, "view", 1),
+            # u2: single state, open-ended
+            (5, 10, 2, "signup", 1),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            out = scd2_snapshot(spark, d).collect()
+        u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.version)
+        assert [(r.state, r.valid_from_us, r.valid_to_us, r.version) for r in u1] == [
+            ("view", 10_000_000, 30_000_000, 1),
+            ("click", 30_000_000, 40_000_000, 2),
+            ("view", 40_000_000, None, 3),
+        ]
+        (u2,) = [r for r in out if r.user_id == 2]
+        assert (u2.state, u2.valid_to_us, u2.version) == ("signup", None, 1)
+
+
+class TestValueAnomalies:
+    def test_strict_three_sigma(self, spark):
+        from gmall_flink_200621_spark.plans.analytics import value_anomalies
+
+        # group A: eleven 0.00 + one 12.00 -> z = 3.32 for the 12.00 (outlier)
+        rows = [(i, i, 1, "A", 0.0) for i in range(11)] + [(11, 11, 2, "A", 12.0)]
+        # group B: nine 0.00 + one 10.00 -> z = 3.0 EXACTLY: strict > excludes it
+        rows += [(100 + i, 100 + i, 3, "B", 0.0) for i in range(9)] + [(109, 109, 4, "B", 10.0)]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            out = value_anomalies(spark, d).collect()
+        assert [(r.event_id, r.event_type, r.v_cents) for r in out] == [(11, "A", 1200)]
+
+
+class TestValueHistogram:
+    def test_bins(self, spark):
+        from gmall_flink_200621_spark.plans.analytics import value_histogram
+
+        rows = [(1, 1, 1, "A", 0.0), (2, 2, 1, "A", 49.99), (3, 3, 1, "A", 50.0), (4, 4, 1, "B", 120.5)]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            got = {(r.event_type, r.bin): (r.bin_lo_cents, r.n, r.sum_cents) for r in value_histogram(spark, d).collect()}
+        assert got == {
+            ("A", 0): (0, 2, 4999),
+            ("A", 1): (5000, 1, 5000),
+            ("B", 2): (10000, 1, 12050),
+        }
+
+
+class TestIntervalJoinBinned:
+    def _frames(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pts = spark.createDataFrame(
+            [(i, rng.randrange(0, 5000)) for i in range(300)], "pid long, p long"
+        )
+        ivs = spark.createDataFrame(
+            [
+                (j, lo, lo + rng.randrange(0, 900))
+                for j, lo in ((j, rng.randrange(0, 4800)) for j in range(80))
+            ],
+            "iid long, lo long, hi long",
+        )
+        return pts, ivs
+
+    def test_matches_naive_and_no_nested_loop(self, spark):
+        from gmall_flink_200621_spark.operators.rangejoin import interval_join_binned
+
+        pts, ivs = self._frames(spark)
+        out = interval_join_binned(pts, ivs, "p", "lo", "hi", 256)
+        got = sorted((r.pid, r.iid) for r in out.collect())
+        naive = sorted(
+            (r.pid, r.iid)
+            for r in pts.crossJoin(ivs).filter("p >= lo AND p <= hi").collect()
+        )
+        assert got == naive and len(got) > 100
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    def test_exactly_once_per_pair(self, spark):
+        from gmall_flink_200621_spark.operators.rangejoin import interval_join_binned
+
+        # interval spanning many bins; point matched exactly once
+        pts = spark.createDataFrame([(1, 500)], "pid long, p long")
+        ivs = spark.createDataFrame([(9, 0, 10_000)], "iid long, lo long, hi long")
+        out = interval_join_binned(pts, ivs, "p", "lo", "hi", 16).collect()
+        assert [(r.pid, r.iid) for r in out] == [(1, 9)]
+
+    def test_column_collision_raises(self, spark):
+        from gmall_flink_200621_spark.operators.rangejoin import interval_join_binned
+
+        df = spark.range(1).select(F.col("id").alias("x"))
+        with pytest.raises(ValueError, match="collision"):
+            interval_join_binned(df, df, "x", "x", "x", 10)
+
+
+class TestHeavyHitters:
+    def test_planted_key_and_partition_invariance(self, spark):
+        from gmall_flink_200621_spark.operators.frequency import heavy_hitters
+
+        # 500 rows of key 7 + 300 singleton keys -> n=800, thr=2, only key 7
+        rows = [(7,)] * 500 + [(1000 + i,) for i in range(300)]
+        df = spark.createDataFrame(rows, "user_id long")
+        got = [(r.user_id, r.n_rows, r.threshold) for r in heavy_hitters(df, "user_id").collect()]
+        assert got == [(7, 500, 2)]
+        again = [
+            (r.user_id, r.n_rows, r.threshold)
+            for r in heavy_hitters(df.repartition(13), "user_id").collect()
+        ]
+        assert again == got
+
+    def test_mg_overflow_keeps_heavy_key(self, spark):
+        from gmall_flink_200621_spark.operators.frequency import heavy_hitters
+
+        # 5000 distinct singletons force MG counter evictions in one partition;
+        # the planted heavy key must still come out exactly
+        rows = [(7,)] * 500 + [(10_000 + i,) for i in range(5000)]
+        df = spark.createDataFrame(rows, "user_id long").repartition(2)
+        got = [(r.user_id, r.n_rows, r.threshold) for r in heavy_hitters(df, "user_id").collect()]
+        assert got == [(7, 500, 13)]
+
+    def test_denom_guard(self, spark):
+        from gmall_flink_200621_spark.operators.frequency import heavy_hitters
+
+        with pytest.raises(ValueError, match="guarantee"):
+            heavy_hitters(spark.range(1).select(F.col("id").alias("k")), "k", denom=100_000)
+
+
+class TestSessionErrorOverlap:
+    def test_external_errors_only(self, spark):
+        from gmall_flink_200621_spark.plans.analytics import session_error_overlap
+
+        rows = [
+            # u1 session [0, 100] (own error at 60 is internal)
+            (1, 0, 1, "view", 1), (2, 60, 1, "error", 1), (3, 100, 1, "view", 1),
+            # u2's error at 50 lands inside u1's session (external)
+            (4, 50, 2, "error", 1),
+            # u3's lone error far away: its own session, no external errors
+            (5, 5000, 3, "error", 1),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            out = session_error_overlap(spark, d).collect()
+        assert [(r.user_id, r.session_start_s, r.n_ext_errors) for r in out] == [(1, 0, 1)]
