@@ -175,6 +175,69 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scores.select("doc_id", pred.alias("lang_pred"))
 
 
+TOP_TERMS_K = 5
+
+
+def top_terms(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    """Top-k salient terms per document, scored by tf/df (term frequency
+    over document frequency — for a per-doc ranking this is tf·idf with
+    the monotone idf 1/df, minus the log that would make the score
+    engine-float-fragile; tf/df is ONE IEEE division of two exact
+    integers, so both engines produce bit-identical doubles).
+
+    Shape: explode once → tf agg on (doc, term) → df agg on term (both
+    map-side combinable) → shuffle join on term → per-doc rank. The rank
+    partitions by doc_id (bounded by doc length), never by term, so a
+    stop-word's huge posting list costs the join shuffle only."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    from .topn import top_n_per_group
+
+    return top_n_per_group(
+        scored, ["doc_id"], "score", k, tiebreak_cols=["term"], rank_alias="rank"
+    ).select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"), "score")
+
+
+STRATUM_TARGET = 100
+
+
+def stratified_sample(docs: DataFrame, per_stratum: int = STRATUM_TARGET, seed: str = "strat0") -> DataFrame:
+    """Equal-allocation stratified sampling with EXACT stratum sizes:
+    rank each language's docs by the deterministic 60-bit hash (tie-break
+    doc_id) and keep the first `per_stratum` — a pure function of
+    (seed, doc_id, lang), identical on any engine or partitioning, unlike
+    rand()/sampleBy. Strata smaller than the target are kept whole.
+
+    Executed through the exact salted two-stage Top-N pre-prune
+    (`top_n_per_group(prune_salts=8)`): a dominant stratum (en at 60% of
+    a 100 TB corpus) is sorted as 8 bounded sub-sorts + one n·8-row final
+    sort, never as a single giant partition."""
+    h = h60(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
+    from .topn import top_n_per_group
+
+    ranked = top_n_per_group(
+        # rank ASCENDING in h via the negated column (top_n orders desc)
+        docs.select("doc_id", "lang", h.alias("h")).withColumn("neg_h", -F.col("h")),
+        ["lang"],
+        "neg_h",
+        per_stratum,
+        tiebreak_cols=["doc_id"],
+        rank_alias="rank_in_stratum",
+        prune_salts=8,
+    )
+    return ranked.select(
+        "doc_id", "lang", F.col("rank_in_stratum").cast("long").alias("rank_in_stratum")
+    )
+
+
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     """Winnowing-lite signature: min Rabin-Karp hash over all 8-token
     windows. Docs shorter than the window get fp = -1.

@@ -155,6 +155,14 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_novelty(_docs(spark, sf_dir))
 
 
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.top_terms(_docs(spark, sf_dir))
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.stratified_sample(_docs(spark, sf_dir))
+
+
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute(_emb(spark, sf_dir))
 
@@ -192,6 +200,8 @@ TRAINING_QUERIES = {
     "corpus_split": corpus_split,
     "decontaminate": decontaminate,
     "shingle_novelty": shingle_novelty,
+    "top_terms": top_terms,
+    "corpus_sample_stratified": corpus_sample_stratified,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

@@ -520,7 +520,43 @@ SELECT doc_id, n_shingles, n_unique,
 FROM scored
 """
 
+# tf/df per-doc term ranking; score is one IEEE division of exact ints
+TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), d AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df, CAST(tf.tf AS DOUBLE) / d.df AS score
+  FROM tf JOIN d USING (term)
+)
+SELECT doc_id, term, tf, df,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
+       score
+FROM s
+QUALIFY rank <= 5
+"""
+
+# exact-size per-lang sample ranked by the deterministic 60-bit hash
+CORPUS_SAMPLE_STRATIFIED = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {H60.format(c="'strat0:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT)
+         AS rank_in_stratum
+FROM h
+QUALIFY rank_in_stratum <= 100
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
+    "top_terms": TOP_TERMS,
+    "corpus_sample_stratified": CORPUS_SAMPLE_STRATIFIED,
     "corpus_sample": CORPUS_SAMPLE,
     "corpus_split": CORPUS_SPLIT,
     "decontaminate": DECONTAMINATE,

@@ -323,6 +323,59 @@ class TestMultimodal:
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+class TestTopTerms:
+    def test_scores_and_rank(self, spark):
+        from gmall_flink_200621_spark.operators.textops import top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "rare rare common"),  # tf(rare)=2 df(rare)=1 -> 2.0; common: 1/2=0.5
+                (2, "common other"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r.doc_id, r.term): (r.tf, r.df, r.rank, r.score) for r in top_terms(docs).collect()}
+        assert out[(1, "rare")] == (2, 1, 1, 2.0)
+        assert out[(1, "common")] == (1, 2, 2, 0.5)
+        # doc 2: other (df=1, score 1.0) outranks common (0.5)
+        assert out[(2, "other")][2] == 1 and out[(2, "common")][2] == 2
+
+    def test_tie_breaks_on_term(self, spark):
+        from gmall_flink_200621_spark.operators.textops import top_terms
+
+        docs = spark.createDataFrame([(1, "zz aa")], "doc_id long, text string")
+        out = {r.term: r.rank for r in top_terms(docs).collect()}
+        assert out == {"aa": 1, "zz": 2}  # equal score 1.0, term asc
+
+
+class TestStratifiedSample:
+    def test_exact_sizes_and_determinism(self, spark):
+        from gmall_flink_200621_spark.operators.textops import stratified_sample
+
+        docs = spark.createDataFrame(
+            [(i, "x", "en" if i < 40 else "fr") for i in range(50)],
+            "doc_id long, text string, lang string",
+        )
+        out = stratified_sample(docs, per_stratum=10)
+        sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes == {"en": 10, "fr": 10}
+        a = sorted((r.doc_id, r.lang, r.rank_in_stratum) for r in out.collect())
+        b = sorted(
+            (r.doc_id, r.lang, r.rank_in_stratum)
+            for r in stratified_sample(docs.repartition(7), per_stratum=10).collect()
+        )
+        assert a == b
+
+    def test_small_stratum_kept_whole(self, spark):
+        from gmall_flink_200621_spark.operators.textops import stratified_sample
+
+        docs = spark.createDataFrame(
+            [(1, "x", "de"), (2, "x", "de")], "doc_id long, text string, lang string"
+        )
+        out = stratified_sample(docs, per_stratum=10).collect()
+        assert sorted(r.rank_in_stratum for r in out) == [1, 2]
+
+
 class TestFunnel:
     def test_greedy_stages_and_strict_after(self, spark):
         from gmall_flink_200621_spark.plans.extras import FUNNEL_STAGES, funnel_conversion
