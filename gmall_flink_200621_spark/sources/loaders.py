@@ -20,12 +20,18 @@ from ..schemas import TESTDATA_TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Parquet scan → full pushdown/pruning.
 
-    The testdata's `events.ts` is parquet TIMESTAMP(NANOS), which Spark does
-    not map natively; we read nanos as a long (`legacy.parquet.nanosAsLong`)
-    and rebuild a TimestampType column (µs precision, truncating — identical
-    to what a native ns→µs read would produce).
+    Timestamp normalization: the testdata's timestamp columns are naive
+    (isAdjustedToUTC=false) parquet timestamps. Spark's default NTZ
+    inference would surface them as TIMESTAMP_NTZ, which cannot be cast to
+    epoch seconds and behaves differently under watermarks/windows; we
+    disable the inference so they read as session-zone TimestampType (the
+    session is pinned to UTC, so the wall-clock values are identical to
+    what DuckDB sees). Older generator versions wrote `events.ts` as
+    TIMESTAMP(NANOS); the nanosAsLong + rebuild path below keeps those
+    readable too.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -42,6 +48,43 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TE
     """Register testdata tables as temp views for the SQL API."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def events_parquet_stream(spark: SparkSession, directory: str, **options) -> DataFrame:
+    """Streaming file-source scan over a directory of events parquet files,
+    normalizing `ts` to session-zone TimestampType regardless of the
+    on-disk physical type.
+
+    The driver's testdata has shipped two layouts: TIMESTAMP(NANOS)
+    (readable only as a long under `legacy.parquet.nanosAsLong`, then
+    rebuilt at µs precision) and naive TIMESTAMP(MICROS) (readable
+    directly as TimestampType once NTZ inference is off). The streaming
+    source needs an explicit schema, so we probe the first file's parquet
+    footer with pyarrow — no Spark job — and pick the matching schema +
+    rebuild step. All streaming jobs go through here so the layout
+    assumption lives in exactly one place."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    sample = sorted(glob.glob(os.path.join(directory, "*.parquet")))[0]
+    nanos = str(pq.read_schema(sample).field("ts").type) == "timestamp[ns]"
+    ts_type = "long" if nanos else "timestamp"
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(directory)
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def read_csv(

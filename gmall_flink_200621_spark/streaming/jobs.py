@@ -27,22 +27,20 @@ WATERMARK = "10 seconds"
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay streaming source over the events table (S1 as a stream).
 
-    The parquet stores ts as TIMESTAMP(NANOS); streaming reads get it as a
-    long (legacy nanosAsLong) and rebuild a µs timestamp, exactly like the
-    batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Physical-type handling (nanos vs naive micros ts) lives in
+    `events_parquet_stream` — one probe, shared by every streaming job."""
     # the streaming file source requires a *directory*; stage a symlink dir
     # holding just the events file (testdata dirs mix all tables)
     import tempfile
+
+    from ..sources.loaders import events_parquet_stream
 
     stage = os.path.join(tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    raw = spark.readStream.schema(schema).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).withWatermark("ts", WATERMARK)
+    return events_parquet_stream(spark, stage).withWatermark("ts", WATERMARK)
 
 
 def page_view_stream(events: DataFrame) -> DataFrame:
@@ -102,14 +100,9 @@ def dedup_redelivery_stream(spark: SparkSession, sf_dir: str, within: str = "30 
     )
     pdf.to_parquet(os.path.join(stage, "part-0.parquet"), index=False)
     pdf.iloc[::7].to_parquet(os.path.join(stage, "part-1.parquet"), index=False)  # re-delivery
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    from ..sources.loaders import events_parquet_stream
+
+    raw = events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
     return (
         raw.withWatermark("ts", within)
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -124,10 +124,9 @@ def staged_replay_source(spark: SparkSession, sf_dir: str, n_files: int = 3) -> 
     for i in range(n_files):
         pd.concat(files[i]).to_parquet(os.path.join(stage, f"part-{i}.parquet"), index=False)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from ..sources.loaders import events_parquet_stream
+
+    return events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
 
 
 def _window_ends(ts_s: int) -> list[int]:
