@@ -329,7 +329,14 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
     memory grow without bound on deep components). Checkpointing truncates
     the plan to a leaf, making per-iteration planning cost constant — on a
     real cluster with lineage-loss concerns, swap for `checkpoint()` with
-    a reliable checkpoint dir; semantics are identical."""
+    a reliable checkpoint dir; semantics are identical.
+
+    The loop runs over V(pair graph) ONLY: a doc with no near-dup pair can
+    never change its label, so the iteration space is the dup-graph
+    vertices (a small fraction of any real corpus — dedup rates are
+    percent-scale, so at 100 TB the loop touches GBs, not TBs), and the
+    full corpus is joined back exactly once at the end with
+    coalesce(label, doc_id)."""
     if pairs is None:
         pairs = dedup_minhash_lsh(docs)
     edges = (
@@ -338,8 +345,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id")).localCheckpoint(
-        eager=True
+    # symmetrized edge list ⇒ src set == vertex set
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("canonical_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -373,7 +384,9 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id")
+    )
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
