@@ -42,6 +42,9 @@ HAMMING_MAX = 3
 DF_CAP = 50
 
 
+from .partitioning import fan_out as _fan_out
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): md5 of the raw text."""
     return docs.select("doc_id", F.md5("text").alias("fp"))
@@ -77,7 +80,7 @@ def _doc_shingles(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
     references its input array per element, and inlining the raw
     `split(text)` expression there would re-parse the text O(positions)
     times per row (measured 20×+ slowdown)."""
-    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
     sh = toked.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("toks"), SHINGLE_N))).alias("shingle"),
@@ -270,17 +273,29 @@ def dedup_minhash_lsh(
         F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
     ]
-    # banded signatures feed `bands` self-joins; the shingle frame feeds
-    # signature computation AND the verification joins — persist both
-    banded = sigs.select("doc_id", *band_cols).persist()
-    # candidate pairs: equal value in any band (union of per-band bucket joins, deduped)
-    candidates = None
-    for b in range(bands):
-        x = banded.select(F.col("doc_id").alias("id_a"), F.col(f"band_{b}").alias("bv"))
-        y = banded.select(F.col("doc_id").alias("id_b"), F.col(f"band_{b}").alias("bv"))
-        pairs = x.join(y, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        candidates = pairs if candidates is None else candidates.unionByName(pairs)
-    candidates = candidates.distinct()
+    # candidate pairs: equal value in any band. Bands are STACKED into long
+    # form so the bucket join is ONE self-join keyed on (band_idx, value) —
+    # `bands` separate join branches would shuffle the signature frame
+    # 2·bands times and schedule bands× the stages; the stacked form
+    # shuffles 2 frames of bands× rows once (same bytes, 1/bands the
+    # scheduling + a single distinct). The long frame is persisted: it
+    # feeds both sides of the self-join.
+    stacked = (
+        sigs.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bv")) for b in range(bands)])
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv"))
+        .persist()
+    )
+    x = stacked.select(F.col("doc_id").alias("id_a"), "bi", "bv")
+    y = stacked.select(F.col("doc_id").alias("id_b"), "bi", "bv")
+    candidates = (
+        x.join(y, ["bi", "bv"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
 
     # verify: exact jaccard restricted to candidate pairs
     sh = _doc_shingles(docs, df_cap).persist()
@@ -432,7 +447,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
                 fps.append(fp)
             yield pd.DataFrame({"doc_id": ids, "simhash": fps})
 
-    return docs.select("doc_id", "text").mapInPandas(run, "doc_id long, simhash long")
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(run, "doc_id long, simhash long")
 
 
 def dedup_simhash(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
@@ -444,15 +459,31 @@ def dedup_simhash(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
         (F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1))).alias(f"c_{b}")
         for b in range(SIMHASH_BANDS)
     ]
-    # the fingerprint pipeline (explode + 60-agg groupBy) feeds 4 self-joins
-    # = 8 recomputations without a persist
-    chunked = fp.select("doc_id", "simhash", *chunk_cols).persist()
-    cands = None
-    for b in range(SIMHASH_BANDS):
-        x = chunked.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c_{b}").alias("cv"))
-        y = chunked.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c_{b}").alias("cv"))
-        p = x.join(y, "cv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
-        cands = p if cands is None else cands.unionByName(p)
+    # stacked long form (see dedup_minhash_lsh): ONE self-join on
+    # (chunk_idx, chunk_value) instead of SIMHASH_BANDS join branches;
+    # persisted because it feeds both sides and the fingerprint pipeline
+    # (mapInPandas) is the expensive producer
+    stacked = (
+        fp.select("doc_id", "simhash", *chunk_cols)
+        .select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[F.struct(F.lit(b).alias("ci"), F.col(f"c_{b}").alias("cv")) for b in range(SIMHASH_BANDS)]
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "simhash", F.col("s.ci").alias("ci"), F.col("s.cv").alias("cv"))
+        .persist()
+    )
+    x = stacked.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv")
+    y = stacked.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv")
+    cands = (
+        x.join(y, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
     return (
         cands.distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))

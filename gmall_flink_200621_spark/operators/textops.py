@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import h60, shingles, tokens
+from .partitioning import fan_out as _fan_out
 
 # Rabin-Karp params — small enough that Σ(tok_mod·37^7) over 8 terms stays < 2^63
 RK_WINDOW = 8
@@ -97,7 +98,7 @@ def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     a doc repeats its own phrasing (boilerplate loops, generated spam).
     Linear explode of NON-distinct shingles, one groupBy; docs shorter
     than n tokens get (0, 0, 0.0)."""
-    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
     sh = toked.select(
         "doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle")
     ).filter(F.col("shingle") != "")
@@ -140,7 +141,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     All built-ins (no UDF): one `aggregate` over the token array plus one
     `regexp_extract_all`; the regex avoids character-class shorthands so
     Java (Spark) and RE2 (DuckDB) agree symbol-for-symbol."""
-    toked = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    toked = _fan_out(docs).select("doc_id", "text", tokens("text").alias("toks"))
     bpe = F.aggregate(
         "toks",
         F.lit(0).cast("long"),
@@ -190,7 +191,7 @@ def top_terms(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
     partitions by doc_id (bounded by doc length), never by term, so a
     stop-word's huge posting list costs the join shuffle only."""
     tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        _fan_out(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -253,7 +254,7 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     and was measured ~3× faster at sf0.1). Max window sum is
     8·(10⁶·37⁷) ≈ 7.6e17 < 2⁶³, so the long accumulator never overflows."""
     weights = F.array(*[F.lit(RK_BASE ** (RK_WINDOW - 1 - i)) for i in range(RK_WINDOW)])
-    hashed = docs.select(
+    hashed = _fan_out(docs).select(
         "doc_id",
         F.transform(tokens("text"), lambda t: h60(t) % RK_TOKMOD).alias("th"),
     )
