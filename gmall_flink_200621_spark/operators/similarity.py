@@ -219,3 +219,33 @@ def embedding_dedup(embeddings: DataFrame, threshold: float = EMB_DEDUP_THRESHOL
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column, in long form
+    (label, pos, sum_q, n_vecs, centroid) — the aggregation every
+    embedding-space pipeline needs (cluster centers, class prototypes,
+    drift monitoring; also one full iteration of Lloyd's k-means with
+    labels as the assignment).
+
+    Element-wise float summation is order-dependent, so the sum runs in
+    the same Q_SCALE fixed point as the kNN family: posexplode the
+    quantized vector, one hash-agg on (label, pos) with map-side partial
+    sums — the only shuffle carries (label, pos, partial_sum), never the
+    vectors. The centroid is ONE IEEE division of two exact ints, so both
+    engines produce identical doubles. Long form avoids the
+    collect_list/sort re-assembly a vector-shaped output would need (and
+    re-assembly is one `sort_array(collect_list(struct(pos, val)))` away
+    when a consumer wants it)."""
+    q = embeddings.select("label", F.posexplode(quantize(F.col("embedding"))).alias("pos0", "qx"))
+    return (
+        q.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("qx").alias("sum_q"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "sum_q",
+            "n_vecs",
+            (F.col("sum_q") / (F.col("n_vecs") * F.lit(float(Q_SCALE)))).alias("centroid"),
+        )
+    )

@@ -275,3 +275,31 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("min_fp"),
     )
+
+
+BIGRAM_TOP_K = 20
+
+
+def bigram_stats(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
+    """Corpus-level top-k bigrams with term and document frequency — the
+    n-gram language-statistics pass (phrase tables, collocation mining,
+    boilerplate discovery) over the same shingle machinery as dedup, at
+    n=2 and WITHOUT the per-doc distinct (a bigram counts once per
+    occurrence, not once per doc).
+
+    Shape at scale: explode → one map-side-combinable agg on bigram
+    (count + approximate-free exact distinct via count(distinct doc_id),
+    which Catalyst expands to a two-level agg) → global top-k via
+    TakeOrdered (orderBy+limit never materializes a single-partition sort
+    of the full aggregate; each partition keeps its local top-k and the
+    driver merges k·P rows). Deterministic tie-break on the bigram string."""
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    bg = toked.select("doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bigram")).filter(
+        F.col("bigram") != ""
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )

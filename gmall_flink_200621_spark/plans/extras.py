@@ -304,7 +304,37 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: how late do events arrive relative to the
+    per-key high-water mark? This is the batch query that justifies a
+    watermark delay budget (WM1/WM2) before deploying the streaming jobs —
+    the reference hardcodes its bounded-out-of-orderness seconds
+    (e.g. HotItemApp.java:35's 1s); this measures what the data actually
+    needs.
+
+    Arrival order is the monotone ingest id (event_id); lateness of an
+    event is high_water_mark(ts so far, same user) − ts, in whole seconds.
+    Partitioned by user_id, so the window sort distributes (one shuffle);
+    everything downstream is integer-exact aggregation per event_type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("ts_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = e.withColumn("lateness_s", F.max("ts_s").over(w) - F.col("ts_s"))
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lateness_s") > 0).cast("long")).alias("n_out_of_order"),
+        F.max("lateness_s").alias("max_lateness_s"),
+        F.sum("lateness_s").alias("sum_lateness_s"),
+    )
+
+
 EXTRA_QUERIES = {
+    "late_arrival_audit": late_arrival_audit,
     "funnel_conversion": funnel_conversion,
     "sales_cube": sales_cube,
     "spend_deciles": spend_deciles,
@@ -318,6 +348,22 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "late_arrival_audit": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), late AS (
+  SELECT event_type,
+         max(ts_s) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) - ts_s AS lateness_s
+  FROM e
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       max(lateness_s) AS max_lateness_s,
+       CAST(sum(lateness_s) AS BIGINT) AS sum_lateness_s
+FROM late GROUP BY 1
+""",
     # min-join formulation of the greedy funnel — provably equal to the
     # Spark fold: first-in-sorted-order with a strictly-greater guard IS
     # the conditional minimum at each stage.

@@ -179,6 +179,14 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_dedup(_emb(spark, sf_dir))
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.embedding_centroids(_emb(spark, sf_dir))
+
+
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_stats(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -206,4 +214,6 @@ TRAINING_QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "embedding_dedup": embedding_dedup,
+    "embedding_centroids": embedding_centroids,
+    "bigram_stats": bigram_stats,
 }

@@ -554,7 +554,41 @@ FROM h
 QUALIFY rank_in_stratum <= 100
 """
 
+
+EMBEDDING_CENTROIDS = f"""
+SELECT label,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(sum(qx) AS BIGINT) AS sum_q,
+       count(*) AS n_vecs,
+       CAST(sum(qx) AS DOUBLE) / (count(*) * {Q_SCALE}) AS centroid
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest({_QVEC}) AS qx
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+BIGRAM_STATS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, bigram FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+    ELSE [] END) AS bigram
+    FROM toks
+  ) WHERE bigram <> ''
+)
+SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
+    "embedding_centroids": EMBEDDING_CENTROIDS,
+    "bigram_stats": BIGRAM_STATS,
     "top_terms": TOP_TERMS,
     "corpus_sample_stratified": CORPUS_SAMPLE_STRATIFIED,
     "corpus_sample": CORPUS_SAMPLE,
