@@ -252,6 +252,49 @@ def run_hot_items_retract_stream(
     )
 
 
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows as a STREAM — the streaming twin of
+    `plans/extras.sessionize_native`. `session_window` under a watermark
+    merges per-key session fragments across micro-batches and emits a
+    session (append mode) once the watermark passes its close (last event
+    + gap): Flink's EventTimeSessionWindows analog, running on the same
+    engine path as the batch form.
+
+    Event times are truncated to whole seconds BEFORE the watermark so
+    stream and batch see identical session splits (the batch twin
+    truncates too — gap comparison happens on the input precision)."""
+    import tempfile
+
+    from ..plans.extras import SESSION_GAP_S
+    from ..sources.loaders import events_parquet_stream
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    events = (
+        events_parquet_stream(spark, stage)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts").cast("long")))
+        .withWatermark("ts", WATERMARK)
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col("ts").cast("long")).alias("session_end_s"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            "session_end_s",
+            "n_events",
+        )
+    )
+
+
 def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, queryName: str = "hot_items_stream"):
     """End-to-end streaming Top-N: windowed counts (append mode past the
     watermark) → per-batch row_number ranking in foreachBatch → memory

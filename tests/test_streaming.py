@@ -42,6 +42,35 @@ class TestStreamBatchEquivalence:
         assert all(expected.get(k) == v for k, v in got.items())
         assert len(got) >= len(expected) - 1  # last window may be in flight
 
+    def test_sessionize_stream_matches_batch(self, spark, sf_dir):
+        """Dynamic-gap session windows: every session the stream emits
+        (append mode, watermark-closed) must be byte-identical to the
+        batch session_window result; only per-user tail sessions (not yet
+        closed when the stream drains) may be missing."""
+        from gmall_flink_200621_spark.plans.extras import sessionize_native
+        from gmall_flink_200621_spark.streaming.jobs import sessionize_stream
+
+        agg = sessionize_stream(spark, sf_dir)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_stream_out")
+            .start()
+        )
+        _drain(q)
+        got = {
+            (r.user_id, r.session_start_s): (r.session_end_s, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_stream_out").collect()
+        }
+        batch = {
+            (r.user_id, r.session_start_s): (r.session_end_s, r.n_events)
+            for r in sessionize_native(spark, sf_dir).collect()
+        }
+        assert got
+        assert all(batch.get(k) == v for k, v in got.items())
+        n_users = len({u for u, _ in batch})
+        assert len(got) >= len(batch) - n_users  # ≤1 in-flight session/user
+
     def test_uv_stream_within_hll_error_of_batch(self, spark, sf_dir):
         """A6 streaming twin: per-window HLL++ approx UV must land within
         the estimator's error envelope (5% >> 3 sigma at rsd=1%) of the
