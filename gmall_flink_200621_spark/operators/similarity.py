@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out as _fan_out
+
 KNN_K = 5
 LSH_PLANES = 8
 DIM = 64
@@ -52,7 +54,7 @@ def knn_brute(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> Da
 
     Norms are precomputed once per vector (O(N·d)), not per pair (O(Q·N·d))
     — the integer norm is exact, so cosine values are unchanged."""
-    e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()  # feeds both join sides
     q = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
     q = q.filter(F.col("query_id") % query_mod == 0)
@@ -94,7 +96,7 @@ def lsh_sign_bucket(quantized: Column, planes: int = LSH_PLANES) -> Column:
 def knn_lsh(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100, planes: int = LSH_PLANES) -> DataFrame:
     """ANN top-k within the query's LSH bucket (recall<1 by design — the
     scale trade; the oracle replicates the identical buckets)."""
-    e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("bucket", lsh_sign_bucket(F.col("q"), planes)).withColumn(
         "n2", _idot(F.col("q"), F.col("q"))
     ).persist()  # bucketing (8 integer projections) feeds both join sides
@@ -148,7 +150,7 @@ def knn_ivf(
     broadcast centroids (no corpus shuffle); the candidate join fans each
     query out to Σ probed-list sizes ≈ nprobe·N/nlist rows, not N.
     Recall < 1 by design — the brute operator is the exact baseline."""
-    e = embeddings.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
     cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
@@ -206,7 +208,7 @@ EMB_DEDUP_THRESHOLD = 0.35  # testdata has no planted vector dups; 0.35 ≈ top 
 
 def embedding_dedup(embeddings: DataFrame, threshold: float = EMB_DEDUP_THRESHOLD) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), label-blocked."""
-    e = embeddings.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    e = _fan_out(embeddings).select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("n2").alias("na"), "label")
     b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("n2").alias("nb"), "label")
@@ -237,7 +239,7 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
     collect_list/sort re-assembly a vector-shaped output would need (and
     re-assembly is one `sort_array(collect_list(struct(pos, val)))` away
     when a consumer wants it)."""
-    q = embeddings.select("label", F.posexplode(quantize(F.col("embedding"))).alias("pos0", "qx"))
+    q = _fan_out(embeddings).select("label", F.posexplode(quantize(F.col("embedding"))).alias("pos0", "qx"))
     return (
         q.groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.sum("qx").alias("sum_q"), F.count(F.lit(1)).alias("n_vecs"))
