@@ -333,8 +333,32 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHURN_SPLIT = "2024-01-16"  # events span 2024-01-01..01-30; mid-month split
+
+
+def user_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 set operations as first-class citizens: INTERSECT / EXCEPT on
+    user-activity sets across the two halves of the month — retained
+    (active both), churned (first half only), new (second half only).
+
+    Set ops compile to the same shuffle machinery as joins (EXCEPT →
+    left-anti, INTERSECT → left-semi over distinct rows), so the cost
+    model is one shuffle per side on user_id; the three branches reuse
+    the two distinct frames, which are persisted for exactly that reason."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.filter(F.col("ts") < CHURN_SPLIT).select("user_id").distinct().persist()
+    second = e.filter(F.col("ts") >= CHURN_SPLIT).select("user_id").distinct().persist()
+    return (
+        first.intersect(second)
+        .select("user_id", F.lit("retained").alias("status"))
+        .unionByName(first.exceptAll(second).select("user_id", F.lit("churned").alias("status")))
+        .unionByName(second.exceptAll(first).select("user_id", F.lit("new").alias("status")))
+    )
+
+
 EXTRA_QUERIES = {
     "late_arrival_audit": late_arrival_audit,
+    "user_churn_sets": user_churn_sets,
     "funnel_conversion": funnel_conversion,
     "sales_cube": sales_cube,
     "spend_deciles": spend_deciles,
@@ -348,6 +372,15 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "user_churn_sets": f"""
+WITH first AS (SELECT DISTINCT user_id FROM events WHERE ts < '{CHURN_SPLIT}'),
+     second AS (SELECT DISTINCT user_id FROM events WHERE ts >= '{CHURN_SPLIT}')
+SELECT user_id, 'retained' AS status FROM (SELECT user_id FROM first INTERSECT SELECT user_id FROM second)
+UNION ALL
+SELECT user_id, 'churned' AS status FROM (SELECT user_id FROM first EXCEPT SELECT user_id FROM second)
+UNION ALL
+SELECT user_id, 'new' AS status FROM (SELECT user_id FROM second EXCEPT SELECT user_id FROM first)
+""",
     "late_arrival_audit": """
 WITH e AS (
   SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
