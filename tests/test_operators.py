@@ -459,3 +459,46 @@ class TestPointerJumping:
         pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
         got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, pairs=pairs, max_iters=8).collect()}
         assert got == {i: 1 for i in range(1, n + 1)}
+
+
+class TestKmeansSemdedup:
+    def test_lloyd_objective_monotone(self, spark, sf_dir):
+        """Each Lloyd update must not decrease the mean assignment cosine
+        (the k-means objective in cosine form) — pins that the update
+        step actually recomputes centroids from members."""
+        from gmall_flink_200621_spark.operators.similarity import _kmeans_state
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        means = []
+        for iters in (0, 2):
+            _, assign = _kmeans_state(emb, cent_mod=29, iters=iters)
+            means.append(assign.agg(F.avg("cosine")).first()[0])
+        assert means[1] >= means[0] - 1e-12
+
+    def test_semdedup_threshold_monotone(self, spark, sf_dir):
+        """Lower threshold ⇒ superset of dropped vectors."""
+        from gmall_flink_200621_spark.operators.similarity import semdedup
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        strict = {r.vec_id for r in semdedup(emb, threshold=0.6).filter("is_dup").collect()}
+        loose = {r.vec_id for r in semdedup(emb, threshold=0.4).filter("is_dup").collect()}
+        assert strict <= loose
+
+
+class TestSequencePack:
+    def test_offsets_contiguous(self, spark, sf_dir):
+        """start_off must equal the running sum of n_tokens in doc_id
+        order (no gaps, no overlaps) and seq spans must be consistent."""
+        from gmall_flink_200621_spark.operators.textops import sequence_pack
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = sequence_pack(docs).orderBy("doc_id").collect()
+        off = 0
+        for r in rows:
+            assert r.start_off == off
+            assert r.first_seq == r.start_off // 2048
+            assert r.last_seq == (r.start_off + r.n_tokens - 1) // 2048
+            off += r.n_tokens
