@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_receipt_join": P.order_receipt_join,
         "order_receipt_reconcile": P.order_receipt_reconcile,
         "last_click_before_purchase": P.last_click_before_purchase,
+        "browse_abandon": P.browse_abandon,
     }
     everything = {
         **pipeline_queries,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sessionize_native",
     "dedup_clusters",
     "login_fail_relaxed",
+    "browse_abandon",
     "tpch_q2",
     "tpch_q12",
     "tpch_q16",
@@ -68,6 +69,9 @@ BENCH_QUERIES = [
     "scd2_snapshot",
     "session_error_overlap",
     "heavy_users",
+    "kmeans_embeddings",
+    "semdedup",
+    "sequence_pack",
 ]
 
 

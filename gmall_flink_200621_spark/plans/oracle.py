@@ -176,6 +176,24 @@ FROM fails
 WHERE t2 IS NOT NULL AND ts_s - t2 <= 86400
 """
 
+BROWSE_ABANDON = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s, event_type,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+           PARTITION BY user_id ORDER BY ts_s
+           RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING
+         ) AS n_purchases_after
+  FROM e
+)
+SELECT user_id, event_id, ts_s
+FROM flagged
+WHERE event_type = 'view' AND n_purchases_after = 0
+"""
+
 LOGIN_FAIL_RUN = """
 WITH runs AS (
   SELECT user_id, ts, event_id, event_type,
@@ -285,6 +303,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "login_fail_n3": LOGIN_FAIL_N3,
     "login_fail_relaxed": LOGIN_FAIL_RELAXED,
     "login_fail_run": LOGIN_FAIL_RUN,
+    "browse_abandon": BROWSE_ABANDON,
     "last_click_before_purchase": LAST_CLICK_BEFORE_PURCHASE,
     "order_timeout": ORDER_TIMEOUT,
     "order_receipt_join": ORDER_RECEIPT_JOIN,

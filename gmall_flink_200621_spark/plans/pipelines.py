@@ -334,6 +334,33 @@ def login_fail_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def browse_abandon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP `notFollowedBy` — absence detection, the dual of C2's
+    followedBy: `begin("view").notFollowedBy("purchase").within(1 day)`.
+    The reference's only absence construct is the timeout side-output of
+    OrderTimeoutAppWithCep.java:50-66 (match-or-timeout on ONE key); this
+    is the generic per-event form — every view with no purchase by the
+    same user within the next day (scaled to testdata event density, like
+    login_fail_n3's window).
+
+    Shape: one shuffle on user_id, no join — a RANGE frame over epoch
+    seconds counts purchases in (ts, ts+86400]; range framing (not rows)
+    makes same-second edge cases exact: a purchase in the same second as
+    the view is NOT "after" it, one a day later still is. Per-user frames
+    scan each user's event list once (sorted within partition); nothing
+    N² and nothing driver-side."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", S.epoch_s().alias("ts_s"))
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(1, 86400)
+    flagged = e.withColumn(
+        "n_purchases_after",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(w),
+    )
+    return (
+        flagged.filter((F.col("event_type") == "view") & (F.col("n_purchases_after") == 0))
+        .select("user_id", "event_id", "ts_s")
+    )
+
+
 def last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): each purchase paired with
     the user's most recent click at or before it — the feature-backfill
