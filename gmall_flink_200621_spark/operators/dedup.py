@@ -242,13 +242,21 @@ def shingle_novelty(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, perms: int = MINHASH_PERMS, df_cap: int | None = DF_CAP
+    docs: DataFrame,
+    perms: int = MINHASH_PERMS,
+    df_cap: int | None = DF_CAP,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{perms-1}): min over shingle hashes per permutation.
     One explode + one groupBy; signature width is constant per doc.
     Signatures are computed over the df-capped shingle set so they estimate
-    the same capped Jaccard the verification step computes."""
-    hashed = _doc_shingles(docs, df_cap).select("doc_id", h60(F.col("shingle")).alias("h"))
+    the same capped Jaccard the verification step computes.
+
+    `shingle_frame` lets a caller that ALSO needs the shingle set (the
+    LSH verify stage) pass one shared, persisted frame instead of paying
+    tokenize+explode+df-cap twice."""
+    sh = shingle_frame if shingle_frame is not None else _doc_shingles(docs, df_cap)
+    hashed = sh.select("doc_id", h60(F.col("shingle")).alias("h"))
     aggs = [F.min(minhash_sig(F.col("h"), i)).alias(f"sig_{i}") for i in range(perms)]
     return hashed.groupBy("doc_id").agg(*aggs)
 
@@ -268,7 +276,11 @@ def dedup_minhash_lsh(
     exact Jaccard just for candidates (semi-joined shingle sets).
     """
     rows = perms // bands
-    sigs = minhash_signatures(docs, perms, df_cap)
+    # ONE df-capped shingle frame feeds both the signature aggregate and
+    # the exact-Jaccard verification below — tokenize+explode+df-cap is
+    # the dominant linear cost and must not run twice per query
+    sh = _doc_shingles(docs, df_cap).persist()
+    sigs = minhash_signatures(docs, perms, df_cap, shingle_frame=sh)
     band_cols = [
         F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -297,8 +309,7 @@ def dedup_minhash_lsh(
         x.join(y, ["bi", "bv"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
 
-    # verify: exact jaccard restricted to candidate pairs
-    sh = _doc_shingles(docs, df_cap).persist()
+    # verify: exact jaccard restricted to candidate pairs (same sh frame)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b2 = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -73,22 +73,63 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents that (a) survive exact dedup (lowest doc_id per md5),
     (b) pass the quality gate (score ≥ 0.5), and (c) are confidently
     English by the marker heuristic — emitting the kept docs with their
-    stats and token budget. The shape every corpus build runs: dedup →
-    filters → budget accounting, all declarative, one pass per operator."""
+    stats and token budget.
+
+    FUSED single-scan form: quality, language, and token budget are all
+    row-local functions of the token array, so they're computed inline on
+    one tokenize — not as three separate scans of `documents` joined back
+    on doc_id (the previous shape: 4 scans + 4 shuffles; at 100 TB that's
+    3 redundant corpus reads). The only shuffle left is the dedup
+    hash-partition on the md5 fingerprint, which doubles as the dedup
+    window; rows carry ~40 bytes of computed stats through it, never the
+    text. Semantics are pinned to doc_stats/lang_id/token_counts by the
+    shared constants and the corpus_prep oracle."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir)
-    keep_ids = D.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
-    stats = T.doc_stats(docs).select("doc_id", "n_tokens", "quality_score")
-    langs = T.lang_id(docs)
-    toks = T.token_counts(docs).select("doc_id", "n_bpe_est")
+    from ..functions.text import tokens
+    from ..operators.partitioning import fan_out
+    from ..operators.textops import BPE_CHARS_PER_TOKEN, LANG_MARKERS
+
+    t = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id", F.md5("text").alias("fp"), tokens("text").alias("toks")
+    )
+    t = t.select("doc_id", "fp", "toks", F.array_distinct("toks").alias("utoks"))
+    n_tok = F.size("toks")
+    quality = F.round(
+        0.5 * F.least(F.lit(1.0), n_tok / 100.0) + 0.5 * (F.size("utoks") / n_tok), 6
+    )
+    bpe = F.aggregate(
+        "toks",
+        F.lit(0).cast("long"),
+        lambda acc, tk: acc
+        + F.floor((F.length(tk) + BPE_CHARS_PER_TOKEN - 1) / BPE_CHARS_PER_TOKEN).cast("long"),
+    )
+    score_cols = {
+        lang: F.size(F.array_intersect(F.col("utoks"), F.array(*[F.lit(m) for m in ms])))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*score_cols.values())
+    pred = F.lit("unk")
+    # reverse-sorted so earlier languages win ties via later when() override
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((score_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    enriched = t.select(
+        "doc_id",
+        "fp",
+        n_tok.alias("n_tokens"),
+        bpe.cast("long").alias("n_bpe_est"),
+        quality.alias("quality_score"),
+        pred.alias("lang_pred"),
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        docs.select("doc_id")
-        .join(keep_ids, "doc_id")  # (a) canonical copy only
-        .join(stats, "doc_id")
-        .join(langs, "doc_id")
-        .join(toks, "doc_id")
-        .filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en"))
+        enriched.withColumn("keep_id", keep)
+        .filter(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("quality_score") >= 0.5)
+            & (F.col("lang_pred") == "en")
+        )
         .select("doc_id", "n_tokens", "n_bpe_est", "quality_score")
     )
 
