@@ -317,7 +317,14 @@ def semdedup(
     keep-lowest-id, same canonical rule as dedup_exact); emitted as
     (vec_id, cluster, is_dup) so downstream filters keep `NOT is_dup`."""
     e, assign = _kmeans_state(embeddings, cent_mod, iters)
-    m = assign.join(e.select("vec_id", "q", "n2"), "vec_id").select("vec_id", "cluster", "q", "n2")
+    # m feeds BOTH sides of the pair join and the final output — persist,
+    # or the whole final assignment pass (crossJoin + argmax agg) re-runs
+    # three times
+    m = (
+        assign.join(e.select("vec_id", "q", "n2"), "vec_id")
+        .select("vec_id", "cluster", "q", "n2")
+        .persist()
+    )
     a = m.select(F.col("vec_id").alias("id_a"), "cluster", F.col("q").alias("qa"), F.col("n2").alias("na"))
     b = m.select(F.col("vec_id").alias("id_b"), "cluster", F.col("q").alias("qb"), F.col("n2").alias("nb"))
     dropped = (
