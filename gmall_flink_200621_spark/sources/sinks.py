@@ -76,3 +76,43 @@ def foreach_batch_upsert_partitioned(connect, key_cols: list[str]):
         batch_df.foreachPartition(write_partition)
 
     return fn
+
+
+SEQS_PER_SHARD = 8192  # 8192 × 2048 tokens ≈ 16.8M tokens/shard
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    seq_len: int | None = None,
+    seqs_per_shard: int = SEQS_PER_SHARD,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the packed corpus as fixed-size training shards — the
+    output-layout step after `sequence_pack`: each document lands in the
+    shard of its first training sequence (`first_seq // seqs_per_shard`),
+    with its text and token-space offsets, so a loader can stream one
+    shard sequentially and reconstruct every sequence it owns (boundary-
+    spanning docs are in the PRECEDING shard; the loader reads one doc
+    over from the previous shard's tail, a standard overlap read).
+
+    Layout: parquet `partitionBy(shard)` with the frame first
+    `repartition("shard")`-ed — every shard's rows are co-located in one
+    task, so each shard directory holds ONE file, written sorted by
+    doc_id (`sortWithinPartitions`). One file per shard in token order is
+    exactly what gives the training loader long sequential reads and
+    deterministic shard membership; at 100 TB shard count scales with
+    corpus tokens while file size stays fixed (~17M tokens of text)."""
+    from ..operators.textops import SEQ_LEN, sequence_pack
+
+    packed = sequence_pack(docs, seq_len or SEQ_LEN)
+    sharded = packed.join(docs.select("doc_id", "text"), "doc_id").withColumn(
+        "shard", F.floor(F.col("first_seq") / seqs_per_shard).cast("long")
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

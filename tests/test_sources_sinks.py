@@ -188,3 +188,34 @@ class TestKafkaParsePath:
         ).select("r.*", "timestamp")
         got = [(r.user_id, r.ts_s, r.event_type) for r in parsed.collect()]
         assert got == [(7, 1592733000, "click"), (8, 1592733001, "view")]
+
+
+class TestTrainingShards:
+    def test_shard_layout_and_parity(self, spark, sf_dir, tmp_path):
+        """write_training_shards: every doc lands in shard
+        first_seq // seqs_per_shard, each shard dir holds exactly one
+        parquet file, rows within a shard are doc_id-sorted, and the
+        round-trip loses nothing."""
+        import glob
+        import os
+
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.sources.sinks import write_training_shards
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = str(tmp_path / "shards")
+        write_training_shards(docs, out, seqs_per_shard=4)
+
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        # membership rule
+        bad = back.filter(F.col("shard") != F.floor(F.col("first_seq") / 4)).count()
+        assert bad == 0
+        # one file per shard dir, sorted by doc_id inside
+        shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+        assert len(shard_dirs) >= 2  # sf0.001 packs into multiple shards at 4 seqs/shard
+        for d in shard_dirs:
+            files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+            assert len(files) == 1, d
+            ids = [r.doc_id for r in spark.read.parquet(files[0]).select("doc_id").collect()]
+            assert ids == sorted(ids)
