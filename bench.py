@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "corpus_prep",
     "sessionize_native",
     "dedup_clusters",
+    "dedup_substring",
     "login_fail_relaxed",
     "browse_abandon",
     "tpch_q2",

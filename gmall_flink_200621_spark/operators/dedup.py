@@ -1,6 +1,6 @@
 """Document deduplication operators (training-data pipeline surface).
 
-Five strategies over the `documents` table, each scale-first:
+Six strategies over the `documents` table, each scale-first:
 
 - exact: md5-fingerprint groupBy — one shuffle on the 128-bit digest, never
   on the raw text (at 100 TB you shuffle 16-byte keys, not documents).
@@ -13,6 +13,9 @@ Five strategies over the `documents` table, each scale-first:
   O(perms) per doc, candidates ≪ all-pairs.
 - simhash: 60-bit SimHash fingerprint; near-dup pairs via 4×15-bit band
   bucketing + hamming ≤ k verification (bit_count(xor)).
+- substring: doc pairs sharing ≥k exact 8-token runs via the Rabin-Karp
+  window-fingerprint inverted index (integer keys) — the distributed form
+  of suffix-array exact-substring dedup (Lee et al. 2022).
 - embedding cosine: see `operators/similarity.py` (same candidate-then-
   verify shape over vectors).
 
@@ -500,4 +503,58 @@ def dedup_simhash(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+SUBSTR_MIN_WINDOWS = 25  # ≥25 shared 8-token windows ≈ ≥32 tokens of shared runs
+SUBSTR_DF_CAP = 50  # window-fps present in more docs are boilerplate runs
+
+
+def dedup_substring(
+    docs: DataFrame,
+    min_windows: int = SUBSTR_MIN_WINDOWS,
+    df_cap: int | None = SUBSTR_DF_CAP,
+) -> DataFrame:
+    """Exact-substring duplication (the sixth dedup strategy — the
+    distributed form of Lee et al. 2022's suffix-array exact-substring
+    dedup): doc pairs sharing ≥ `min_windows` distinct 8-token window
+    fingerprints. A shared token run of length L contributes L−7 window
+    fps, so min_windows=25 ≈ 32 tokens of verbatim shared text — the
+    signal Jaccard dilutes away when the rest of the docs differ (the
+    copied-paragraph case) and shingle-containment only catches when one
+    doc is mostly inside the other.
+
+    Scale shape: same candidates-free inverted index as ngram_jaccard but
+    keyed on 8-byte INTEGER fps — the self-join shuffles longs, never
+    shingle strings; Σ df² is bounded by the same df-cap argument as
+    _doc_shingles (a window shared by > df_cap docs is boilerplate, and
+    dropping it perturbs a pair's shared count by at most the number of
+    dropped fps). False positives require a 60-bit-hash collision inside
+    an 8-token window — negligible and engine-identical (same integer
+    recipe both sides)."""
+    from .textops import RK_WINDOW, rk_token_hashes, rk_window_fps
+
+    hashed = rk_token_hashes(docs)
+    guarded = F.when(F.size("th") >= RK_WINDOW, F.array_distinct(rk_window_fps())).otherwise(
+        F.array().cast("array<long>")
+    )
+    wfp = hashed.select("doc_id", F.explode(guarded).alias("wfp"))
+    if df_cap is not None:
+        # persist: feeds the hot-fp scan and the anti-join probe
+        wfp = wfp.persist()
+        hot = (
+            wfp.groupBy("wfp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("wfp")
+        )
+        wfp = wfp.join(F.broadcast(hot), "wfp", "left_anti")
+    a = wfp.select(F.col("doc_id").alias("id_a"), "wfp")
+    b = wfp.select(F.col("doc_id").alias("id_b"), "wfp")
+    return (
+        a.join(b, "wfp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_windows)
     )

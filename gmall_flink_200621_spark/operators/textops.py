@@ -239,26 +239,19 @@ def stratified_sample(docs: DataFrame, per_stratum: int = STRATUM_TARGET, seed: 
     )
 
 
-def rolling_fingerprint(docs: DataFrame) -> DataFrame:
-    """Winnowing-lite signature: min Rabin-Karp hash over all 8-token
-    windows. Docs shorter than the window get fp = -1.
+def rk_window_fps() -> "F.Column":
+    """Rabin-Karp fingerprint of EVERY 8-token window, as an array column
+    over a materialized per-token hash column `th`:
 
     fp(w) = Σ_{d<8} (h60(tok_{w+d}) mod 1000003) · 37^(7-d)  mod 1e9+7
-    — pure integer math, bit-identical in any engine.
 
-    Array-native: hash the token array once (`transform`), then evaluate
-    every window with nested `transform`/`aggregate` over the materialized
-    hash array and take `array_min` — all per-row JVM expressions, ZERO
-    explode and ZERO shuffle (the previous formulation exploded token×8
-    rows through a two-level groupBy; this one is embarrassingly parallel
-    and was measured ~3× faster at sf0.1). Max window sum is
-    8·(10⁶·37⁷) ≈ 7.6e17 < 2⁶³, so the long accumulator never overflows."""
+    — pure integer math, bit-identical in any engine; all per-row JVM
+    expressions (nested transform/aggregate), ZERO explode and ZERO
+    shuffle. Max window sum is 8·(10⁶·37⁷) ≈ 7.6e17 < 2⁶³, so the long
+    accumulator never overflows. Shared by rolling_fingerprint (min over
+    the array) and dedup_substring (inverted index over the array)."""
     weights = F.array(*[F.lit(RK_BASE ** (RK_WINDOW - 1 - i)) for i in range(RK_WINDOW)])
-    hashed = _fan_out(docs).select(
-        "doc_id",
-        F.transform(tokens("text"), lambda t: h60(t) % RK_TOKMOD).alias("th"),
-    )
-    window_fps = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.size("th") - RK_WINDOW),
         lambda w: F.aggregate(
             F.sequence(F.lit(0), F.lit(RK_WINDOW - 1)),
@@ -268,6 +261,26 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
         )
         % RK_MOD,
     )
+
+
+def rk_token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, th): the per-token RK hash array, materialized once —
+    `rk_window_fps()` references it per window element, and inlining the
+    split would re-parse the text O(positions) times per row."""
+    return _fan_out(docs).select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: h60(t) % RK_TOKMOD).alias("th"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-lite signature: min Rabin-Karp hash over all 8-token
+    windows (rk_window_fps). Docs shorter than the window get fp = -1.
+    The previous formulation exploded token×8 rows through a two-level
+    groupBy; the array form is embarrassingly parallel and was measured
+    ~3× faster at sf0.1."""
+    hashed = rk_token_hashes(docs)
+    window_fps = rk_window_fps()
     return hashed.select(
         "doc_id",
         F.when(F.size("th") >= RK_WINDOW, F.array_min(window_fps))

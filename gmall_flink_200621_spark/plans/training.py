@@ -52,6 +52,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(_docs(spark, sf_dir))
 
 
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_substring(_docs(spark, sf_dir))
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_stats(_docs(spark, sf_dir))
 
@@ -252,6 +256,7 @@ TRAINING_QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_substring": dedup_substring,
     "doc_stats": doc_stats,
     "lang_id": lang_id,
     "rolling_fingerprint": rolling_fingerprint,

@@ -11,6 +11,8 @@ from __future__ import annotations
 from ..functions.text import MERSENNE31, minhash_sig_sql
 from ..operators.dedup import (
     BENCH_PER_MILLE,
+    SUBSTR_DF_CAP,
+    SUBSTR_MIN_WINDOWS,
     DF_CAP,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
@@ -301,6 +303,36 @@ fps AS (
 minfp AS (SELECT doc_id, min(wfp) AS min_fp FROM fps GROUP BY 1)
 SELECT d.doc_id, CAST(coalesce(m.min_fp, -1) AS BIGINT) AS min_fp
 FROM documents d LEFT JOIN minfp m ON d.doc_id = m.doc_id
+"""
+
+DEDUP_SUBSTRING = f"""
+WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, ({H60.format(c="t[i]")}) % {RK_TOKMOD} AS th, len(t) AS n_tokens
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks0)
+),
+weighted AS (
+  SELECT doc_id, pos - d AS wstart,
+         th * ([{", ".join(str(p) for p in _RK_POWERS)}])[d + 1] AS term,
+         n_tokens
+  FROM pos, generate_series(0, {RK_WINDOW - 1}) AS gd(d)
+),
+fps AS (
+  SELECT doc_id, wstart, CAST(sum(term) % {RK_MOD} AS BIGINT) AS wfp
+  FROM weighted
+  WHERE wstart >= 0 AND wstart <= n_tokens - {RK_WINDOW}
+  GROUP BY 1, 2
+),
+dfp0 AS (SELECT DISTINCT doc_id, wfp FROM fps),
+-- df-cap mirror (operators/dedup.py SUBSTR_DF_CAP)
+dfp AS (
+  SELECT doc_id, wfp FROM dfp0
+  WHERE wfp IN (SELECT wfp FROM dfp0 GROUP BY 1 HAVING count(*) <= {SUBSTR_DF_CAP})
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM dfp a JOIN dfp b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {SUBSTR_MIN_WINDOWS}
 """
 
 # ---------------------------------------------------------------- vectors
@@ -676,6 +708,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "simhash_fingerprints": SIMHASH_FINGERPRINTS,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_clusters": DEDUP_CLUSTERS,
+    "dedup_substring": DEDUP_SUBSTRING,
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
     "rolling_fingerprint": ROLLING_FINGERPRINT,
