@@ -502,3 +502,77 @@ class TestSequencePack:
             assert r.first_seq == r.start_off // 2048
             assert r.last_seq == (r.start_off + r.n_tokens - 1) // 2048
             off += r.n_tokens
+
+
+class TestPlantedDuplicates:
+    """Ground-truth dedup checks: the oracle gate proves Spark==SQL; these
+    prove the operators actually FIND planted duplication."""
+
+    def _with_planted(self, spark, sf_dir):
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+        verbatim = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        # tail-copy: first 20 tokens replaced, rest verbatim — invisible to
+        # exact dedup, found by substring dedup through the shared tail run
+        tail = docs.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.transform(F.sequence(F.lit(1), F.lit(20)), lambda i: F.concat(F.lit("nov"), i)), " "),
+                F.lit(" "),
+                F.array_join(F.slice(F.split(F.col("text"), " "), 21, 100000), " "),
+            ).alias("text"),
+        )
+        return docs.unionByName(verbatim).unionByName(tail), verbatim, tail
+
+    def test_exact_finds_verbatim_copies(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.dedup import dedup_exact
+
+        planted, verbatim, _ = self._with_planted(spark, sf_dir)
+        dups = dedup_exact(planted).filter(F.col("n_copies") > 1)
+        assert dups.count() == verbatim.count()
+        # canonical keeps the ORIGINAL (lower) doc_id
+        assert dups.filter(F.col("keep_id") >= 100000).count() == 0
+
+    def test_substring_finds_tail_copies(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.dedup import dedup_substring
+
+        planted, verbatim, tail = self._with_planted(spark, sf_dir)
+        pairs = dedup_substring(planted).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        # a tail-copy is detectable iff the shared tail clears the window
+        # threshold: n_tokens − 20 replaced − (8−1) window shrink ≥ 25
+        # ⇒ source must have ≥ 52 tokens. Expect exactly those pairs.
+        lens = {
+            r.doc_id: r.n
+            for r in planted.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+        }
+        expected_tail = {
+            (r.doc_id - 200000, r.doc_id)
+            for r in tail.collect()
+            if lens[r.doc_id - 200000] >= 52
+        }
+        assert expected_tail, "fixture produced no detectable tail copies"
+        missing = expected_tail - found
+        assert not missing, f"substring dedup missed planted tail copies: {missing}"
+        # ...and so must every verbatim copy long enough to hold ≥25
+        # windows (n − 7 ≥ 25 ⇒ n ≥ 32 tokens)
+        expected_verbatim = {
+            (r.doc_id - 100000, r.doc_id)
+            for r in verbatim.collect()
+            if lens[r.doc_id - 100000] >= 32
+        }
+        assert not (expected_verbatim - found)
+
+    def test_minhash_finds_verbatim_not_tail(self, spark, sf_dir):
+        """LSH targets whole-doc near-dups (J≥0.8): verbatim copies are
+        found; a 20/90-token rewrite sits near J≈0.7 and is the case the
+        SUBSTRING operator exists for."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+
+        planted, verbatim, _ = self._with_planted(spark, sf_dir)
+        found = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(planted).collect()}
+        expected_verbatim = {(r.doc_id - 100000, r.doc_id) for r in verbatim.collect()}
+        assert not (expected_verbatim - found)
