@@ -58,6 +58,8 @@ LOGIN_FAIL_OUTPUT = "user_id LONG, first_fail_ts_s LONG, second_fail_ts_s LONG"
 ORDER_TIMEOUT_OUTPUT = "user_id LONG, create_ts_s LONG, pay_ts_s LONG, status STRING"
 BLACKLIST_OUTPUT = "user_id LONG, ad_k INT, day_s LONG, tag STRING"
 PAY_RECEIPT_OUTPUT = "user_id LONG, pay_ts_s LONG, receipt_ts_s LONG, tag STRING"
+BROWSE_ABANDON_S = 86400  # matches plans/pipelines.browse_abandon
+BROWSE_ABANDON_OUTPUT = "user_id LONG, event_id LONG, ts_s LONG"
 
 
 class LoginFailProcessor(StatefulProcessor):
@@ -321,6 +323,68 @@ def _order_timeout_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[
         yield pd.DataFrame(out, columns=cols)
 
 
+def _browse_abandon_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Streaming `notFollowedBy` (the batch twin: plans/pipelines.py
+    browse_abandon): a view with NO purchase by the same user in
+    (ts, ts+86400] is emitted as abandoned — the canonical event-time-
+    timer-with-cancellation pattern (register at view+window, the arrival
+    of a matching purchase cancels; here cancellation = dropping the
+    pending view so the timer firing finds nothing to emit).
+
+    State: pending views [(event_id, ts)] + recent purchase ts list.
+    Purchases stay in state only until the watermark passes them — any
+    later-arriving view has ts ≥ watermark (the engine admits nothing
+    older), and a purchase at p can only convert views with v < p, so a
+    purchase ≤ watermark can never convert anything that still arrives:
+    state is O(lateness budget), not O(history). A pending view expires
+    abandoned once the watermark passes v+86400 — after that no
+    admissible purchase can satisfy p ≤ v+86400."""
+    (user_id,) = key
+    cols = ["user_id", "event_id", "ts_s"]
+    wm_s = state.getCurrentWatermarkMs() // 1000
+    st = state.get if state.exists else ([], [], [])
+    view_ids = list(st[0]) if st[0] is not None else []
+    view_ts = list(st[1]) if st[1] is not None else []
+    purchases = list(st[2]) if st[2] is not None else []
+    out = []
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            for r in pdf.sort_values(["ts_s", "event_id"]).itertuples():
+                if r.event_type == "purchase":
+                    p = int(r.ts_s)
+                    purchases.append(p)
+                    keep_i, keep_t = [], []
+                    for i, v in zip(view_ids, view_ts):
+                        if v < p <= v + BROWSE_ABANDON_S:
+                            continue  # converted — timer cancelled
+                        keep_i.append(i)
+                        keep_t.append(v)
+                    view_ids, view_ts = keep_i, keep_t
+                else:  # view
+                    v = int(r.ts_s)
+                    if not any(v < p <= v + BROWSE_ABANDON_S for p in purchases):
+                        view_ids.append(int(r.event_id))
+                        view_ts.append(v)
+    # expire: abandoned views whose full window is below the watermark
+    keep_i, keep_t = [], []
+    for i, v in zip(view_ids, view_ts):
+        if v + BROWSE_ABANDON_S < wm_s:
+            out.append((user_id, i, v))
+        else:
+            keep_i.append(i)
+            keep_t.append(v)
+    view_ids, view_ts = keep_i, keep_t
+    purchases = [p for p in purchases if p >= wm_s]
+    if view_ids or purchases:
+        state.update((view_ids, view_ts, purchases))
+        if view_ids:
+            state.setTimeoutTimestamp((min(view_ts) + BROWSE_ABANDON_S + 1) * 1000)
+    else:
+        state.remove()
+    if out:
+        yield pd.DataFrame(out, columns=cols)
+
+
 def _blacklist_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     """AdClickByProvinceApp blacklist semantics: per-(user,ad) daily counter,
     emit-once warning at the cap, suppression after, day rollover resets."""
@@ -437,6 +501,26 @@ def pay_receipt_stream(events: "DataFrame"):  # noqa: F821
         _pay_receipt_fn,
         outputStructType=PAY_RECEIPT_OUTPUT,
         stateStructType="pays ARRAY<LONG>, receipts ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def browse_abandon_stream(events: "DataFrame"):  # noqa: F821
+    """Streaming CEP `notFollowedBy` — see _browse_abandon_fn. Twin of the
+    batch plans/pipelines.browse_abandon RANGE-frame query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "ts", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type")
+        .groupBy("user_id")
+    )
+    return keyed.applyInPandasWithState(
+        _browse_abandon_fn,
+        outputStructType=BROWSE_ABANDON_OUTPUT,
+        stateStructType="view_ids ARRAY<LONG>, view_ts ARRAY<LONG>, purchases ARRAY<LONG>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -217,3 +217,51 @@ class TestStatefulProcessors:
         assert set(got.status.unique()) <= {"payed", "timeout", "payed timeout", "payed but no create"}
         payed = got[got.status == "payed"]
         assert ((payed.pay_ts_s - payed.create_ts_s) <= 900).all()
+
+
+class TestBrowseAbandonStream:
+    def test_stream_matches_batch_for_closed_windows(self, spark, sf_dir):
+        """Absence detection (notFollowedBy) stream vs batch: every view
+        the stream declares abandoned must be abandoned in batch (no false
+        fires — a purchase the stream missed would be a state bug), and
+        every batch-abandoned view whose timer PROVABLY fired (window end
+        below the final watermark) must have been emitted. Views whose
+        window is still open at end-of-stream legitimately stay pending —
+        that is watermark semantics, not loss."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.plans.pipelines import browse_abandon
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.jobs import events_stream
+        from gmall_flink_200621_spark.streaming.stateful import (
+            BROWSE_ABANDON_S,
+            browse_abandon_stream,
+        )
+
+        out = browse_abandon_stream(events_stream(spark, sf_dir))
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("browse_abandon_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT * FROM browse_abandon_out").toPandas()
+        batch = browse_abandon(spark, sf_dir).toPandas()
+        gset = set(map(tuple, got[["user_id", "event_id", "ts_s"]].values.tolist()))
+        bset = set(map(tuple, batch[["user_id", "event_id", "ts_s"]].values.tolist()))
+        # 1. no false abandons
+        assert gset <= bset
+        # 2. completeness for provably-expired windows: final watermark is
+        # max event ts minus the 10 s delay (exact max−delay tracking)
+        from pyspark.sql import functions as F
+
+        max_ts = (
+            load_table(spark, sf_dir, "events").agg(F.max(F.col("ts").cast("long"))).first()[0]
+        )
+        wm_s = max_ts - 10
+        must_fire = {t for t in bset if t[2] + BROWSE_ABANDON_S < wm_s}
+        missing = must_fire - gset
+        assert not missing, f"{len(missing)} expired abandons never fired"
+        assert len(must_fire) > 0  # the property is non-vacuous on testdata
