@@ -105,15 +105,29 @@ def _doc_shingles(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
 def _shingle_pair_counts(docs: DataFrame, df_cap: int | None = DF_CAP) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b) for every doc pair sharing ≥1
     shingle — the inverted-index core both set-similarity metrics
-    (Jaccard, containment) divide differently. Integer-exact."""
+    (Jaccard, containment) divide differently.
+
+    The self-join keys on the 60-bit shingle hash, not the string: the
+    inverted-index shuffle carries 8-byte longs instead of ~20-byte
+    3-gram strings (3× fewer shuffle bytes, integer comparisons) — the
+    same hash-first move MinHash makes, with the same recipe (h60) on
+    both engines so the oracle replicates any collision identically.
+    n_sh counts rows of the distinct-shingle frame, so sizes are
+    unaffected by hashing; a cross-shingle collision inside one pair
+    would overcount n_common with probability ~pairs·shingles²/2^61 —
+    negligible, deterministic, and engine-identical."""
     # the shingle frame feeds the self-join twice plus the size agg —
     # persist so the tokenize+explode runs once, not 3×
-    sh = _doc_shingles(docs, df_cap).persist()
+    sh = (
+        _doc_shingles(docs, df_cap)
+        .select("doc_id", h60(F.col("shingle")).alias("sh60"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh60") == F.col("b.sh60")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

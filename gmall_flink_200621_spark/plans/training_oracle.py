@@ -64,12 +64,15 @@ SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
+# the pair self-join keys on h60(shingle) — mirror of the Spark side's
+# hashed inverted index (operators/dedup.py:_shingle_pair_counts)
 DEDUP_NGRAM_JACCARD = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shh AS (SELECT doc_id, {H60.format(c="shingle")} AS sh60 FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh60 = b.sh60 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
@@ -530,10 +533,11 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 
 DEDUP_CONTAINMENT = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shh AS (SELECT doc_id, {H60.format(c="shingle")} AS sh60 FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh60 = b.sh60 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
