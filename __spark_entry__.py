@@ -35,7 +35,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keep newly added queries in _NEVER_DRIVER_VERIFIED until a driver round
 # certifies them, then move the name into _CERTIFIED (order there is taste).
 _NEVER_DRIVER_VERIFIED = [
-    # round-2 additions judge-verified locally but outside r02's 50-window
+    # analytics-pack queries outside every driver window so far (judge-verified
+    # 5/5 at sf0.01 in r03 via tools/verify_oracle.py; promote for r04)
+    "heavy_users",
+    "scd2_snapshot",
+    "session_error_overlap",
+    "value_anomalies",
+    "value_histogram",
+]
+
+_CERTIFIED = [
+    # r03-certified block (CORRECTNESS_r03.json, 50/50 hash-match)
     "token_counts",
     "corpus_prep",
     "knn_brute",
@@ -56,9 +66,36 @@ _NEVER_DRIVER_VERIFIED = [
     "value_quantile_sketch",
     "props_extract_stats",
     "uv_sketch_rollup",
-]
-
-_CERTIFIED = [
+    "login_fail_relaxed",
+    "last_click_before_purchase",
+    "browse_abandon",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q20",
+    "kmeans_embeddings",
+    "semdedup",
+    "sequence_pack",
+    "dedup_substring",
+    "doc_repetition",
+    "dedup_containment",
+    "corpus_profile",
+    "corpus_sample",
+    "corpus_split",
+    "decontaminate",
+    "shingle_novelty",
+    "top_terms",
+    "corpus_sample_stratified",
+    "embedding_centroids",
+    "bigram_stats",
+    "late_arrival_audit",
+    "user_churn_sets",
+    "funnel_conversion",
+    "sales_cube",
+    "spend_deciles",
+    "retention_cohorts",
     # reference pipeline parity (SURVEY.md §2, events table) — r01+r02 green
     "hot_items",
     "hot_items_sql",
