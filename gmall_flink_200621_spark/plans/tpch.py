@@ -383,15 +383,23 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a broadcast-able aggregate, never a per-row subquery.
 
     The threshold is sum_decimal/count scaled in IEEE double — identical
-    operations both engines, so the < compare is bit-deterministic."""
+    operations both engines, so the < compare is bit-deterministic.
+
+    The brand filter prunes lineitem BEFORE the per-part aggregation: the
+    per-part mean only depends on that part's own rows, so semi-joining
+    lineitem to the ~1/25-of-parts brand subset first shrinks both the
+    aggregation input and the broadcast by the part selectivity — at 100 TB
+    an all-parts aggregate broadcast is an OOM candidate."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     l = load_table(spark, sf_dir, "lineitem")
-    per_part = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    per_part = lp.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), l.l_partkey == F.col("a_partkey"))
+        lp.join(F.broadcast(per_part), lp.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
@@ -520,7 +528,14 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     — for each qualifying part, the EUROPE supplier(s) with the lowest
     derived supply cost. The per-part min is a re-aggregation of the same
     derived relation (broadcast back), never a per-row subquery; all dims
-    broadcast, the only shuffle is the partsupp derivation itself."""
+    broadcast, the only shuffle is the partsupp derivation itself.
+
+    The selective part filter (p_size & p_type) is applied BEFORE the
+    per-part MIN: the min over a part's EU suppliers doesn't depend on part
+    attributes, so joining the filtered `part` into the derived relation
+    first shrinks the persisted frame, the MIN aggregation, and the
+    broadcast by the part selectivity — the all-parts aggregate broadcast
+    the naive shape produces is a driver/executor OOM candidate at scale."""
     ps = _lineitem_supply(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -534,8 +549,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     # feeds both the probe side and the per-part MIN re-aggregation —
-    # persist so the lineitem derivation runs once, not twice
-    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey")).persist()
+    # persist so the lineitem derivation runs once, not twice; part-pruned,
+    # so what persists is only the qualifying parts' supplier rows
+    eu_ps = (
+        ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_name")), ps.l_partkey == F.col("p_partkey"))
+        .persist()
+    )
     per_part_min = eu_ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
     )
@@ -545,7 +565,6 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eu_ps.l_partkey == F.col("m_partkey"))
             & (eu_ps.supply_cost == F.col("min_cost")),
         )
-        .join(F.broadcast(p), eu_ps.l_partkey == p.p_partkey)
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",

@@ -71,6 +71,32 @@ class TestJoinStrategies:
 
         assert "LeftAnti" in _plan(ad_clicks_filtered(spark, sf_dir))
 
+    def test_q17_part_filter_below_per_part_aggregate(self, spark, sf_dir):
+        """The brand filter must prune lineitem BEFORE the per-part AVG, so
+        the broadcast aggregate covers ~1/25 of parts, not all of them. The
+        pin: the pushed p_brand predicate appears on BOTH part scans (probe
+        branch and aggregation branch) — the naive all-parts shape has it
+        only once."""
+        from gmall_flink_200621_spark.plans.tpch import tpch_q17
+
+        s = _plan(tpch_q17(spark, sf_dir))
+        assert s.count("EqualTo(p_brand") >= 2
+        assert "CartesianProduct" not in s
+
+    def test_q2_part_filter_below_per_part_min(self, spark, sf_dir):
+        """Same property for the correlated-MIN rewrite: the persisted
+        EU-partsupp frame is part-pruned, so the p_size/p_type predicates
+        reach the scan feeding both the MIN aggregation and the probe."""
+        from gmall_flink_200621_spark.plans.tpch import tpch_q2
+
+        df = tpch_q2(spark, sf_dir)
+        s = _plan(df)
+        assert s.count("EqualTo(p_size") >= 2
+        # the per-part MIN consumes the part-pruned cached relation, i.e.
+        # the optimized aggregate subtree references part columns
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("p_partkey") >= 2
+
 
 class TestBucketedJoin:
     def test_bucketed_fact_join_has_no_exchange(self, spark, sf_dir):
