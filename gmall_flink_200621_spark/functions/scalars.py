@@ -36,9 +36,14 @@ def item_k(props: str = "props") -> Column:
     return F.get_json_object(F.col(props), "$.k").cast("int")
 
 
+# url_k's key domain size — shared by anything that sizes state partitioning
+# to the URL key space (e.g. late_data's stateful-stream shuffle width)
+URL_KEY_DOMAIN = 20
+
+
 def url_k(props: str = "props") -> Column:
-    """URL analog: 'u<k%20>'."""
-    return F.concat(F.lit("u"), (item_k(props) % 20).cast("string"))
+    """URL analog: 'u<k%URL_KEY_DOMAIN>'."""
+    return F.concat(F.lit("u"), (item_k(props) % URL_KEY_DOMAIN).cast("string"))
 
 
 def ad_k(props: str = "props") -> Column:

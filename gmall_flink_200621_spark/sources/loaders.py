@@ -59,10 +59,13 @@ def events_parquet_stream(spark: SparkSession, directory: str, **options) -> Dat
     (readable only as a long under `legacy.parquet.nanosAsLong`, then
     rebuilt at µs precision) and naive TIMESTAMP(MICROS) (readable
     directly as TimestampType once NTZ inference is off). The streaming
-    source needs an explicit schema, so we probe the first file's parquet
+    source needs an explicit schema, so we probe every file's parquet
     footer with pyarrow — no Spark job — and pick the matching schema +
     rebuild step. All streaming jobs go through here so the layout
-    assumption lives in exactly one place."""
+    assumption lives in exactly one place. A directory with no parquet
+    files or with MIXED physical layouts (e.g. a stage dir surviving a
+    testdata regeneration) fails loudly instead of silently misreading
+    the non-probed layout."""
     import glob
 
     import pyarrow.parquet as pq
@@ -71,8 +74,16 @@ def events_parquet_stream(spark: SparkSession, directory: str, **options) -> Dat
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    sample = sorted(glob.glob(os.path.join(directory, "*.parquet")))[0]
-    nanos = str(pq.read_schema(sample).field("ts").type) == "timestamp[ns]"
+    files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"events_parquet_stream: no parquet files in {directory}")
+    layouts = {str(pq.read_schema(f).field("ts").type) for f in files}
+    if len(layouts) > 1:
+        raise ValueError(
+            f"events_parquet_stream: mixed ts layouts {sorted(layouts)} in {directory} — "
+            "stale files from a previous testdata generation? Clear the stage dir."
+        )
+    nanos = layouts == {"timestamp[ns]"}
     ts_type = "long" if nanos else "timestamp"
     schema = (
         f"event_id long, ts {ts_type}, user_id long, event_type string, "
@@ -129,24 +140,52 @@ def parse_kafka_values(raw: DataFrame) -> DataFrame:
     return raw.selectExpr("CAST(value AS STRING) AS value", "timestamp")
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The option set `kafka_stream` wires onto the reader, factored out so
+    the connector contract is assertable without a broker/jar.
+
+    Semantics match the reference's consumer config (pom.xml:40-48 declares
+    the client; MyKafkaUtil-style consumers in this codebase family use a
+    group that reads from the committed/earliest offset and tolerates
+    retention-expired offsets): `startingOffsets=earliest` replays the
+    topic on first start (Flink's `setStartFromEarliest` analog — a fresh
+    Spark checkpoint dir has no committed offsets, so `latest` would
+    silently drop history), and `failOnDataLoss=false` keeps the query
+    alive when retention deletes unread offsets, matching the Kafka
+    consumer's `auto.offset.reset` recovery rather than Spark's default
+    fail-fast."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
-    starting_offsets: str = "latest",
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """S4 Kafka connector (declared but unused in the reference,
     pom.xml:40-48): value bytes surfaced as a string column for the same
     parse maps the CSV sources use. Requires the spark-sql-kafka package
     on the classpath; untestable in this environment (no broker) — the
-    downstream decode/parse path is covered via `parse_kafka_values`."""
-    return parse_kafka_values(
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    downstream decode/parse path is covered via `parse_kafka_values`, and
+    the option wiring via `kafka_source_options` (contract test)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, fail_on_data_loss
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_values(reader.load())
 
 
 def rate_market_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:

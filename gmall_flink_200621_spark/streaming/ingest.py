@@ -59,9 +59,18 @@ def stage_document_chunks(sf_dir: str, n_chunks: int = 5) -> str:
     pdf = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     n = len(pdf)
+    base = None
     for i in range(n_chunks):
         lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
-        pdf.iloc[lo:hi].to_parquet(os.path.join(stage, f"part-{i}.parquet"), index=False)
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(path, index=False)
+        # FileStreamSource orders files by modification time; chunks written
+        # within the same mtime granularity would tie and could be picked up
+        # out of doc_id order, breaking the kept==batch replay equivalence.
+        # Pin strictly increasing mtimes so arrival order IS doc_id order.
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
     return stage
 
 

@@ -275,14 +275,19 @@ def run_hot_urls_late_stream(
     ckpt = tempfile.mkdtemp(prefix="spark_graft_lateckpt_")
     STATE.pop(query_name, None)
     _RUNS[query_name] = (spark, log_dir, top_n)
-    # Size the stateful operator's partitioning to the key domain: url_k
-    # has 20 values ('u0'..'u19'), so partitions beyond 20 can never hold
-    # state — they're pure per-micro-batch scheduling overhead (a Python
-    # worker round-trip each, every batch). Streaming queries pin
-    # shuffle.partitions at start, so the narrowed value is scoped to this
-    # query and the session conf is restored immediately after.
+    # Size the stateful operator's partitioning to the key domain
+    # (URL_KEY_DOMAIN distinct url_k values): partitions beyond the domain
+    # can never hold state — they're pure per-micro-batch scheduling
+    # overhead (a Python worker round-trip each, every batch). NOTE the
+    # conf-snapshot assumption: DataStreamWriter.start() resolves the
+    # query's shuffle partitioning synchronously from the session conf
+    # (offsets/state layout are fixed at query start and checkpointed), so
+    # setting before start() and restoring right after is safe and scoped
+    # to this query.
+    from ..functions.scalars import URL_KEY_DOMAIN
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(20, int(prev))))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(URL_KEY_DOMAIN, int(prev))))
     try:
         return (
             deltas.writeStream.outputMode("append")

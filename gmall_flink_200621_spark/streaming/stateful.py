@@ -379,6 +379,13 @@ def _browse_abandon_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator
         state.update((view_ids, view_ts, purchases))
         if view_ids:
             state.setTimeoutTimestamp((min(view_ts) + BROWSE_ABANDON_S + 1) * 1000)
+        else:
+            # purchases-only state: without a timer, a key that never sees
+            # another event would hold its purchase list forever. Register
+            # the eviction timeout the purchase-prune above already implies
+            # — once the watermark passes max(purchases) the firing finds
+            # nothing to keep and removes the state (O(lateness) bound).
+            state.setTimeoutTimestamp((max(purchases) + 1) * 1000)
     else:
         state.remove()
     if out:

@@ -9,6 +9,7 @@ import tempfile
 import threading
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -188,6 +189,66 @@ class TestKafkaParsePath:
         ).select("r.*", "timestamp")
         got = [(r.user_id, r.ts_s, r.event_type) for r in parsed.collect()]
         assert got == [(7, 1592733000, "click"), (8, 1592733001, "view")]
+
+    def test_kafka_source_option_contract(self):
+        """The connector's option wiring must match the reference family's
+        consumer semantics: replay from earliest on a fresh checkpoint
+        (Flink setStartFromEarliest analog — `latest` would silently drop
+        history), and survive retention-expired offsets
+        (failOnDataLoss=false ≈ the Kafka consumer's auto.offset.reset
+        recovery). Assertable without broker/jar."""
+        from gmall_flink_200621_spark.sources.loaders import kafka_source_options
+
+        opts = kafka_source_options("broker:9092", "events")
+        assert opts == {
+            "kafka.bootstrap.servers": "broker:9092",
+            "subscribe": "events",
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "false",
+        }
+        # overrides flow through verbatim (resume-from-checkpoint restart
+        # uses the checkpointed offsets; a strict job may want fail-fast)
+        strict = kafka_source_options("b:9092", "t", "latest", True)
+        assert strict["startingOffsets"] == "latest"
+        assert strict["failOnDataLoss"] == "true"
+
+
+class TestStreamSourceProbe:
+    def test_empty_dir_fails_loudly(self, spark, tmp_path):
+        from gmall_flink_200621_spark.sources.loaders import events_parquet_stream
+
+        with pytest.raises(FileNotFoundError, match="no parquet files"):
+            events_parquet_stream(spark, str(tmp_path / "nothing"))
+
+    def test_mixed_layout_fails_loudly(self, spark, tmp_path):
+        """A stage dir mixing TIMESTAMP(NANOS) and TIMESTAMP(MICROS) files
+        (stale files surviving a testdata regeneration) must error, not
+        silently misread whichever layout wasn't probed."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_200621_spark.sources.loaders import events_parquet_stream
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1],
+                "ts": pd.to_datetime(["2020-06-21 12:00:00"]),
+                "user_id": [7],
+                "event_type": ["click"],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        micros = t.set_column(1, "ts", t.column("ts").cast(pa.timestamp("us")))
+        nanos = t.set_column(1, "ts", t.column("ts").cast(pa.timestamp("ns")))
+        pq.write_table(micros, d / "a.parquet", use_deprecated_int96_timestamps=False)
+        pq.write_table(nanos, d / "b.parquet", use_deprecated_int96_timestamps=False)
+        with pytest.raises(ValueError, match="mixed ts layouts"):
+            events_parquet_stream(spark, str(d))
 
 
 class TestTrainingShards:

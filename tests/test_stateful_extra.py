@@ -100,3 +100,30 @@ class TestPayReceiptStream:
             for (u, ts), n in inp.items():
                 if ts + wait <= wm_s:
                     assert out[(u, ts)] == n, (u, ts, out[(u, ts)], n)
+
+
+class TestBrowseAbandonStateBound:
+    def test_purchases_only_state_registers_eviction_timer(self):
+        """A key whose state holds only purchases (no pending views) must
+        still register an event-time timeout, so the watermark eventually
+        prunes it — otherwise a user who purchases once and never returns
+        leaks their purchase list in state forever, breaking the
+        'state is O(lateness budget)' bound."""
+        from gmall_flink_200621_spark.streaming.stateful import _browse_abandon_fn
+        from tests.test_tws_processors import FakeGroupState
+
+        st = FakeGroupState(wm_ms=0)
+        # one purchase, no views: view list stays empty, purchase retained
+        pdf = pd.DataFrame(
+            {"ts_s": [1000], "event_id": [1], "event_type": ["purchase"]}
+        )
+        list(_browse_abandon_fn((7,), iter([pdf]), st))
+        assert st.exists and st._v[0] == [] and st._v[2] == [1000]
+        assert st.timeout_ts == (1000 + 1) * 1000  # max(purchases)+1s
+
+        # when that timer fires (watermark past the purchase) the state is
+        # removed — nothing lingers
+        st2 = FakeGroupState(wm_ms=(1000 + 2) * 1000, timed_out=True)
+        st2._v = ([], [], [1000])
+        list(_browse_abandon_fn((7,), iter([]), st2))
+        assert st2.removed
