@@ -65,6 +65,40 @@ def uv_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def market_by_channel_stream(events: DataFrame) -> DataFrame:
+    """MarketByChannelApp streaming twin (W3 sliding 1h/15min): per
+    (channel, behavior) counts, UNINSTALL-analog excluded
+    (MarketByChannelApp.java:31-34). Same logical query as the batch
+    `plans.pipelines.market_by_channel`; append mode emits each window
+    once the watermark closes it."""
+    return (
+        events.filter(F.col("event_type") != "error")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            S.channel().alias("channel"),
+            F.col("event_type").alias("behavior"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "channel", "behavior", "cnt")
+    )
+
+
+def ad_click_by_province_stream(events: DataFrame) -> DataFrame:
+    """AdClickByProvinceApp count-side streaming twin (W3 sliding
+    1h/20min, AdClickByProvinceApp.java:58-61): per-province click counts
+    under a watermark — the stream==batch pair for
+    `plans.pipelines.ad_click_by_province`."""
+    return (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.window("ts", "1 hour", "20 minutes").alias("w"),
+            S.province().alias("province"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "province", "cnt")
+    )
+
+
 def hot_items_windowed_counts_stream(events: DataFrame) -> DataFrame:
     """HotItemApp stage 1 (windowed per-item counts) as an append stream.
     The Top-N stage runs per-microbatch in foreachBatch (see

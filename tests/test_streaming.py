@@ -71,6 +71,87 @@ class TestStreamBatchEquivalence:
         n_users = len({u for u, _ in batch})
         assert len(got) >= len(batch) - n_users  # ≤1 in-flight session/user
 
+    def test_market_by_channel_stream_matches_batch(self, spark, sf_dir):
+        """W3 sliding 1h/15min twin: every watermark-closed window the
+        stream emits must equal the batch two-level sliding count exactly;
+        every window whose end the final watermark passed must be present."""
+        from gmall_flink_200621_spark.plans.pipelines import market_by_channel
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.jobs import (
+            events_stream,
+            market_by_channel_stream,
+        )
+
+        agg = market_by_channel_stream(events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mbc_stream_out")
+            .start()
+        )
+        _drain(q)
+        got = {
+            (r.window_end_s, r.channel, r.behavior): r.cnt
+            for r in spark.sql("SELECT * FROM mbc_stream_out").collect()
+        }
+        expected = {
+            (r.window_end_s, r.channel, r.behavior): r.cnt
+            for r in market_by_channel(spark, sf_dir).collect()
+        }
+        assert got
+        assert all(expected.get(k) == v for k, v in got.items())
+        # the watermark tracks the FILTERED stream (Catalyst pushes the
+        # deterministic filter below the watermark operator), so the final
+        # watermark is pinned to the last non-error event
+        wm_s = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") != "error")
+            .agg(F.max(F.col("ts").cast("long")))
+            .first()[0]
+            - 10  # jobs.WATERMARK
+        )
+        closed = {k for k in expected if k[0] < wm_s}
+        assert closed <= set(got)
+
+    def test_ad_click_by_province_stream_matches_batch(self, spark, sf_dir):
+        """W3 sliding 1h/20min twin for the AdClickByProvince count side."""
+        from gmall_flink_200621_spark.plans.pipelines import ad_click_by_province
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.jobs import (
+            ad_click_by_province_stream,
+            events_stream,
+        )
+
+        agg = ad_click_by_province_stream(events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("acp_stream_out")
+            .start()
+        )
+        _drain(q)
+        got = {
+            (r.window_end_s, r.province): r.cnt
+            for r in spark.sql("SELECT * FROM acp_stream_out").collect()
+        }
+        expected = {
+            (r.window_end_s, r.province): r.cnt
+            for r in ad_click_by_province(spark, sf_dir).collect()
+        }
+        assert got
+        assert all(expected.get(k) == v for k, v in got.items())
+        # watermark rides the click-filtered stream (filter pushed below
+        # the watermark operator) — closure is relative to the last click
+        wm_s = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "click")
+            .agg(F.max(F.col("ts").cast("long")))
+            .first()[0]
+            - 10
+        )
+        closed = {k for k in expected if k[0] < wm_s}
+        assert closed <= set(got)
+
     def test_uv_stream_within_hll_error_of_batch(self, spark, sf_dir):
         """A6 streaming twin: per-window HLL++ approx UV must land within
         the estimator's error envelope (5% >> 3 sigma at rsd=1%) of the
