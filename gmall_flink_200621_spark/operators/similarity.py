@@ -160,13 +160,24 @@ def knn_ivf(
     )
     # assignment: argmax centroid cosine per vector as ONE hash aggregation
     # (max over (cos, -cent_id) structs == cos desc, cent_id asc) — no
-    # per-vector sort window on the corpus-sized frame
+    # per-vector sort window on the corpus-sized frame. The vector + norm
+    # ride through the agg (first() — constant within the group), so the
+    # candidate join needs no second corpus join to fetch them.
     assign = (
         e.crossJoin(F.broadcast(cents))
         .withColumn("ccos", cent_cos)
         .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"))
-        .select("vec_id", (-F.col("m.nc")).alias("list_id"))
+        .agg(
+            F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("q").alias("qc"),
+            F.first("n2").alias("cn2"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            (-F.col("m.nc")).alias("list_id"),
+            "qc",
+            "cn2",
+        )
     )
     qs = e.filter(F.col("vec_id") % query_mod == 0)
     probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
@@ -178,12 +189,10 @@ def knn_ivf(
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
     )
     qv = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), F.col("n2").alias("cn2"))
     scored = (
-        probes.join(assign.select(F.col("vec_id").alias("neighbor_id"), "list_id"), "list_id")
+        probes.join(assign, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
         .withColumn(
             "cosine",
             _idot(F.col("qq"), F.col("qc"))
@@ -232,7 +241,14 @@ def _assign_to_cents(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Argmax-cosine cluster assignment as ONE hash aggregation (max over
     (cos, -cent_id) structs == cosine desc, cent_id asc) — the same
     no-window shape as knn_ivf's list assignment. `cents` is broadcast;
-    the corpus never shuffles."""
+    the corpus never shuffles.
+
+    The vector and its norm ride THROUGH the aggregation (`first` is
+    deterministic — q/n2 are constant within a vec_id group), so
+    downstream stages (the centroid update, semdedup's pair join) consume
+    them directly instead of re-joining the corpus frame — one shuffle
+    join per Lloyd iteration removed; the shuffle payload is the same
+    (vec_id, q) rows the join would have moved anyway."""
     ccos = _idot(F.col("q"), F.col("cq")) / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -240,8 +256,18 @@ def _assign_to_cents(e: DataFrame, cents: DataFrame) -> DataFrame:
         e.crossJoin(F.broadcast(cents))
         .withColumn("ccos", ccos)
         .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"))
-        .select("vec_id", (-F.col("m.nc")).alias("cluster"), F.col("m.c").alias("cosine"))
+        .agg(
+            F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("q").alias("q"),
+            F.first("n2").alias("n2"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.nc")).alias("cluster"),
+            F.col("m.c").alias("cosine"),
+            "q",
+            "n2",
+        )
     )
 
 
@@ -270,9 +296,9 @@ def _kmeans_state(embeddings: DataFrame, cent_mod: int, iters: int) -> tuple[Dat
     )
     assign = _assign_to_cents(e, cents)
     for _ in range(iters):
+        # assign carries q — the update consumes it directly, no corpus re-join
         upd = (
-            assign.join(e.select("vec_id", "q"), "vec_id")
-            .select("cluster", F.posexplode("q").alias("pos", "qx"))
+            assign.select("cluster", F.posexplode("q").alias("pos", "qx"))
             .groupBy("cluster", "pos")
             .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
             .withColumn("cq_el", F.round(F.col("s") / F.col("n")).cast("long"))
@@ -316,15 +342,11 @@ def semdedup(
     smaller-vec_id cluster-mate sits at cosine ≥ threshold (greedy
     keep-lowest-id, same canonical rule as dedup_exact); emitted as
     (vec_id, cluster, is_dup) so downstream filters keep `NOT is_dup`."""
-    e, assign = _kmeans_state(embeddings, cent_mod, iters)
+    _, assign = _kmeans_state(embeddings, cent_mod, iters)
     # m feeds BOTH sides of the pair join and the final output — persist,
     # or the whole final assignment pass (crossJoin + argmax agg) re-runs
-    # three times
-    m = (
-        assign.join(e.select("vec_id", "q", "n2"), "vec_id")
-        .select("vec_id", "cluster", "q", "n2")
-        .persist()
-    )
+    # three times; assign already carries q/n2, no corpus re-join needed
+    m = assign.select("vec_id", "cluster", "q", "n2").persist()
     a = m.select(F.col("vec_id").alias("id_a"), "cluster", F.col("q").alias("qa"), F.col("n2").alias("na"))
     b = m.select(F.col("vec_id").alias("id_b"), "cluster", F.col("q").alias("qb"), F.col("n2").alias("nb"))
     dropped = (
