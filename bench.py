@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "sequence_pack",
     "value_anomalies",
     "value_histogram",
+    "doc_chunks",
+    "corpus_mixture",
+    "active_users_rolling7",
 ]
 
 

@@ -77,6 +77,64 @@ def deterministic_sample(docs: DataFrame, rate_per_mille: int, seed: str = "s0")
     return docs.filter(_hash_bucket(seed) < rate_per_mille)
 
 
+# per-source BPE-token budgets for the mixture sampler: a handful of
+# up-weighted sources, everything else at the base budget
+MIXTURE_HI_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+MIXTURE_HI_BUDGET = 1200
+MIXTURE_LO_BUDGET = 600
+
+
+def corpus_mixture(
+    docs: DataFrame,
+    hi_sources: tuple[str, ...] = MIXTURE_HI_SOURCES,
+    hi_budget: int = MIXTURE_HI_BUDGET,
+    lo_budget: int = MIXTURE_LO_BUDGET,
+    seed: str = "mix0",
+) -> DataFrame:
+    """Budgeted data-mixture construction: per source, keep documents in
+    deterministic hash order until the source's BPE-token budget is
+    reached — how a training mixture hits per-source token targets
+    ("2 parts web, 1 part the rest") reproducibly. A doc is kept iff the
+    budget was not yet exhausted when its turn came (running sum of
+    PRIOR docs' tokens < budget), so the mixture is identical on any
+    engine/partitioning and adding docs to one source never changes
+    another source's selection.
+
+    Shape: one tokenize pass for the BPE estimate (integer-exact,
+    token_counts' formula), then ONE ordered window per source partition
+    — the cumulative sum sorts each source's (hash, doc_id, n_bpe) rows,
+    ~25 bytes/doc, never the text. At 100 TB the sort is per-source and
+    spill-safe; sources are the natural partition and their doc counts
+    the skew bound."""
+    from pyspark.sql import Window
+
+    bpe = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, tk: acc
+        + F.floor((F.length(tk) + BPE_CHARS_PER_TOKEN - 1) / BPE_CHARS_PER_TOKEN).cast("long"),
+    )
+    t = _fan_out(docs).select(
+        "doc_id",
+        "source",
+        bpe.alias("n_bpe_est"),
+        h60(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.when(F.col("source").isin(*hi_sources), F.lit(hi_budget)).otherwise(
+        F.lit(lo_budget)
+    )
+    return (
+        t.withColumn("prior_bpe", F.coalesce(F.sum("n_bpe_est").over(w), F.lit(0)))
+        .filter(F.col("prior_bpe") < budget)
+        .select("doc_id", "source", "n_bpe_est")
+    )
+
+
 def corpus_split(docs: DataFrame, val_per_mille: int = 50, test_per_mille: int = 50, seed: str = "split0") -> DataFrame:
     """Deterministic train/val/test assignment by hash bucket
     (default 90/5/5). Same hash recipe as deterministic_sample: the split
@@ -174,6 +232,43 @@ def lang_id(docs: DataFrame) -> DataFrame:
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return scores.select("doc_id", pred.alias("lang_pred"))
+
+
+CHUNK_TOKENS = 64  # tokens per chunk window
+CHUNK_STRIDE = 48  # window start step — 16-token overlap between neighbors
+
+
+def doc_chunks(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step of
+    RAG indexing and long-document training: each document yields windows
+    of `chunk_tokens` whitespace tokens starting every `stride` tokens
+    (so consecutive chunks overlap by chunk_tokens − stride); the final
+    window is partial.
+
+    Shape: tokenize once, `sequence` + `posexplode` + `slice` — entirely
+    array-native built-ins, zero shuffles, embarrassingly parallel; the
+    output is ~(chunk_tokens/stride)× the corpus and never passes through
+    an aggregation. Chunk identity (doc_id, chunk_id) is derived from the
+    token offsets, so re-runs and re-partitions are stable."""
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    # sequence guard: an empty doc still yields one (empty) chunk rather
+    # than a descending-sequence error
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("toks")), F.lit(stride))
+    c = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    sliced = F.slice(F.col("toks"), F.col("start_tok"), chunk_tokens)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
 
 
 TOP_TERMS_K = 5

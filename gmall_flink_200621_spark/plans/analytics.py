@@ -150,6 +150,46 @@ def session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_WINDOW_DAYS = 7
+
+
+def active_users_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + exact trailing-7-day active users per epoch day (the WAU
+    curve every product dashboard draws), computed at scale shape:
+
+    distinct (day, user) first — ONE combinable agg that collapses the
+    event stream to at most |days|·|users| rows — then each (day, user)
+    contributes to the 7 target days it covers via `posexplode(sequence)`
+    (7× the day-user frame, nowhere near the event count). Carrying the
+    window OFFSET through lets one pipeline produce both curves: a user
+    is active ON day td iff their minimum offset for td is 0, so
+    dau = count(min_offset = 0) and wau7 = count(*) in the SAME final
+    agg — single event scan, three combinable shuffles, no self-join, no
+    dau⋈wau join, no giant window sort. Days with zero events emit
+    nothing (dau > 0 filter keeps the domain = days present)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {US_PER_DAY}").alias("d")
+    )
+    day_users = e.groupBy("d", "user_id").agg(F.count(F.lit(1)).alias("_n"))
+    contrib = day_users.select(
+        "user_id",
+        F.posexplode(F.sequence(F.col("d"), F.col("d") + ROLLING_WINDOW_DAYS - 1)).alias(
+            "o", "td"
+        ),
+    )
+    return (
+        contrib.groupBy("td", "user_id")
+        .agg(F.min("o").alias("min_o"))
+        .groupBy("td")
+        .agg(
+            F.sum(F.when(F.col("min_o") == 0, 1).otherwise(0)).alias("dau"),
+            F.count(F.lit(1)).alias("wau7"),
+        )
+        .filter(F.col("dau") > 0)
+        .select(F.col("td").alias("day"), "dau", "wau7")
+    )
+
+
 def heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over user_id (≥ 1/400 of all events) via the
     Misra-Gries candidates + exact-recount plan (`operators/frequency.py`)."""
@@ -163,6 +203,7 @@ ANALYTICS_QUERIES = {
     "value_histogram": value_histogram,
     "session_error_overlap": session_error_overlap,
     "heavy_users": heavy_users,
+    "active_users_rolling7": active_users_rolling7,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -245,6 +286,18 @@ FROM sess s JOIN err
   ON err.err_ts_s BETWEEN s.session_start_s AND s.session_end_s
  AND err.err_user <> s.user_id
 GROUP BY 1, 2, 3
+""",
+    "active_users_rolling7": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS d FROM events),
+du AS (SELECT DISTINCT d, user_id FROM e),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT du.user_id, du.d + o.o AS td
+  FROM du CROSS JOIN (SELECT unnest(generate_series(0, {ROLLING_WINDOW_DAYS - 1})) AS o) o
+),
+wau AS (SELECT td, CAST(count(*) AS BIGINT) AS wau7 FROM contrib GROUP BY 1)
+SELECT dau.d AS day, dau.dau, wau.wau7
+FROM dau JOIN wau ON wau.td = dau.d
 """,
     "heavy_users": f"""
 WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),

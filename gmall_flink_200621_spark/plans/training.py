@@ -244,6 +244,14 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.sequence_pack(_docs(spark, sf_dir))
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_chunks(_docs(spark, sf_dir))
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.corpus_mixture(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -277,4 +285,6 @@ TRAINING_QUERIES = {
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,
+    "doc_chunks": doc_chunks,
+    "corpus_mixture": corpus_mixture,
 }

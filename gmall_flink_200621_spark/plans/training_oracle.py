@@ -692,7 +692,56 @@ ORDER BY n DESC, bigram ASC
 LIMIT 20
 """
 
+from ..operators.textops import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    MIXTURE_HI_BUDGET,
+    MIXTURE_HI_SOURCES,
+    MIXTURE_LO_BUDGET,
+)
+
+DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(1, len(toks)), {CHUNK_STRIDE})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1)) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1), ' ')
+         AS chunk_text
+FROM s
+"""
+
+_MIX_HK = H60.format(c="'mix0:' || CAST(doc_id AS VARCHAR)")
+_MIX_HI = ", ".join(f"'{s}'" for s in MIXTURE_HI_SOURCES)
+
+CORPUS_MIXTURE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              tk -> (length(tk) + 3) // 4)) AS BIGINT) AS n_bpe_est,
+         {_MIX_HK} AS hk
+  FROM documents
+),
+o AS (
+  SELECT *, coalesce(sum(n_bpe_est) OVER (PARTITION BY source ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_bpe
+  FROM t
+)
+SELECT doc_id, source, n_bpe_est
+FROM o
+WHERE prior_bpe < CASE WHEN source IN ({_MIX_HI})
+                       THEN {MIXTURE_HI_BUDGET} ELSE {MIXTURE_LO_BUDGET} END
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
+    "doc_chunks": DOC_CHUNKS,
+    "corpus_mixture": CORPUS_MIXTURE,
     "embedding_centroids": EMBEDDING_CENTROIDS,
     "bigram_stats": BIGRAM_STATS,
     "top_terms": TOP_TERMS,

@@ -193,3 +193,32 @@ class TestSessionErrorOverlap:
             _write_events(spark, rows, d)
             out = session_error_overlap(spark, d).collect()
         assert [(r.user_id, r.session_start_s, r.n_ext_errors) for r in out] == [(1, 0, 1)]
+
+
+class TestActiveUsersRolling:
+    def test_wau_covers_trailing_window(self, spark):
+        """wau7(day) counts distinct users active in [day-6, day]; dau is
+        the per-day distinct count; only days present in the data emit."""
+        from gmall_flink_200621_spark.plans.analytics import active_users_rolling7
+
+        day = 86400
+        rows = [
+            # u1 active day 0 and day 3; u2 active day 3; u3 active day 10
+            (1, 0 * day + 10, 1, "view", 1),
+            (2, 3 * day + 10, 1, "view", 1),
+            (3, 3 * day + 20, 2, "click", 1),
+            (4, 10 * day + 5, 3, "view", 1),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            out = {r.day: (r.dau, r.wau7) for r in active_users_rolling7(spark, d).collect()}
+        # day 0: u1 only. day 3: u1,u2 active; trailing window [−3,3] has u1,u2.
+        # day 10: u3 only (u1/u2's day-3 activity fell out of [4,10]... day 3 < 10-6=4).
+        assert out == {0: (1, 1), 3: (2, 2), 10: (1, 1)}
+
+    def test_wau_geq_dau_on_testdata(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.analytics import active_users_rolling7
+
+        rows = active_users_rolling7(spark, sf_dir).collect()
+        assert rows
+        assert all(r.wau7 >= r.dau for r in rows)

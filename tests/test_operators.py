@@ -576,3 +576,67 @@ class TestPlantedDuplicates:
         found = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(planted).collect()}
         expected_verbatim = {(r.doc_id - 100000, r.doc_id) for r in verbatim.collect()}
         assert not (expected_verbatim - found)
+
+
+class TestDocChunks:
+    def test_overlap_and_coverage(self, spark, sf_dir):
+        """Chunks tile every document: starts step by the stride from 1,
+        neighbors overlap by chunk_tokens - stride, every chunk except the
+        last is full-size, and re-joining chunk 0's text reproduces the
+        document prefix."""
+        from gmall_flink_200621_spark.operators.textops import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+            doc_chunks,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = doc_chunks(docs).collect()
+        assert out
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r.chunk_id)
+            n_toks = len(texts[doc_id].split(" "))
+            for i, c in enumerate(chunks):
+                assert c.start_tok == 1 + i * CHUNK_STRIDE
+                expected = min(CHUNK_TOKENS, n_toks - c.start_tok + 1)
+                assert c.n_chunk_tokens == max(0, expected)
+            # full coverage: last chunk reaches the end of the doc
+            last = chunks[-1]
+            assert last.start_tok + last.n_chunk_tokens - 1 == n_toks or n_toks == 0
+            # chunk 0 is the document prefix verbatim
+            prefix = " ".join(texts[doc_id].split(" ")[:CHUNK_TOKENS])
+            assert chunks[0].chunk_text == prefix
+
+
+class TestCorpusMixture:
+    def test_budget_respected_and_deterministic(self, spark, sf_dir):
+        """Every source's kept set stops at the token budget (the doc that
+        crosses the line is kept; the next one is not), and a re-run
+        selects the identical documents."""
+        from gmall_flink_200621_spark.operators.textops import (
+            MIXTURE_HI_BUDGET,
+            MIXTURE_HI_SOURCES,
+            MIXTURE_LO_BUDGET,
+            corpus_mixture,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = corpus_mixture(docs).collect()
+        assert out
+        per_source: dict[str, int] = {}
+        for r in out:
+            per_source[r.source] = per_source.get(r.source, 0) + r.n_bpe_est
+        for src, total in per_source.items():
+            budget = MIXTURE_HI_BUDGET if src in MIXTURE_HI_SOURCES else MIXTURE_LO_BUDGET
+            # prior-sum < budget rule: total may overshoot by at most the
+            # final doc, never undershoot while docs remain unpicked
+            kept = [r for r in out if r.source == src]
+            assert total - max(r.n_bpe_est for r in kept) < budget
+        rerun = {(r.doc_id, r.source) for r in corpus_mixture(docs).collect()}
+        assert rerun == {(r.doc_id, r.source) for r in out}
