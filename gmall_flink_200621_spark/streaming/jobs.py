@@ -65,6 +65,56 @@ def uv_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_rules_filter_stream(events: DataFrame, rules_dir: str, query_name: str):
+    """Dynamic-rules stream filter — the Flink BROADCAST-STATE pattern
+    (a control stream updates rules that every parallel task applies to
+    the main stream; the reference's dynamic blacklist is the keyed
+    special case). A plain stream-static join will NOT do it: Spark pins
+    the static side's file listing when the query starts, so a published
+    rules update is invisible (and a replaced file crashes the scan). The
+    correct Spark idiom is foreachBatch with the rules table RE-RESOLVED
+    inside the batch function — a fresh `spark.read` per micro-batch
+    re-lists the directory, picking up whatever snapshot the control
+    plane last published, no restart.
+
+    Rules table schema: `event_type string` = the currently-blocked
+    types; each batch anti-joins against it. At scale the rules frame is
+    dims-sized → broadcast anti hash join per batch. Publish snapshots
+    atomically (write to a temp dir, rename into place) so a mid-batch
+    read never sees a half-written table; results land in the
+    `query_name` table (executor-side append, no driver collect)."""
+    import re
+    import shutil
+
+    spark = events.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {query_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(re.sub(r"^file:/*", "/", warehouse), query_name.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+    out = events.select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_s")
+    )
+
+    def filter_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rules = batch_df.sparkSession.read.schema("event_type string").parquet(rules_dir)
+        batch_df.join(rules, "event_type", "left_anti").write.mode("append").saveAsTable(
+            query_name
+        )
+        # foreachBatch runs on a CLONED session: its insert invalidates the
+        # clone's relation cache, not the main session's — refresh the
+        # outer catalog so readers between micro-batches see the append
+        spark.catalog.refreshTable(query_name)
+
+    return (
+        out.writeStream.outputMode("append")
+        .foreachBatch(filter_batch)
+        .queryName(query_name + "_q")
+        .start()
+    )
+
+
 def market_by_channel_stream(events: DataFrame) -> DataFrame:
     """MarketByChannelApp streaming twin (W3 sliding 1h/15min): per
     (channel, behavior) counts, UNINSTALL-analog excluded

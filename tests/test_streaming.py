@@ -346,3 +346,111 @@ class TestBrowseAbandonStream:
         missing = must_fire - gset
         assert not missing, f"{len(missing)} expired abandons never fired"
         assert len(must_fire) > 0  # the property is non-vacuous on testdata
+
+
+class TestDynamicRules:
+    def test_rules_update_applies_without_restart(self, spark, sf_dir, tmp_path):
+        """Broadcast-state analog: the rules table is re-resolved inside
+        foreachBatch every micro-batch, so a rules snapshot published
+        between batches changes what later batches filter — no restart."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.sources.loaders import events_parquet_stream
+        from gmall_flink_200621_spark.streaming.jobs import run_rules_filter_stream
+
+        stage = tmp_path / "stage"
+        rules_dir = tmp_path / "rules"
+        stage.mkdir()
+        rules_dir.mkdir()
+
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("event_id")
+        half = len(pdf) // 2
+        a, b = pdf.iloc[:half], pdf.iloc[half:]
+        a.to_parquet(stage / "part-0.parquet", index=False)
+
+        def publish(blocked):
+            spark.createDataFrame([(t,) for t in blocked], "event_type string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(rules_dir))
+
+        publish(["error"])
+        q = run_rules_filter_stream(
+            events_parquet_stream(spark, str(stage)).withWatermark("ts", "10 seconds"),
+            str(rules_dir),
+            "rules_out",
+        )
+        q.processAllAvailable()
+        phase_a = {r.event_id: r.event_type for r in spark.table("rules_out").collect()}
+
+        publish(["error", "click"])
+        b.to_parquet(stage / "part-1.parquet", index=False)
+        q.processAllAvailable()
+        q.stop()
+        all_rows = {r.event_id: r.event_type for r in spark.table("rules_out").collect()}
+
+        a_ids, b_ids = set(a.event_id), set(b.event_id)
+        # phase A: errors blocked, clicks pass
+        assert all(t != "error" for t in phase_a.values())
+        assert any(t == "click" for t in phase_a.values())
+        # phase B rows (new ids only): clicks now blocked too
+        phase_b = {i: t for i, t in all_rows.items() if i in b_ids}
+        assert phase_b and all(t not in ("error", "click") for t in phase_b.values())
+        # phase A emissions are append-only history — unchanged by the update
+        assert {i: t for i, t in all_rows.items() if i in a_ids} == phase_a
+
+
+class TestCheckpointRecovery:
+    def test_windowed_agg_resumes_exactly_once(self, spark, sf_dir, tmp_path):
+        """Kill-and-restart with the same checkpoint + file sink: the
+        restarted query resumes the watermark/window state from the
+        checkpoint and the transactional file-sink log yields exactly-once
+        output — every emitted window appears once and matches the batch
+        twin on the full data."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.plans.pipelines import page_view
+        from gmall_flink_200621_spark.sources.loaders import events_parquet_stream
+
+        stage = tmp_path / "stage"
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        stage.mkdir()
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+        half = len(pdf) // 2
+        pdf.iloc[:half].to_parquet(stage / "part-0.parquet", index=False)
+
+        def start():
+            ev = events_parquet_stream(spark, str(stage)).withWatermark("ts", "10 seconds")
+            agg = (
+                ev.filter(F.col("event_type") == "view")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("pv"))
+                .select(F.col("w.end").cast("long").alias("window_end_s"), "pv")
+            )
+            return (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q1 = start()
+        q1.processAllAvailable()
+        q1.stop()
+        q1.awaitTermination()
+        n_phase1 = spark.read.parquet(sink).count()
+
+        pdf.iloc[half:].to_parquet(stage / "part-1.parquet", index=False)
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        got = {r.window_end_s: r.pv for r in spark.read.parquet(sink).collect()}
+        rows = spark.read.parquet(sink).collect()
+        assert len(rows) == len(got), "a window was emitted twice across the restart"
+        assert len(got) > n_phase1, "restart produced no new windows"
+        expected = {r.window_end_s: r.pv for r in page_view(spark, sf_dir).collect()}
+        assert all(expected.get(k) == v for k, v in got.items())
+        assert len(got) >= len(expected) - 1  # final window may be in flight
