@@ -281,6 +281,44 @@ class TestSkewJoin:
                     spark.conf.set(k, v)
 
 
+class TestRound4Shapes:
+    def test_doc_chunks_is_shuffle_free(self, spark, sf_dir):
+        """Chunking is a pure map: the only Exchange allowed is fan_out's
+        round-robin parallelism guard — an aggregation or join appearing
+        here would mean the chunker stopped scaling linearly."""
+        from gmall_flink_200621_spark.plans.training import doc_chunks
+
+        s = _plan(doc_chunks(spark, sf_dir))
+        assert s.count("Exchange") <= 1  # fan_out only
+        assert "HashAggregate" not in s and "Join" not in s and "Sort" not in s
+
+    def test_corpus_mixture_single_window_no_text_shuffle(self, spark, sf_dir):
+        """Budget selection sorts only (hash, doc_id, n_bpe) rows inside
+        one per-source window — the document text must never reach the
+        exchange (ReadSchema pruning keeps it scan-side)."""
+        from gmall_flink_200621_spark.plans.training import corpus_mixture
+
+        df = corpus_mixture(spark, sf_dir)
+        s = _plan(df)
+        assert s.count("Window") == 1
+        f = _formatted(df)
+        # text is consumed by the scan-side projection (BPE sum + hash);
+        # the window's shuffle carries only the small derived columns
+        import re as _re
+
+        exchanges = [m for m in f.split("\n") if "Arguments: hashpartitioning" in m]
+        assert exchanges and all("text" not in x for x in exchanges)
+
+    def test_active_users_rolling7_no_join_no_window(self, spark, sf_dir):
+        """DAU+WAU in one pipeline: three combinable aggregations, no
+        self-join, no per-user window sort."""
+        from gmall_flink_200621_spark.plans.analytics import active_users_rolling7
+
+        s = _plan(active_users_rolling7(spark, sf_dir))
+        assert "Join" not in s
+        assert "Window" not in s
+
+
 class TestPlansInventoryFresh:
     def test_plans_md_matches_regenerated_inventory(self, spark):
         """PLANS.md is the judge-facing plan inventory; it must never go

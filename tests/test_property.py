@@ -92,3 +92,79 @@ class TestRelaxedCepProperty:
                 if window[-1][1] - window[0][1] <= within:
                     expected.add((u, *[w[1] for w in window]))
         assert got == expected
+
+
+class TestDocChunksProperty:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["aa", "b", "cde", "word"]), min_size=1, max_size=20),
+            min_size=1,
+            max_size=5,
+        ),
+        chunk=st.integers(min_value=2, max_value=6),
+        stride=st.integers(min_value=1, max_value=5),
+    )
+    def test_chunks_match_bruteforce(self, spark, docs, chunk, stride):
+        from gmall_flink_200621_spark.operators.textops import doc_chunks
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.chunk_id): (r.start_tok, r.n_chunk_tokens, r.chunk_text)
+            for r in doc_chunks(df, chunk_tokens=chunk, stride=stride).collect()
+        }
+
+        expected = {}
+        for i, toks in enumerate(docs):
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                piece = toks[s : s + chunk]
+                expected[(i, ci)] = (s + 1, len(piece), " ".join(piece))
+        assert got == expected
+
+
+class TestCorpusMixtureProperty:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.sampled_from(["src0", "srcX"]),        # hi- vs lo-budget source
+                st.integers(min_value=1, max_value=8),    # token count (as 'a'*?)
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        hi=st.integers(min_value=1, max_value=20),
+        lo=st.integers(min_value=1, max_value=20),
+    )
+    def test_mixture_matches_bruteforce(self, spark, docs, hi, lo):
+        """The kept set equals the Python model: per source, docs in
+        (h60(seed:doc_id), doc_id) order are kept while the running sum of
+        PRIOR kept+unkept tokens is below the source's budget."""
+        import hashlib
+
+        from gmall_flink_200621_spark.operators.textops import corpus_mixture
+
+        # text = n single-char tokens → n_bpe_est == n exactly
+        rows = [(i, src, " ".join(["a"] * n)) for i, (src, n) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r.doc_id for r in corpus_mixture(df, ("src0",), hi, lo).collect()}
+
+        def h60py(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        expected = set()
+        for src in {s for s, _ in docs}:
+            budget = hi if src == "src0" else lo
+            members = [
+                (h60py(f"mix0:{i}"), i, n)
+                for i, (s, n) in enumerate(docs)
+                if s == src
+            ]
+            members.sort()
+            running = 0
+            for _, i, n in members:
+                if running < budget:
+                    expected.add(i)
+                running += n
+        assert got == expected
