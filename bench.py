@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "corpus_mixture",
     "active_users_rolling7",
+    "pii_scrub",
 ]
 
 

@@ -271,6 +271,34 @@ def doc_chunks(
     )
 
 
+# PII patterns — explicit character classes only (no \d/\w shorthands, no
+# lookarounds), so Java regex (Spark) and RE2 (DuckDB) match identically
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_TOKEN = "<PII>"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass (the scrub gate every training corpus runs
+    before packing): emails and phone-shaped numbers replaced with a
+    sentinel token, with per-doc match counts for audit. Pure
+    `regexp_extract_all`/`regexp_replace` built-ins — row-local, zero
+    shuffles, scan-bandwidth-bound at 100 TB; the patterns avoid every
+    regex construct Java and RE2 disagree on, so the redacted text is
+    byte-identical cross-engine (emitted as md5 to keep the result frame
+    small — the full text path is `regexp_replace` inline wherever the
+    pipeline needs it)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, PII_TOKEN), PII_PHONE_RE, PII_TOKEN
+    )
+    return _fan_out(docs).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(cleaned).alias("clean_fp"),
+    )
+
+
 TOP_TERMS_K = 5
 
 

@@ -252,6 +252,10 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.corpus_mixture(_docs(spark, sf_dir))
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_scrub(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -287,4 +291,5 @@ TRAINING_QUERIES = {
     "bigram_stats": bigram_stats,
     "doc_chunks": doc_chunks,
     "corpus_mixture": corpus_mixture,
+    "pii_scrub": pii_scrub,
 }

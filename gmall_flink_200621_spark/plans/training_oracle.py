@@ -739,9 +739,22 @@ WHERE prior_bpe < CASE WHEN source IN ({_MIX_HI})
                        THEN {MIXTURE_HI_BUDGET} ELSE {MIXTURE_LO_BUDGET} END
 """
 
+from ..operators.textops import PII_EMAIL_RE, PII_PHONE_RE, PII_TOKEN
+
+PII_SCRUB = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '{PII_EMAIL_RE}', '{PII_TOKEN}', 'g'),
+             '{PII_PHONE_RE}', '{PII_TOKEN}', 'g')) AS clean_fp
+FROM documents
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
+    "pii_scrub": PII_SCRUB,
     "embedding_centroids": EMBEDDING_CENTROIDS,
     "bigram_stats": BIGRAM_STATS,
     "top_terms": TOP_TERMS,

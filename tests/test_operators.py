@@ -640,3 +640,24 @@ class TestCorpusMixture:
             assert total - max(r.n_bpe_est for r in kept) < budget
         rerun = {(r.doc_id, r.source) for r in corpus_mixture(docs).collect()}
         assert rerun == {(r.doc_id, r.source) for r in out}
+
+
+class TestPiiScrub:
+    def test_planted_pii_redacted_and_counted(self, spark):
+        import hashlib
+
+        from gmall_flink_200621_spark.operators.textops import PII_TOKEN, pii_scrub
+
+        rows = [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c.d@e-f.org and 111-222-3333 999-888-7777"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_emails, r.n_phones, r.clean_fp) for r in pii_scrub(df).collect()}
+        assert got[1][:2] == (1, 1)
+        assert got[2][:2] == (0, 0)
+        assert got[3][:2] == (2, 2)
+        expected1 = f"contact {PII_TOKEN} or {PII_TOKEN} now"
+        assert got[1][2] == hashlib.md5(expected1.encode()).hexdigest()
+        assert got[2][2] == hashlib.md5(rows[1][1].encode()).hexdigest()
