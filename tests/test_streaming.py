@@ -454,3 +454,41 @@ class TestCheckpointRecovery:
         expected = {r.window_end_s: r.pv for r in page_view(spark, sf_dir).collect()}
         assert all(expected.get(k) == v for k, v in got.items())
         assert len(got) >= len(expected) - 1  # final window may be in flight
+
+
+class TestIncrementalMV:
+    def test_mv_converges_to_batch_and_rewrites_idempotently(self, spark, sf_dir, tmp_path):
+        """The incrementally-maintained pv-by-hour table must equal the
+        batch aggregate after the replay drains — EVERY window, including
+        ones updated across multiple micro-batches (update mode + dynamic
+        partition overwrite rewrites a window's partition each time it
+        changes, so the last write wins with the full aggregate)."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.plans.pipelines import page_view
+        from gmall_flink_200621_spark.streaming.mv import run_pv_mv_stream
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+        # 3 chunks with overlapping hours → several windows change twice
+        third = len(pdf) // 3
+        for i in range(3):
+            lo = i * third
+            hi = (i + 1) * third if i < 2 else len(pdf)
+            pdf.iloc[lo:hi].to_parquet(stage / f"part-{i}.parquet", index=False)
+
+        table = str(tmp_path / "pv_mv_table")
+        q = run_pv_mv_stream(spark, str(stage), table, query_name="pv_mv_test")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = {r.window_end_s: r.pv for r in spark.read.parquet(table).collect()}
+        expected = {r.window_end_s: r.pv for r in page_view(spark, sf_dir).collect()}
+        assert got == expected  # no watermark: every window present and exact
+        # partition layout: one directory per window (pruning for readers)
+        import glob
+
+        parts = glob.glob(f"{table}/window_end_s=*")
+        assert len(parts) == len(expected)
