@@ -188,7 +188,11 @@ def knn_ivf(
         .filter(F.col("pr") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
     )
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
+    # broadcast side must be the QUERY SUBSET, not the corpus: only
+    # ~N/query_mod rows can ever match probes' query ids, and a
+    # corpus-sized broadcast hash table is a driver/executor OOM at scale
+    # (same anti-pattern as tpch q2/q17's pre-fix unpruned broadcast).
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
     scored = (
         probes.join(assign, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -246,7 +246,14 @@ class TestSimilarity:
         approx = {(r.query_id, r.neighbor_id) for r in knn_ivf(emb).collect()}
         assert approx  # every query has candidates (nprobe lists non-empty)
         recall = len(exact & approx) / len(exact)
-        assert recall >= 0.3, recall  # nprobe=4 of ~15 lists
+        # Deterministic operator ⇒ deterministic recall. Pinned EXACTLY so a
+        # change to candidate generation (the r05 broadcast-side fix must not
+        # touch it; measured 1.0 at sf0.001 AND sf0.01 — SCALING.md §ANN)
+        # cannot slip through as a "still ≥ threshold" regression.
+        if sf_dir.endswith("sf0.001"):
+            assert recall == 1.0, recall
+        else:
+            assert recall >= 0.3, recall  # nprobe=4 of ~15 lists
 
 
 class TestMultimodal:

@@ -319,6 +319,22 @@ class TestRound4Shapes:
         assert "Window" not in s
 
 
+class TestAnnShapes:
+    def test_knn_ivf_broadcast_side_is_query_subset(self, spark, sf_dir):
+        """The rerank join's broadcast hash table must be built over the
+        QUERY SUBSET (vec_id % query_mod == 0), never the full corpus — a
+        corpus-sized broadcast is a driver/executor OOM at 100 TB (the
+        r04-verdict scale-killer). Pin: the query-mod filter appears on
+        BOTH branches that consume it (probes derivation AND the broadcast
+        qv frame) — the pre-fix shape had it only on the probes branch."""
+        from gmall_flink_200621_spark.operators.similarity import knn_ivf
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        s = _plan(knn_ivf(load_table(spark, sf_dir, "embeddings")))
+        assert len(re.findall(r"% 100\)", s)) >= 3, s[:2000]
+        assert "CartesianProduct" not in s
+
+
 class TestPlansInventoryFresh:
     def test_plans_md_matches_regenerated_inventory(self, spark):
         """PLANS.md is the judge-facing plan inventory; it must never go
