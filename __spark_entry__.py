@@ -29,128 +29,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return P.hot_items(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate checks the FIRST 50 entries of queries().
-# Entries that have never appeared in a CORRECTNESS_r{N}.json therefore sort
-# first; long-stable blocks (driver-certified green in r01/r02) sort last.
-# Keep newly added queries in _NEVER_DRIVER_VERIFIED until a driver round
-# certifies them, then move the name into _CERTIFIED (order there is taste).
-_NEVER_DRIVER_VERIFIED = [
-    # analytics-pack queries outside every driver window so far (judge-verified
-    # 5/5 at sf0.01 in r03 via tools/verify_oracle.py; promote for r04)
-    "heavy_users",
-    "scd2_snapshot",
-    "session_error_overlap",
-    "value_anomalies",
-    "value_histogram",
-]
-
-_CERTIFIED = [
-    # r03-certified block (CORRECTNESS_r03.json, 50/50 hash-match)
-    "token_counts",
-    "corpus_prep",
-    "knn_brute",
-    "knn_lsh",
-    "knn_ivf",
-    "embedding_dedup",
-    "ref_ad_click_by_province",
-    "ref_ad_click_blacklist",
-    "ref_ad_clicks_filtered",
-    "ref_login_fail",
-    "ref_order_timeout",
-    "ref_order_receipt_join",
-    "ref_order_receipt_reconcile",
-    "sessionize",
-    "sessionize_native",
-    "event_type_pivot",
-    "value_percentiles",
-    "value_quantile_sketch",
-    "props_extract_stats",
-    "uv_sketch_rollup",
-    "login_fail_relaxed",
-    "last_click_before_purchase",
-    "browse_abandon",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q20",
-    "kmeans_embeddings",
-    "semdedup",
-    "sequence_pack",
-    "dedup_substring",
-    "doc_repetition",
-    "dedup_containment",
-    "corpus_profile",
-    "corpus_sample",
-    "corpus_split",
-    "decontaminate",
-    "shingle_novelty",
-    "top_terms",
-    "corpus_sample_stratified",
-    "embedding_centroids",
-    "bigram_stats",
-    "late_arrival_audit",
-    "user_churn_sets",
-    "funnel_conversion",
-    "sales_cube",
-    "spend_deciles",
-    "retention_cohorts",
-    # reference pipeline parity (SURVEY.md §2, events table) — r01+r02 green
-    "hot_items",
-    "hot_items_sql",
-    "hot_urls",
-    "page_view",
-    "page_view_salted",
-    "uv_exact",
-    "uv_approx",
-    "market_by_channel",
-    "ad_click_by_province",
-    "ad_click_blacklist",
-    "ad_clicks_filtered",
-    "login_fail",
-    "login_fail_n3",
-    "login_fail_run",
-    "order_timeout",
-    "order_receipt_join",
-    "order_receipt_reconcile",
-    # training-data pipeline surface — r02 green
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "dedup_simhash",
-    "dedup_clusters",
-    "doc_stats",
-    "lang_id",
-    "rolling_fingerprint",
-    # relational extras — r02 green
-    "customer_running_spend",
-    "revenue_by_nation",
-    "top_customers",
-    "sales_rollup",
-    "promo_revenue_share",
-    "order_priority_by_segment",
-    # TPC-H block — longest-stable, sorts last (falls outside the 50-window)
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-]
+# LRU rotation policy (r05+): the driver's correctness gate checks the FIRST
+# 50 entries of queries(). Every registry query has had at least one driver
+# green row (r04 verdict), so the ordering goal switched from
+# first-certification to FRESHNESS — least-recently-driver-certified first:
+#   1. names absent from _LAST_DRIVER_ROUND (new this round) sort first;
+#   2. then ascending by the round of the most recent CORRECTNESS_r{N}.json
+#      green row, so the stalest certifications re-enter the window and every
+#      query cycles through the driver gate every ceil(109/50) ≈ 3 rounds.
+# Maintenance: after each round, bump _LAST_DRIVER_ROUND[name] for every name
+# in that round's CORRECTNESS_r{N}.json window.
+_LAST_DRIVER_ROUND: dict[str, int] = {
+    # ---- round 1 (CORRECTNESS_r01.json) — stalest, r05 window head ----
+    **{n: 1 for n in [
+        "hot_items", "hot_items_sql", "hot_urls", "page_view", "page_view_salted",
+        "uv_exact", "uv_approx", "market_by_channel", "ad_click_by_province",
+        "ad_click_blacklist", "ad_clicks_filtered", "login_fail", "login_fail_n3",
+        "login_fail_run", "order_timeout", "order_receipt_join",
+        "order_receipt_reconcile",
+        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q15", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    ]},
+    # ---- round 2 ----
+    **{n: 2 for n in [
+        "doc_fingerprint", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "minhash_signatures", "simhash_fingerprints", "dedup_simhash",
+        "dedup_clusters", "doc_stats", "lang_id", "rolling_fingerprint",
+        "customer_running_spend", "revenue_by_nation", "top_customers",
+        "sales_rollup", "promo_revenue_share", "order_priority_by_segment",
+    ]},
+    # ---- round 3 (only the r03 names NOT re-certified in r04) ----
+    **{n: 3 for n in [
+        "corpus_sample_stratified", "embedding_centroids", "bigram_stats",
+        "late_arrival_audit", "user_churn_sets", "funnel_conversion",
+        "sales_cube", "spend_deciles", "retention_cohorts",
+    ]},
+    # ---- round 4 (CORRECTNESS_r04.json, 50/50) — freshest, sorts last ----
+    **{n: 4 for n in [
+        "heavy_users", "scd2_snapshot", "session_error_overlap", "value_anomalies",
+        "value_histogram", "doc_chunks", "corpus_mixture", "pii_scrub",
+        "active_users_rolling7", "token_counts", "corpus_prep", "knn_brute",
+        "knn_lsh", "knn_ivf", "embedding_dedup", "ref_ad_click_by_province",
+        "ref_ad_click_blacklist", "ref_ad_clicks_filtered", "ref_login_fail",
+        "ref_order_timeout", "ref_order_receipt_join", "ref_order_receipt_reconcile",
+        "sessionize", "sessionize_native", "event_type_pivot", "value_percentiles",
+        "value_quantile_sketch", "props_extract_stats", "uv_sketch_rollup",
+        "login_fail_relaxed", "last_click_before_purchase", "browse_abandon",
+        "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q16", "tpch_q20",
+        "kmeans_embeddings", "semdedup", "sequence_pack", "dedup_substring",
+        "doc_repetition", "dedup_containment", "corpus_profile", "corpus_sample",
+        "corpus_split", "decontaminate", "shingle_novelty", "top_terms",
+    ]},
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -184,20 +115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES,
         **ANALYTICS_QUERIES,
     }
-    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _NEVER_DRIVER_VERIFIED:
-        ordered[name] = everything[name]
-    # anything not explicitly listed anywhere (new this round) also sorts early
-    listed = set(_NEVER_DRIVER_VERIFIED) | set(_CERTIFIED)
-    for name, fn in everything.items():
-        if name not in listed:
-            ordered[name] = fn
-    for name in _CERTIFIED:
-        ordered[name] = everything[name]
-    for name, fn in everything.items():
-        if name not in ordered:
-            ordered[name] = fn
-    return ordered
+    # never-certified (new) first, then least-recently-certified; insertion
+    # order within a round is the registry order (stable sort), which keeps
+    # related queries adjacent in the window.
+    names = sorted(
+        everything,
+        key=lambda n: _LAST_DRIVER_ROUND.get(n, 0),
+    )
+    return {n: everything[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

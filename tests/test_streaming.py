@@ -492,3 +492,62 @@ class TestIncrementalMV:
 
         parts = glob.glob(f"{table}/window_end_s=*")
         assert len(parts) == len(expected)
+
+    def test_bounded_mv_audits_late_rows_and_keeps_state_small(self, spark, sf_dir, tmp_path):
+        """The production MV variant (watermark + append): closed windows
+        are written once and never mutated; rows beyond the watermark land
+        in the audit side table instead of silently vanishing — so for
+        every closed window, batch_pv == mv_pv + audit_count (event
+        conservation, the reference's HotUrlApp side-output invariant);
+        and streaming state holds only OPEN windows (bounded by the delay),
+        not the whole window history the update-mode variant keeps."""
+        import os
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.plans.pipelines import page_view
+        from gmall_flink_200621_spark.streaming.mv import run_pv_mv_stream_bounded
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts").reset_index(drop=True)
+        # hold back an early slice and replay it LAST — months beyond the
+        # 30-minute watermark by then, so the aggregation must drop it
+        late = pdf.iloc[100:130]
+        on_time = pdf.drop(late.index)
+        n = len(on_time) // 4
+        for i in range(4):
+            lo, hi = i * n, (i + 1) * n if i < 3 else len(on_time)
+            on_time.iloc[lo:hi].to_parquet(stage / f"part-{i}.parquet", index=False)
+        late.to_parquet(stage / "part-9late.parquet", index=False)
+
+        table = str(tmp_path / "mv_table")
+        audit = str(tmp_path / "mv_audit")
+        q_mv, q_audit = run_pv_mv_stream_bounded(
+            spark, str(stage), table, audit, delay="30 minutes", query_name="pv_mv_bounded_test"
+        )
+        q_mv.processAllAvailable()
+        q_audit.processAllAvailable()
+        state_rows = q_mv.lastProgress["stateOperators"][0]["numRowsTotal"]
+        q_mv.stop(), q_audit.stop()
+        q_mv.awaitTermination(), q_audit.awaitTermination()
+
+        got = {r.window_end_s: r.pv for r in spark.read.parquet(table).collect()}
+        expected = {r.window_end_s: r.pv for r in page_view(spark, sf_dir).collect()}
+        assert os.path.exists(audit), "planted late views produced no audit rows"
+        audit_counts: dict[int, int] = {}
+        for r in spark.read.parquet(audit).collect():
+            audit_counts[r.window_end_s] = audit_counts.get(r.window_end_s, 0) + 1
+        # 1) the audit holds exactly the planted late views — the on-time
+        #    files are in ts order, so nothing else can be late
+        n_late_views = int((late["event_type"] == "view").sum())
+        assert n_late_views > 0 and sum(audit_counts.values()) == n_late_views
+        # 2) conservation on every closed window; closed partitions were
+        #    never mutated by the late replay (mv keeps the pre-late value)
+        assert got, "no windows closed"
+        for w, pv in got.items():
+            assert expected[w] == pv + audit_counts.get(w, 0), w
+        # 3) bounded state: only open windows survive eviction — a fraction
+        #    of the full window history the unbounded variant would hold
+        assert state_rows <= 5, state_rows
+        assert state_rows < len(expected) / 4

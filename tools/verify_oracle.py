@@ -5,12 +5,17 @@ against `oracle_sql()` via DuckDB: row count, sorted column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified with float rounding). Usage:
 
-    python tools/verify_oracle.py [sf_dir] [query ...]
+    python tools/verify_oracle.py [sf_dir] [query ...] [--json OUT.json]
+
+`--json` writes a CORRECTNESS_r{N}-shaped artifact (per-query rows/schema/
+hash match + err + timings) — the per-round FULLVERIFY_r{N}.json that
+covers the whole 109-query registry, not just the driver's 50-window.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -37,8 +42,14 @@ def norm_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = [a for a in argv if not os.path.isdir(a)]
 
     import __spark_entry__ as entry_mod
     from gmall_flink_200621_spark.session import get_spark
@@ -54,6 +65,7 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     names = only or list(queries)
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -61,16 +73,19 @@ def main() -> None:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False, "err": f"spark: {e}"}
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows  ({t_spark:.1f}s)")
+            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None, "secs": round(t_spark, 2)}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False, "err": f"duckdb: {e}"}
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
@@ -78,6 +93,15 @@ def main() -> None:
         status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)
+        report[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None,
+            "secs": round(t_spark, 2),
+        }
         print(
             f"{status} {name}: spark={len(sdf)} oracle={len(odf)} rows"
             f" cols_match={ok_cols} hash_match={ok_hash} ({t_spark:.1f}s)"
@@ -91,6 +115,10 @@ def main() -> None:
             diff = (s.astype(str) != o.astype(str)).any(axis=1)
             print(f"       first diffs:\n{pd.concat([s[diff].head(3), o[diff].head(3)], keys=['spark','oracle'])}")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "passed": len(names) - len(failures), "total": len(names), "queries": report}, f, indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 
