@@ -79,20 +79,39 @@ def run_corpus_ingest_stream(
     sf_dir: str,
     n_chunks: int = 5,
     name: str = "corpus_ingest",
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    reset_tables: bool = True,
 ):
     """Start the ingest stream; returns the StreamingQuery. Results land in
     tables `<name>_kept` (accepted docs + stats) and `<name>_fps` (every
-    fingerprint ever seen)."""
+    fingerprint ever seen).
+
+    Restartability: pass the same (stage_dir, checkpoint_dir) with
+    reset_tables=False and a new invocation resumes from the checkpointed
+    source offset — already-ingested chunks are not re-read, and the kept/
+    fps tables continue accumulating. (foreachBatch output is
+    at-least-once on a CRASH mid-batch — the fps anti-join makes a
+    replayed batch re-converge for dedup, but kept rows of the interrupted
+    batch could double; a clean stop() is exactly-once.)
+
+    Reader caveat: the stream appends through the micro-batch's CLONED
+    session, which does not invalidate other sessions' cached file
+    listings for these parquet catalog tables — a session that read
+    `<name>_kept` before a restart must `spark.catalog.refreshTable` it
+    (or reopen) to see post-restart appends. (A transactional table
+    format lifts this; the ingest logic is unchanged.)"""
     from ..operators.dedup import doc_fingerprints
     from ..operators.textops import doc_stats, lang_id, token_counts
 
     kept_t, fps_t = f"{name}_kept", f"{name}_fps"
-    for t in (kept_t, fps_t):
-        _drop_table(spark, t)
-    spark.sql(f"CREATE TABLE {kept_t} (doc_id BIGINT, n_tokens INT, n_bpe_est BIGINT, quality_score DOUBLE) USING parquet")
-    spark.sql(f"CREATE TABLE {fps_t} (fp STRING) USING parquet")
+    if reset_tables:
+        for t in (kept_t, fps_t):
+            _drop_table(spark, t)
+        spark.sql(f"CREATE TABLE {kept_t} (doc_id BIGINT, n_tokens INT, n_bpe_est BIGINT, quality_score DOUBLE) USING parquet")
+        spark.sql(f"CREATE TABLE {fps_t} (fp STRING) USING parquet")
 
-    stage = stage_document_chunks(sf_dir, n_chunks)
+    stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
@@ -125,9 +144,7 @@ def run_corpus_ingest_stream(
         fresh.unpersist()
         batch_df.unpersist()
 
-    return (
-        docs.writeStream.outputMode("append")
-        .foreachBatch(ingest_batch)
-        .queryName(name + "_q")
-        .start()
-    )
+    w = docs.writeStream.outputMode("append").foreachBatch(ingest_batch).queryName(name + "_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -17,9 +17,20 @@ state exactly like the reference's per-key MapState
 (HotUrlApp2.java:124-128). Verified properties of Spark's operator that
 make this exact:
 
-- rows older than the watermark are NOT pre-filtered before the stateful
-  operator, so the handler sees every late event and owns the
-  live/expired/side-output classification itself;
+- the handler must see EVERY late event to own the live/expired/side
+  classification — but Spark (unlike a Flink ProcessFunction) DOES
+  pre-filter stateful-operator input against the late-events watermark
+  (the value the PREVIOUS batch used). On a back-to-back replay the
+  two-batch lag hides this; an idle/empty finalization batch — which a
+  checkpoint restart always inserts — promotes the fresh watermark and
+  the engine then silently eats rows our handler should have classified
+  (found by the r05 recovery test). Disabled exactly, not approximately:
+  the watermark is declared on a SHIFTED column `ts + SHIFT` with delay
+  `SHIFT + out_of_orderness`, so the watermark VALUE the engine tracks
+  is still max(ts) − out_of_orderness (classification and timers
+  unchanged) while the filter compares `ts + SHIFT` against it — never
+  true for SHIFT beyond any physical lateness. Flink parity restored:
+  the operator sees everything, the handler decides;
 - `GroupState.getCurrentWatermarkMs()` exposes the query-global watermark
   (max event time seen in prior batches − delay) — precisely WM2 — so no
   driver-side watermark tracking is needed ("watermark broadcast via
@@ -73,6 +84,10 @@ SLIDE_S = 300  # 5 min slide
 OUT_OF_ORDER_S = 3600  # WM2, scaled to testdata density
 ALLOWED_LATENESS_S = 5 * 86400  # W7 budget, scaled (reference: 60 s on demo data)
 LATE_FRACTION = 0.05  # of each chunk deferred one batch
+# Watermark-column shift that disables the engine's pre-operator late-row
+# filter (see module docstring): must exceed any physical row lateness.
+# 100 years — i.e. "never second-guess the handler".
+WM_SHIFT_S = 100 * 365 * 86400
 
 DELTA_SCHEMA = "url_k STRING, window_end_s LONG, cnt LONG, ts_s LONG, tag STRING"
 _STATE_SCHEMA = "wends ARRAY<LONG>, cnts ARRAY<LONG>"
@@ -98,7 +113,14 @@ STATE: dict[str, dict] = _StateView()
 def staged_replay_source(spark: SparkSession, sf_dir: str, n_files: int = 3) -> DataFrame:
     """Replay the events table as n time-contiguous micro-batches with a
     deterministic ~5% of each chunk deferred to the next batch (late
-    arrivals spanning both sides of the lateness budget).
+    arrivals spanning both sides of the lateness budget)."""
+    from ..sources.loaders import events_parquet_stream
+
+    return events_parquet_stream(spark, stage_events_replay(sf_dir, n_files), maxFilesPerTrigger=1)
+
+
+def stage_events_replay(sf_dir: str, n_files: int = 3) -> str:
+    """Build (or reuse) the staged replay files; returns the stage dir.
 
     The staged files are a pure function of (events.parquet, n_files), so
     staging is cached: built once under a content-keyed directory (atomic
@@ -131,10 +153,7 @@ def staged_replay_source(spark: SparkSession, sf_dir: str, n_files: int = 3) -> 
             os.rename(build, stage)
         except OSError:  # lost a race to a concurrent builder — theirs is identical
             pass
-
-    from ..sources.loaders import events_parquet_stream
-
-    return events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
+    return stage
 
 
 def _window_ends(ts_s: int) -> list[int]:
@@ -249,18 +268,38 @@ def _finalize(spark: SparkSession, log_dir: str, top_n: int) -> dict:
 
 
 def run_hot_urls_late_stream(
-    spark: SparkSession, sf_dir: str, top_n: int = 5, query_name: str = "hot_urls_late"
+    spark: SparkSession,
+    sf_dir: str,
+    top_n: int = 5,
+    query_name: str = "hot_urls_late",
+    stage_dir: str | None = None,
+    log_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """HotUrlApp2 end-to-end with exact Flink lateness semantics, fully
     distributed: keyed state in `applyInPandasWithState`, delta output to
-    the parquet file sink, no driver collect anywhere on the stream path."""
+    the parquet file sink, no driver collect anywhere on the stream path.
+
+    Pass (stage_dir, log_dir, checkpoint_dir) together to make the run
+    restartable: a new invocation with the same three dirs resumes from
+    the checkpoint — keyed state, watermark, and source offsets restored;
+    the file sink's transactional metadata log keeps the delta log
+    exactly-once across the restart."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from ..sources.loaders import events_parquet_stream
+
+    stage = stage_dir or stage_events_replay(sf_dir)
     clicks = (
-        staged_replay_source(spark, sf_dir)
+        events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
         .filter(F.col("event_type") == "click")
-        .withWatermark("ts", f"{OUT_OF_ORDER_S} seconds")
-        .select("ts", F.col("ts").cast("long").alias("ts_s"), S.url_k().alias("url_k"))
+        # shifted watermark column: value tracked = max(ts) − OUT_OF_ORDER_S
+        # (exact WM2), but the engine's late-row pre-filter compares
+        # wm_ts = ts + SHIFT against it — never true, so the handler sees
+        # every late row (module docstring; r05 recovery-test find)
+        .withColumn("wm_ts", F.col("ts") + F.expr(f"INTERVAL {WM_SHIFT_S} SECONDS"))
+        .withWatermark("wm_ts", f"{WM_SHIFT_S + OUT_OF_ORDER_S} seconds")
+        .select("wm_ts", F.col("ts").cast("long").alias("ts_s"), S.url_k().alias("url_k"))
     )
 
     deltas = clicks.groupBy("url_k").applyInPandasWithState(
@@ -271,8 +310,8 @@ def run_hot_urls_late_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
-    log_dir = tempfile.mkdtemp(prefix="spark_graft_latelog_")
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_lateckpt_")
+    log_dir = log_dir or tempfile.mkdtemp(prefix="spark_graft_latelog_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="spark_graft_lateckpt_")
     STATE.pop(query_name, None)
     _RUNS[query_name] = (spark, log_dir, top_n)
     # Size the stateful operator's partitioning to the key domain

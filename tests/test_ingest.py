@@ -72,3 +72,58 @@ class TestCorpusIngest:
         kept_ids = {r.doc_id for r in spark.table("t_ingest2_kept").collect()}
         batch_ids = {r.doc_id for r in corpus_prep(spark, sf_dir).collect()}
         assert kept_ids == batch_ids
+
+    def test_checkpoint_recovery_resumes_without_rereading(self, spark, sf_dir, tmp_path):
+        """Stop the ingest after two chunks, add the rest, restart from the
+        same checkpoint with reset_tables=False: the restarted query reads
+        ONLY the new chunks (offsets restored), and the final kept table
+        equals the uninterrupted batch prep — stats and all."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.plans.training import corpus_prep
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_corpus_ingest_stream,
+            stage_document_chunks,
+        )
+
+        full = stage_document_chunks(sf_dir, n_chunks=4)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        for f in ("part-0.parquet", "part-1.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)  # copy2 keeps mtime order
+
+        def start(reset):
+            return run_corpus_ingest_stream(
+                spark, sf_dir, name="t_ingest_rec", stage_dir=str(incr), checkpoint_dir=ckpt, reset_tables=reset
+            )
+
+        q = start(True)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        n_phase1 = spark.table("t_ingest_rec_kept").count()
+
+        for f in ("part-2.parquet", "part-3.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = start(False)
+        q2.processAllAvailable()
+        restarted = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        q2.stop()
+        q2.awaitTermination()
+        assert len(restarted) == 2  # only the two NEW chunks were read
+
+        # the phase-1 read cached this session's file listing; the stream's
+        # cloned session appended behind it (module docstring caveat)
+        spark.catalog.refreshTable("t_ingest_rec_kept")
+        kept = {
+            r.doc_id: (r.n_tokens, r.n_bpe_est, round(r.quality_score, 9))
+            for r in spark.table("t_ingest_rec_kept").collect()
+        }
+        batch = {
+            r.doc_id: (r.n_tokens, r.n_bpe_est, round(r.quality_score, 9))
+            for r in corpus_prep(spark, sf_dir).collect()
+        }
+        assert kept == batch
+        assert len(kept) > n_phase1  # the restart actually ingested new docs

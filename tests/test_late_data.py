@@ -65,6 +65,56 @@ class TestLateDataSemantics:
             for wend in _window_ends(ts_s):
                 assert (wend, url) in st["dropped"]
 
+    def test_checkpoint_recovery_equals_uninterrupted_run(self, spark, sf_dir, tmp_path):
+        """Kill the stateful lateness query after its first micro-batch and
+        restart from the checkpoint: keyed state, watermark, source offsets
+        and the file sink's metadata log all resume, so the finalized view
+        (counts, dropped, re-fires, side output) is identical to a run that
+        was never interrupted — the restart a production operator of this
+        pipeline performs most."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.streaming.late_data import (
+            STATE,
+            run_hot_urls_late_stream,
+            stage_events_replay,
+        )
+
+        full = stage_events_replay(sf_dir)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        log, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+
+        q = run_hot_urls_late_stream(
+            spark, sf_dir, query_name="late_rec", stage_dir=str(incr), log_dir=log, checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_hot_urls_late_stream(
+            spark, sf_dir, query_name="late_rec", stage_dir=str(incr), log_dir=log, checkpoint_dir=ckpt
+        )
+        q2.processAllAvailable()
+        restarted = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        q2.stop()
+        q2.awaitTermination()
+        # resumed, not replayed: the restarted query processed ONLY the two
+        # new files (part-0's offsets came from the checkpoint)
+        assert len(restarted) == 2
+
+        st = STATE["late_rec"]
+        ref, _ = _run(spark, sf_dir, "late_rec_ref")
+        assert st["counts"] == ref["counts"]
+        assert st["dropped"] == ref["dropped"]
+        assert st["refires"] == ref["refires"]
+        assert Counter(st["side"]) == Counter(ref["side"])
+        assert [tuple(r) for r in st["ranking"]] == [tuple(r) for r in ref["ranking"]]
+
     def test_upsert_ranking_is_consistent_with_live_counts(self, spark, sf_dir):
         from gmall_flink_200621_spark.operators.topn import top_n_per_group
 
