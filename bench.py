@@ -162,7 +162,11 @@ def main() -> None:
                 "queries": per_query,
                 "value_median": round(sum(per_query_median.values()), 3),
                 "queries_median": per_query_median,
-                "passes": 3,
+                "passes": N_PASSES,
+                # the stream runs fewer passes (startup-dominated); its
+                # 'median' is the mean of two samples — reported explicitly
+                # so the envelope stats aren't misread as min/median-of-3
+                "stream_passes": len(stream_samples),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -403,28 +403,31 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
         )
         hopped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
             "doc_id",
+            F.col("canonical_id").alias("old_label"),
             F.least(F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))).alias(
                 "canonical_id"
             ),
         )
         # pointer jump: follow the label's own label one hop (labels are
         # always doc_ids within the component, so the self-join always
-        # matches and the min-monotone invariant is preserved)
+        # matches and the min-monotone invariant is preserved). The change
+        # flag rides along so convergence detection is a scan of this
+        # (checkpointed, tiny) frame — not a second old⋈new join job per
+        # iteration (r05: 2 jobs/iter instead of 3).
         lab2 = hopped.select(
             F.col("doc_id").alias("j_id"), F.col("canonical_id").alias("j_canon")
         )
         new_labels = (
             hopped.join(lab2, hopped.canonical_id == lab2.j_id)
-            .select("doc_id", F.col("j_canon").alias("canonical_id"))
+            .select(
+                "doc_id",
+                F.col("j_canon").alias("canonical_id"),
+                (F.col("j_canon") != F.col("old_label")).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()  # any-change probe
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return docs.select("doc_id").join(labels, "doc_id", "left").select(

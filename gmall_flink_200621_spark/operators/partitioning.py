@@ -4,11 +4,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# (session id, semanticHash) → scan partition count. getNumPartitions forces
-# a full physical plan; memoizing per canonical plan means each distinct
-# input pays planning once, not once per wrapping operator (fan_out wraps
-# nearly every text/vector operator and runs 3× per ingest micro-batch).
-_PARTITIONS_CACHE: dict[tuple[int, int], int] = {}
+# (session id, semanticHash, input-file-listing hash) → scan partition
+# count. getNumPartitions forces a full physical plan; memoizing per
+# canonical plan means each distinct input pays planning once, not once per
+# wrapping operator (fan_out wraps nearly every text/vector operator and
+# runs 3× per ingest micro-batch). The file-listing hash invalidates the
+# entry when the same path's contents change (growing stage dirs,
+# regenerated testdata) — without it a stale large count would silently
+# disable the one-core guard for the life of the session. inputFiles() only
+# consults the already-materialized file index (no physical planning), so
+# the key stays cheap.
+_PARTITIONS_CACHE: dict[tuple[int, int, int], int] = {}
 _CACHE_CAP = 1024
 
 
@@ -28,8 +34,8 @@ def fan_out(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        key = (id(df.sparkSession), df.semanticHash())
-    except Exception:  # semanticHash unavailable (exotic plan) — probe direct
+        key = (id(df.sparkSession), df.semanticHash(), hash(tuple(sorted(df.inputFiles()))))
+    except Exception:  # semanticHash/inputFiles unavailable — probe direct
         key = None
     if key is not None and key in _PARTITIONS_CACHE:
         n = _PARTITIONS_CACHE[key]

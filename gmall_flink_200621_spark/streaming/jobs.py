@@ -80,9 +80,11 @@ def run_rules_filter_stream(events: DataFrame, rules_dir: str, query_name: str):
     Rules table schema: `event_type string` = the currently-blocked
     types; each batch anti-joins against it. At scale the rules frame is
     dims-sized → broadcast anti hash join per batch. Publish snapshots
-    atomically (write to a temp dir, rename into place) so a mid-batch
-    read never sees a half-written table; results land in the
-    `query_name` table (executor-side append, no driver collect)."""
+    with `publish_rules` (immutable snapshot dir + atomic symlink flip);
+    each batch resolves the link ONCE and reads that frozen snapshot, so
+    a publication landing mid-batch can neither crash the scan nor be
+    half-applied. Results land in the `query_name` table (executor-side
+    append, no driver collect)."""
     import re
     import shutil
 
@@ -98,7 +100,11 @@ def run_rules_filter_stream(events: DataFrame, rules_dir: str, query_name: str):
     )
 
     def filter_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        rules = batch_df.sparkSession.read.schema("event_type string").parquet(rules_dir)
+        # resolve the publication symlink up front: the batch reads ONE
+        # immutable snapshot even if the control plane flips the link
+        # mid-batch (plain directories resolve to themselves)
+        rules_snap = os.path.realpath(rules_dir)
+        rules = batch_df.sparkSession.read.schema("event_type string").parquet(rules_snap)
         batch_df.join(rules, "event_type", "left_anti").write.mode("append").saveAsTable(
             query_name
         )
@@ -113,6 +119,49 @@ def run_rules_filter_stream(events: DataFrame, rules_dir: str, query_name: str):
         .queryName(query_name + "_q")
         .start()
     )
+
+
+RULES_RETAIN = 3  # snapshots kept for in-flight readers of older links
+
+
+def publish_rules(spark, blocked_types, rules_path: str) -> str:
+    """Atomic rules publication — the control-plane side of
+    `run_rules_filter_stream`'s contract, with one enforced
+    implementation instead of a docstring plea:
+
+    1. write the snapshot to an immutable uniquely-named dir under
+       `<rules_path>.snapshots/`;
+    2. flip `rules_path` onto it with symlink + `os.replace` (atomic on
+       POSIX) — a concurrent reader sees either the old snapshot or the
+       new one, never a half-written or vanished table;
+    3. retain the last RULES_RETAIN snapshots so a batch that resolved an
+       older link keeps its files until it finishes.
+
+    `rules_path` must not pre-exist as a plain directory (publish from
+    the start, as the test does). Accepts a list of blocked event types
+    or a ready DataFrame; returns the snapshot path."""
+    import shutil as _shutil
+    import uuid
+
+    base = rules_path.rstrip("/")
+    snaps_root = base + ".snapshots"
+    os.makedirs(snaps_root, exist_ok=True)
+    snap = os.path.join(snaps_root, uuid.uuid4().hex[:12])
+    df = (
+        blocked_types
+        if isinstance(blocked_types, DataFrame)
+        else spark.createDataFrame([(t,) for t in blocked_types], "event_type string")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(snap)
+    tmp = f"{base}.lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(snap, tmp)
+    os.replace(tmp, base)
+    snaps = sorted(
+        (os.path.join(snaps_root, s) for s in os.listdir(snaps_root)), key=os.path.getmtime
+    )
+    for s in snaps[: -RULES_RETAIN]:
+        _shutil.rmtree(s, ignore_errors=True)
+    return snap
 
 
 def market_by_channel_stream(events: DataFrame) -> DataFrame:

@@ -216,6 +216,36 @@ class TestDedup:
         assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
 
 
+class TestFanOutCache:
+    def test_cache_invalidates_when_directory_grows(self, spark, tmp_path):
+        """The partition-count memo must not outlive the scan's file
+        listing: after a new file lands in the same directory, fan_out must
+        re-probe (a stale cached count would silently disable the one-core
+        parallelism guard for growing stage dirs)."""
+        from gmall_flink_200621_spark.operators.partitioning import _PARTITIONS_CACHE, fan_out
+
+        d = tmp_path / "grow"
+        spark.range(10).coalesce(1).write.parquet(str(d / "p0"))
+        import shutil
+
+        dest = tmp_path / "dir"
+        dest.mkdir()
+        files = sorted((d / "p0").glob("part-*.parquet"))
+        shutil.copy2(files[0], dest / "a.parquet")
+
+        df1 = spark.read.parquet(str(dest))
+        fan_out(df1)
+        keys_before = set(_PARTITIONS_CACHE)
+
+        shutil.copy2(files[0], dest / "b.parquet")
+        df2 = spark.read.parquet(str(dest))
+        fan_out(df2)
+        new_keys = set(_PARTITIONS_CACHE) - keys_before
+        assert new_keys, "second listing reused the stale cache entry"
+        # and the fresh probe saw the grown directory (2 files ⇒ ≥2 splits)
+        assert any(_PARTITIONS_CACHE[k] >= 2 for k in new_keys)
+
+
 class TestSimilarity:
     def test_knn_self_excluded_and_ranked(self, spark):
         from gmall_flink_200621_spark.operators.similarity import knn_brute

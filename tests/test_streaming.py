@@ -356,12 +356,11 @@ class TestDynamicRules:
         import pandas as pd
 
         from gmall_flink_200621_spark.sources.loaders import events_parquet_stream
-        from gmall_flink_200621_spark.streaming.jobs import run_rules_filter_stream
+        from gmall_flink_200621_spark.streaming.jobs import publish_rules, run_rules_filter_stream
 
         stage = tmp_path / "stage"
-        rules_dir = tmp_path / "rules"
+        rules_dir = tmp_path / "rules"  # becomes publish_rules' symlink
         stage.mkdir()
-        rules_dir.mkdir()
 
         pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("event_id")
         half = len(pdf) // 2
@@ -369,9 +368,8 @@ class TestDynamicRules:
         a.to_parquet(stage / "part-0.parquet", index=False)
 
         def publish(blocked):
-            spark.createDataFrame([(t,) for t in blocked], "event_type string").coalesce(
-                1
-            ).write.mode("overwrite").parquet(str(rules_dir))
+            # the enforced atomic publication path (snapshot + symlink flip)
+            publish_rules(spark, blocked, str(rules_dir))
 
         publish(["error"])
         q = run_rules_filter_stream(
