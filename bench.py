@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "corpus_mixture",
     "active_users_rolling7",
     "pii_scrub",
+    "quality_gopher",
+    "importance_weights",
+    "hard_negatives",
 ]
 
 

@@ -400,3 +400,55 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
             (F.col("sum_q") / (F.col("n_vecs") * F.lit(float(Q_SCALE)))).alias("centroid"),
         )
     )
+
+
+HN_K = 3
+HN_QUERY_MOD = 50
+
+
+def hard_negatives(embeddings: DataFrame, k: int = HN_K, query_mod: int = HN_QUERY_MOD) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id % query_mod == 0), the top-k most-similar vectors with
+    a DIFFERENT label — the near-boundary negatives that make contrastive
+    batches informative (high-cosine, wrong-class).
+
+    Same scale shape as `knn_brute`: the small query subset (with its
+    labels) is broadcast, the corpus is scanned in place and never
+    shuffled; only (query, neighbor, cosine) triples enter the ranking
+    shuffle. The label-mismatch predicate rides in the join condition so
+    same-class pairs are dropped before the cosine is computed. For
+    corpus-scale mining (every doc a query), swap the broadcast for the
+    `knn_lsh`/`knn_ivf` bucketed candidate generation and apply the same
+    label filter in the bucket join."""
+    e = _fan_out(embeddings).select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    qs = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("q").alias("qc"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = c.join(F.broadcast(qs), F.col("query_label") != F.col("neighbor_label")).withColumn(
+        "cosine",
+        _idot(F.col("qq"), F.col("qc"))
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

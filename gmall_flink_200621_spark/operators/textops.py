@@ -478,3 +478,139 @@ def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN, bucket: int = PACK_BU
             F.floor((F.col("start_off") + F.col("n_tokens") - 1) / seq_len).cast("long").alias("last_seq"),
         )
     )
+
+
+# ------------------------------------------------ Gopher-style rule filter
+
+QG_MIN_WORDS = 20
+QG_MAX_WORDS = 100_000
+QG_MIN_MEAN_WLEN = 3.0
+QG_MAX_MEAN_WLEN = 10.0
+QG_STOPWORDS = ("the", "a", "of", "and", "that", "to")
+QG_MIN_STOPWORDS = 2
+QG_MAX_TOP_UNIGRAM = 0.15
+
+
+def quality_gopher(docs: DataFrame) -> DataFrame:
+    """Rule-based document quality filter in the Gopher/C4 style (Rae et
+    al. 2021 §A1.1 adapted to a whitespace corpus): per-rule boolean flags
+    plus the AND-combined keep decision, so downstream consumers can both
+    filter and audit WHICH rule rejected each document.
+
+    Rules (all row-local functions of the token array — single corpus
+    scan, zero shuffle, the shape that stays scan-bound at 100 TB):
+    - word count within [QG_MIN_WORDS, QG_MAX_WORDS];
+    - mean word length within [3, 10];
+    - at least QG_MIN_STOPWORDS stop-word occurrences;
+    - most-frequent unigram ≤ QG_MAX_TOP_UNIGRAM of all tokens (the
+      intra-doc repetition gate).
+
+    The top-unigram count is computed as the longest run in the SORTED
+    token array via one `aggregate` pass — O(n log n) row-local, instead
+    of the O(uniq·n) count-per-distinct-token shape that degenerates on
+    long documents. Flags are INTs (not booleans) for cross-engine hash
+    stability. Thresholds on derived doubles compare the round(6) value
+    so both engines gate on identical numbers."""
+    t = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, tk: acc + F.length(tk).cast("long")
+    )
+    mean_wlen = F.round(sum_len.cast("double") / n, 6)
+    stop_count = F.size(F.filter("toks", lambda tk: tk.isin(*QG_STOPWORDS)))
+    srt = F.array_sort("toks")
+    top_cnt = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("int").alias("run"), F.lit(0).cast("int").alias("best")
+        ),
+        lambda acc, tk: F.struct(
+            tk.alias("prev"),
+            F.when(tk == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"], F.when(tk == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    out = t.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        stop_count.cast("int").alias("stop_count"),
+        F.round(top_cnt.cast("double") / n, 6).alias("top_unigram_ratio"),
+    )
+    f_len = (F.col("n_words") >= QG_MIN_WORDS) & (F.col("n_words") <= QG_MAX_WORDS)
+    f_wlen = (F.col("mean_word_len") >= QG_MIN_MEAN_WLEN) & (
+        F.col("mean_word_len") <= QG_MAX_MEAN_WLEN
+    )
+    f_stop = F.col("stop_count") >= QG_MIN_STOPWORDS
+    f_rep = F.col("top_unigram_ratio") <= QG_MAX_TOP_UNIGRAM
+    return out.select(
+        "*",
+        f_len.cast("int").alias("flag_word_count"),
+        f_wlen.cast("int").alias("flag_mean_word_len"),
+        f_stop.cast("int").alias("flag_stopwords"),
+        f_rep.cast("int").alias("flag_repetition"),
+        (f_len & f_wlen & f_stop & f_rep).cast("int").alias("keep"),
+    )
+
+
+# --------------------------------------- DSIR-style importance weights
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def importance_weights(
+    docs: DataFrame, buckets: int = DSIR_BUCKETS, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) weights:
+    per-document mean log-likelihood ratio between a hashed-unigram model
+    of the TARGET distribution (here: the `lang = target_lang` subset —
+    in production, a high-quality seed corpus) and the raw corpus.
+    Add-one smoothing over `buckets` hashed-feature buckets; weight > 0
+    means the doc looks more target-like than corpus-average, the sort
+    key for importance resampling of the training mixture.
+
+    Scale shape: ONE collapse of the exploded tokens to per-(doc, bucket)
+    counts — a frame of fixed-width ~25-byte rows, orders smaller than
+    the text, persisted because both the bucket statistics and the final
+    weights consume it (at 100 TB, swap the persist for a parquet stage
+    write). The bucket-stats frame is ≤ `buckets` rows → the weight join
+    is a broadcast; the only other shuffle is the per-doc re-agg of
+    (doc_id, lr, cnt) triples. Hashing is the engine-portable md5-based
+    h60, so the DuckDB oracle buckets identically."""
+    tokb = (
+        _fan_out(docs)
+        .select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("tgt"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .withColumn("bucket", h60(F.col("tok")) % buckets)
+        .groupBy("doc_id", "tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    stats = tokb.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_c"),
+        F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("tgt_c"),
+    )
+    tot = stats.agg(F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot"))
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_c") + 1).cast("double") / (F.col("t_tot") + buckets).cast("double"))
+            - F.log((F.col("raw_c") + 1).cast("double") / (F.col("r_tot") + buckets).cast("double"))
+        ).alias("lr"),
+    )
+    return (
+        tokb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_tokens"),
+            F.round(F.sum(F.col("lr") * F.col("cnt")) / F.sum("cnt"), 6).alias("weight"),
+        )
+        .select("doc_id", "n_tokens", "weight")
+    )

@@ -256,6 +256,18 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(_docs(spark, sf_dir))
 
 
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_gopher(_docs(spark, sf_dir))
+
+
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.importance_weights(_docs(spark, sf_dir))
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.hard_negatives(_emb(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -292,4 +304,7 @@ TRAINING_QUERIES = {
     "doc_chunks": doc_chunks,
     "corpus_mixture": corpus_mixture,
     "pii_scrub": pii_scrub,
+    "quality_gopher": quality_gopher,
+    "importance_weights": importance_weights,
+    "hard_negatives": hard_negatives,
 }

@@ -751,6 +751,90 @@ SELECT doc_id,
 FROM documents
 """
 
+from ..operators.similarity import HN_K, HN_QUERY_MOD
+from ..operators.textops import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_LANG,
+    QG_MAX_MEAN_WLEN,
+    QG_MAX_TOP_UNIGRAM,
+    QG_MAX_WORDS,
+    QG_MIN_MEAN_WLEN,
+    QG_MIN_STOPWORDS,
+    QG_MIN_WORDS,
+    QG_STOPWORDS,
+)
+
+_QG_STOPS = ", ".join(f"'{s}'" for s in QG_STOPWORDS)
+
+# the oracle's top-unigram count is the O(uniq·n) count-per-distinct form —
+# same VALUE as the Spark side's sorted-run aggregate, chosen there for
+# row-local O(n log n) on long documents
+QUALITY_GOPHER = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(l) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / len(l), 6) AS mean_word_len,
+         CAST(len(list_filter(l, w -> w IN ({_QG_STOPS}))) AS INT) AS stop_count,
+         round(CAST(list_max(list_transform(list_distinct(l), w -> len(list_filter(l, x -> x = w)))) AS DOUBLE) / len(l), 6) AS top_unigram_ratio
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, stop_count, top_unigram_ratio,
+       CAST(n_words >= {QG_MIN_WORDS} AND n_words <= {QG_MAX_WORDS} AS INT) AS flag_word_count,
+       CAST(mean_word_len >= {QG_MIN_MEAN_WLEN} AND mean_word_len <= {QG_MAX_MEAN_WLEN} AS INT) AS flag_mean_word_len,
+       CAST(stop_count >= {QG_MIN_STOPWORDS} AS INT) AS flag_stopwords,
+       CAST(top_unigram_ratio <= {QG_MAX_TOP_UNIGRAM} AS INT) AS flag_repetition,
+       CAST(n_words >= {QG_MIN_WORDS} AND n_words <= {QG_MAX_WORDS}
+            AND mean_word_len >= {QG_MIN_MEAN_WLEN} AND mean_word_len <= {QG_MAX_MEAN_WLEN}
+            AND stop_count >= {QG_MIN_STOPWORDS}
+            AND top_unigram_ratio <= {QG_MAX_TOP_UNIGRAM} AS INT) AS keep
+FROM s
+"""
+
+IMPORTANCE_WEIGHTS = f"""
+WITH tokb AS (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt,
+         {H60.format(c="tok")} % {DSIR_BUCKETS} AS bucket,
+         count(*) AS cnt
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT bucket, sum(cnt) AS raw_c, sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS tgt_c
+  FROM tokb GROUP BY bucket
+),
+tot AS (SELECT sum(raw_c) AS r_tot, sum(tgt_c) AS t_tot FROM stats),
+lr AS (
+  SELECT bucket,
+         ln((tgt_c + 1)::DOUBLE / (t_tot + {DSIR_BUCKETS})::DOUBLE)
+       - ln((raw_c + 1)::DOUBLE / (r_tot + {DSIR_BUCKETS})::DOUBLE) AS lr
+  FROM stats, tot
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS INT) AS n_tokens,
+       round(sum(lr * cnt) / sum(cnt), 6) AS weight
+FROM tokb JOIN lr USING (bucket)
+GROUP BY doc_id
+"""
+
+HARD_NEGATIVES = f"""
+WITH e AS (SELECT vec_id, label, {_QVEC} AS q FROM embeddings),
+qs AS (SELECT vec_id AS query_id, label AS query_label, q AS qq
+       FROM e WHERE vec_id % {HN_QUERY_MOD} = 0),
+scored AS (
+  SELECT query_id, query_label, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_cosine_sql("qq", "c.q")} AS cosine
+  FROM qs, e c
+  WHERE query_label <> c.label
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {HN_K}
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
@@ -787,4 +871,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS,
     "semdedup": SEMDEDUP,
     "sequence_pack": SEQUENCE_PACK,
+    "quality_gopher": QUALITY_GOPHER,
+    "importance_weights": IMPORTANCE_WEIGHTS,
+    "hard_negatives": HARD_NEGATIVES,
 }

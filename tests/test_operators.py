@@ -698,3 +698,88 @@ class TestPiiScrub:
         expected1 = f"contact {PII_TOKEN} or {PII_TOKEN} now"
         assert got[1][2] == hashlib.md5(expected1.encode()).hexdigest()
         assert got[2][2] == hashlib.md5(rows[1][1].encode()).hexdigest()
+
+
+class TestQualityGopher:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rules_and_keep(self, spark):
+        from gmall_flink_200621_spark.operators.textops import quality_gopher
+
+        good = "the and " + " ".join(f"word{i}x" for i in range(30))  # 32 varied words, 2 stopwords
+        reps = "the of and " + " ".join(["spam"] * 30)  # top unigram 30/33 ≫ 0.15
+        short = "the of a"  # fails word count
+        out = {r.doc_id: r for r in quality_gopher(self._docs(spark, [(1, good), (2, reps), (3, short)])).collect()}
+        assert out[1].keep == 1 and all(
+            getattr(out[1], f) == 1
+            for f in ("flag_word_count", "flag_mean_word_len", "flag_stopwords", "flag_repetition")
+        )
+        assert out[2].flag_repetition == 0 and out[2].keep == 0
+        assert out[3].flag_word_count == 0 and out[3].keep == 0
+
+    def test_top_unigram_run_aggregate_matches_naive(self, spark):
+        """The sorted-run aggregate must equal the count-per-distinct-token
+        definition (the oracle's form) on an adversarial token layout —
+        duplicates interleaved so unsorted runs are all length 1."""
+        from gmall_flink_200621_spark.operators.textops import quality_gopher
+
+        toks = ["a", "b", "c"] * 7 + ["b"]  # b: 8 of 22
+        out = quality_gopher(self._docs(spark, [(1, " ".join(toks))])).collect()[0]
+        assert out.top_unigram_ratio == round(8 / 22, 6)
+
+
+class TestImportanceWeights:
+    def test_target_tokens_weigh_higher(self, spark):
+        """Docs made of target-only vocabulary must outweigh docs made of
+        non-target-only vocabulary; mixed docs sit between."""
+        from gmall_flink_200621_spark.operators.textops import importance_weights
+
+        mk = lambda ws: " ".join(ws * 10)
+        docs = spark.createDataFrame(
+            [
+                (1, mk(["alpha", "beta"]), "en", "s", 1),
+                (2, mk(["alpha", "beta"]), "en", "s", 1),
+                (3, mk(["gamma", "delta"]), "fr", "s", 1),
+                (4, mk(["alpha", "gamma"]), "de", "s", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        w = {r.doc_id: r.weight for r in importance_weights(docs).collect()}
+        assert w[1] == w[2] > w[4] > w[3]
+        assert all(r is not None for r in w.values())
+
+    def test_weight_is_mean_loglikelihood_ratio(self, spark):
+        """Hand-check the smoothed LLR on a two-bucket corpus."""
+        import math
+
+        from gmall_flink_200621_spark.operators.textops import DSIR_BUCKETS, importance_weights
+
+        docs = spark.createDataFrame(
+            [(1, "x x x", "en", "s", 1), (2, "y", "fr", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        w = {r.doc_id: r.weight for r in importance_weights(docs).collect()}
+        B, T, R = DSIR_BUCKETS, 3, 4  # target tokens=3 (doc1), raw=4
+        lx = math.log((3 + 1) / (T + B)) - math.log((3 + 1) / (R + B))
+        ly = math.log((0 + 1) / (T + B)) - math.log((1 + 1) / (R + B))
+        assert w[1] == round(lx, 6) and w[2] == round(ly, 6)
+
+
+class TestHardNegatives:
+    def test_no_same_label_and_ranked(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.similarity import HN_K, hard_negatives
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        out = hard_negatives(load_table(spark, sf_dir, "embeddings")).collect()
+        assert out
+        by_q = {}
+        for r in out:
+            assert r.query_label != r.neighbor_label
+            by_q.setdefault(r.query_id, []).append(r)
+        for rs in by_q.values():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= HN_K
+            cos = [r.cosine for r in rs]
+            assert cos == sorted(cos, reverse=True)

@@ -373,3 +373,36 @@ class TestNewTpchShapes:
 
         s = _plan(tpch_q20(spark, sf_dir))
         assert "LeftSemi" in s and "CartesianProduct" not in s
+
+
+class TestRound5Shapes:
+    def test_quality_gopher_is_shuffle_free(self, spark, sf_dir):
+        """All four rules are row-local functions of the token array — one
+        scan, fan_out's parallelism guard as the only allowed Exchange."""
+        from gmall_flink_200621_spark.plans.training import quality_gopher
+
+        s = _plan(quality_gopher(spark, sf_dir))
+        assert s.count("Exchange") <= 1  # fan_out only
+        assert "HashAggregate" not in s and "Join" not in s and "Sort" not in s
+
+    def test_importance_weights_stats_joins_are_broadcast(self, spark, sf_dir):
+        """The ≤DSIR_BUCKETS-row stats/totals frames must come back as
+        broadcasts — a sort-merge join here would shuffle the exploded
+        token frame a second time for a 4096-row dimension."""
+        from gmall_flink_200621_spark.plans.training import importance_weights
+
+        s = _plan(importance_weights(spark, sf_dir))
+        assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+        assert s.count("BroadcastHashJoin") >= 1
+
+    def test_hard_negatives_broadcasts_query_subset(self, spark, sf_dir):
+        """Same invariant as knn_brute/knn_ivf: the broadcast side of the
+        label-mismatch BNLJ is the % HN_QUERY_MOD query subset, never the
+        corpus; the corpus side streams through unshuffled."""
+        from gmall_flink_200621_spark.operators.similarity import HN_QUERY_MOD, hard_negatives
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        s = _plan(hard_negatives(load_table(spark, sf_dir, "embeddings")))
+        assert len(re.findall(rf"% {HN_QUERY_MOD}\)", s)) >= 1
+        assert s.count("BroadcastNestedLoopJoin") == 1
+        assert "SortMergeJoin" not in s and "CartesianProduct" not in s
