@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "quality_gopher",
     "importance_weights",
     "hard_negatives",
+    "perplexity_buckets",
+    "tfidf_terms",
+    "embedding_quantize",
 ]
 
 

@@ -452,3 +452,42 @@ def hard_negatives(embeddings: DataFrame, k: int = HN_K, query_mod: int = HN_QUE
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+INT8_MAX = 127
+
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar-quantization report: symmetric per-row scale
+    (max |x| / 127), quantize-dequantize round trip, and the resulting
+    max-abs / mean-squared reconstruction error — the audit a pipeline
+    runs before switching ANN serving or training-data storage to int8.
+
+    Entirely row-local (one scan, zero shuffle); errors are computed in
+    double from the float32 components widened exactly as the DuckDB
+    oracle widens them, so values hash-match. Vectors of all-zeros get
+    scale 0 and zero error (guarded division)."""
+    e = _fan_out(embeddings).select("vec_id", F.col("embedding").alias("v"))
+    absmax = F.array_max(F.transform("v", lambda x: F.abs(x.cast("double"))))
+    scale = absmax / INT8_MAX
+    err = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.abs(
+                x.cast("double")
+                - F.least(
+                    F.lit(float(INT8_MAX)), F.greatest(F.lit(float(-INT8_MAX)), F.round(x.cast("double") / F.col("scale")))
+                )
+                * F.col("scale")
+            )
+        ),
+    )
+    t = e.withColumn("scale", scale).withColumn("err", err)
+    return t.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("err", F.lit(0.0), lambda acc, x: acc + x * x) / F.size("v"), 6
+        ).alias("mse"),
+    )

@@ -614,3 +614,112 @@ def importance_weights(
         )
         .select("doc_id", "n_tokens", "weight")
     )
+
+
+# ------------------------------------- CCNet-style perplexity bucketing
+
+PPL_TERCILES = 3  # head / middle / tail
+
+
+def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2019):
+    score every document by its cross-entropy under a unigram LM fitted on
+    the corpus itself, then split the corpus into head / middle / tail
+    terciles (CCNet keeps `head` for training). The LM is hashed-unigram
+    (same engine-portable h60 bucketing as `importance_weights`) with
+    add-one smoothing — at 100 TB a raw-vocabulary LM is an unbounded
+    dimension, the hashed form is a fixed `buckets`-row broadcast.
+
+    cross_entropy = -mean over tokens of log2 p(bucket); lower = more
+    corpus-typical. The tercile split is an exact ntile(3) over
+    (cross_entropy, doc_id) — one global sort of ~16-byte rows, one row
+    per DOCUMENT (not token), which at 100 TB is the docs-count frame a
+    single stage sorts comfortably; swap for approxQuantile thresholds if
+    even that sort is unwanted."""
+    tokb = (
+        _fan_out(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .withColumn("bucket", h60(F.col("tok")) % buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    lm = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n_tot"))
+    logp = lm.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log2((F.col("c") + 1).cast("double") / (F.col("n_tot") + buckets).cast("double"))
+        ).alias("lp"),
+    )
+    scored = (
+        tokb.join(F.broadcast(logp), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_tokens"),
+            F.round(-F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias("cross_entropy"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    t = F.ntile(PPL_TERCILES).over(W.orderBy("cross_entropy", "doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), t).alias("ppl_bucket"),
+    )
+
+
+# ----------------------------------------------------- per-doc tf-idf
+
+TFIDF_K = 3
+
+
+def tfidf_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Top-k terms per document by tf·idf (smooth idf = ln((N+1)/(df+1))+1,
+    scikit-learn's convention) — the per-doc keyword surface that
+    complements corpus-level `top_terms`.
+
+    Scale shape: collapse to (doc, term, tf) counts (one explode + one
+    shuffle), aggregate term→df from the SAME collapsed frame (persisted;
+    at 100 TB stage it to parquet instead), then an equi-join on term —
+    the df frame is vocabulary-sized, so this is a plain shuffled
+    hash join, NOT a broadcast (vocabulary is unbounded; Σ per-term
+    postings are what flow, never the text) — and one per-doc top-k
+    window over ~30-byte rows. Ties break lexicographically for
+    determinism."""
+    from pyspark.sql import Window as W
+
+    tf = (
+        _fan_out(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    # corpus size as a broadcast 1-row frame — no driver-side action
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("df").cast("int").alias("df"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("tf").cast("int").alias("tf"), "df", "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -268,6 +268,18 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.hard_negatives(_emb(spark, sf_dir))
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.perplexity_buckets(_docs(spark, sf_dir))
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_terms(_docs(spark, sf_dir))
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.embedding_quantize(_emb(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -307,4 +319,7 @@ TRAINING_QUERIES = {
     "quality_gopher": quality_gopher,
     "importance_weights": importance_weights,
     "hard_negatives": hard_negatives,
+    "perplexity_buckets": perplexity_buckets,
+    "tfidf_terms": tfidf_terms,
+    "embedding_quantize": embedding_quantize,
 }

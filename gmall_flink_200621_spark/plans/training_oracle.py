@@ -835,6 +835,74 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, round(cosine, 6) AS c
 FROM ranked WHERE rank <= {HN_K}
 """
 
+from ..operators.similarity import INT8_MAX
+from ..operators.textops import PPL_TERCILES, TFIDF_K
+
+PERPLEXITY_BUCKETS = f"""
+WITH tokb AS (
+  SELECT doc_id, {H60.format(c="tok")} % {DSIR_BUCKETS} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+lm AS (SELECT bucket, sum(cnt) AS c FROM tokb GROUP BY bucket),
+tot AS (SELECT sum(c) AS n_tot FROM lm),
+logp AS (
+  SELECT bucket, log2((c + 1)::DOUBLE / (n_tot + {DSIR_BUCKETS})::DOUBLE) AS lp
+  FROM lm, tot
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS INT) AS n_tokens,
+         round(-sum(lp * cnt) / sum(cnt), 6) AS cross_entropy
+  FROM tokb JOIN logp USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, cross_entropy,
+       (['head', 'middle', 'tail'])[ntile({PPL_TERCILES}) OVER (ORDER BY cross_entropy, doc_id)] AS ppl_bucket
+FROM scored
+"""
+
+TFIDF_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq USING (term), nd
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+EMBEDDING_QUANTIZE = f"""
+WITH t AS (
+  SELECT vec_id, embedding AS v,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / {INT8_MAX} AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE
+           abs(x::DOUBLE - least({INT8_MAX}.0, greatest(-{INT8_MAX}.0, round(x::DOUBLE / scale))) * scale)
+         END) AS err,
+         len(v) AS d
+  FROM t
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(list_max(err), 6) AS max_abs_err,
+       round(list_sum(list_transform(err, x -> x * x)) / d, 6) AS mse
+FROM e
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
@@ -874,4 +942,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "quality_gopher": QUALITY_GOPHER,
     "importance_weights": IMPORTANCE_WEIGHTS,
     "hard_negatives": HARD_NEGATIVES,
+    "perplexity_buckets": PERPLEXITY_BUCKETS,
+    "tfidf_terms": TFIDF_TERMS,
+    "embedding_quantize": EMBEDDING_QUANTIZE,
 }

@@ -783,3 +783,97 @@ class TestHardNegatives:
             assert len(rs) <= HN_K
             cos = [r.cosine for r in rs]
             assert cos == sorted(cos, reverse=True)
+
+
+class TestPerplexityBuckets:
+    def test_typical_docs_score_lower_and_terciles_balance(self, spark):
+        from gmall_flink_200621_spark.operators.textops import perplexity_buckets
+
+        common = " ".join(["data"] * 20)  # high-probability tokens
+        rows = [(i, common, "en", "s", 1) for i in range(1, 7)] + [
+            (7, " ".join(f"rare{i}" for i in range(20)), "en", "s", 1),
+            (8, " ".join(f"odd{i}" for i in range(20)), "en", "s", 1),
+            (9, " ".join(f"unk{i}" for i in range(20)), "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+        out = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+        # the six common docs all score below every rare-vocab doc
+        assert max(out[i].cross_entropy for i in range(1, 7)) < min(
+            out[i].cross_entropy for i in (7, 8, 9)
+        )
+        # exact terciles: 9 docs → 3 head, 3 middle, 3 tail
+        from collections import Counter
+
+        c = Counter(r.ppl_bucket for r in out.values())
+        assert c == {"head": 3, "middle": 3, "tail": 3}
+        assert all(out[i].ppl_bucket == "head" for i in range(1, 4))
+
+    def test_cross_entropy_matches_hand_computed_lm(self, spark):
+        import math
+
+        from gmall_flink_200621_spark.operators.textops import DSIR_BUCKETS, perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "x x x", "en", "s", 1), (2, "y", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        out = {r.doc_id: r.cross_entropy for r in perplexity_buckets(docs).collect()}
+        B, N = DSIR_BUCKETS, 4
+        assert out[1] == round(-math.log2((3 + 1) / (N + B)), 6)
+        assert out[2] == round(-math.log2((1 + 1) / (N + B)), 6)
+
+
+class TestTfidfTerms:
+    def test_distinctive_term_ranks_first(self, spark):
+        from gmall_flink_200621_spark.operators.textops import tfidf_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "shared unique1 unique1 shared", "en", "s", 1),
+                (2, "shared other2 shared other2", "en", "s", 1),
+                (3, "shared zebra zebra zebra", "en", "s", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        out = [r for r in tfidf_terms(docs).collect() if r.rank == 1]
+        top = {r.doc_id: r.term for r in out}
+        # per-doc distinctive terms beat the corpus-wide 'shared'
+        assert top == {1: "unique1", 2: "other2", 3: "zebra"}
+
+    def test_rank_bounded_and_deterministic_ties(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.textops import TFIDF_K, tfidf_terms
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        out = tfidf_terms(load_table(spark, sf_dir, "documents")).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for rs in per_doc.values():
+            rs.sort(key=lambda r: r.rank)
+            assert len(rs) <= TFIDF_K
+            keys = [(-r.tfidf, r.term) for r in rs]
+            assert keys == sorted(keys)
+
+
+class TestEmbeddingQuantize:
+    def test_roundtrip_error_bounds(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.similarity import embedding_quantize
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        out = embedding_quantize(load_table(spark, sf_dir, "embeddings")).collect()
+        assert out
+        for r in out:
+            # symmetric int8: reconstruction error ≤ scale/2 (+ rounding slack)
+            assert r.max_abs_err <= r.scale / 2 + 1e-6
+            assert 0 <= r.mse <= r.max_abs_err ** 2 + 1e-12
+
+    def test_zero_vector_guard(self, spark):
+        from gmall_flink_200621_spark.operators.similarity import embedding_quantize
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4, 0), (2, [1.0, -2.0, 0.5, 0.25], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.vec_id: r for r in embedding_quantize(df).collect()}
+        assert out[1].scale == 0.0 and out[1].max_abs_err == 0.0 and out[1].mse == 0.0
+        assert out[2].scale == round(2.0 / 127, 6) and out[2].max_abs_err > 0

@@ -406,3 +406,40 @@ class TestRound5Shapes:
         assert len(re.findall(rf"% {HN_QUERY_MOD}\)", s)) >= 1
         assert s.count("BroadcastNestedLoopJoin") == 1
         assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+    def test_perplexity_buckets_lm_is_broadcast_single_docframe_sort(self, spark, sf_dir):
+        """The hashed-unigram LM comes back as a broadcast (≤ buckets
+        rows); the only Sort is the tercile ntile over one-row-per-doc
+        scalars — the token frame itself must never be sorted."""
+        from gmall_flink_200621_spark.plans.training import perplexity_buckets
+
+        s = _plan(perplexity_buckets(spark, sf_dir))
+        assert "SortMergeJoin" not in s and s.count("BroadcastHashJoin") >= 1
+        assert s.count("Window") == 1
+
+    def test_tfidf_df_join_is_not_hint_broadcast(self, spark, sf_dir):
+        """The document-frequency frame is VOCABULARY-sized — the code
+        must never FORCE it to broadcast (an unbounded forced broadcast is
+        the q2-class OOM at 100 TB). At tiny sf Catalyst may still pick a
+        stats-based broadcast, which is correct and scale-safe — so the
+        pin is on the ANALYZED plan's hints: exactly one explicit
+        broadcast hint exists, and it covers the 1-row n_docs scalar, not
+        the per-term df aggregate."""
+        from gmall_flink_200621_spark.plans.training import tfidf_terms
+
+        df = tfidf_terms(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = [
+            seg for seg in analyzed.split("ResolvedHint")[1:]
+        ]
+        assert len(hints) == 1, analyzed[:1500]
+        # the hinted subtree aggregates to the count-distinct scalar
+        assert "count(distinct doc_id)" in hints[0].split("ResolvedHint")[0][:600].lower() or "n_docs" in hints[0][:600]
+        assert "CartesianProduct" not in _plan(df)
+
+    def test_embedding_quantize_is_shuffle_free(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.training import embedding_quantize
+
+        s = _plan(embedding_quantize(spark, sf_dir))
+        assert s.count("Exchange") <= 1  # fan_out only
+        assert "Join" not in s and "HashAggregate" not in s
