@@ -168,3 +168,77 @@ class TestCorpusMixtureProperty:
                     expected.add(i)
                 running += n
         assert got == expected
+
+
+class TestQualityGopherProperty:
+    TOKS = st.lists(
+        st.sampled_from(["a", "bb", "ccc", "the", "of", "zzzz", "qq"]),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(toks=TOKS)
+    def test_stats_match_bruteforce(self, spark, toks):
+        """The sorted-run top-unigram aggregate and every other derived
+        stat must equal the naive Python definitions on arbitrary token
+        multisets (duplicates, singletons, all-same)."""
+        from collections import Counter
+
+        from gmall_flink_200621_spark.operators.textops import QG_STOPWORDS, quality_gopher
+
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        r = quality_gopher(df).collect()[0]
+        c = Counter(toks)
+        assert r.n_words == len(toks)
+        assert r.mean_word_len == round(sum(map(len, toks)) / len(toks), 6)
+        assert r.stop_count == sum(1 for t in toks if t in QG_STOPWORDS)
+        assert r.top_unigram_ratio == round(max(c.values()) / len(toks), 6)
+
+
+class TestImportanceWeightsProperty:
+    DOCS = st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["u", "v", "w", "x", "y"]), min_size=1, max_size=6),
+            st.booleans(),  # target-language?
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(docs=DOCS)
+    def test_weights_match_bruteforce(self, spark, docs):
+        """Per-doc weight equals the Python-computed smoothed LLR over the
+        SAME hash buckets for arbitrary corpora (incl. zero target docs)."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        from gmall_flink_200621_spark.operators.textops import DSIR_BUCKETS, importance_weights
+
+        rows = [
+            (i, " ".join(toks), "en" if tgt else "fr", "s", 1)
+            for i, (toks, tgt) in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        )
+        got = {r.doc_id: r.weight for r in importance_weights(df).collect()}
+
+        def bucket(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+        raw, tgt_c = Counter(), Counter()
+        for i, (toks, tgt) in enumerate(docs):
+            for t in toks:
+                raw[bucket(t)] += 1
+                if tgt:
+                    tgt_c[bucket(t)] += 1
+        R, T, B = sum(raw.values()), sum(tgt_c.values()), DSIR_BUCKETS
+        for i, (toks, _) in enumerate(docs):
+            lrs = [
+                math.log((tgt_c[bucket(t)] + 1) / (T + B)) - math.log((raw[bucket(t)] + 1) / (R + B))
+                for t in toks
+            ]
+            assert got[i] == round(sum(lrs) / len(lrs), 6), (i, toks)
