@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "tfidf_terms",
     "embedding_quantize",
+    "contamination_matrix",
 ]
 
 

@@ -575,3 +575,46 @@ def dedup_substring(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_windows)
     )
+
+
+def contamination_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of DISTINCT word-3-gram shingles they share and
+    the overlap coefficient (n_common / min-source-vocabulary) — the
+    audit that catches one crawl snapshot bleeding into another, or an
+    eval set leaking into a training source, at the SOURCE granularity
+    (decontaminate covers the per-document case).
+
+    Scale shape: the corpus collapses to a distinct (source, h60) frame —
+    one shuffle of 8-byte hashes keyed by shingle. The self-join fan-out
+    per shingle is C(#sources-containing-it, 2), and the number of
+    SOURCES is bounded (tens, not millions), so the blowup is ≤ C(S,2)
+    per shingle regardless of corpus size — no df-cap needed, unlike the
+    per-document inverted index. Output is C(S,2) rows."""
+    sh = (
+        _doc_shingles(docs, df_cap=None)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", h60(F.col("shingle")).alias("sh60"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh60") == F.col("b.sh60")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias("overlap"),
+        )
+    )

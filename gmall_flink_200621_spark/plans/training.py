@@ -280,6 +280,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_quantize(_emb(spark, sf_dir))
 
 
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.contamination_matrix(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -322,4 +326,5 @@ TRAINING_QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "tfidf_terms": tfidf_terms,
     "embedding_quantize": embedding_quantize,
+    "contamination_matrix": contamination_matrix,
 }

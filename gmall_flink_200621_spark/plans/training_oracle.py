@@ -882,6 +882,35 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_K}
 """
 
+# uncapped shingles (df_cap=None on the Spark side): source count bounds
+# the self-join fan-out, so no hot-shingle drop is needed or applied
+CONTAMINATION_MATRIX = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ) ELSE [] END) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+srcsh AS (
+  SELECT DISTINCT d.source, {H60.format(c="shingle")} AS sh60
+  FROM sh0 JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM srcsh GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM srcsh a JOIN srcsh b ON a.sh60 = b.sh60 AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       round(n_common / least(sa.n_sh, sb.n_sh), 6) AS overlap
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
 EMBEDDING_QUANTIZE = f"""
 WITH t AS (
   SELECT vec_id, embedding AS v,
@@ -945,4 +974,5 @@ TRAINING_ORACLES: dict[str, str] = {
     "perplexity_buckets": PERPLEXITY_BUCKETS,
     "tfidf_terms": TFIDF_TERMS,
     "embedding_quantize": EMBEDDING_QUANTIZE,
+    "contamination_matrix": CONTAMINATION_MATRIX,
 }

@@ -877,3 +877,21 @@ class TestEmbeddingQuantize:
         out = {r.vec_id: r for r in embedding_quantize(df).collect()}
         assert out[1].scale == 0.0 and out[1].max_abs_err == 0.0 and out[1].mse == 0.0
         assert out[2].scale == round(2.0 / 127, 6) and out[2].max_abs_err > 0
+
+
+class TestContaminationMatrix:
+    def test_planted_cross_source_overlap(self, spark):
+        from gmall_flink_200621_spark.operators.dedup import contamination_matrix
+
+        rows = [
+            (1, "a b c d e f", "s1"),   # shares 'a b c'..'d e f' with s2's doc
+            (2, "a b c d e f", "s2"),
+            (3, "q r s t u v", "s2"),
+            (4, "x y z w m n", "s3"),   # disjoint from everything
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {(r.source_a, r.source_b): r for r in contamination_matrix(docs).collect()}
+        # s1⋂s2 = all 4 shingles of doc1; s1 vocab=4, s2 vocab=8 → overlap 1.0
+        assert set(out) == {("s1", "s2")}
+        assert out[("s1", "s2")].n_common == 4
+        assert out[("s1", "s2")].overlap == 1.0
