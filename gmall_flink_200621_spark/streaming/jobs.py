@@ -459,3 +459,45 @@ def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, query
         .queryName(queryName + "_q")
         .start()
     )
+
+
+def run_quality_gate_stream(
+    spark: SparkSession, sf_dir: str, name: str = "quality_gate", stage_dir: str | None = None
+):
+    """Streaming quality gate with a REJECT-side audit table — the
+    side-output convention (HotUrlApp.java:52-61's late-data tag) applied
+    to corpus curation: documents stream in, `quality_gopher`'s rule
+    flags are computed per micro-batch, keepers append to `<name>_kept`
+    and every reject lands in `<name>_audit` WITH its failing rule flags
+    (a silent drop is how a quality regression eats a corpus unnoticed —
+    the audit table is what you sample to see WHICH rule fired).
+
+    The rules are stateless row-local expressions, so stream==batch holds
+    exactly: kept ∪ audit partitions the corpus, and flags equal the
+    batch operator's row for every doc. foreachBatch (not two
+    writeStreams) so one scan feeds both sinks per batch."""
+    from ..operators.textops import quality_gopher
+    from .ingest import _drop_table, stage_document_chunks
+
+    kept_t, audit_t = f"{name}_kept", f"{name}_audit"
+    for t in (kept_t, audit_t):
+        _drop_table(spark, t)
+    cols = (
+        "doc_id BIGINT, n_words INT, mean_word_len DOUBLE, stop_count INT, "
+        "top_unigram_ratio DOUBLE, flag_word_count INT, flag_mean_word_len INT, "
+        "flag_stopwords INT, flag_repetition INT, keep INT"
+    )
+    spark.sql(f"CREATE TABLE {kept_t} ({cols}) USING parquet")
+    spark.sql(f"CREATE TABLE {audit_t} ({cols}) USING parquet")
+
+    stage = stage_dir or stage_document_chunks(sf_dir)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = quality_gopher(batch_df).persist()
+        scored.filter(F.col("keep") == 1).write.mode("append").saveAsTable(kept_t)
+        scored.filter(F.col("keep") == 0).write.mode("append").saveAsTable(audit_t)
+        scored.unpersist()
+
+    return docs.writeStream.foreachBatch(gate_batch).queryName(f"{name}_q").start()

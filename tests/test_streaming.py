@@ -549,3 +549,33 @@ class TestIncrementalMV:
         #    of the full window history the unbounded variant would hold
         assert state_rows <= 5, state_rows
         assert state_rows < len(expected) / 4
+
+
+class TestQualityGateStream:
+    def test_kept_and_audit_partition_the_corpus(self, spark, sf_dir):
+        """Stream==batch for the stateless rule gate, plus the side-output
+        contract: kept ∪ audit == every doc exactly once, flags identical
+        to the batch operator row-for-row."""
+        from gmall_flink_200621_spark.operators.textops import quality_gopher
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.jobs import run_quality_gate_stream
+
+        q = run_quality_gate_stream(spark, sf_dir, name="qg_test")
+        _drain(q)
+        spark.catalog.refreshTable("qg_test_kept")
+        spark.catalog.refreshTable("qg_test_audit")
+        kept = {r.doc_id: r for r in spark.table("qg_test_kept").collect()}
+        audit = {r.doc_id: r for r in spark.table("qg_test_audit").collect()}
+        assert kept and audit
+        assert not (set(kept) & set(audit))
+        batch = {r.doc_id: r for r in quality_gopher(load_table(spark, sf_dir, "documents")).collect()}
+        assert set(kept) | set(audit) == set(batch)
+        for d, r in batch.items():
+            got = kept[d] if r.keep == 1 else audit[d]
+            assert (
+                got.flag_word_count,
+                got.flag_mean_word_len,
+                got.flag_stopwords,
+                got.flag_repetition,
+                got.keep,
+            ) == (r.flag_word_count, r.flag_mean_word_len, r.flag_stopwords, r.flag_repetition, r.keep)
