@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "embedding_quantize",
     "contamination_matrix",
+    "weighted_sample",
 ]
 
 

@@ -618,3 +618,40 @@ def contamination_matrix(docs: DataFrame) -> DataFrame:
             F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias("overlap"),
         )
     )
+
+
+def dedup_eval(docs: DataFrame) -> DataFrame:
+    """Recall evaluation of the MinHash-LSH detector against the exact
+    inverted-index Jaccard ground truth at the same threshold — the
+    one-row report a pipeline owner checks before trusting LSH at a new
+    banding/permutation setting. LSH emits only exact-verified pairs, so
+    false positives are structurally zero (precision 1.0 — asserted by
+    construction, still reported); the number that can move is RECALL:
+    pairs whose signatures never collided in any band.
+
+    Both pair sets are Σ-bucket²-bounded (shared df-capped shingle
+    machinery); the comparison joins two candidate-pair frames — tiny
+    relative to the corpus — and aggregates to a single row."""
+    exact = dedup_ngram_jaccard(docs).select("id_a", "id_b")
+    lsh = dedup_minhash_lsh(docs).select("id_a", "id_b")
+    j = exact.withColumn("in_exact", F.lit(1)).join(
+        lsh.withColumn("in_lsh", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return j.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("in_lsh", F.lit(0))).alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1).otherwise(0)
+        ).alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.round(
+            F.when(F.col("n_lsh") > 0, F.col("n_common") / F.col("n_lsh")).otherwise(F.lit(1.0)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_exact") > 0, F.col("n_common") / F.col("n_exact")).otherwise(F.lit(1.0)),
+            6,
+        ).alias("recall"),
+    )

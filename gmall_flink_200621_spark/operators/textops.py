@@ -723,3 +723,39 @@ def tfidf_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
         .select("doc_id", "term", F.col("tf").cast("int").alias("tf"), "df", "tfidf",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------- deterministic weighted sampling
+
+WS_PER_SOURCE = 15  # < docs-per-source at every test sf, so selection is real
+
+
+def weighted_sample(docs: DataFrame, per_source: int = WS_PER_SOURCE, seed: str = "ws0") -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis A-ES:
+    each doc draws u ∈ (0,1) and ranks by ln(u)/w — the top-k per source
+    is a weighted-without-replacement sample with inclusion probability
+    proportional to w (here w = n_chars, longer docs likelier). u is
+    derived from the engine-portable md5 hash of (seed, doc_id), so the
+    "random" draw is deterministic, reproducible, and identical in the
+    DuckDB oracle — the property a training-data pipeline needs for
+    auditable resamples.
+
+    The sort key is rounded to 6 decimals BEFORE ranking with doc_id as
+    tiebreak, so cross-engine 1-ulp double drift can never reorder the
+    selection. One scan; the only shuffle is the per-source top-k window
+    over (source, key, doc_id) triples — text never moves."""
+    from pyspark.sql import Window as W
+
+    # u in (0,1): 60-bit hash scaled; +1 on the numerator avoids ln(0)
+    u = (h60(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))) + 1).cast("double") / float(
+        (1 << 60) + 1
+    )
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    w = W.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        _fan_out(docs)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"), key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_source)
+        .select("doc_id", "source", "n_chars", "es_key", F.col("rank").cast("int").alias("rank"))
+    )

@@ -284,6 +284,14 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_matrix(_docs(spark, sf_dir))
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.weighted_sample(_docs(spark, sf_dir))
+
+
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_eval(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -327,4 +335,6 @@ TRAINING_QUERIES = {
     "tfidf_terms": tfidf_terms,
     "embedding_quantize": embedding_quantize,
     "contamination_matrix": contamination_matrix,
+    "weighted_sample": weighted_sample,
+    "dedup_eval": dedup_eval,
 }

@@ -882,6 +882,44 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_K}
 """
 
+from ..operators.textops import WS_PER_SOURCE
+
+WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         round(ln(({H60.format(c="'ws0:' || CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE
+                  / {(1 << 60) + 1}) / n_chars, 6) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS INT) AS rank
+  FROM t
+)
+SELECT doc_id, source, n_chars, es_key, rank FROM ranked WHERE rank <= {WS_PER_SOURCE}
+"""
+
+# ex/ls are the two certified pair queries verbatim — recall is the only
+# degree of freedom (LSH pairs are exact-verified, precision ≡ 1)
+DEDUP_EVAL = """
+WITH j AS (
+  SELECT ex.id_a IS NOT NULL AS in_exact, ls.id_a IS NOT NULL AS in_lsh
+  FROM ({ex}) ex
+  FULL OUTER JOIN ({ls}) ls ON ex.id_a = ls.id_a AND ex.id_b = ls.id_b
+)
+SELECT CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(CASE WHEN sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) > 0
+                  THEN sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END)
+                       / sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)
+                  ELSE 1.0 END, 6) AS precision,
+       round(CASE WHEN sum(CASE WHEN in_exact THEN 1 ELSE 0 END) > 0
+                  THEN sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END)
+                       / sum(CASE WHEN in_exact THEN 1 ELSE 0 END)
+                  ELSE 1.0 END, 6) AS recall
+FROM j
+"""
+
 # uncapped shingles (df_cap=None on the Spark side): source count bounds
 # the self-join fan-out, so no hot-shingle drop is needed or applied
 CONTAMINATION_MATRIX = f"""
@@ -975,4 +1013,6 @@ TRAINING_ORACLES: dict[str, str] = {
     "tfidf_terms": TFIDF_TERMS,
     "embedding_quantize": EMBEDDING_QUANTIZE,
     "contamination_matrix": CONTAMINATION_MATRIX,
+    "weighted_sample": WEIGHTED_SAMPLE,
+    "dedup_eval": DEDUP_EVAL.format(ex=DEDUP_NGRAM_JACCARD, ls=DEDUP_MINHASH_LSH),
 }

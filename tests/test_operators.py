@@ -895,3 +895,39 @@ class TestContaminationMatrix:
         assert set(out) == {("s1", "s2")}
         assert out[("s1", "s2")].n_common == 4
         assert out[("s1", "s2")].overlap == 1.0
+
+
+class TestWeightedSample:
+    def test_deterministic_and_bounded(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.textops import WS_PER_SOURCE, weighted_sample
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = {(r.doc_id, r.rank) for r in weighted_sample(docs).collect()}
+        b = {(r.doc_id, r.rank) for r in weighted_sample(docs).collect()}
+        assert a == b and a
+        from collections import Counter
+
+        per_src = Counter(s for s, in weighted_sample(docs).select("source").collect())
+        assert all(v <= WS_PER_SOURCE for v in per_src.values())
+
+    def test_weight_dominates_selection(self, spark):
+        """A-ES property: with one doc a million times heavier than the
+        rest, per_source=1 must select it (ln(u)/w → 0⁻ as w grows)."""
+        from gmall_flink_200621_spark.operators.textops import weighted_sample
+
+        rows = [(0, "t", "en", "s1", 10**9)] + [(i, "t", "en", "s1", 1) for i in range(1, 50)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+        out = weighted_sample(docs, per_source=1).collect()
+        assert [r.doc_id for r in out] == [0]
+
+
+class TestDedupEval:
+    def test_lsh_recall_report(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.dedup import dedup_eval
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        r = dedup_eval(load_table(spark, sf_dir, "documents")).collect()[0]
+        assert r.precision == 1.0  # LSH pairs are exact-verified
+        assert 0.0 <= r.recall <= 1.0 and r.n_common <= r.n_exact
+        assert r.n_lsh == r.n_common  # no unverified pair can appear
