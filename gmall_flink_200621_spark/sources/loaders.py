@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
@@ -204,3 +205,30 @@ def rate_market_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFr
         F.element_at(channels, (F.pmod(F.xxhash64("value", F.lit(2)), F.lit(4)) + 1).cast("int")).alias("channel"),
         F.col("timestamp").alias("ts"),
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str):
+    """JSON-lines source with explicit corrupt-record ROUTING (the S1
+    text-source class, production form): PERMISSIVE parse keeps the raw
+    line of any malformed record in `_corrupt_record`; callers get
+    (good, bad) frames and append `bad` to a quarantine table instead of
+    silently nulling fields (FAILFAST) or dropping lines (DROPMALFORMED).
+
+    The schema must be explicit — schema inference is a full extra pass
+    over the data at 100 TB and is non-deterministic under sampling; the
+    corrupt column is appended here, never part of the caller's schema."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema).add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(st)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark requires caching/materialization before referencing only the
+    # corrupt column (SPARK-21610 guard) — checkpoint-free persist is fine
+    df = df.persist()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

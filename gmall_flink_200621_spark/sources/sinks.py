@@ -116,3 +116,42 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # compaction target (~one HDFS/S3 block)
+
+
+def compact_table(spark, path: str, target_file_bytes: int = TARGET_FILE_BYTES) -> dict:
+    """Small-file compaction for a parquet directory — the maintenance job
+    every streaming/append pipeline needs: micro-batch appends leave
+    hundreds of KB-scale files, and at 100 TB the resulting file-listing
+    and task-scheduling overhead dominates scans ("small files problem").
+
+    Bin-packs to ceil(total_bytes / target_file_bytes) files via
+    coalesce (no shuffle — compaction must not pay a full repartition of
+    data that is merely fragmented), writes to a staging dir, then swaps
+    atomically-enough for a filesystem without transactional tables:
+    stage → rename old → rename stage into place → delete old. On a
+    transactional format (Iceberg/Delta) this is `rewrite_data_files`;
+    the policy (size-triggered, target-block-sized output) is the same.
+
+    Returns {files_before, files_after, bytes}. No-ops (and reports) when
+    the directory is already at or below the target file count."""
+    import glob
+    import os
+    import shutil
+
+    files = [f for f in glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    want = max(1, -(-total // target_file_bytes))
+    if len(files) <= want:
+        return {"files_before": len(files), "files_after": len(files), "bytes": total, "compacted": False}
+    df = spark.read.parquet(path)
+    stage = path.rstrip("/") + ".compact-stage"
+    df.coalesce(int(want)).write.mode("overwrite").parquet(stage)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path.rstrip("/"), old)
+    os.rename(stage, path.rstrip("/"))
+    shutil.rmtree(old)
+    after = [f for f in glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    return {"files_before": len(files), "files_after": len(after), "bytes": total, "compacted": True}

@@ -280,3 +280,42 @@ class TestTrainingShards:
             assert len(files) == 1, d
             ids = [r.doc_id for r in spark.read.parquet(files[0]).select("doc_id").collect()]
             assert ids == sorted(ids)
+
+
+class TestCompactTable:
+    def test_binpacks_and_preserves_rows(self, spark, tmp_path):
+        from gmall_flink_200621_spark.sources.sinks import compact_table
+
+        path = str(tmp_path / "frag")
+        # 40 tiny appended files — the streaming-append fragmentation shape
+        for i in range(40):
+            spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+        before = spark.read.parquet(path)
+        rows_before = sorted(r.id for r in before.collect())
+        rep = compact_table(spark, path, target_file_bytes=1 << 30)
+        assert rep["compacted"] and rep["files_before"] >= 40 and rep["files_after"] == 1
+        after = spark.read.parquet(path)
+        assert sorted(r.id for r in after.collect()) == rows_before
+        # already-compacted dir no-ops
+        rep2 = compact_table(spark, path, target_file_bytes=1 << 30)
+        assert not rep2["compacted"] and rep2["files_after"] == 1
+
+
+class TestJsonlSource:
+    def test_corrupt_records_are_routed_not_dropped(self, spark, tmp_path):
+        from gmall_flink_200621_spark.sources.loaders import read_jsonl
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok one"}\n'
+            "{broken json line\n"
+            '{"doc_id": 2, "text": "ok two"}\n'
+            '{"doc_id": "not-a-number", "text": "bad type"}\n'
+        )
+        good, bad = read_jsonl(spark, str(p), "doc_id long, text string")
+        g = {r.doc_id: r.text for r in good.collect()}
+        b = [r._corrupt_record for r in bad.collect()]
+        assert g == {1: "ok one", 2: "ok two"}
+        assert len(b) == 2 and any("broken" in x for x in b)
+        # conservation: every input line is in exactly one frame
+        assert good.count() + bad.count() == 4
