@@ -462,7 +462,12 @@ def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, query
 
 
 def run_quality_gate_stream(
-    spark: SparkSession, sf_dir: str, name: str = "quality_gate", stage_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "quality_gate",
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    reset_tables: bool = True,
 ):
     """Streaming quality gate with a REJECT-side audit table — the
     side-output convention (HotUrlApp.java:52-61's late-data tag) applied
@@ -480,15 +485,16 @@ def run_quality_gate_stream(
     from .ingest import _drop_table, stage_document_chunks
 
     kept_t, audit_t = f"{name}_kept", f"{name}_audit"
-    for t in (kept_t, audit_t):
-        _drop_table(spark, t)
-    cols = (
-        "doc_id BIGINT, n_words INT, mean_word_len DOUBLE, stop_count INT, "
-        "top_unigram_ratio DOUBLE, flag_word_count INT, flag_mean_word_len INT, "
-        "flag_stopwords INT, flag_repetition INT, keep INT"
-    )
-    spark.sql(f"CREATE TABLE {kept_t} ({cols}) USING parquet")
-    spark.sql(f"CREATE TABLE {audit_t} ({cols}) USING parquet")
+    if reset_tables:
+        for t in (kept_t, audit_t):
+            _drop_table(spark, t)
+        cols = (
+            "doc_id BIGINT, n_words INT, mean_word_len DOUBLE, stop_count INT, "
+            "top_unigram_ratio DOUBLE, flag_word_count INT, flag_mean_word_len INT, "
+            "flag_stopwords INT, flag_repetition INT, keep INT"
+        )
+        spark.sql(f"CREATE TABLE {kept_t} ({cols}) USING parquet")
+        spark.sql(f"CREATE TABLE {audit_t} ({cols}) USING parquet")
 
     stage = stage_dir or stage_document_chunks(sf_dir)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
@@ -500,4 +506,11 @@ def run_quality_gate_stream(
         scored.filter(F.col("keep") == 0).write.mode("append").saveAsTable(audit_t)
         scored.unpersist()
 
-    return docs.writeStream.foreachBatch(gate_batch).queryName(f"{name}_q").start()
+    w = docs.writeStream.foreachBatch(gate_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        # restart with the same (stage_dir, checkpoint_dir, reset_tables=
+        # False) and only unseen files are read — same recovery contract
+        # as run_corpus_ingest_stream (clean stop = exactly-once; crash
+        # mid-batch can double the interrupted batch's appends)
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

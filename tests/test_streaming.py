@@ -579,3 +579,50 @@ class TestQualityGateStream:
                 got.flag_repetition,
                 got.keep,
             ) == (r.flag_word_count, r.flag_mean_word_len, r.flag_stopwords, r.flag_repetition, r.keep)
+
+    def test_checkpoint_recovery_reads_only_new_chunks(self, spark, sf_dir, tmp_path):
+        """Stop after two chunks, add the rest, restart from the same
+        checkpoint: only the new files are read and kept ∪ audit still
+        partitions the corpus exactly."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.streaming.ingest import stage_document_chunks
+        from gmall_flink_200621_spark.streaming.jobs import run_quality_gate_stream
+
+        full = stage_document_chunks(sf_dir, n_chunks=4)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        for f in ("part-0.parquet", "part-1.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+
+        q = run_quality_gate_stream(
+            spark, sf_dir, name="qg_rec", stage_dir=str(incr), checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        n1 = spark.table("qg_rec_kept").count() + spark.table("qg_rec_audit").count()
+
+        for f in ("part-2.parquet", "part-3.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_quality_gate_stream(
+            spark, sf_dir, name="qg_rec", stage_dir=str(incr), checkpoint_dir=ckpt, reset_tables=False
+        )
+        q2.processAllAvailable()
+        restarted = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        q2.stop()
+        q2.awaitTermination()
+        assert len(restarted) == 2  # offsets restored — old chunks not re-read
+
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        spark.catalog.refreshTable("qg_rec_kept")
+        spark.catalog.refreshTable("qg_rec_audit")
+        kept = {r.doc_id for r in spark.table("qg_rec_kept").collect()}
+        audit = {r.doc_id for r in spark.table("qg_rec_audit").collect()}
+        alldocs = {r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()}
+        assert not (kept & audit)
+        assert kept | audit == alldocs
+        assert len(kept) + len(audit) == len(alldocs) > n1
