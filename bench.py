@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "contamination_matrix",
     "weighted_sample",
+    "term_counts_cms",
 ]
 
 

@@ -82,3 +82,62 @@ def heavy_hitters(df: DataFrame, key_col: str, denom: int = DEFAULT_DENOM) -> Da
         .filter(F.col("n_rows") >= thr)
         .select(F.col("key").alias(key_col), "n_rows", thr.alias("threshold"))
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def term_counts_cms(docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH, k: int = CMS_TOP_K) -> DataFrame:
+    """Count-Min sketch over the corpus term stream, reported as estimate
+    vs exact for the top-k terms — the mergeable fixed-memory frequency
+    summary (Cormode & Muthukrishnan 2005) that complements Misra-Gries
+    (exact heavy keys) and HLL (distinct counts): CMS answers point
+    frequency queries for ANY term with ε=e/width overcount at δ=e^-depth
+    confidence, never undercounting.
+
+    Build: one explode pass emits (row, col) cells via the engine-portable
+    h60 per hash row; the sketch is a ≤ depth·width-row aggregate (map-side
+    partial to 4096 keys — the shuffle is sketch-sized, not corpus-sized)
+    that broadcasts back for estimation. Estimates = min over rows of the
+    joined cell counts; the exact side reuses the same token collapse. The
+    report keys on the exact top-k (count desc, term asc) so output is
+    deterministic; `overcount = est − exact ≥ 0` is the collision audit.
+
+    On a cluster the sketch frame IS the mergeable state: per-executor
+    partial cells sum into the global sketch, same as any partial+final
+    agg — no driver bottleneck, O(depth·width) memory anywhere."""
+    from ..functions.text import h60, tokens
+
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (h60(F.concat(F.lit(f"cms{d}:"), F.col("term"))) % width).alias("c"),
+            )
+            for d in range(depth)
+        ]
+    )
+    cms = (
+        tok.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(k)
+    # same cell expression re-applied to the top-k probe terms
+    probes = top.select("term", "exact_n", F.explode(cells).alias("cell"))
+    return (
+        probes.select("term", "exact_n", F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+        .join(F.broadcast(cms), ["d", "c"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "term",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )

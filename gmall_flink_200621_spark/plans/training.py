@@ -292,6 +292,12 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_eval(_docs(spark, sf_dir))
 
 
+def term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.frequency import term_counts_cms as _cms
+
+    return _cms(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -337,4 +343,5 @@ TRAINING_QUERIES = {
     "contamination_matrix": contamination_matrix,
     "weighted_sample": weighted_sample,
     "dedup_eval": dedup_eval,
+    "term_counts_cms": term_counts_cms,
 }

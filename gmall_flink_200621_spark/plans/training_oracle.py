@@ -970,6 +970,31 @@ SELECT vec_id,
 FROM e
 """
 
+from ..operators.frequency import CMS_DEPTH, CMS_TOP_K, CMS_WIDTH
+
+_CMS_CELLS = " UNION ALL ".join(
+    "SELECT {d} AS d, ({h}) % {w} AS c, term FROM tok".format(
+        d=d, w=CMS_WIDTH, h=H60.format(c="'cms{}:' || term".format(d))
+    )
+    for d in range(CMS_DEPTH)
+)
+
+TERM_COUNTS_CMS = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cells AS ({_CMS_CELLS}),
+cms AS (SELECT d, c, count(*) AS cnt FROM cells GROUP BY d, c),
+exact AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY term),
+top AS (SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term ASC LIMIT {CMS_TOP_K}),
+probes AS (
+  SELECT t.term, t.exact_n, p.d,
+         ({H60.format(c="'cms' || CAST(p.d AS VARCHAR) || ':' || t.term")}) % {CMS_WIDTH} AS c
+  FROM top t, generate_series(0, {CMS_DEPTH - 1}) AS p(d)
+)
+SELECT term, exact_n, min(cnt) AS cms_est, min(cnt) - exact_n AS overcount
+FROM probes JOIN cms USING (d, c)
+GROUP BY term, exact_n
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
@@ -1015,4 +1040,5 @@ TRAINING_ORACLES: dict[str, str] = {
     "contamination_matrix": CONTAMINATION_MATRIX,
     "weighted_sample": WEIGHTED_SAMPLE,
     "dedup_eval": DEDUP_EVAL.format(ex=DEDUP_NGRAM_JACCARD, ls=DEDUP_MINHASH_LSH),
+    "term_counts_cms": TERM_COUNTS_CMS,
 }

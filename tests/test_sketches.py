@@ -48,3 +48,27 @@ class TestStreamingExactUV:
         assert got
         assert all(expected.get(k) == v for k, v in got.items())
         assert len(got) >= len(expected) - 1  # last window may be held by the watermark
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_tight_on_testdata(self, spark, sf_dir):
+        from gmall_flink_200621_spark.operators.frequency import CMS_TOP_K, term_counts_cms
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        out = term_counts_cms(load_table(spark, sf_dir, "documents")).collect()
+        assert len(out) == CMS_TOP_K
+        assert all(r.overcount >= 0 for r in out)  # CMS never undercounts
+        assert all(r.cms_est == r.exact_n + r.overcount for r in out)
+
+    def test_planted_collision_overcounts_min_property(self, spark):
+        """With width≫vocab there are no collisions → est == exact; with
+        width=1 every term collides into one cell → est == total tokens."""
+        from gmall_flink_200621_spark.operators.frequency import term_counts_cms
+
+        docs = spark.createDataFrame(
+            [(1, "x x x y z"), (2, "y z z q r")], "doc_id long, text string"
+        )
+        wide = {r.term: r for r in term_counts_cms(docs, width=1 << 16, k=10).collect()}
+        assert all(r.overcount == 0 for r in wide.values())
+        narrow = {r.term: r for r in term_counts_cms(docs, width=1, k=10).collect()}
+        assert all(r.cms_est == 10 for r in narrow.values())  # 10 tokens total
