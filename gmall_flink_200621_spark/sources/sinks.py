@@ -155,3 +155,27 @@ def compact_table(spark, path: str, target_file_bytes: int = TARGET_FILE_BYTES) 
     shutil.rmtree(old)
     after = [f for f in glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
     return {"files_before": len(files), "files_after": len(after), "bytes": total, "compacted": True}
+
+
+def layout_by_range(df: DataFrame, path: str, cols: list[str], n_files: int = 8) -> None:
+    """Range-clustered table layout: repartitionByRange + in-partition
+    sort on the clustering columns, so every output file owns a disjoint
+    value range with tight parquet min/max footer stats. A point/range
+    predicate on the clustering columns then touches O(1) files instead
+    of all of them — on plain parquet the win is row-group skipping
+    (Spark pushes the predicate to the reader), and on a stats-indexed
+    table format (Delta/Iceberg, or any file-level min/max catalog) it
+    becomes true file skipping. This is the sort-order lever that makes
+    a 100 TB time-series or id-ranged table scannable; it composes with
+    `compact_table` (compaction preserves the range clustering because
+    coalesce concatenates neighboring partitions).
+
+    The range exchange samples the columns to build balanced boundaries
+    — one extra pass over the sort keys only, not a full sort of the
+    data through the driver."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -319,3 +319,53 @@ class TestJsonlSource:
         assert len(b) == 2 and any("broken" in x for x in b)
         # conservation: every input line is in exactly one frame
         assert good.count() + bad.count() == 4
+
+
+class TestRangeLayout:
+    def test_footer_stats_are_disjoint_and_skippable(self, spark, sf_dir, tmp_path):
+        """After range layout on `value`, each file's [min,max] is a
+        disjoint slice — a narrow range predicate intersects ≤2 files'
+        stats (the file-skipping property); the append-fragmented layout
+        intersects nearly all of them."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.sources.sinks import layout_by_range
+
+        events = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+        def ranges(path):
+            out = []
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(1)  # value
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                out.append((min(mins), max(maxs)))
+            return out
+
+        clustered = str(tmp_path / "clustered")
+        layout_by_range(events, clustered, ["value"], n_files=8)
+        frag = str(tmp_path / "frag")
+        events.repartition(8).write.parquet(frag)  # hash-scattered baseline
+
+        lo = events.approxQuantile("value", [0.4, 0.45], 0.01)
+        probe = (lo[0], lo[1])
+
+        def touched(rs):
+            return sum(1 for mn, mx in rs if not (mx < probe[0] or mn > probe[1]))
+
+        rc, rf = ranges(clustered), ranges(frag)
+        assert len(rc) == 8
+        # disjointness: sorted ranges don't overlap (float-tolerant)
+        srt = sorted(rc)
+        assert all(srt[i][1] <= srt[i + 1][0] + 1e-9 for i in range(len(srt) - 1))
+        assert touched(rc) <= 2
+        assert touched(rf) >= 7  # every scattered file spans the domain
+        # and the data survived the layout intact
+        back = spark.read.parquet(clustered)
+        assert back.count() == events.count()
