@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "contamination_matrix",
     "weighted_sample",
     "term_counts_cms",
+    "time_to_purchase",
 ]
 
 

@@ -82,3 +82,33 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).select(
         *on, *left_only, *[F.col(f"__p_{c}").alias(c) for c in payload_cols]
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row at or
+    after it per key — "time to next X" feature extraction (time-to-
+    conversion, time-to-failure). Pure wrapper: negate both timestamp
+    columns and run the backward carry-forward, so it inherits the one-
+    shuffle zero-blowup plan and the inclusive-at-equal-ts semantics
+    (DuckDB's `ASOF ... ON l.ts <= r.ts` oracle form). The negated column
+    is internal; output carries the caller's columns unchanged."""
+    ln = left.withColumn("__neg_lts", -F.col(left_ts))
+    rn = right.withColumn("__neg_rts", -F.col(right_ts))
+    out = asof_join(
+        ln,
+        rn,
+        on=on,
+        left_ts="__neg_lts",
+        right_ts="__neg_rts",
+        payload_cols=payload_cols,
+        tiebreak=tiebreak,
+    )
+    return out.drop("__neg_lts")

@@ -356,6 +356,39 @@ def user_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join surface: for every view event, the user's next
+    purchase at-or-after it and the wait in seconds (NULL when the user
+    never purchases again) — time-to-conversion feature extraction. One
+    shuffle on user_id, zero row blowup (operators/asof.py carry form);
+    the oracle is DuckDB's native forward ASOF (`ON v.ts <= p.ts`)."""
+    from ..operators.asof import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_s"), "event_type"
+    )
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts_s")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_s").alias("p_ts_s")
+    )
+    out = asof_join_forward(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_s",
+        right_ts="p_ts_s",
+        payload_cols=["p_ts_s"],
+        tiebreak="p_ts_s",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.col("p_ts_s").alias("next_purchase_s"),
+        (F.col("p_ts_s") - F.col("ts_s")).alias("wait_s"),
+    )
+
+
 EXTRA_QUERIES = {
     "late_arrival_audit": late_arrival_audit,
     "user_churn_sets": user_churn_sets,
@@ -369,9 +402,20 @@ EXTRA_QUERIES = {
     "value_quantile_sketch": value_quantile_sketch,
     "props_extract_stats": props_extract_stats,
     "uv_sketch_rollup": uv_sketch_rollup,
+    "time_to_purchase": time_to_purchase,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    # dedupe equal-ts purchases first (mirror of the Spark tiebreak) so
+    # ASOF's unspecified tie choice can't differ
+    "time_to_purchase": """
+WITH v AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts_s FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, v.user_id, v.ts_s,
+       p.p_ts_s AS next_purchase_s,
+       p.p_ts_s - v.ts_s AS wait_s
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts_s <= p.p_ts_s
+""",
     "user_churn_sets": f"""
 WITH first AS (SELECT DISTINCT user_id FROM events WHERE ts < '{CHURN_SPLIT}'),
      second AS (SELECT DISTINCT user_id FROM events WHERE ts >= '{CHURN_SPLIT}')

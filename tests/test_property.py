@@ -242,3 +242,41 @@ class TestImportanceWeightsProperty:
                 for t in toks
             ]
             assert got[i] == round(sum(lrs) / len(lrs), 6), (i, toks)
+
+
+class TestAsofForwardProperty:
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(left=ROWS, right=ROWS)
+    def test_forward_asof_matches_bruteforce(self, spark, left, right):
+        """Earliest right row at-or-after each left row per key, ties on
+        equal rts resolved to the max tiebreak — the mirror of the
+        backward property through the negation wrapper."""
+        from gmall_flink_200621_spark.operators.asof import asof_join_forward
+
+        left = [(k, t, i) for i, (k, t, _) in enumerate(left)]
+        if not left:
+            return
+        ldf = spark.createDataFrame(left, "k long, lts long, lid long")
+        rdf = (
+            spark.createDataFrame(right, "k long, rts long, rid long")
+            if right
+            else spark.createDataFrame([], "k long, rts long, rid long")
+        )
+
+        got = {
+            r.lid: (r.rid, r.rts)
+            for r in asof_join_forward(
+                ldf, rdf, ["k"], "lts", "rts", ["rid", "rts"], tiebreak="rid"
+            ).collect()
+        }
+
+        def brute(k, lts):
+            cands = [(rts, rid) for (rk, rts, rid) in right if rk == k and rts >= lts]
+            if not cands:
+                return (None, None)
+            best_ts = min(rts for rts, _ in cands)
+            best_id = max(rid for rts, rid in cands if rts == best_ts)
+            return (best_id, best_ts)
+
+        expected = {lid: brute(k, lts) for (k, lts, lid) in left}
+        assert got == expected
