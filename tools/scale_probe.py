@@ -1,0 +1,152 @@
+"""Empirical scale-up probe: run representative operator classes on k×
+replicated sf0.1 inputs (k = 1, 4, 10) and report the fitted scaling
+exponent alpha in t ≈ c·n^alpha per query.
+
+The claim this tool checks is the one SCALING.md makes qualitatively:
+every operator's cost is scan/shuffle-linear (alpha ≈ 1) — not
+pair-quadratic, not driver-bound. Replication is PERTURBED so the scaled
+input has scaled *content*, not k clones of the same keys:
+
+- events: event_id/user_id offset per replica (key cardinality scales),
+  ts shifted by 90 days per replica (window count scales);
+- documents: doc_id offset and a per-replica token appended to the text
+  (shingle/minhash universes scale instead of planting k-way dup
+  clusters, which would quadratically inflate the TRUE pair answer —
+  that would measure the data's pathology, not the engine);
+
+knn_brute is intentionally excluded: its query set is a fixed fraction
+of the corpus, so its COMPUTE is Θ(N²/query_mod) by problem statement —
+the scale path for ANN is the bucketed LSH/IVF pair (see SCALING.md).
+
+Usage: python tools/scale_probe.py [sf_dir] — prints one line per
+(query, k) plus the fitted alpha; run alone (host contention skews it).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+KS = (1, 10, 40)  # big enough that work outgrows local fixed job overhead
+
+
+def replicate_events(e: DataFrame, k: int) -> DataFrame:
+    parts = []
+    for i in range(k):
+        parts.append(
+            e.select(
+                (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {i * 90} DAYS")).alias("ts"),
+                (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+def replicate_docs(d: DataFrame, k: int) -> DataFrame:
+    parts = []
+    for i in range(k):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+    from gmall_flink_200621_spark.operators.textops import (
+        importance_weights,
+        quality_gopher,
+    )
+    from gmall_flink_200621_spark.session import get_spark
+    from gmall_flink_200621_spark.sources.loaders import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    events.count(), docs.count()  # warm the scans + JVM
+
+    def page_view_k(k: int) -> DataFrame:
+        e = replicate_events(events, k)
+        return (
+            e.filter(F.col("event_type") == "view")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("pv"))
+        )
+
+    def sessionize_k(k: int) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = replicate_events(events, k).select(
+            "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        marked = e.withColumn(
+            "new_s",
+            F.when(F.col("ts_s") - F.lag("ts_s").over(w) > 1800, 1).otherwise(
+                F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0)
+            ),
+        )
+        return (
+            marked.withColumn(
+                "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            )
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    probes = {
+        "map (quality_gopher)": lambda k: quality_gopher(replicate_docs(docs, k)),
+        "window agg (page_view)": page_view_k,
+        "sort window (sessionize)": sessionize_k,
+        "explode+broadcast (importance_weights)": lambda k: importance_weights(
+            replicate_docs(docs, k)
+        ),
+        "bucket self-join (minhash_lsh)": lambda k: dedup_minhash_lsh(
+            replicate_docs(docs, k)
+        ),
+    }
+
+    print(f"{'query':42s} " + " ".join(f"t({k}x)" for k in KS) + "   alpha")
+    for name, build in probes.items():
+        build(1).write.format("noop").mode("overwrite").save()  # codegen warmup
+        spark.catalog.clearCache()
+        ts = []
+        for k in KS:
+            best = None
+            for _ in range(2):  # min-of-2 damps host bursts
+                t0 = time.time()
+                build(k).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+                spark.catalog.clearCache()
+            ts.append(best)
+        alpha = math.log(ts[-1] / ts[0]) / math.log(KS[-1] / KS[0])
+        print(
+            f"{name:42s} " + " ".join(f"{t:5.2f}" for t in ts) + f"   {alpha:5.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
