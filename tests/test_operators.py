@@ -931,3 +931,84 @@ class TestDedupEval:
         assert r.precision == 1.0  # LSH pairs are exact-verified
         assert 0.0 <= r.recall <= 1.0 and r.n_common <= r.n_exact
         assert r.n_lsh == r.n_common  # no unverified pair can appear
+
+
+class TestMultimodalRealCodecs:
+    def test_netpbm_decode_roundtrip_and_features(self, spark):
+        """Real P6 decode: dims read from the header, per-channel means
+        match numpy on the raw pixel bytes, and encode∘decode is
+        byte-identical."""
+        from gmall_flink_200621_spark.operators.multimodal import (
+            _decode_netpbm,
+            _encode_netpbm,
+            extract_features,
+            synthetic_media_real,
+        )
+
+        media = synthetic_media_real(spark, n=8)
+        img_rows = media.filter("kind = 'image'").collect()
+        a = _decode_netpbm(bytes(img_rows[0].payload))
+        assert a.shape == (24, 32, 3)
+        assert _encode_netpbm(a) == bytes(img_rows[0].payload)
+
+        feats = {
+            r.media_id: r.features
+            for r in extract_features(media, decoder="stdlib").collect()
+            if r.kind == "image"
+        }
+        for r in img_rows:
+            arr = _decode_netpbm(bytes(r.payload)).astype("float64") / 255.0
+            f = feats[r.media_id]
+            assert (f[0], f[1], f[2]) == (32.0, 24.0, 3.0)
+            assert abs(f[3] - arr[:, :, 0].mean()) < 1e-12
+
+    def test_wav_decode_features(self, spark):
+        """Real WAV decode: duration and rate from the header, RMS of a
+        full-scale sine ≈ A/√2."""
+        from gmall_flink_200621_spark.operators.multimodal import (
+            extract_features,
+            synthetic_media_real,
+        )
+
+        media = synthetic_media_real(spark, n=8)
+        feats = {
+            r.media_id: r.features
+            for r in extract_features(media, decoder="stdlib").collect()
+            if r.kind == "audio"
+        }
+        assert feats
+        for f in feats.values():
+            assert abs(f[0] - 0.25) < 1e-9  # 250 ms
+            assert f[1] == 8000.0
+            assert abs(f[2] - (20000 / 32768) / 2**0.5) < 0.01  # sine RMS
+
+    def test_real_resize_subsamples_pixels(self, spark):
+        from gmall_flink_200621_spark.operators.multimodal import (
+            _decode_netpbm,
+            resize_images_real,
+            synthetic_media_real,
+        )
+
+        media = synthetic_media_real(spark, n=8)
+        out = resize_images_real(media, 16, 12).collect()
+        assert out and all(r.width == 16 and r.height == 12 for r in out)
+        src = {r.media_id: bytes(r.payload) for r in media.filter("kind='image'").collect()}
+        for r in out:
+            small = _decode_netpbm(bytes(r.payload))
+            big = _decode_netpbm(src[r.media_id])
+            assert small.shape == (12, 16, 3)
+            # nearest-neighbor: every small pixel exists at the mapped src index
+            assert (small[0, 0] == big[0, 0]).all()
+            assert (small[11, 15] == big[11 * 24 // 12, 15 * 32 // 16]).all()
+
+    def test_unsupported_format_still_raises(self, spark):
+        """PNG/MP4 payloads remain honestly env-stubbed: the stdlib
+        decoder refuses rather than fabricating features."""
+        import pytest as _pytest
+
+        from gmall_flink_200621_spark.operators.multimodal import _stdlib_decode
+
+        with _pytest.raises(ValueError):
+            _stdlib_decode(b"\x89PNG....", "image")
+        with _pytest.raises(ValueError):
+            _stdlib_decode(b"whatever", "video")
