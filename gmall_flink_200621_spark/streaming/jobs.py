@@ -461,6 +461,25 @@ def run_hot_items_stream(spark: SparkSession, sf_dir: str, top_n: int = 5, query
     )
 
 
+def _gate_epoch(batch_df: DataFrame, epoch_id: int, kept_t: str, audit_t: str) -> None:
+    """One micro-batch of the quality gate, written idempotently: score,
+    stamp the epoch, dynamic-partition-OVERWRITE each sink's epoch
+    partition. Calling this twice with the same (batch, epoch) leaves the
+    tables unchanged — the unit the crash-replay test exercises directly."""
+    from ..operators.textops import quality_gopher
+
+    s = batch_df.sparkSession
+    scored = quality_gopher(batch_df).withColumn("epoch", F.lit(epoch_id)).persist()
+    prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        scored.filter(F.col("keep") == 1).write.mode("overwrite").insertInto(kept_t, overwrite=True)
+        scored.filter(F.col("keep") == 0).write.mode("overwrite").insertInto(audit_t, overwrite=True)
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        scored.unpersist()
+
+
 def run_quality_gate_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -480,8 +499,15 @@ def run_quality_gate_stream(
     The rules are stateless row-local expressions, so stream==batch holds
     exactly: kept ∪ audit partitions the corpus, and flags equal the
     batch operator's row for every doc. foreachBatch (not two
-    writeStreams) so one scan feeds both sinks per batch."""
-    from ..operators.textops import quality_gopher
+    writeStreams) so one scan feeds both sinks per batch.
+
+    Crash semantics: both sinks are PARTITIONED BY the micro-batch epoch
+    and written with dynamic-partition OVERWRITE (`_gate_epoch`), so a
+    replayed epoch — foreachBatch's at-least-once case after a crash
+    mid-batch — rewrites exactly its own partition instead of appending
+    duplicates. The rules are deterministic functions of the batch rows,
+    so the replay writes byte-identical content: effectively-once
+    without a transactional table format."""
     from .ingest import _drop_table, stage_document_chunks
 
     kept_t, audit_t = f"{name}_kept", f"{name}_audit"
@@ -493,18 +519,17 @@ def run_quality_gate_stream(
             "top_unigram_ratio DOUBLE, flag_word_count INT, flag_mean_word_len INT, "
             "flag_stopwords INT, flag_repetition INT, keep INT"
         )
-        spark.sql(f"CREATE TABLE {kept_t} ({cols}) USING parquet")
-        spark.sql(f"CREATE TABLE {audit_t} ({cols}) USING parquet")
+        for t in (kept_t, audit_t):
+            spark.sql(
+                f"CREATE TABLE {t} ({cols}, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+            )
 
     stage = stage_dir or stage_document_chunks(sf_dir)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        scored = quality_gopher(batch_df).persist()
-        scored.filter(F.col("keep") == 1).write.mode("append").saveAsTable(kept_t)
-        scored.filter(F.col("keep") == 0).write.mode("append").saveAsTable(audit_t)
-        scored.unpersist()
+        _gate_epoch(batch_df, epoch_id, kept_t, audit_t)
 
     w = docs.writeStream.foreachBatch(gate_batch).queryName(f"{name}_q")
     if checkpoint_dir:

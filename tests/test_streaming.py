@@ -626,3 +626,37 @@ class TestQualityGateStream:
         assert not (kept & audit)
         assert kept | audit == alldocs
         assert len(kept) + len(audit) == len(alldocs) > n1
+
+    def test_replayed_epoch_is_idempotent(self, spark, sf_dir, tmp_path):
+        """foreachBatch's at-least-once crash case: re-running an epoch
+        must leave both sinks unchanged (dynamic overwrite of the epoch
+        partition), never append duplicates."""
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import _drop_table
+        from gmall_flink_200621_spark.streaming.jobs import _gate_epoch
+
+        cols = (
+            "doc_id BIGINT, n_words INT, mean_word_len DOUBLE, stop_count INT, "
+            "top_unigram_ratio DOUBLE, flag_word_count INT, flag_mean_word_len INT, "
+            "flag_stopwords INT, flag_repetition INT, keep INT"
+        )
+        for t in ("qg_replay_kept", "qg_replay_audit"):
+            _drop_table(spark, t)
+            spark.sql(f"CREATE TABLE {t} ({cols}, epoch BIGINT) USING parquet PARTITIONED BY (epoch)")
+
+        docs = load_table(spark, sf_dir, "documents")
+        b0 = docs.filter("doc_id % 2 = 0")
+        b1 = docs.filter("doc_id % 2 = 1")
+        _gate_epoch(b0, 0, "qg_replay_kept", "qg_replay_audit")
+        _gate_epoch(b1, 1, "qg_replay_kept", "qg_replay_audit")
+        spark.catalog.refreshTable("qg_replay_kept")
+        before = sorted((r.doc_id, r.epoch) for r in spark.table("qg_replay_kept").collect())
+        n_audit = spark.table("qg_replay_audit").count()
+        assert before and n_audit
+
+        _gate_epoch(b0, 0, "qg_replay_kept", "qg_replay_audit")  # crash-replay of epoch 0
+        spark.catalog.refreshTable("qg_replay_kept")
+        spark.catalog.refreshTable("qg_replay_audit")
+        after = sorted((r.doc_id, r.epoch) for r in spark.table("qg_replay_kept").collect())
+        assert after == before
+        assert spark.table("qg_replay_audit").count() == n_audit
