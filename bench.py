@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "weighted_sample",
     "term_counts_cms",
     "time_to_purchase",
+    "first_touch_attribution",
+    "sales_grouping_sets",
+    "nation_spend_pct_rank",
 ]
 
 

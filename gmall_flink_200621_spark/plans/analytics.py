@@ -196,6 +196,64 @@ def heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", DEFAULT_DENOM)
 
 
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for every user who purchased, the type
+    and time of their FIRST event ever (the acquisition touchpoint) and
+    their purchase count — min-by window over (ts, event_id), one shuffle
+    on user_id, integer-exact output."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    firsts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"), F.col("ts_s").alias("first_ts_s"))
+    )
+    buyers = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return buyers.join(firsts, "user_id").select(
+        "user_id", "first_type", "first_ts_s", "n_purchases"
+    )
+
+
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((segment), (priority), ()) — the third member of the
+    cube/rollup family, same two-level shape as sales_cube: facts
+    aggregate ONCE to the (segment, priority) grid, Expand runs over the
+    tiny grid. Level labels derive from which key is NULL (dims are
+    NULL-free in TPC-H), so no engine-specific grouping_id bit order
+    leaks into the output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    grid = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_t"),
+        )
+    )
+    gs = grid.groupingSets(
+        [["c_mktsegment"], ["o_orderpriority"], []], "c_mktsegment", "o_orderpriority"
+    ).agg(F.sum("_n").alias("n_orders"), F.sum("_t").alias("revenue"))
+    lvl = (
+        F.when(F.col("c_mktsegment").isNotNull(), F.lit("by_segment"))
+        .when(F.col("o_orderpriority").isNotNull(), F.lit("by_priority"))
+        .otherwise(F.lit("total"))
+    )
+    return gs.select(
+        lvl.alias("level"),
+        F.coalesce("c_mktsegment", F.lit("*")).alias("segment"),
+        F.coalesce("o_orderpriority", F.lit("*")).alias("priority"),
+        "n_orders",
+        "revenue",
+    )
+
+
 ANALYTICS_QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_snapshot": scd2_snapshot,
@@ -204,6 +262,8 @@ ANALYTICS_QUERIES = {
     "session_error_overlap": session_error_overlap,
     "heavy_users": heavy_users,
     "active_users_rolling7": active_users_rolling7,
+    "first_touch_attribution": first_touch_attribution,
+    "sales_grouping_sets": sales_grouping_sets,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -306,5 +366,39 @@ SELECT c.user_id, c.n_rows,
        greatest(1, t.total // {DEFAULT_DENOM}) AS threshold
 FROM c, t
 WHERE c.n_rows >= greatest(1, t.total // {DEFAULT_DENOM})
+""",
+    "first_touch_attribution": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, event_type FROM events
+),
+firsts AS (
+  SELECT user_id, event_type AS first_type, ts_s AS first_ts_s
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn FROM e)
+  WHERE rn = 1
+),
+buyers AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases FROM e
+  WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT b.user_id, f.first_type, f.first_ts_s, b.n_purchases
+FROM buyers b JOIN firsts f USING (user_id)
+""",
+    "sales_grouping_sets": """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+gs AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(p) AS DECIMAL(28,2)) AS revenue
+  FROM j GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+)
+SELECT CASE WHEN c_mktsegment IS NOT NULL THEN 'by_segment'
+            WHEN o_orderpriority IS NOT NULL THEN 'by_priority'
+            ELSE 'total' END AS level,
+       coalesce(c_mktsegment, '*') AS segment,
+       coalesce(o_orderpriority, '*') AS priority,
+       n_orders, revenue
+FROM gs
 """,
 }

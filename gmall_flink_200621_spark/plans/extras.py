@@ -389,6 +389,36 @@ def time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_spend_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist window surface: each customer's spend
+    percentile WITHIN their nation (exact decimal spend drives the order,
+    so ranking is engine-exact; tied spends share a percentile by the
+    percent_rank definition in both engines)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    j = (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "spend")
+    )
+    w = Window.partitionBy("n_name").orderBy("spend")
+    # ORDER on the exact decimal; EMIT as double (cross-engine decimal
+    # stringification differs, double round(2) hashes identically)
+    return j.select(
+        "n_name",
+        "c_custkey",
+        F.round(F.col("spend").cast("double"), 2).alias("spend"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 EXTRA_QUERIES = {
     "late_arrival_audit": late_arrival_audit,
     "user_churn_sets": user_churn_sets,
@@ -403,9 +433,23 @@ EXTRA_QUERIES = {
     "props_extract_stats": props_extract_stats,
     "uv_sketch_rollup": uv_sketch_rollup,
     "time_to_purchase": time_to_purchase,
+    "nation_spend_pct_rank": nation_spend_pct_rank,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "nation_spend_pct_rank": """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT n.n_name, c.c_custkey, round(CAST(s.spend AS DOUBLE), 2) AS spend,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM spend s
+JOIN customer c ON s.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WINDOW w AS (PARTITION BY n.n_name ORDER BY s.spend)
+""",
     # dedupe equal-ts purchases first (mirror of the Spark tiebreak) so
     # ASOF's unspecified tie choice can't differ
     "time_to_purchase": """
