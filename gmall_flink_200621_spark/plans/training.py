@@ -298,6 +298,16 @@ def term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cms(_docs(spark, sf_dir))
 
 
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no oracle_sql entry BY DESIGN: each round's argmax feeds the next
+    # round's input — the non-SQL-expressible iterative class (driver
+    # records rows-only; exactness is pinned merge-for-merge against a
+    # pure-Python reference in tests/test_operators.py::TestBpe)
+    from ..operators.bpe import bpe_merges as _bpe
+
+    return _bpe(_docs(spark, sf_dir))
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -344,4 +354,5 @@ TRAINING_QUERIES = {
     "weighted_sample": weighted_sample,
     "dedup_eval": dedup_eval,
     "term_counts_cms": term_counts_cms,
+    "bpe_merges": bpe_merges,
 }

@@ -1012,3 +1012,64 @@ class TestMultimodalRealCodecs:
             _stdlib_decode(b"\x89PNG....", "image")
         with _pytest.raises(ValueError):
             _stdlib_decode(b"whatever", "video")
+
+
+class TestBpe:
+    @staticmethod
+    def _py_bpe(word_freqs, k):
+        """Reference BPE: pair counts over the word-frequency table,
+        argmax with (count desc, pair asc) tie-break, greedy left-to-right
+        non-overlapping merge application."""
+        words = [(list(w), f) for w, f in word_freqs.items()]
+        merges = []
+        for rank in range(1, k + 1):
+            counts = {}
+            for syms, f in words:
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+            if not counts:
+                break
+            (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, cnt))
+            out = []
+            for syms, f in words:
+                ns, i = [], 0
+                while i < len(syms):
+                    if ns and ns[-1] == a and syms[i] == b:
+                        ns[-1] = a + b
+                    else:
+                        ns.append(syms[i])
+                    i += 1
+                out.append((ns, f))
+            words = out
+        return merges
+
+    def test_matches_python_reference_on_corpus(self, spark, sf_dir):
+        from collections import Counter
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.bpe import BPE_MERGES, bpe_merges
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = [(r.rank, r.left, r.right, r.pair_count) for r in bpe_merges(docs).collect()]
+
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        wf = Counter(w for t in pdf["text"] for w in t.split(" ") if w)
+        expected = self._py_bpe(dict(wf), BPE_MERGES)
+        assert got == expected
+        assert len(got) == BPE_MERGES
+
+    def test_overlapping_runs_merge_left_to_right(self, spark):
+        """'aaaa' under merge (a,a) must become [aa][aa], never [a][aa][a]
+        — the greedy non-overlap rule both implementations share."""
+        from gmall_flink_200621_spark.operators.bpe import bpe_merges
+
+        docs = spark.createDataFrame([(1, "aaaa aaaa aab")], "doc_id long, text string")
+        out = [(r.left, r.right, r.pair_count) for r in bpe_merges(docs, n_merges=2).collect()]
+        # round 1: (a,a) count = 2 non-overlapping per 'aaaa' ×2 words... fold counts
+        # pairs BEFORE merging: aaaa has 3 adjacent (a,a) pairs, aab has 1 → 2*3+1 = 7
+        assert out[0] == ("a", "a", 7)
+        # round 2 words: [aa,aa]×2, [aa,b] → (aa,aa)=2, (aa,b)=1
+        assert out[1] == ("aa", "aa", 2)
