@@ -597,8 +597,16 @@ def importance_weights(
         F.sum("cnt").alias("raw_c"),
         F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("tgt_c"),
     )
-    tot = stats.agg(F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot"))
-    lr = stats.crossJoin(F.broadcast(tot)).select(
+    # totals as an unpartitioned window over the ≤`buckets`-row stats
+    # frame — one pass on a frame that fits one partition, instead of a
+    # separate agg job + broadcast cross join (2 fewer jobs, same values)
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    stats = stats.withColumn("r_tot", F.sum("raw_c").over(wall)).withColumn(
+        "t_tot", F.sum("tgt_c").over(wall)
+    )
+    lr = stats.select(
         "bucket",
         (
             F.log((F.col("tgt_c") + 1).cast("double") / (F.col("t_tot") + buckets).cast("double"))
@@ -645,8 +653,12 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
         .persist()
     )
     lm = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    tot = lm.agg(F.sum("c").alias("n_tot"))
-    logp = lm.crossJoin(F.broadcast(tot)).select(
+    # n_tot via unpartitioned window on the ≤buckets-row LM frame (see
+    # importance_weights — saves the separate agg + cross join)
+    from pyspark.sql import Window as _W
+
+    lm = lm.withColumn("n_tot", F.sum("c").over(_W.partitionBy()))
+    logp = lm.select(
         "bucket",
         (
             F.log2((F.col("c") + 1).cast("double") / (F.col("n_tot") + buckets).cast("double"))
