@@ -146,6 +146,29 @@ def props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing via Spark 4's native VariantType:
+    `parse_json` once into a variant column (binary-encoded, field access
+    without re-parsing — the engine's answer to repeated
+    get_json_object scans when MANY fields are pulled from one JSON
+    blob), then typed `try_variant_get` extraction feeding a grouped
+    aggregate. Same answer as the string-path `props_extract_stats`
+    family, different engine surface; at 100 TB the parse happens once
+    per row regardless of how many fields downstream operators read."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("v"), "user_id", "value")
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select((k % 5).alias("k_mod5"), "user_id", "value")
+        .groupBy("k_mod5")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("value_avg"),
+        )
+    )
+
+
 def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch UV (the A6 scale path beyond plain
     approx_count_distinct): per-day HLL sketches built once, then merged
@@ -434,9 +457,17 @@ EXTRA_QUERIES = {
     "uv_sketch_rollup": uv_sketch_rollup,
     "time_to_purchase": time_to_purchase,
     "nation_spend_pct_rank": nation_spend_pct_rank,
+    "props_variant_stats": props_variant_stats,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "props_variant_stats": """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 5 AS k_mod5,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg(value), 6) AS value_avg
+FROM events GROUP BY 1
+""",
     "nation_spend_pct_rank": """
 WITH spend AS (
   SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spend
