@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "first_touch_attribution",
     "sales_grouping_sets",
     "nation_spend_pct_rank",
+    "props_variant_stats",
+    "sessionize_dynamic_gap",
 ]
 
 

@@ -146,6 +146,41 @@ def props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ERROR_GAP_S = 300  # error events hold a session open for only 5 minutes
+
+
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: `session_window` with a PER-EVENT gap
+    column (error events extend their session by only ERROR_GAP_S,
+    everything else by SESSION_GAP_S) — the variable-timeout session
+    semantics Flink exposes via SessionWindowTimeGapExtractor and Spark
+    via the Column-typed gapDuration. Merge rule (pinned by the boundary
+    unit test): an event joins the running session iff its ts <= max over
+    prior members of (ts + gap) — session extents are END-INCLUSIVE, an
+    event landing exactly on the session end merges — and the session end
+    is the running max of per-event extents, which is exactly the
+    running-max rewrite the DuckDB oracle computes, so the native
+    operator's merge semantics are pinned cross-engine."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("tss"),
+        "event_type",
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit(f"{ERROR_GAP_S} seconds")).otherwise(
+        F.lit(f"{SESSION_GAP_S} seconds")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("tss", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            F.col("sw.end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing via Spark 4's native VariantType:
     `parse_json` once into a variant column (binary-encoded, field access
@@ -458,9 +493,39 @@ EXTRA_QUERIES = {
     "time_to_purchase": time_to_purchase,
     "nation_spend_pct_rank": nation_spend_pct_rank,
     "props_variant_stats": props_variant_stats,
+    "sessionize_dynamic_gap": sessionize_dynamic_gap,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "sessionize_dynamic_gap": f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN event_type = 'error' THEN {ERROR_GAP_S} ELSE {SESSION_GAP_S} END AS gap
+  FROM events
+),
+m AS (
+  SELECT user_id, ts_s, gap,
+         max(ts_s + gap) OVER (PARTITION BY user_id ORDER BY ts_s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+),
+marked AS (
+  SELECT user_id, ts_s, gap,
+         CASE WHEN prev_end IS NULL OR ts_s > prev_end THEN 1 ELSE 0 END AS new_session
+  FROM m
+),
+numbered AS (
+  SELECT user_id, ts_s, gap,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_s) AS session_start_s,
+       max(ts_s + gap) AS session_end_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
     "props_variant_stats": """
 SELECT CAST(json_extract(props, '$.k') AS INT) % 5 AS k_mod5,
        CAST(count(*) AS BIGINT) AS n,

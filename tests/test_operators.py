@@ -1073,3 +1073,50 @@ class TestBpe:
         assert out[0] == ("a", "a", 7)
         # round 2 words: [aa,aa]×2, [aa,b] → (aa,aa)=2, (aa,b)=1
         assert out[1] == ("aa", "aa", 2)
+
+
+class TestDynamicGapSessions:
+    def test_error_gap_splits_where_default_would_merge(self, spark, monkeypatch, tmp_path):
+        """An error followed 400s later by a view: the error's 300s extent
+        has expired -> two sessions; a view in the same position (1800s
+        gap) would have merged. Boundary: ts exactly at the session end
+        MERGES (Spark session extents are end-inclusive)."""
+        import pandas as pd
+
+        rows = [
+            (1, 1000.0, 1, "error", 1.0, "{}"),
+            (2, 1400.0, 1, "view", 1.0, "{}"),   # 400 > 300 → split
+            (3, 2000.0, 2, "view", 1.0, "{}"),
+            (4, 2400.0, 2, "view", 1.0, "{}"),   # 400 < 1800 → merge
+            (5, 5000.0, 3, "error", 1.0, "{}"),
+            (6, 5300.0, 3, "view", 1.0, "{}"),   # exactly at end → merges
+        ]
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"ts": "datetime64[s]"}).to_parquet(tmp_path / "events.parquet", index=False)
+        from gmall_flink_200621_spark.plans.extras import sessionize_dynamic_gap
+
+        out = sorted(
+            (r.user_id, r.session_start_s, r.n_events)
+            for r in sessionize_dynamic_gap(spark, str(tmp_path)).collect()
+        )
+        assert out == [(1, 1000, 1), (1, 1400, 1), (2, 2000, 2), (3, 5000, 2)]
+
+        # the ORACLE must agree on the planted boundary cases too (the
+        # testdata has no exact-boundary collision, so only this fixture
+        # exercises the end-inclusive merge rule cross-engine)
+        import duckdb
+
+        from gmall_flink_200621_spark.plans.extras import EXTRA_ORACLES
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        ora = sorted(
+            (int(u), int(s), int(n))
+            for u, s, n in con.execute(EXTRA_ORACLES["sessionize_dynamic_gap"])
+            .df()[["user_id", "session_start_s", "n_events"]]
+            .itertuples(index=False, name=None)
+        )
+        assert ora == out
