@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "nation_spend_pct_rank",
     "props_variant_stats",
     "sessionize_dynamic_gap",
+    "tpch_expectations",
 ]
 
 

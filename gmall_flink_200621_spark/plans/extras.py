@@ -146,6 +146,43 @@ def props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite over the TPC-H tables — the
+    validation a warehouse runs before publishing: PK uniqueness, FK
+    integrity (dim parents broadcast), domain ranges, accepted values.
+    One (rule, violations) row per check; all zeros on clean data, and
+    any nonzero pinpoints the broken constraint without re-scanning."""
+    from ..operators.expectations import (
+        check_accepted_range,
+        check_accepted_values,
+        check_not_null,
+        check_referential,
+        check_unique,
+        run_suite,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return run_suite(
+        [
+            check_unique(c, ["c_custkey"]),
+            check_unique(o, ["o_orderkey"]),
+            check_unique(li, ["l_orderkey", "l_linenumber"]),
+            check_not_null(o, "o_custkey"),
+            check_referential(n, "n_regionkey", r, "r_regionkey"),
+            check_referential(c, "c_nationkey", n, "n_nationkey"),
+            check_referential(o, "o_custkey", c, "c_custkey"),
+            check_referential(li, "l_orderkey", o, "o_orderkey", broadcast_parent=False),
+            check_accepted_range(li, "l_quantity", 1, 50),
+            check_accepted_range(li, "l_discount", 0.0, 0.1),
+            check_accepted_values(o, "o_orderstatus", ["F", "O", "P"]),
+        ]
+    )
+
+
 ERROR_GAP_S = 300  # error events hold a session open for only 5 minutes
 
 
@@ -494,9 +531,47 @@ EXTRA_QUERIES = {
     "nation_spend_pct_rank": nation_spend_pct_rank,
     "props_variant_stats": props_variant_stats,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
+    "tpch_expectations": tpch_expectations,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "tpch_expectations": """
+SELECT 'unique:c_custkey' AS rule,
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
+FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'not_null:o_custkey', CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'fk:n_regionkey', CAST(count(*) AS BIGINT)
+FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+UNION ALL
+SELECT 'fk:c_nationkey', CAST(count(*) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'fk:o_custkey', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'fk:l_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'range:l_quantity',
+       CAST(count(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range:l_discount',
+       CAST(count(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1 THEN 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'accepted:o_orderstatus',
+       CAST(count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END) AS BIGINT)
+FROM orders
+""",
     "sessionize_dynamic_gap": f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

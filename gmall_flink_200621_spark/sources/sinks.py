@@ -179,3 +179,50 @@ def layout_by_range(df: DataFrame, path: str, cols: list[str], n_files: int = 8)
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def publish_with_audit(df: DataFrame, path: str, checks) -> dict:
+    """Write-audit-publish: stage the frame, run the expectation suite
+    AGAINST THE STAGED FILES (what readers would actually see, not the
+    in-memory plan), and only then swap into place atomically — the
+    pattern that keeps a bad batch from ever being visible to readers.
+
+    `checks` is a callable staged_df -> list of one-row (rule,
+    violations) frames (see operators/expectations). On any violation
+    the publish is ABORTED: the staged data moves to `<path>.rejected`
+    with the violation report alongside, and the previously published
+    data stays untouched. Returns {published, violations: {rule: n}}."""
+    import os
+    import shutil
+
+    from ..operators.expectations import run_suite
+
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    stage = base + ".stage"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    df.write.mode("overwrite").parquet(stage)
+
+    staged = spark.read.parquet(stage)
+    report = {r.rule: r.violations for r in run_suite(checks(staged)).collect()}
+    bad = {k: v for k, v in report.items() if v > 0}
+    if bad:
+        rej = base + ".rejected"
+        if os.path.exists(rej):
+            shutil.rmtree(rej)
+        os.rename(stage, rej)
+        with open(os.path.join(rej, "_VIOLATIONS.txt"), "w") as f:
+            for k, v in sorted(report.items()):
+                f.write(f"{k}\t{v}\n")
+        return {"published": False, "violations": report}
+
+    old = base + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(stage, base)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return {"published": True, "violations": report}

@@ -369,3 +369,65 @@ class TestRangeLayout:
         # and the data survived the layout intact
         back = spark.read.parquet(clustered)
         assert back.count() == events.count()
+
+
+class TestWriteAuditPublish:
+    def test_bad_batch_never_becomes_visible(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.expectations import (
+            check_not_null,
+            check_unique,
+        )
+        from gmall_flink_200621_spark.sources.sinks import publish_with_audit
+
+        path = str(tmp_path / "tbl")
+        checks = lambda d: [check_unique(d, ["id"]), check_not_null(d, "v")]
+
+        good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        rep = publish_with_audit(good, path, checks)
+        assert rep["published"] and all(v == 0 for v in rep["violations"].values())
+        assert spark.read.parquet(path).count() == 2
+
+        bad = spark.createDataFrame([(1, "a"), (1, None)], "id long, v string")
+        rep2 = publish_with_audit(bad, path, checks)
+        assert not rep2["published"]
+        assert rep2["violations"]["unique:id"] == 1 and rep2["violations"]["not_null:v"] == 1
+        # published table untouched; rejected staging + report on disk
+        assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
+        assert (tmp_path / "tbl.rejected" / "_VIOLATIONS.txt").exists()
+
+    def test_expectation_checks_unit(self, spark, sf_dir):
+        """Every FK/range/accepted rule is zero on the testdata — and the
+        suite legitimately CATCHES the one constraint the synthetic
+        generator violates: lineitem's classic (l_orderkey, l_linenumber)
+        PK has duplicates, which the unique rule reports as exactly the
+        extra-copy count a direct groupBy confirms."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.plans.extras import tpch_expectations
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        out = {r.rule: r.violations for r in tpch_expectations(spark, sf_dir).collect()}
+        assert len(out) == 11
+        dup_rule = "unique:l_orderkey,l_linenumber"
+        assert all(v == 0 for k, v in out.items() if k != dup_rule)
+        expected_dups = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey", "l_linenumber")
+            .count()
+            .agg(F.sum(F.col("count") - 1))
+            .first()[0]
+        )
+        assert out[dup_rule] == expected_dups > 0
+
+        from gmall_flink_200621_spark.operators.expectations import (
+            check_accepted_values,
+            check_referential,
+        )
+
+        child = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+        parent = spark.createDataFrame([(1,), (2,)], "p long")
+        assert check_referential(child, "k", parent, "p").collect()[0].violations == 1
+        df = spark.createDataFrame([("x",), ("F",)], "s string")
+        assert check_accepted_values(df, "s", ["F", "O"]).collect()[0].violations == 1
