@@ -539,3 +539,42 @@ def run_quality_gate_stream(
         # mid-batch can double the interrupted batch's appends)
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def sessionize_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic PER-EVENT gap session windows as a stream — the twin of
+    `plans/extras.sessionize_dynamic_gap` (error events hold sessions
+    open 300 s, everything else 1800 s). Column-typed gapDuration works
+    identically under a watermark: fragments merge across micro-batches
+    on the running max of per-event extents, sessions emit (append) when
+    the watermark passes their end-inclusive close."""
+    import tempfile
+
+    from ..plans.extras import ERROR_GAP_S, SESSION_GAP_S
+    from ..sources.loaders import events_parquet_stream
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    events = (
+        events_parquet_stream(spark, stage)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts").cast("long")))
+        .withWatermark("ts", WATERMARK)
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit(f"{ERROR_GAP_S} seconds")).otherwise(
+        F.lit(f"{SESSION_GAP_S} seconds")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            F.col("sw.end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )

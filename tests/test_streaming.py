@@ -660,3 +660,33 @@ class TestQualityGateStream:
         after = sorted((r.doc_id, r.epoch) for r in spark.table("qg_replay_kept").collect())
         assert after == before
         assert spark.table("qg_replay_audit").count() == n_audit
+
+
+class TestDynamicGapSessionStream:
+    def test_stream_matches_batch(self, spark, sf_dir):
+        """Per-event-gap sessions: every watermark-closed session the
+        stream emits equals the batch dynamic-gap result exactly; only
+        per-user tail sessions may be in flight."""
+        from gmall_flink_200621_spark.plans.extras import sessionize_dynamic_gap
+        from gmall_flink_200621_spark.streaming.jobs import sessionize_dynamic_gap_stream
+
+        q = (
+            sessionize_dynamic_gap_stream(spark, sf_dir)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dyn_sess_out")
+            .start()
+        )
+        _drain(q)
+        got = {
+            (r.user_id, r.session_start_s): (r.session_end_s, r.n_events)
+            for r in spark.sql("SELECT * FROM dyn_sess_out").collect()
+        }
+        batch = {
+            (r.user_id, r.session_start_s): (r.session_end_s, r.n_events)
+            for r in sessionize_dynamic_gap(spark, sf_dir).collect()
+        }
+        assert got
+        assert all(batch.get(k) == v for k, v in got.items())
+        n_users = len({u for u, _ in batch})
+        assert len(got) >= len(batch) - n_users
