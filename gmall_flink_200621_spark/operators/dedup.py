@@ -278,6 +278,36 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def stacked_band_frame(sigs: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, bi, bv): LSH band values in STACKED long form, so the
+    bucket join is ONE self-join keyed on (band_idx, value) — `bands`
+    separate join branches would shuffle the signature frame 2·bands
+    times and schedule bands× the stages; the stacked form shuffles 2
+    frames of bands× rows once (same bytes, 1/bands the scheduling + a
+    single distinct). Shared by the batch LSH and the incremental
+    near-dup ingest (`streaming/ingest.py`), so both bucket identically."""
+    rows = perms // bands
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return (
+        sigs.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bv"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv"))
+    )
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -292,34 +322,12 @@ def dedup_minhash_lsh(
     one whole band of their signatures is equal. Verification recomputes
     exact Jaccard just for candidates (semi-joined shingle sets).
     """
-    rows = perms // bands
     # ONE df-capped shingle frame feeds both the signature aggregate and
     # the exact-Jaccard verification below — tokenize+explode+df-cap is
     # the dominant linear cost and must not run twice per query
     sh = _doc_shingles(docs, df_cap).persist()
     sigs = minhash_signatures(docs, perms, df_cap, shingle_frame=sh)
-    band_cols = [
-        F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    # candidate pairs: equal value in any band. Bands are STACKED into long
-    # form so the bucket join is ONE self-join keyed on (band_idx, value) —
-    # `bands` separate join branches would shuffle the signature frame
-    # 2·bands times and schedule bands× the stages; the stacked form
-    # shuffles 2 frames of bands× rows once (same bytes, 1/bands the
-    # scheduling + a single distinct). The long frame is persisted: it
-    # feeds both sides of the self-join.
-    stacked = (
-        sigs.select("doc_id", *band_cols)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bv")) for b in range(bands)])
-            ).alias("s"),
-        )
-        .select("doc_id", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv"))
-        .persist()
-    )
+    stacked = stacked_band_frame(sigs, perms, bands).persist()
     x = stacked.select(F.col("doc_id").alias("id_a"), "bi", "bv")
     y = stacked.select(F.col("doc_id").alias("id_b"), "bi", "bv")
     candidates = (

@@ -148,3 +148,109 @@ def run_corpus_ingest_stream(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def run_neardup_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    name: str = "neardup_ingest",
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    reset_tables: bool = True,
+):
+    """Incremental NEAR-duplicate detection: the streaming form of
+    `dedup_minhash_lsh`, where each arriving increment is checked against
+    EVERYTHING already ingested — the curation loop a growing corpus
+    actually runs (the exact-dup analog is `run_corpus_ingest_stream`;
+    this catches the ~paraphrase/boilerplate class exact hashing misses).
+
+    State tables (day-one warehouse tables; at 100 TB bucket `_bands` by
+    (bi, bv) and `_shsets` by doc_id for co-located joins):
+    - `<name>_bands`  (doc_id, bi, bv): stacked LSH band values — the
+      incremental inverted index new batches probe;
+    - `<name>_shsets` (doc_id, shs array<long>, n_sh): each doc's
+      distinct shingle-hash set, stored so cross-batch candidate pairs
+      verify EXACT Jaccard from state without re-reading old text;
+    - `<name>_pairs`  (id_a, id_b, jaccard): verified output, appended.
+
+    Per micro-batch: band/shingle frames for the new docs (the SAME
+    helpers the batch operator uses — `stacked_band_frame`,
+    `minhash_signatures` — so bucketing is bit-identical), candidates =
+    new×new ∪ new×stored on (bi, bv), exact-verify via stored shingle
+    sets (size(array_intersect)), append pairs + new state rows.
+
+    Semantics note: runs UNCAPPED shingles (df_cap=None). The batch op's
+    hot-shingle cap is a corpus-GLOBAL statistic a per-increment pass
+    cannot know; on cap-free corpora (testdata max df ≈ 9 ≪ 50) the
+    replayed stream's pair set equals the batch op EXACTLY (pinned by
+    test); on cap-triggering corpora the incremental path keeps more
+    boilerplate shingles — monitor the band-bucket histogram and refresh
+    state with a batch recompute when it skews."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_shingles,
+        minhash_signatures,
+        stacked_band_frame,
+    )
+    from ..functions.text import h60
+
+    bands_t, shs_t, pairs_t = f"{name}_bands", f"{name}_shsets", f"{name}_pairs"
+    if reset_tables:
+        for t in (bands_t, shs_t, pairs_t):
+            _drop_table(spark, t)
+        spark.sql(f"CREATE TABLE {bands_t} (doc_id BIGINT, bi INT, bv STRING) USING parquet")
+        spark.sql(f"CREATE TABLE {shs_t} (doc_id BIGINT, shs ARRAY<BIGINT>, n_sh INT) USING parquet")
+        spark.sql(f"CREATE TABLE {pairs_t} (id_a BIGINT, id_b BIGINT, jaccard DOUBLE) USING parquet")
+
+    stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def neardup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        sh = _doc_shingles(batch_df, df_cap=None).persist()
+        new_bands = stacked_band_frame(minhash_signatures(batch_df, shingle_frame=sh)).persist()
+        new_shs = (
+            sh.select("doc_id", h60(F.col("shingle")).alias("h"))
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("h")).alias("shs"))
+            .select("doc_id", "shs", F.size("shs").cast("int").alias("n_sh"))
+            .persist()
+        )
+        old_bands = s.read.table(bands_t)
+        # candidates: within-batch self-join ∪ new-vs-state probe
+        x = new_bands.select(F.col("doc_id").alias("id_x"), "bi", "bv")
+        within = (
+            x.join(new_bands.select(F.col("doc_id").alias("id_y"), "bi", "bv"), ["bi", "bv"])
+        )
+        cross = x.join(old_bands.select(F.col("doc_id").alias("id_y"), "bi", "bv"), ["bi", "bv"])
+        cands = (
+            within.unionByName(cross)
+            .select(
+                F.least("id_x", "id_y").alias("id_a"), F.greatest("id_x", "id_y").alias("id_b")
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        allsets = s.read.table(shs_t).unionByName(new_shs)
+        sa = allsets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"), F.col("n_sh").alias("n_a"))
+        sb = allsets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"), F.col("n_sh").alias("n_b"))
+        verified = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+            .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        verified.write.mode("append").saveAsTable(pairs_t)
+        new_bands.write.mode("append").saveAsTable(bands_t)
+        new_shs.write.mode("append").saveAsTable(shs_t)
+        for fr in (sh, new_bands, new_shs):
+            fr.unpersist()
+
+    w = docs.writeStream.foreachBatch(neardup_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

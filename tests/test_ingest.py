@@ -127,3 +127,33 @@ class TestCorpusIngest:
         }
         assert kept == batch
         assert len(kept) > n_phase1  # the restart actually ingested new docs
+
+
+class TestNearDupIngest:
+    def test_replay_equals_batch_lsh(self, spark, sf_dir):
+        """Chunked replay of the corpus must surface EXACTLY the batch
+        dedup_minhash_lsh pair set — including pairs whose two docs
+        arrived in different chunks (the cross-batch probe against the
+        accumulated band index), with identical jaccard values."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import run_neardup_ingest_stream
+
+        q = run_neardup_ingest_stream(spark, sf_dir, n_chunks=4, name="t_neardup")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_neardup_pairs")
+        got = {
+            (r.id_a, r.id_b): r.jaccard for r in spark.table("t_neardup_pairs").collect()
+        }
+        batch = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup_minhash_lsh(load_table(spark, sf_dir, "documents")).collect()
+        }
+        assert got == batch and got
+        # and the planted dups genuinely span chunks: at least one pair's
+        # docs are far enough apart in doc_id order to arrive separately
+        n = load_table(spark, sf_dir, "documents").count()
+        chunk = n // 4
+        assert any(a // chunk != min(b // chunk, 3) for (a, b) in got)
