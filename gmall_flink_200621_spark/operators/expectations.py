@@ -10,7 +10,11 @@ the parent KEY SET only when the parent is dimension-sized, and every
 check's scan prunes to the checked columns (ReadSchema-narrow).
 
 Used by `plans/extras.tpch_expectations` (oracle-certified) and by the
-write-audit-publish sink (`sources/sinks.publish_with_audit`)."""
+write-audit-publish sink (`sources/sinks.publish_with_audit`).
+
+Reference parity note: the reference has no validation layer at all —
+this is part of the beyond-reference warehouse surface, alongside
+compaction, range layout, and the WAP sink."""
 
 from __future__ import annotations
 
