@@ -663,3 +663,32 @@ def dedup_eval(docs: DataFrame) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+def split_leakage_audit(docs: DataFrame) -> DataFrame:
+    """Eval-leakage audit: near-duplicate pairs that STRADDLE the
+    train/val/test split — the check that catches "the eval set scores
+    great because its near-twins are in training" before anyone trains.
+    Composes the LSH pair detector with the deterministic hash split
+    (`textops.corpus_split`): one row per (split_a, split_b) with the
+    crossing pair count; same-split rows are reported too (they're the
+    harmless baseline the crossing counts are read against). The pair
+    frame is tiny (dedup-rate-scale), so the split joins broadcast the
+    ~9-byte (doc_id, split) assignment of pair members only at scale —
+    the corpus itself never re-shuffles."""
+    from .textops import corpus_split
+
+    splits = corpus_split(docs)
+    pairs = dedup_minhash_lsh(docs)
+    a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_a"),
+            F.greatest("split_a", "split_b").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", (F.col("split_a") != F.col("split_b")).cast("int"))
+    )

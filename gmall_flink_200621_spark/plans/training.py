@@ -298,6 +298,10 @@ def term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cms(_docs(spark, sf_dir))
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.split_leakage_audit(_docs(spark, sf_dir))
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no oracle_sql entry BY DESIGN: each round's argmax feeds the next
     # round's input — the non-SQL-expressible iterative class (driver
@@ -355,4 +359,5 @@ TRAINING_QUERIES = {
     "dedup_eval": dedup_eval,
     "term_counts_cms": term_counts_cms,
     "bpe_merges": bpe_merges,
+    "split_leakage_audit": split_leakage_audit,
 }

@@ -995,6 +995,20 @@ FROM probes JOIN cms USING (d, c)
 GROUP BY term, exact_n
 """
 
+# composes the certified LSH pair query with the corpus_split hash CASE
+SPLIT_LEAKAGE_AUDIT = """
+WITH pairs AS ({lsh}),
+splits AS ({split})
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS INT) AS leaks
+FROM pairs p
+JOIN splits sa ON p.id_a = sa.doc_id
+JOIN splits sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
+"""
+
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
@@ -1041,4 +1055,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "weighted_sample": WEIGHTED_SAMPLE,
     "dedup_eval": DEDUP_EVAL.format(ex=DEDUP_NGRAM_JACCARD, ls=DEDUP_MINHASH_LSH),
     "term_counts_cms": TERM_COUNTS_CMS,
+    "split_leakage_audit": SPLIT_LEAKAGE_AUDIT.format(
+        lsh=DEDUP_MINHASH_LSH, split=CORPUS_SPLIT
+    ),
 }

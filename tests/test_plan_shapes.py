@@ -409,13 +409,14 @@ class TestRound5Shapes:
 
     def test_perplexity_buckets_lm_is_broadcast_single_docframe_sort(self, spark, sf_dir):
         """The hashed-unigram LM comes back as a broadcast (≤ buckets
-        rows); the only Sort is the tercile ntile over one-row-per-doc
-        scalars — the token frame itself must never be sorted."""
+        rows); exactly two Windows exist — the totals sum over the
+        ≤buckets-row LM frame and the tercile ntile over one-row-per-doc
+        scalars — and the token frame itself is never sort-merge-joined."""
         from gmall_flink_200621_spark.plans.training import perplexity_buckets
 
         s = _plan(perplexity_buckets(spark, sf_dir))
         assert "SortMergeJoin" not in s and s.count("BroadcastHashJoin") >= 1
-        assert s.count("Window") == 1
+        assert s.count("Window") == 2
 
     def test_tfidf_df_join_is_not_hint_broadcast(self, spark, sf_dir):
         """The document-frequency frame is VOCABULARY-sized — the code
