@@ -157,3 +157,51 @@ class TestNearDupIngest:
         n = load_table(spark, sf_dir, "documents").count()
         chunk = n // 4
         assert any(a // chunk != min(b // chunk, 3) for (a, b) in got)
+
+    def test_checkpoint_recovery_resumes_neardup(self, spark, sf_dir, tmp_path):
+        """Stop after two chunks, add the rest, restart from checkpoint:
+        only new chunks are read and the final pair set still equals the
+        batch detector exactly."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_neardup_ingest_stream,
+            stage_document_chunks,
+        )
+
+        full = stage_document_chunks(sf_dir, n_chunks=4)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        for f in ("part-0.parquet", "part-1.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+
+        q = run_neardup_ingest_stream(
+            spark, sf_dir, name="t_nd_rec", stage_dir=str(incr), checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        for f in ("part-2.parquet", "part-3.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_neardup_ingest_stream(
+            spark, sf_dir, name="t_nd_rec", stage_dir=str(incr), checkpoint_dir=ckpt,
+            reset_tables=False,
+        )
+        q2.processAllAvailable()
+        restarted = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        q2.stop()
+        q2.awaitTermination()
+        assert len(restarted) == 2
+
+        spark.catalog.refreshTable("t_nd_rec_pairs")
+        got = {(r.id_a, r.id_b): r.jaccard for r in spark.table("t_nd_rec_pairs").collect()}
+        batch = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup_minhash_lsh(load_table(spark, sf_dir, "documents")).collect()
+        }
+        assert got == batch
