@@ -97,3 +97,40 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             eager=True
         )
     return spark.createDataFrame(merges, "rank int, left string, right string, pair_count long")
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a trained merge table: the ENCODE side of BPE, and the part
+    that actually runs at corpus scale — a pure map. All merges compile
+    into ONE chained column expression (merge k's fold consumes merge
+    k-1's output array), so the whole vocabulary applies in a single
+    scan-bound pass with zero shuffles and zero driver round-trips, token
+    arrays never leaving the executor. Output: (doc_id, n_words,
+    n_bpe_tokens, compression) — corpus token-budget accounting under the
+    learned vocabulary.
+
+    `merges` is the (left, right) list from `bpe_merges` in rank order —
+    apply order IS rank order, as in the canonical encoder."""
+    words = F.split(F.col("text"), " ")
+    # per word: chars → fold each merge in rank order
+    def encode_word(w):
+        syms = F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1)))
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        return F.size(syms)
+
+    n_bpe = F.aggregate(
+        F.transform(words, encode_word), F.lit(0).cast("long"), lambda acc, n: acc + n
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast(
+                "double"
+            )
+            / n_bpe,
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -1120,3 +1120,38 @@ class TestDynamicGapSessions:
             .itertuples(index=False, name=None)
         )
         assert ora == out
+
+
+class TestBpeEncode:
+    def test_encode_matches_python_and_is_single_stage(self, spark, sf_dir):
+        """Token counts under the learned merges equal the Python encoder
+        word-for-word, and the encode plan is shuffle-free (pure map)."""
+        from gmall_flink_200621_spark.operators.bpe import bpe_encode, bpe_merges
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = [(r.left, r.right) for r in bpe_merges(docs, n_merges=6).collect()]
+
+        out = bpe_encode(docs, merges)
+        s = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in s and "Join" not in s
+
+        def py_encode(word):
+            syms = list(word)
+            for a, b in merges:
+                ns = []
+                for c in syms:
+                    if ns and ns[-1] == a and c == b:
+                        ns[-1] = a + b
+                    else:
+                        ns.append(c)
+                syms = ns
+            return len(syms)
+
+        import pandas as pd
+
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+        got = {r.doc_id: r.n_bpe_tokens for r in out.collect()}
+        for doc_id in list(got)[:50]:
+            text = pdf.loc[doc_id, "text"]
+            assert got[doc_id] == sum(py_encode(w) for w in text.split(" ")), doc_id
