@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "props_variant_stats",
     "sessionize_dynamic_gap",
     "tpch_expectations",
+    "value_by_weekday",
+    "revenue_seasonality",
 ]
 
 

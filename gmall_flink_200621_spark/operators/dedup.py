@@ -692,3 +692,20 @@ def split_leakage_audit(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaks", (F.col("split_a") != F.col("split_b")).cast("int"))
     )
+
+
+def duplicate_cluster_sizes(docs: DataFrame) -> DataFrame:
+    """Cluster-size histogram over the near-dup components: how many
+    clusters of each size exist (size ≥ 2 — singletons are the corpus) —
+    the one-line health report for a dedup run (a fat tail here means
+    boilerplate families or template spam, and predicts the dedup rate).
+    Two tiny re-aggregations over dedup_clusters' output; the histogram
+    frame is at most |distinct sizes| rows."""
+    clusters = dedup_clusters(docs)
+    sizes = clusters.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("sz")).filter(
+        F.col("sz") >= 2
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

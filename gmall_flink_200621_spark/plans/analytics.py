@@ -254,6 +254,44 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality of event values: per (ISO weekday, event_type)
+    row counts and value sums — the calendar-dimension groupBy whose
+    cross-engine trap is weekday NUMBERING (Spark dayofweek is
+    1=Sunday..7=Saturday; the oracle uses DuckDB's isodow and converts),
+    pinned here by hashing on the converted ISO number."""
+    e = load_table(spark, sf_dir, "events")
+    # ISO weekday 1=Mon..7=Sun from Spark's 1=Sun..7=Sat dayofweek
+    iso = (F.dayofweek("ts") + 5) % 7 + 1
+    return (
+        e.groupBy(iso.alias("iso_weekday"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+    )
+
+
+def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: decimal-exact monthly totals, then
+    ONE double division for the growth ratio (single IEEE op on exact
+    inputs → identical in both engines at round(6))."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 6).alias(
+            "growth_pct"
+        ),
+    )
+
+
 ANALYTICS_QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_snapshot": scd2_snapshot,
@@ -264,6 +302,8 @@ ANALYTICS_QUERIES = {
     "active_users_rolling7": active_users_rolling7,
     "first_touch_attribution": first_touch_attribution,
     "sales_grouping_sets": sales_grouping_sets,
+    "value_by_weekday": value_by_weekday,
+    "revenue_seasonality": revenue_seasonality,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -400,5 +440,23 @@ SELECT CASE WHEN c_mktsegment IS NOT NULL THEN 'by_segment'
        coalesce(o_orderpriority, '*') AS priority,
        n_orders, revenue
 FROM gs
+""",
+    "value_by_weekday": """
+SELECT CAST(isodow(ts) AS INT) AS iso_weekday, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+    "revenue_seasonality": """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round((rev - lag(rev) OVER (ORDER BY month))::DOUBLE
+             / (lag(rev) OVER (ORDER BY month))::DOUBLE, 6) AS growth_pct
+FROM monthly
 """,
 }

@@ -302,6 +302,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.split_leakage_audit(_docs(spark, sf_dir))
 
 
+def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicate_cluster_sizes(_docs(spark, sf_dir))
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no oracle_sql entry BY DESIGN: each round's argmax feeds the next
     # round's input — the non-SQL-expressible iterative class (driver
@@ -360,4 +364,5 @@ TRAINING_QUERIES = {
     "term_counts_cms": term_counts_cms,
     "bpe_merges": bpe_merges,
     "split_leakage_audit": split_leakage_audit,
+    "duplicate_cluster_sizes": duplicate_cluster_sizes,
 }

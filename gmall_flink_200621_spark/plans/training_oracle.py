@@ -1058,4 +1058,12 @@ TRAINING_ORACLES: dict[str, str] = {
     "split_leakage_audit": SPLIT_LEAKAGE_AUDIT.format(
         lsh=DEDUP_MINHASH_LSH, split=CORPUS_SPLIT
     ),
+    "duplicate_cluster_sizes": f"""
+WITH cc AS ({DEDUP_CLUSTERS}),
+szs AS (
+  SELECT canonical_id, count(*) AS sz FROM cc GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM szs GROUP BY 1
+""",
 }
