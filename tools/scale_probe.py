@@ -128,6 +128,36 @@ def main() -> None:
         ),
     }
 
+    def sessionize_skewed(k: int) -> DataFrame:
+        # planted hot key: ~97% of events collapse onto ONE user — the
+        # adversarial case for the per-user sort window; AQE skew
+        # handling + in-partition sort keep it from wedging one core
+        from pyspark.sql import Window
+
+        e = replicate_events(events, k).select(
+            F.when(F.col("event_id") % 32 != 0, F.lit(0)).otherwise(F.col("user_id")).alias(
+                "user_id"
+            ),
+            F.col("ts").cast("long").alias("ts_s"),
+            "event_id",
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        marked = e.withColumn(
+            "new_s",
+            F.when(F.col("ts_s") - F.lag("ts_s").over(w) > 1800, 1).otherwise(
+                F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0)
+            ),
+        )
+        return (
+            marked.withColumn(
+                "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            )
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    probes["sort window SKEWED 97%-one-key"] = sessionize_skewed
+
     print(f"{'query':42s} " + " ".join(f"t({k}x)" for k in KS) + "   alpha")
     for name, build in probes.items():
         build(1).write.format("noop").mode("overwrite").save()  # codegen warmup
