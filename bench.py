@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "tpch_expectations",
     "value_by_weekday",
     "revenue_seasonality",
+    "token_entropy",
+    "source_divergence",
 ]
 
 

@@ -771,3 +771,93 @@ def weighted_sample(docs: DataFrame, per_source: int = WS_PER_SOURCE, seed: str 
         .filter(F.col("rank") <= per_source)
         .select("doc_id", "source", "n_chars", "es_key", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the information-theoretic quality signal: low entropy = repetitive/
+    template docs, entropy ≈ log2(n_tokens) = fully diverse. Row-local
+    single scan, zero shuffle; run lengths come from the same sorted-run
+    fold `quality_gopher` uses (O(n log n) per row, never O(uniq·n))."""
+    t = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    srt = F.array_sort("toks")
+    # fold → array of run lengths (token counts), order = sorted tokens
+    runs = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.array().cast("array<int>").alias("acc"),
+        ),
+        lambda acc, tk: F.struct(
+            tk.alias("prev"),
+            F.when(tk == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                (tk != acc["prev"]) & (acc["run"] > 0), F.concat(acc["acc"], F.array(acc["run"]))
+            )
+            .otherwise(acc["acc"])
+            .alias("acc"),
+        ),
+        lambda acc: F.when(acc["run"] > 0, F.concat(acc["acc"], F.array(acc["run"]))).otherwise(
+            acc["acc"]
+        ),
+    )
+    n = F.size("toks").cast("double")
+    ent = F.aggregate(
+        runs,
+        F.lit(0.0),
+        lambda acc, r: acc - (r.cast("double") / n) * F.log2(r.cast("double") / n),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.round(ent, 6).alias("entropy_bits"),
+    )
+
+
+def source_divergence(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-source Jensen–Shannon divergence from the corpus-wide token
+    distribution (hashed-unigram, add-one smoothed) — the drift monitor
+    that flags a source whose language shifted (new crawl snapshot,
+    pipeline bug) before it contaminates the mixture. Same machinery as
+    `importance_weights`: one explode collapse to (source, bucket)
+    counts, model frames ≤ `buckets` rows, output |sources| rows.
+
+    JSD(P‖Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q), computed over the
+    smoothed bucket distributions — bounded [0, 1] in bits, symmetric."""
+    tokb = (
+        _fan_out(docs)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .withColumn("bucket", h60(F.col("tok")) % buckets)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    from pyspark.sql import Window as _W
+
+    src_tot = tokb.groupBy("source").agg(F.sum("cnt").alias("s_tot"))
+    corpus = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c_cnt"))
+    corpus = corpus.withColumn("c_tot", F.sum("c_cnt").over(_W.partitionBy()))
+    # per (source, bucket): smoothed p (source) and q (corpus); buckets
+    # absent from a source still contribute — generate the full grid from
+    # the corpus frame (≤ buckets rows) × sources (tiny) so KL sums are
+    # complete, then left-join the source counts
+    grid = corpus.crossJoin(F.broadcast(src_tot))
+    j = grid.join(tokb, ["source", "bucket"], "left").select(
+        "source",
+        (
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+            / (F.col("s_tot") + buckets).cast("double")
+        ).alias("p"),
+        ((F.col("c_cnt") + 1).cast("double") / (F.col("c_tot") + buckets).cast("double")).alias(
+            "q"
+        ),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.col("p") * F.log2(F.col("p") / m) / 2 + F.col("q") * F.log2(F.col("q") / m) / 2
+    )
+    return (
+        j.groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("jsd_bits"))
+    )

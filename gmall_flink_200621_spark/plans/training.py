@@ -306,6 +306,14 @@ def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_cluster_sizes(_docs(spark, sf_dir))
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_entropy(_docs(spark, sf_dir))
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.source_divergence(_docs(spark, sf_dir))
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no oracle_sql entry BY DESIGN: each round's argmax feeds the next
     # round's input — the non-SQL-expressible iterative class (driver
@@ -365,4 +373,6 @@ TRAINING_QUERIES = {
     "bpe_merges": bpe_merges,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
+    "token_entropy": token_entropy,
+    "source_divergence": source_divergence,
 }

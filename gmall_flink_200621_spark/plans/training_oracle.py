@@ -1066,4 +1066,35 @@ szs AS (
 SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM szs GROUP BY 1
 """,
+    "token_entropy": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id,
+       CAST(len(l) AS INT) AS n_tokens,
+       round(-list_sum(list_transform(
+                list_transform(list_distinct(l), w -> len(list_filter(l, x -> x = w))),
+                c -> (c::DOUBLE / len(l)) * log2(c::DOUBLE / len(l)))), 6) AS entropy_bits
+FROM t
+""",
+    "source_divergence": f"""
+WITH tokb AS (
+  SELECT source, {H60.format(c="tok")} % {DSIR_BUCKETS} AS bucket, count(*) AS cnt
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+src_tot AS (SELECT source, sum(cnt) AS s_tot FROM tokb GROUP BY 1),
+corpus AS (
+  SELECT bucket, sum(cnt) AS c_cnt, sum(sum(cnt)) OVER () AS c_tot
+  FROM tokb GROUP BY bucket
+),
+grid AS (SELECT * FROM corpus, src_tot),
+j AS (
+  SELECT g.source,
+         (coalesce(tb.cnt, 0) + 1)::DOUBLE / (g.s_tot + {DSIR_BUCKETS})::DOUBLE AS p,
+         (g.c_cnt + 1)::DOUBLE / (g.c_tot + {DSIR_BUCKETS})::DOUBLE AS q
+  FROM grid g LEFT JOIN tokb tb ON tb.source = g.source AND tb.bucket = g.bucket
+)
+SELECT source,
+       round(sum(p * log2(p / ((p + q) / 2)) / 2 + q * log2(q / ((p + q) / 2)) / 2), 6) AS jsd_bits
+FROM j GROUP BY source
+""",
 }

@@ -1155,3 +1155,36 @@ class TestBpeEncode:
         for doc_id in list(got)[:50]:
             text = pdf.loc[doc_id, "text"]
             assert got[doc_id] == sum(py_encode(w) for w in text.split(" ")), doc_id
+
+
+class TestEntropyDivergence:
+    def test_entropy_bounds_and_hand_check(self, spark):
+        import math
+
+        from gmall_flink_200621_spark.operators.textops import token_entropy
+
+        docs = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.entropy_bits for r in token_entropy(docs).collect()}
+        assert out[1] == 0.0                      # all-same → zero bits
+        assert out[2] == 2.0                      # uniform over 4 → log2(4)
+        assert out[3] == round(-2 * 0.5 * math.log2(0.5), 6) == 1.0
+
+    def test_jsd_bounds_and_identical_source_is_near_zero(self, spark):
+        from gmall_flink_200621_spark.operators.textops import source_divergence
+
+        rows = (
+            [(i, "x y z w", "en", "same", 1) for i in range(20)]
+            + [(100 + i, "x y z w", "en", "clone", 1) for i in range(20)]
+            + [(200 + i, "q r s t", "en", "shifted", 1) for i in range(20)]
+        )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        )
+        out = {r.source: r.jsd_bits for r in source_divergence(docs).collect()}
+        assert all(0.0 <= v <= 1.0 for v in out.values())
+        # two sources with identical content diverge equally (and little);
+        # the disjoint-vocabulary source diverges much more
+        assert out["same"] == out["clone"] < out["shifted"]
