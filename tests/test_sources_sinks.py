@@ -431,3 +431,63 @@ class TestWriteAuditPublish:
         assert check_referential(child, "k", parent, "p").collect()[0].violations == 1
         df = spark.createDataFrame([("x",), ("F",)], "s string")
         assert check_accepted_values(df, "s", ["F", "O"]).collect()[0].violations == 1
+
+
+class TestErrorPaths:
+    def test_asof_overlap_guard_raises(self, spark):
+        from gmall_flink_200621_spark.operators.asof import asof_join
+
+        l = spark.createDataFrame([(1, 1, 1)], "k long, ts long, payload long")
+        r = spark.createDataFrame([(1, 1, 2)], "k long, rts long, payload long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="payload"):
+            asof_join(l, r, ["k"], "ts", "rts", ["payload"])
+
+    def test_expectations_on_empty_frame_report_zero(self, spark):
+        from gmall_flink_200621_spark.operators.expectations import (
+            check_not_null,
+            check_referential,
+            check_unique,
+            run_suite,
+        )
+
+        empty = spark.createDataFrame([], "id long, v string")
+        parent = spark.createDataFrame([], "p long")
+        out = {
+            r.rule: r.violations
+            for r in run_suite(
+                [
+                    check_unique(empty, ["id"]),
+                    check_not_null(empty, "v"),
+                    check_referential(empty, "id", parent, "p"),
+                ]
+            ).collect()
+        }
+        assert out == {"unique:id": 0, "not_null:v": 0, "fk:id": 0}
+
+    def test_heavy_hitters_rejects_unsafe_denominator(self, spark):
+        """denom beyond the Misra-Gries no-false-negative bound must be
+        refused, not silently approximate."""
+        import pytest as _pytest
+
+        from gmall_flink_200621_spark.operators.frequency import heavy_hitters
+
+        df = spark.range(10).select(F.col("id").alias("user_id"))
+        with _pytest.raises(ValueError, match="superset"):
+            heavy_hitters(df, "user_id", denom=100_000)
+
+
+class TestRunQueryCli:
+    def test_cli_lists_and_runs_a_query(self):
+        """tools/run_query.py end-to-end in a fresh interpreter: --list
+        enumerates the registry; running one query prints rows."""
+        import subprocess
+        import sys
+
+        ls = subprocess.run(
+            [sys.executable, "tools/run_query.py", "--list"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=240,
+        )
+        assert ls.returncode == 0
+        assert "quality_gopher" in ls.stdout and "tpch_q1" in ls.stdout
