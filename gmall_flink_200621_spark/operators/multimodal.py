@@ -302,3 +302,18 @@ def synthetic_media_real(spark, n: int = 24) -> DataFrame:
                 wf.writeframes(frames)
             rows.append((i, "audio", bytearray(buf.getvalue()), "audio/wav", None, None, dur_ms))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_features_stream(spark, media_dir: str, decoder: str = "stdlib") -> DataFrame:
+    """Streaming decode → feature-extract: the SAME `extract_features`
+    mapInPandas pipeline applied to a media file stream — Arrow-batched
+    binary payloads per micro-batch, features out, blob dropped. Stream
+    and batch share the operator object, so stream==batch holds
+    feature-for-feature (pinned in tests); at scale set
+    `spark.sql.execution.arrow.maxRecordsPerBatch` low (payloads are MBs)
+    and `maxFilesPerTrigger` to bound per-batch decode memory."""
+    schema = MEDIA_SCHEMA
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(media_dir)
+    )
+    return extract_features(stream, decoder=decoder)

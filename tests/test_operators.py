@@ -1188,3 +1188,37 @@ class TestEntropyDivergence:
         # two sources with identical content diverge equally (and little);
         # the disjoint-vocabulary source diverges much more
         assert out["same"] == out["clone"] < out["shifted"]
+
+
+class TestMediaFeatureStream:
+    def test_stream_matches_batch_features(self, spark, tmp_path):
+        from gmall_flink_200621_spark.operators.multimodal import (
+            extract_features,
+            media_features_stream,
+            synthetic_media_real,
+        )
+
+        media = synthetic_media_real(spark, n=12)
+        d = str(tmp_path / "media")
+        # two files → two micro-batches
+        media.filter("media_id % 2 = 0").write.parquet(d)
+        media.filter("media_id % 2 = 1").write.mode("append").parquet(d)
+
+        q = (
+            media_features_stream(spark, d)
+            .writeStream.format("memory")
+            .queryName("media_feat_out")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.media_id: tuple(r.features)
+            for r in spark.sql("SELECT * FROM media_feat_out").collect()
+        }
+        batch = {
+            r.media_id: tuple(r.features)
+            for r in extract_features(media, decoder="stdlib").collect()
+        }
+        assert got == batch and len(got) == 12
