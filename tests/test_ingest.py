@@ -207,6 +207,43 @@ class TestNearDupIngest:
         assert got == batch
 
 
+    def test_last_epoch_crash_replay_is_idempotent(self, spark, sf_dir):
+        """The crash case a CHECKPOINTED stream actually replays: the
+        final micro-batch re-runs after its state writes landed.
+        Re-invoking the epoch body with the same (chunk, epoch) must
+        leave pairs/bands/shsets byte-unchanged — the state-probe re-finds
+        the batch's own pairs through the crashed attempt's state copy,
+        and every epoch partition is rewritten with identical rows.
+        (Replays of OLDER epochs are legitimately non-idempotent: the
+        detector sees advanced state; a checkpointed source never does
+        that.)"""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _neardup_epoch,
+            run_neardup_ingest_stream,
+            stage_document_chunks,
+        )
+
+        stage = stage_document_chunks(sf_dir, n_chunks=2)
+        q = run_neardup_ingest_stream(spark, sf_dir, name="t_nd_idem", stage_dir=stage)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        def snap():
+            out = {}
+            for t in ("t_nd_idem_pairs", "t_nd_idem_bands", "t_nd_idem_shsets"):
+                spark.catalog.refreshTable(t)
+                out[t] = sorted(map(str, spark.table(t).collect()))
+            return out
+
+        before = snap()
+        last_chunk = spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).parquet(stage + "/part-1.parquet")
+        _neardup_epoch(last_chunk, 1, "t_nd_idem_bands", "t_nd_idem_shsets", "t_nd_idem_pairs")
+        assert snap() == before
+
+
 class TestKmeansStream:
     def test_deterministic_and_quality_vs_batch(self, spark, sf_dir):
         """Two identical replays produce a bit-identical centroid table
@@ -251,3 +288,4 @@ class TestKmeansStream:
         )
         batch_q = kmeans_embeddings(emb).agg(F.avg("cosine")).first()[0]
         assert stream_q >= batch_q * 0.90, (stream_q, batch_q)
+
