@@ -13,7 +13,8 @@ loop on Structured Streaming:
       table (every fp ever seen, accepted or rejected — a re-sent
       duplicate of a rejected doc must not be re-evaluated)
     → quality + language gates (same thresholds as corpus_prep)
-    → append accepted rows to `<name>_kept`, new fps to `<name>_fps`
+    → epoch-partition-overwrite accepted rows into `<name>_kept`, new
+      fps into `<name>_fps` (crash-replay idempotent)
 
 Both tables are day-one warehouse tables (parquet via saveAsTable); the
 anti-join probe is a shuffle join on the 16-byte fp. At 100 TB the fp
@@ -90,10 +91,12 @@ def run_corpus_ingest_stream(
     Restartability: pass the same (stage_dir, checkpoint_dir) with
     reset_tables=False and a new invocation resumes from the checkpointed
     source offset — already-ingested chunks are not re-read, and the kept/
-    fps tables continue accumulating. (foreachBatch output is
-    at-least-once on a CRASH mid-batch — the fps anti-join makes a
-    replayed batch re-converge for dedup, but kept rows of the interrupted
-    batch could double; a clean stop() is exactly-once.)
+    fps tables continue accumulating. Crash semantics: both sinks are
+    epoch-partitioned and dynamic-overwritten with the fps probe
+    excluding the replayed epoch's own partition (`_ingest_epoch`), so
+    the last-epoch replay a checkpointed source performs rewrites
+    byte-identical rows — effectively-once, no doubling and no silent
+    loss (test-pinned).
 
     Reader caveat: the stream appends through the micro-batch's CLONED
     session, which does not invalidate other sessions' cached file
@@ -108,46 +111,67 @@ def run_corpus_ingest_stream(
     if reset_tables:
         for t in (kept_t, fps_t):
             _drop_table(spark, t)
-        spark.sql(f"CREATE TABLE {kept_t} (doc_id BIGINT, n_tokens INT, n_bpe_est BIGINT, quality_score DOUBLE) USING parquet")
-        spark.sql(f"CREATE TABLE {fps_t} (fp STRING) USING parquet")
+        spark.sql(
+            f"CREATE TABLE {kept_t} (doc_id BIGINT, n_tokens INT, n_bpe_est BIGINT, quality_score DOUBLE, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {fps_t} (fp STRING, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
 
     stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
-        # in-batch exact dedup: canonical (min) doc_id per fingerprint
-        fps = doc_fingerprints(batch_df)
-        canon = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        # cross-batch dedup: drop fingerprints the corpus has already seen
-        seen = batch_df.sparkSession.table(fps_t)
-        fresh = canon.join(seen, "fp", "left_anti").persist()
-        # quality + language gates on the surviving canonical docs
-        survivors = batch_df.join(fresh.select("doc_id"), "doc_id")
-        gated = (
-            doc_stats(survivors)
-            .select("doc_id", "n_tokens", "quality_score")
-            .join(lang_id(survivors), "doc_id")
-            .join(token_counts(survivors).select("doc_id", "n_bpe_est"), "doc_id")
-            .filter((F.col("quality_score") >= QUALITY_MIN) & (F.col("lang_pred") == LANG_KEEP))
-            .select("doc_id", "n_tokens", "n_bpe_est", "quality_score")
-        )
-        # ORDERING MATTERS: the kept-docs write goes first, the fps append
-        # LAST. `fresh`'s plan anti-joins the fps table, and a persisted
-        # frame can still be recomputed (cache eviction, canonicalization
-        # miss across the catalog-table file-listing change); with the
-        # append last, any recompute reads the PRE-batch fingerprint state
-        # and stays correct — mutate-after-read, never read-after-mutate.
-        gated.write.mode("append").saveAsTable(kept_t)
-        fresh.select("fp").write.mode("append").saveAsTable(fps_t)
-        fresh.unpersist()
-        batch_df.unpersist()
+        _ingest_epoch(batch_df, epoch_id, kept_t, fps_t)
 
     w = docs.writeStream.outputMode("append").foreachBatch(ingest_batch).queryName(name + "_q")
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def _ingest_epoch(batch_df: DataFrame, epoch_id: int, kept_t: str, fps_t: str) -> None:
+    """One micro-batch of the exact-dedup ingest, idempotent under the
+    last-epoch crash replay: both sinks are epoch-partitioned and
+    dynamic-OVERWRITTEN, and the cross-batch fingerprint probe EXCLUDES
+    the replayed epoch's own partition (`epoch != epoch_id`) — so a
+    replay anti-joins exactly the pre-batch state and rewrites identical
+    rows, instead of seeing its own crashed attempt and emitting an
+    empty batch (silent data loss, the failure mode the plain-append
+    version documented as 'kept rows could double')."""
+    from ..operators.dedup import doc_fingerprints
+    from ..operators.textops import doc_stats, lang_id, token_counts
+
+    s = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    # in-batch exact dedup: canonical (min) doc_id per fingerprint
+    fps = doc_fingerprints(batch_df)
+    canon = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # cross-batch dedup vs PRIOR epochs only (replay-safe)
+    seen = s.table(fps_t).filter(F.col("epoch") != epoch_id).select("fp")
+    fresh = canon.join(seen, "fp", "left_anti").persist()
+    survivors = batch_df.join(fresh.select("doc_id"), "doc_id")
+    gated = (
+        doc_stats(survivors)
+        .select("doc_id", "n_tokens", "quality_score")
+        .join(lang_id(survivors), "doc_id")
+        .join(token_counts(survivors).select("doc_id", "n_bpe_est"), "doc_id")
+        .filter((F.col("quality_score") >= QUALITY_MIN) & (F.col("lang_pred") == LANG_KEEP))
+        .select("doc_id", "n_tokens", "n_bpe_est", "quality_score")
+    )
+    prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ep = F.lit(epoch_id).cast("long").alias("epoch")
+        gated.select("*", ep).write.mode("overwrite").insertInto(kept_t, overwrite=True)
+        fresh.select("fp").select("*", ep).write.mode("overwrite").insertInto(
+            fps_t, overwrite=True
+        )
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    fresh.unpersist()
+    batch_df.unpersist()
 
 
 def _neardup_epoch(

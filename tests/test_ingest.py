@@ -289,3 +289,39 @@ class TestKmeansStream:
         batch_q = kmeans_embeddings(emb).agg(F.avg("cosine")).first()[0]
         assert stream_q >= batch_q * 0.90, (stream_q, batch_q)
 
+
+
+class TestIngestCrashReplay:
+    def test_last_epoch_replay_neither_doubles_nor_loses(self, spark, sf_dir):
+        """Replaying the final ingest micro-batch must rewrite identical
+        kept/fps rows: no doubled kept docs (the plain-append failure)
+        and no empty rewrite (the naive fix's silent-loss failure — the
+        fps probe must exclude the replayed epoch's own partition)."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _ingest_epoch,
+            run_corpus_ingest_stream,
+            stage_document_chunks,
+        )
+
+        stage = stage_document_chunks(sf_dir, n_chunks=2)
+        q = run_corpus_ingest_stream(
+            spark, sf_dir, name="t_ing_idem", stage_dir=stage
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        def snap():
+            out = {}
+            for t in ("t_ing_idem_kept", "t_ing_idem_fps"):
+                spark.catalog.refreshTable(t)
+                out[t] = sorted(map(str, spark.table(t).collect()))
+            return out
+
+        before = snap()
+        assert before["t_ing_idem_kept"]
+        last_chunk = spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).parquet(stage + "/part-1.parquet")
+        _ingest_epoch(last_chunk, 1, "t_ing_idem_kept", "t_ing_idem_fps")
+        assert snap() == before
