@@ -197,15 +197,24 @@ def publish_with_audit(df: DataFrame, path: str, checks) -> dict:
 
     from ..operators.expectations import run_suite
 
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
     base = path.rstrip("/")
     stage = base + ".stage"
     if os.path.exists(stage):
         shutil.rmtree(stage)
-    df.write.mode("overwrite").parquet(stage)
+    # completeness invariant: the staged FILES must hold every input row
+    # (a lost-task/short-write bug shows up here, before any reader can
+    # see it). Observation rides the write — no second scan of the input.
+    obs = Observation("wap_rows_in")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(stage)
+    rows_in = obs.get["n"]
 
     staged = spark.read.parquet(stage)
+    rows_staged = staged.count()
     report = {r.rule: r.violations for r in run_suite(checks(staged)).collect()}
+    report["wap:row_count"] = abs(rows_staged - rows_in)
     bad = {k: v for k, v in report.items() if v > 0}
     if bad:
         rej = base + ".rejected"
