@@ -433,6 +433,15 @@ class TestWriteAuditPublish:
         assert check_accepted_values(df, "s", ["F", "O"]).collect()[0].violations == 1
 
 
+    def test_wap_row_count_invariant_reported(self, spark, tmp_path):
+        from gmall_flink_200621_spark.operators.expectations import check_not_null
+        from gmall_flink_200621_spark.sources.sinks import publish_with_audit
+
+        df = spark.range(100).select(F.col("id"), F.lit("x").alias("v"))
+        rep = publish_with_audit(df, str(tmp_path / "t"), lambda d: [check_not_null(d, "v")])
+        assert rep["published"] and rep["violations"]["wap:row_count"] == 0
+
+
 class TestErrorPaths:
     def test_asof_overlap_guard_raises(self, spark):
         from gmall_flink_200621_spark.operators.asof import asof_join
@@ -491,11 +500,3 @@ class TestRunQueryCli:
         )
         assert ls.returncode == 0
         assert "quality_gopher" in ls.stdout and "tpch_q1" in ls.stdout
-
-    def test_wap_row_count_invariant_reported(self, spark, tmp_path):
-        from gmall_flink_200621_spark.operators.expectations import check_not_null
-        from gmall_flink_200621_spark.sources.sinks import publish_with_audit
-
-        df = spark.range(100).select(F.col("id"), F.lit("x").alias("v"))
-        rep = publish_with_audit(df, str(tmp_path / "t"), lambda d: [check_not_null(d, "v")])
-        assert rep["published"] and rep["violations"]["wap:row_count"] == 0
