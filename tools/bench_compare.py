@@ -1,0 +1,78 @@
+"""Compare two bench JSON lines (bench.py output or the driver's
+BENCH_r{N}.json `tail`): per-query deltas, flagged regressions, totals.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [--threshold 0.25]
+
+Reads either a raw bench JSON line or a driver artifact containing one;
+compares the min-statistic per query (the contention-robust one), prints
+queries sorted by relative regression, and exits 1 if any COMMON query
+regressed beyond the threshold — the hook a CI perf gate calls.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict:
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d
+    # driver artifact: the bench line lives in the `tail` string
+    if isinstance(d, dict) and "tail" in d:
+        raw = d["tail"]
+    m = None
+    for m in re.finditer(r'\{"metric".*?"sf": [0-9.]+\}', raw):
+        pass
+    if m:
+        return json.loads(m.group(0))
+    # driver tails are sometimes truncated at the FRONT, even mid-key —
+    # recover what remains of the per-query min dict: complete "name":
+    # number pairs up to the dict's closing brace (the partial first pair
+    # and the later queries_median dict are excluded). Partial data beats
+    # none for a cross-round comparison; the missing head queries simply
+    # fall out of `common`.
+    head = raw.split("}", 1)[0]
+    pairs = dict(
+        (m.group(1), float(m.group(2)))
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', head)
+    )
+    if pairs:
+        return {"queries": pairs, "partial": True}
+    raise SystemExit(f"{path}: no bench JSON found")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 0.25
+    if "--threshold" in sys.argv:
+        thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    rows = []
+    for k in common:
+        a, b = oq[k], nq[k]
+        rows.append(((b - a) / a if a else 0.0, k, a, b))
+    rows.sort(reverse=True)
+    bad = [r for r in rows if r[0] > thr]
+    print(f"common {len(common)}  added {sorted(set(nq) - set(oq))}  removed {sorted(set(oq) - set(nq))}")
+    print(f"total(common): {sum(oq[k] for k in common):.2f}s -> {sum(nq[k] for k in common):.2f}s")
+    print(f"{'delta':>8s}  {'old':>7s} {'new':>7s}  query")
+    for d, k, a, b in rows[:15]:
+        flag = "  <-- REGRESSION" if d > thr else ""
+        print(f"{d:+8.1%}  {a:7.2f} {b:7.2f}  {k}{flag}")
+    if bad:
+        print(f"\n{len(bad)} queries regressed beyond {thr:.0%}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
