@@ -500,3 +500,31 @@ class TestRunQueryCli:
         )
         assert ls.returncode == 0
         assert "quality_gopher" in ls.stdout and "tpch_q1" in ls.stdout
+
+
+class TestBenchCompare:
+    def test_flags_regressions_and_recovers_truncated_tails(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        old = {"metric": "t", "value": 2.0, "queries": {"a": 1.0, "b": 1.0}, "sf": 0.1}
+        new = {"metric": "t", "value": 2.6, "queries": {"a": 1.0, "b": 1.6, "c": 0.2}, "sf": 0.1}
+        (tmp_path / "old.json").write_text(json.dumps(old))
+        (tmp_path / "new.json").write_text(json.dumps(new))
+        r = subprocess.run(
+            [sys.executable, "tools/bench_compare.py", str(tmp_path / "old.json"),
+             str(tmp_path / "new.json"), "--threshold", "0.25"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 1 and "REGRESSION" in r.stdout and "'c'" in r.stdout
+
+        # driver-artifact tail truncated mid-key still yields the complete pairs
+        art = {"tail": '_cut": 0.5, "a": 1.0, "b": 1.0}, "queries_median": {"a": 9.9}}'}
+        (tmp_path / "art.json").write_text(json.dumps(art))
+        r2 = subprocess.run(
+            [sys.executable, "tools/bench_compare.py", str(tmp_path / "art.json"),
+             str(tmp_path / "new.json"), "--threshold", "10.0"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r2.returncode == 0 and "common 2" in r2.stdout
