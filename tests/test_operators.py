@@ -1222,3 +1222,39 @@ class TestMediaFeatureStream:
             for r in extract_features(media, decoder="stdlib").collect()
         }
         assert got == batch and len(got) == 12
+
+
+class TestFanOutSizing:
+    def test_three_regimes(self, spark, tmp_path):
+        """tiny → no-op (exchange costs more than the work); mid-size
+        single file → fans out proportionally to bytes; already-parallel →
+        no-op (the 100 TB case: scan splits exceed the byte-sized cap)."""
+        from gmall_flink_200621_spark.operators.partitioning import (
+            FANOUT_BYTES_PER_SLICE,
+            fan_out,
+        )
+
+        tiny = tmp_path / "tiny"
+        spark.range(100).coalesce(1).write.parquet(str(tiny))
+        df_tiny = spark.read.parquet(str(tiny))
+        assert fan_out(df_tiny) is df_tiny
+
+        mid = tmp_path / "mid"
+        spark.range(600_000).selectExpr("id", "repeat('x', 12) AS pad").coalesce(1).write.parquet(str(mid))
+        df_mid = spark.read.parquet(str(mid))
+        import glob
+        import os
+
+        nbytes = sum(os.path.getsize(f) for f in glob.glob(f"{mid}/*.parquet"))
+        want = max(1, min(spark.sparkContext.defaultParallelism, nbytes // FANOUT_BYTES_PER_SLICE))
+        assert want >= 2, nbytes  # fixture must actually exceed one slice
+        out = fan_out(df_mid)
+        assert out is not df_mid
+        assert out.rdd.getNumPartitions() == want
+
+        par = tmp_path / "par"
+        spark.range(600_000).selectExpr("id", "repeat('x', 12) AS pad").repartition(
+            32
+        ).write.parquet(str(par))
+        df_par = spark.read.parquet(str(par))
+        assert fan_out(df_par) is df_par  # ≥ target splits already
