@@ -218,6 +218,31 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (melt) — the inverse of `event_type_pivot`: the wide
+    per-user count columns fold back to (user_id, event_type, n) long
+    form, zero cells dropped. Pivot∘unpivot must round-trip to the plain
+    groupBy counts, which is exactly what the oracle computes — so this
+    certifies the melt surface against first principles, not against
+    another pivot."""
+    wide = event_type_pivot(spark, sf_dir)
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n",
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "user_id",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing via Spark 4's native VariantType:
     `parse_json` once into a variant column (binary-encoded, field access
@@ -532,9 +557,16 @@ EXTRA_QUERIES = {
     "props_variant_stats": props_variant_stats,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
     "tpch_expectations": tpch_expectations,
+    "event_type_unpivot": event_type_unpivot,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "event_type_unpivot": """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+GROUP BY 1, 2
+""",
     "tpch_expectations": """
 SELECT 'unique:c_custkey' AS rule,
        CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
