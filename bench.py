@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "revenue_seasonality",
     "token_entropy",
     "source_divergence",
+    "event_type_unpivot",
 ]
 
 
