@@ -43,6 +43,10 @@ def get_spark(
         # side of a shuffle join seeds a bloom filter that prunes the big
         # side's scan (no effect at test scale — creation threshold 10 MB)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # zstd for all parquet writes: ~25-35% smaller files than the
+        # snappy default at comparable CPU — at 100 TB that's tens of TB
+        # of storage and proportionally less scan I/O on every read
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

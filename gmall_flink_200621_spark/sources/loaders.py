@@ -232,3 +232,41 @@ def read_jsonl(spark: SparkSession, path: str, schema: str):
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad
+
+
+SUPPORTED_BATCH_FORMATS = ("parquet", "orc", "json", "csv", "xml")
+
+
+def write_as(df: DataFrame, path: str, fmt: str, **options) -> None:
+    """Write a frame in any supported batch format (S1 format breadth:
+    columnar parquet/ORC for warehouse tables, JSON/CSV for interchange,
+    XML for the feeds that still ship it). CSV/JSON/XML carry no schema —
+    pair them with `read_as(..., schema=...)`."""
+    if fmt not in SUPPORTED_BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_BATCH_FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if fmt == "xml":
+        w = w.option("rootTag", "rows").option("rowTag", "row")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_as(spark: SparkSession, path: str, fmt: str, schema: str | None = None) -> DataFrame:
+    """Read any supported batch format; schemaless formats REQUIRE an
+    explicit schema (inference is an extra full pass at scale and is
+    sampling-nondeterministic — same rule as `read_jsonl`)."""
+    if fmt not in SUPPORTED_BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_BATCH_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt in ("json", "csv", "xml"):
+        if schema is None:
+            raise ValueError(f"{fmt} is schemaless — pass schema= explicitly")
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    if fmt == "xml":
+        r = r.option("rowTag", "row")
+    return r.load(path)

@@ -528,3 +528,37 @@ class TestBenchCompare:
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r2.returncode == 0 and "common 2" in r2.stdout
+
+
+class TestFormatRoundTrips:
+    def test_all_formats_roundtrip_events(self, spark, sf_dir, tmp_path):
+        """S1 format breadth: parquet/ORC (columnar), JSON/CSV/XML
+        (interchange) all round-trip the same rows byte-for-value; the
+        schemaless three require an explicit schema (inference refused)."""
+        import pytest as _pytest
+
+        from gmall_flink_200621_spark.sources.loaders import (
+            SUPPORTED_BATCH_FORMATS,
+            load_table,
+            read_as,
+            write_as,
+        )
+
+        e = (
+            load_table(spark, sf_dir, "events")
+            .limit(200)
+            .select("event_id", F.col("ts").cast("long").alias("ts_s"), "user_id", "event_type")
+        )
+        expect = sorted(map(tuple, e.collect()))
+        schema = "event_id long, ts_s long, user_id long, event_type string"
+        for fmt in SUPPORTED_BATCH_FORMATS:
+            path = str(tmp_path / fmt)
+            write_as(e, path, fmt)
+            back = read_as(spark, path, fmt, schema=schema)
+            got = sorted(map(tuple, back.select(*e.columns).collect()))
+            assert got == expect, fmt
+
+        with _pytest.raises(ValueError, match="schemaless"):
+            read_as(spark, str(tmp_path / "json"), "json")
+        with _pytest.raises(ValueError, match="unsupported"):
+            write_as(e, str(tmp_path / "nope"), "avro")
