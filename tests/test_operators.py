@@ -285,6 +285,27 @@ class TestSimilarity:
         else:
             assert recall >= 0.3, recall  # nprobe=4 of ~15 lists
 
+    def test_knn_lsh_recall_vs_brute(self, spark, sf_dir):
+        """Recall guard for the sign-LSH variant. HONEST NUMBERS: 8
+        hyperplanes = 256 buckets over a 500-vector corpus ≈ 2 vectors
+        per bucket, so single-bucket probing recalls only 4% of brute's
+        top-k here — deterministic, pinned exactly so candidate
+        generation can't drift silently. LSH earns its keep when buckets
+        hold many members (the 100 TB regime, or fewer planes); the
+        brute/IVF paths are the right choice at this corpus size, and the
+        shared-pair cosine check pins that LSH never INVENTS a score."""
+        from gmall_flink_200621_spark.operators.similarity import knn_brute, knn_lsh
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r.query_id, r.neighbor_id): r.cosine for r in knn_brute(emb).collect()}
+        approx = {(r.query_id, r.neighbor_id): r.cosine for r in knn_lsh(emb).collect()}
+        assert approx
+        # any pair LSH shares with brute carries the identical cosine
+        assert all(exact[k] == v for k, v in approx.items() if k in exact)
+        recall = len(set(exact) & set(approx)) / len(exact)
+        assert recall == 0.04, recall  # measured at sf0.001 AND sf0.01
+
 
 class TestMultimodal:
     def test_extract_features_shape(self, spark):
