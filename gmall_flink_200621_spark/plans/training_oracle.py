@@ -30,6 +30,7 @@ from ..operators.similarity import (
     KM_ITERS,
     KNN_K,
     LSH_PLANES,
+    LSH_SIGN_BANDS,
     Q_SCALE,
     SEMDEDUP_THRESHOLD,
     _plane_coeff,
@@ -369,25 +370,41 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
-def _bucket_sql(q: str) -> str:
+def _band_bucket_sql(q: str, band: int, rows: int) -> str:
+    """Mirror of the Spark band_col: sign bits of the band's `rows`
+    hyperplanes (plane index band*rows + r, bit 1 << r)."""
     terms = []
-    for p in range(LSH_PLANES):
+    for r in range(rows):
+        p = band * rows + r
         coeffs = ", ".join(str(_plane_coeff(p, d)) for d in range(DIM))
         proj = f"list_sum(list_transform(generate_series(1, {DIM}), i -> {q}[i] * ([{coeffs}])[i]))"
-        terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+        terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << r}::BIGINT ELSE 0::BIGINT END")
     return " + ".join(terms)
 
 
+_LSH_ROWS = LSH_PLANES // 2
+_LSH_BAND_COLS = ", ".join(
+    f"({_band_bucket_sql('q', b, _LSH_ROWS)}) AS b{b}" for b in range(LSH_SIGN_BANDS)
+)
+_LSH_STACK = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS bi, b{b} AS bv FROM eb" for b in range(LSH_SIGN_BANDS)
+)
+
 KNN_LSH = f"""
-WITH e AS (
-  SELECT vec_id, q, {_bucket_sql("q")} AS bucket
-  FROM (SELECT vec_id, {_QVEC} AS q FROM embeddings)
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+eb AS (SELECT vec_id, q, {_LSH_BAND_COLS} FROM e),
+stacked AS ({_LSH_STACK}),
+qb AS (SELECT vec_id AS query_id, bi, bv FROM stacked WHERE vec_id % 100 = 0),
+cands AS (
+  SELECT DISTINCT qb.query_id, s.vec_id AS neighbor_id
+  FROM stacked s JOIN qb ON s.bi = qb.bi AND s.bv = qb.bv
+  WHERE qb.query_id <> s.vec_id
 ),
-qs AS (SELECT vec_id AS query_id, q AS qq, bucket FROM e WHERE vec_id % 100 = 0),
 scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id, {_cosine_sql("qq", "c.q")} AS cosine
-  FROM qs JOIN e c ON qs.bucket = c.bucket
-  WHERE query_id <> c.vec_id
+  SELECT c.query_id, c.neighbor_id, {_cosine_sql("qs.q", "nb.q")} AS cosine
+  FROM cands c
+  JOIN e qs ON qs.vec_id = c.query_id
+  JOIN e nb ON nb.vec_id = c.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,

@@ -286,14 +286,13 @@ class TestSimilarity:
             assert recall >= 0.3, recall  # nprobe=4 of ~15 lists
 
     def test_knn_lsh_recall_vs_brute(self, spark, sf_dir):
-        """Recall guard for the sign-LSH variant. HONEST NUMBERS: 8
-        hyperplanes = 256 buckets over a 500-vector corpus ≈ 2 vectors
-        per bucket, so single-bucket probing recalls only 4% of brute's
-        top-k here — deterministic, pinned exactly so candidate
-        generation can't drift silently. LSH earns its keep when buckets
-        hold many members (the 100 TB regime, or fewer planes); the
-        brute/IVF paths are the right choice at this corpus size, and the
-        shared-pair cosine check pins that LSH never INVENTS a score."""
+        """Recall guard for BANDED sign-LSH (4 bands × 4 planes,
+        candidate on any band match). The single-bucket 8-plane form
+        recalled only 4% of brute's top-k on this corpus — banding's
+        OR-amplification lifted it to 32%/40% (sf0.001/sf0.01),
+        deterministic and pinned exactly so candidate generation can't
+        drift silently; the shared-pair cosine check pins that LSH never
+        INVENTS a score."""
         from gmall_flink_200621_spark.operators.similarity import knn_brute, knn_lsh
         from gmall_flink_200621_spark.sources.loaders import load_table
 
@@ -304,7 +303,7 @@ class TestSimilarity:
         # any pair LSH shares with brute carries the identical cosine
         assert all(exact[k] == v for k, v in approx.items() if k in exact)
         recall = len(set(exact) & set(approx)) / len(exact)
-        assert recall == 0.04, recall  # measured at sf0.001 AND sf0.01
+        assert recall == (0.32 if sf_dir.endswith("sf0.001") else 0.40), recall
 
 
 class TestMultimodal:
