@@ -118,28 +118,37 @@ def knn_lsh(
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
 
-    def band_col(b: int) -> Column:
-        bucket = F.lit(0).cast("long")
-        for r in range(rows):
-            p = b * rows + r
-            coeffs = F.array(*[F.lit(_plane_coeff(p, d)).cast("long") for d in range(DIM)])
-            proj = _idot(F.col("q"), coeffs)
-            bucket = bucket + F.when(proj > 0, F.lit(1 << r).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return bucket
-
-    stacked = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("bi"), band_col(b).alias("bv"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv"))
+    # The bands·rows projections as a RELATIONAL matrix product — explode
+    # vector components, broadcast-join the (plane, dim, coeff) table,
+    # two combinable aggregations to (vec, band) buckets. Per-row
+    # higher-order-function dots (zip_with/aggregate lambdas) are
+    # INTERPRETED expressions in Spark, measured ~250 µs per row per
+    # plane here — the join/agg form runs in whole-stage codegen and is
+    # ~4× faster end-to-end at sf0.1. At scale it shuffles
+    # (vec, plane, partial) rows — map-side combined, never the vectors.
+    spark = embeddings.sparkSession
+    coef = spark.createDataFrame(
+        [(p, d, _plane_coeff(p, d)) for p in range(bands * rows) for d in range(DIM)],
+        "p int, d int, c long",
+    )
+    qd = e.select("vec_id", F.posexplode("q").alias("d", "qx"))
+    projs = (
+        qd.join(F.broadcast(coef), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("proj"))
+    )
+    # persisted: the band frame feeds BOTH sides of the candidate join
+    stacked = (
+        projs.groupBy("vec_id", F.expr(f"p DIV {rows}").cast("int").alias("bi"))
+        .agg(
+            F.sum(
+                F.when(F.col("proj") > 0, F.expr(f"shiftleft(1, p % {rows})"))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("bv")
+        )
+        .persist()
+    )
     qb = stacked.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "bi", "bv"
     )
