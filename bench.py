@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "token_entropy",
     "source_divergence",
     "event_type_unpivot",
+    "knn_graph",
+    "boilerplate_scrub",
+    "cluster_aware_split",
+    "column_profile",
 ]
 
 

@@ -173,6 +173,66 @@ def dedup_containment(
     )
 
 
+SPARSE_COS_THRESHOLD = 0.6
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame, threshold: float = SPARSE_COS_THRESHOLD, df_cap: int | None = DF_CAP
+) -> DataFrame:
+    """Weighted sparse-vector all-pairs similarity join (the Bayardo et
+    al. 2007 / WHIMP shape): documents as TF vectors over word-3-gram
+    shingles, emit pairs with cosine ≥ threshold. Complements the SET
+    metrics on the same index: Jaccard ignores multiplicity and
+    containment ignores the non-shared mass — tf-cosine catches
+    "same phrases, different proportions" near-dups (template spam with
+    repeated blocks) that both set metrics under-score.
+
+    Same inverted-index discipline as _shingle_pair_counts: the self-join
+    keys on h60(shingle) (8-byte longs), hyper-frequent shingles are
+    df-capped BEFORE norms are taken (so the cosine is consistently the
+    capped-vector cosine — the cap bound argument from _doc_shingles
+    applies per component), and the pair dot Σ tf_a·tf_b is an exact
+    int64 sum — the only floats are two sqrt and one divide, identical
+    cross-engine at round(6). Cost is Σ df² over surviving shingles,
+    never N²."""
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        toked.select("doc_id", F.explode(shingles(F.col("toks"), SHINGLE_N)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .select("doc_id", h60(F.col("shingle")).alias("sh60"))
+        .groupBy("doc_id", "sh60")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    hot = (
+        tf.groupBy("sh60")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh60")
+    )
+    capped = tf.join(F.broadcast(hot), "sh60", "left_anti").persist()
+    n2 = capped.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    dots = (
+        a.join(b, (F.col("a.sh60") == F.col("b.sh60")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = n2.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = n2.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 BENCH_PER_MILLE = 20  # 2% of docs act as the held-out eval set
 
 
@@ -691,6 +751,48 @@ def split_leakage_audit(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaks", (F.col("split_a") != F.col("split_b")).cast("int"))
+    )
+
+
+CAS_SEED = "casplit0"
+CAS_VAL_PER_MILLE = 50
+CAS_TEST_PER_MILLE = 50
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    val_per_mille: int = CAS_VAL_PER_MILLE,
+    test_per_mille: int = CAS_TEST_PER_MILLE,
+    seed: str = CAS_SEED,
+) -> DataFrame:
+    """LEAK-FREE train/val/test assignment: hash-split by near-duplicate
+    COMPONENT instead of by document, so a doc and all its near-twins
+    land in the same split by construction — the fix for what
+    `split_leakage_audit` measures (per-doc splitting strands ~half of
+    every dup pair across the train/eval boundary and inflates eval
+    scores). The split is a pure function of (seed, canonical_id):
+    stable across engines and partitionings, and since canonical_id is
+    the component's min doc_id, adding non-dup documents never moves an
+    existing cluster's split.
+
+    Shape: dedup_clusters' component labels (iterative loop over the
+    dup-graph vertices only — see its docstring for the 100 TB posture)
+    plus ONE row-local hash per doc; no additional shuffle beyond the
+    clustering itself. Test-pinned invariant: zero near-dup pairs
+    straddle splits (the audit's `leaks` column is 0 for every
+    cross-split row)."""
+    labels = dedup_clusters(docs)
+    b = F.pmod(
+        h60(F.concat(F.lit(seed), F.lit(":"), F.col("canonical_id").cast("string"))),
+        F.lit(1000),
+    )
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        F.when(b < val_per_mille, F.lit("val"))
+        .when(b < val_per_mille + test_per_mille, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )
 
 

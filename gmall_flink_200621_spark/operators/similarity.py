@@ -96,6 +96,45 @@ def lsh_sign_bucket(quantized: Column, planes: int = LSH_PLANES) -> Column:
 LSH_SIGN_BANDS = 4  # bands × rows = 16 planes; candidate iff ANY band matches
 
 
+def sign_band_frame(e: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Stacked banded sign-LSH frame (vec_id, bi, bv) over a quantized
+    corpus `e` (vec_id, q, …) — `bands` band values of `rows` sign bits
+    each; two vectors are LSH candidates iff ANY band value matches
+    (MinHash's OR-amplification applied to random hyperplanes).
+
+    The bands·rows projections run as a RELATIONAL matrix product —
+    explode vector components, broadcast-join the (plane, dim, coeff)
+    table, two combinable aggregations to (vec, band) buckets. Per-row
+    higher-order-function dots (zip_with/aggregate lambdas) are
+    INTERPRETED expressions in Spark, measured ~250 µs per row per
+    plane here — the join/agg form runs in whole-stage codegen and is
+    ~4× faster end-to-end at sf0.1. At scale it shuffles
+    (vec, plane, partial) rows — map-side combined, never the vectors.
+    Returned persisted: every caller feeds it to BOTH sides of a join."""
+    spark = e.sparkSession
+    coef = spark.createDataFrame(
+        [(p, d, _plane_coeff(p, d)) for p in range(bands * rows) for d in range(DIM)],
+        "p int, d int, c long",
+    )
+    qd = e.select("vec_id", F.posexplode("q").alias("d", "qx"))
+    projs = (
+        qd.join(F.broadcast(coef), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("proj"))
+    )
+    return (
+        projs.groupBy("vec_id", F.expr(f"p DIV {rows}").cast("int").alias("bi"))
+        .agg(
+            F.sum(
+                F.when(F.col("proj") > 0, F.expr(f"shiftleft(1, p % {rows})"))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("bv")
+        )
+        .persist()
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     k: int = KNN_K,
@@ -117,38 +156,7 @@ def knn_lsh(
     never shuffles."""
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
-
-    # The bands·rows projections as a RELATIONAL matrix product — explode
-    # vector components, broadcast-join the (plane, dim, coeff) table,
-    # two combinable aggregations to (vec, band) buckets. Per-row
-    # higher-order-function dots (zip_with/aggregate lambdas) are
-    # INTERPRETED expressions in Spark, measured ~250 µs per row per
-    # plane here — the join/agg form runs in whole-stage codegen and is
-    # ~4× faster end-to-end at sf0.1. At scale it shuffles
-    # (vec, plane, partial) rows — map-side combined, never the vectors.
-    spark = embeddings.sparkSession
-    coef = spark.createDataFrame(
-        [(p, d, _plane_coeff(p, d)) for p in range(bands * rows) for d in range(DIM)],
-        "p int, d int, c long",
-    )
-    qd = e.select("vec_id", F.posexplode("q").alias("d", "qx"))
-    projs = (
-        qd.join(F.broadcast(coef), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("qx") * F.col("c")).alias("proj"))
-    )
-    # persisted: the band frame feeds BOTH sides of the candidate join
-    stacked = (
-        projs.groupBy("vec_id", F.expr(f"p DIV {rows}").cast("int").alias("bi"))
-        .agg(
-            F.sum(
-                F.when(F.col("proj") > 0, F.expr(f"shiftleft(1, p % {rows})"))
-                .otherwise(F.lit(0))
-                .cast("long")
-            ).alias("bv")
-        )
-        .persist()
-    )
+    stacked = sign_band_frame(e, bands, rows)
     qb = stacked.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "bi", "bv"
     )
@@ -179,6 +187,95 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = KNN_GRAPH_K,
+    bands: int = LSH_SIGN_BANDS,
+    rows: int = LSH_PLANES // 2,
+) -> DataFrame:
+    """Corpus-wide k-NN GRAPH: top-k cosine neighbors for EVERY vector
+    (not a query subset) — the all-pairs step behind graph-based
+    clustering, label propagation over embeddings, and connectivity-based
+    curation. Brute force is Θ(N²); this is the Σ-bucket² shape: banded
+    sign-LSH buckets (same `sign_band_frame` as knn_lsh), dense
+    within-bucket scoring, exact global top-k over the candidate union.
+
+    Within-bucket scoring runs as an Arrow-batched numpy matmul per
+    (band, bucket) group (`applyInPandas`) — a documented Pandas-UDF
+    exception alongside simhash: a bucket of B vectors needs B²·d
+    multiply-adds, which the expression path can only express by either
+    interpreted per-row HOF dots (measured ~250 µs/row — hours at bucket
+    scale) or a d× row explosion through a join; one int64 BLAS-shaped
+    matmul per bucket does the same integer math exactly. Per-src
+    pre-pruning to the bucket-local top-k is EXACT (a global top-k pair
+    ranks ≤ k within its own bucket under the identical
+    (cosine desc, nbr asc) order — the top_n_per_group argument), so each
+    bucket emits ≤ B·k rows, not B².
+
+    100 TB shape: vectors shuffle once per band (bands·N rows total, not
+    N²); per-bucket cost is bounded by the banding selectivity (rows bits
+    ⇒ E[B] ≈ N/2^rows per band — deepen `rows` as N grows to hold bucket
+    sizes; a production build would also cap B and re-band the overflow).
+    Dots are Q_SCALE int64 — dot ≤ 64·(0.53·2²⁴)² < 2⁵³, so the float64
+    conversion and the sqrt/divide are IEEE-identical to the DuckDB
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    stacked = sign_band_frame(e, bands, rows)
+    bucketed = stacked.join(e, "vec_id")
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"src_id": [], "nbr_id": [], "cosine": []}).astype(
+                {"src_id": "int64", "nbr_id": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+        g = m @ m.T  # exact int64 dots
+        rt = np.sqrt(pdf["n2"].to_numpy().astype(np.float64))
+        cos = g / (rt[:, None] * rt[None, :])
+        out_s, out_n, out_c = [], [], []
+        for i in range(len(ids)):
+            row = cos[i]
+            # order: cosine desc, nbr_id asc; self excluded
+            order = np.lexsort((ids, -row))
+            taken = 0
+            for j in order:
+                if j == i:
+                    continue
+                out_s.append(ids[i])
+                out_n.append(ids[j])
+                out_c.append(row[j])
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame({"src_id": out_s, "nbr_id": out_n, "cosine": out_c})
+
+    pairs = bucketed.groupBy("bi", "bv").applyInPandas(
+        bucket_topk, "src_id long, nbr_id long, cosine double"
+    )
+    # a pair found by several bands carries the identical cosine — max() is
+    # pure dedup, not selection
+    uniq = pairs.groupBy("src_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        uniq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src_id",
+            "nbr_id",
             F.round("cosine", 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )

@@ -299,6 +299,80 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+BP_SEG_LEN = 4  # aligned segment length (tokens)
+BP_DF_THRESHOLD = 2  # a segment is boilerplate iff it appears in >= T distinct docs
+
+
+def boilerplate_scrub(
+    docs: DataFrame, seg_len: int = BP_SEG_LEN, df_threshold: int = BP_DF_THRESHOLD
+) -> DataFrame:
+    """Corpus-frequent-segment removal — the RefinedWeb/CCNet "line
+    dedup" pass re-expressed for newline-free word-bag documents: carve
+    each doc into ALIGNED `seg_len`-token segments (the analog of lines;
+    the <seg_len tail is never scrubbed), count each segment's document
+    frequency corpus-wide, and strip every segment appearing in
+    ≥ `df_threshold` distinct docs (nav menus / cookie banners /
+    licence boilerplate in real crawls). Emits per-doc audit counts and
+    the md5 of the scrubbed text (the pii_scrub convention — full text
+    is one `array_join` away where the pipeline needs it).
+
+    Shape: one tokenize pass; the corpus-wide df aggregate and the
+    keep/strip anti-join both key on the 60-bit segment HASH, so the
+    shuffles carry 8-byte longs, never segment text (the inverted-index
+    discipline from ngram_jaccard). The hot-segment frame is
+    data-dependent and potentially large (df ≥ T is a long tail), so the
+    anti-join is left UNHINTED — Catalyst broadcasts it while its stats
+    allow, and falls back to shuffle at real scale (the tfidf_terms df
+    posture). Reassembly is one per-doc sort of kept (seg_idx, tokens)
+    structs — bounded by doc length, embarrassingly parallel."""
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    toked = toked.withColumn("n_seg", F.floor(F.size("toks") / seg_len).cast("int")).persist()
+    seg = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_seg") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_seg") - 1),
+                    lambda i: F.slice(F.col("toks"), i * seg_len + 1, seg_len),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("seg_idx", "seg_toks"),
+    ).withColumn("seg_h", h60(F.array_join("seg_toks", " ")))
+    hot = (
+        seg.groupBy("seg_h")
+        .agg(F.count_distinct("doc_id").alias("seg_df"))
+        .filter(F.col("seg_df") >= df_threshold)
+        .select("seg_h")
+    )
+    kept = (
+        seg.join(hot, "seg_h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg_toks"))),
+                    lambda s: s.seg_toks,
+                )
+            ).alias("kept_toks"),
+        )
+    )
+    tail = F.slice(F.col("toks"), F.col("n_seg") * seg_len + 1, F.size("toks") - F.col("n_seg") * seg_len)
+    clean = F.concat(F.coalesce("kept_toks", F.array().cast("array<string>")), tail)
+    return (
+        toked.join(kept, "doc_id", "left")
+        .withColumn("clean_toks", clean)
+        .select(
+            "doc_id",
+            F.col("n_seg").alias("n_segments"),
+            (F.col("n_seg") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+            F.size("clean_toks").alias("n_tokens_clean"),
+            F.md5(F.array_join("clean_toks", " ")).alias("clean_fp"),
+        )
+    )
+
+
 TOP_TERMS_K = 5
 
 
@@ -680,6 +754,84 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
         "n_tokens",
         "cross_entropy",
         F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), t).alias("ppl_bucket"),
+    )
+
+
+# --------------------------------------- hashed-bigram LM scoring
+
+BIGRAM_BUCKETS = 256  # ctx × word bucket pairs ≤ 65k rows — broadcastable
+
+
+def bigram_lm_score(docs: DataFrame, buckets: int = BIGRAM_BUCKETS) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the conditional-probability
+    upgrade of `perplexity_buckets`' unigram CCNet scorer: p(w|ctx) with
+    add-one smoothing over hashed (context, word) bucket pairs. A bigram
+    model catches word-ORDER pathologies (shuffled text, keyword
+    stuffing) that any unigram model scores as perfectly fluent; both
+    belong in a curation stack.
+
+    Hashing bounds the model: `buckets`² possible pairs (≤65k rows at
+    256) regardless of vocabulary, so the conditional-count and
+    context-count frames broadcast at any corpus size — the same
+    fixed-dimension trick as DSIR's hashed features. Scale shape: one
+    explode of consecutive token pairs, collapse to per-(doc, ctx, w)
+    counts (~30-byte rows, the only doc-cardinality shuffle), model aggs
+    over that collapsed frame, two broadcast joins back, one per-doc
+    re-agg. Docs with < 2 tokens have no bigrams and score NULL (emitted,
+    not dropped — the audit row survives).
+
+    cross_entropy = -mean log2 (c(ctx,w)+1)/(c(ctx)+buckets); exact
+    integer counts, log2/divide on doubles — engine-identical at
+    round(6)."""
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    big = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("prev"),
+                        F.element_at(F.col("toks"), i + 1).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        (h60(F.col("bg.prev")) % buckets).alias("ctx"),
+        (h60(F.col("bg.cur")) % buckets).alias("w"),
+    )
+    per_doc = big.groupBy("doc_id", "ctx", "w").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    c2 = per_doc.groupBy("ctx", "w").agg(F.sum("cnt").alias("c2"))
+    c1 = per_doc.groupBy("ctx").agg(F.sum("cnt").alias("c1"))
+    lp = (
+        c2.join(c1, "ctx")
+        .select(
+            "ctx",
+            "w",
+            F.log2((F.col("c2") + 1).cast("double") / (F.col("c1") + buckets).cast("double")).alias(
+                "lp"
+            ),
+        )
+    )
+    scored = (
+        per_doc.join(F.broadcast(lp), ["ctx", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_bigrams"),
+            F.round(-F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias("bigram_ce"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "bigram_ce",
+        )
     )
 
 

@@ -292,6 +292,106 @@ def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles and a rule-based segment label, the classic warehouse
+    marketing rollup. Deterministic cross-engine: quintiles are exact
+    ntile(5) windows ordered by (metric, o_custkey) — the tiebreak makes
+    bucket boundaries a pure function of the data (ntile without a total
+    order is engine-dependent for ties); monetary sums in DECIMAL.
+
+    Shape: one groupBy(custkey) over orders (map-side combinable), then
+    three ntile windows over the CUSTOMER-count frame (~20 bytes/row —
+    the docs-count-sized sort perplexity_buckets also accepts; at 100 TB
+    swap exact ntile for approxQuantile cut points if even that sort is
+    unwanted; plan shape otherwise unchanged)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.expr(f"unix_micros(o_orderdate) DIV {US_PER_DAY}")).alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    scored = per.select(
+        "o_custkey",
+        "recency_day",
+        "frequency",
+        F.round(F.col("mon").cast("double"), 2).alias("monetary"),
+        F.ntile(5).over(Window.orderBy("recency_day", "o_custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("mon", "o_custkey")).alias("m"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_day",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4), F.lit("champion"))
+        .when(F.col("r") >= 4, F.lit("recent"))
+        .when(F.col("f") >= 4, F.lit("loyal"))
+        .when((F.col("r") <= 2) & (F.col("f") <= 2), F.lit("at_risk"))
+        .otherwise(F.lit("regular"))
+        .alias("segment"),
+    )
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of `orders` — per column: row/null
+    counts, EXACT distinct count, numeric min/max (doubles; timestamps as
+    epoch seconds) and lexicographic min/max for varchar — the statistics
+    a warehouse collects for CBO join-size estimates, data-quality
+    monitoring, and partition-layout decisions.
+
+    Shape: ONE scan stacked long-form (explode of per-column structs —
+    the unpivot shape), then two hash aggregations: per-(column, value)
+    partial counts (map-side combinable; the only shuffle carries distinct
+    (column, value) pairs, ~NDV rows, not table rows), then the per-column
+    rollup where ndv = count of surviving groups — exact distinct WITHOUT
+    a per-column Expand plan (Spark's multi-countDistinct rewrite
+    replicates every input row once per distinct aggregate; the stack
+    shape shuffles each value once). At 100 TB swap the exact ndv for
+    `approx_count_distinct`/HLL (the uv_approx posture) and keep min/max
+    exact — the plan shape is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    dnull = F.lit(None).cast("double")
+    snull = F.lit(None).cast("string")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("double"), snull),
+        ("o_custkey", F.col("o_custkey").cast("double"), snull),
+        ("o_orderstatus", dnull, F.col("o_orderstatus")),
+        ("o_totalprice", F.col("o_totalprice"), snull),
+        ("o_orderdate", F.col("o_orderdate").cast("double"), snull),
+        ("o_orderpriority", dnull, F.col("o_orderpriority")),
+    ]
+    stacked = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("column_name"), vn.alias("v_num"), vs.alias("v_str")
+                    )
+                    for n, vn, vs in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    per_val = stacked.groupBy("column_name", "v_num", "v_str").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    present = F.col("v_num").isNotNull() | F.col("v_str").isNotNull()
+    return per_val.groupBy("column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(~present, F.col("cnt")).otherwise(F.lit(0))).alias("n_null"),
+        F.count(F.when(present, F.lit(1))).alias("n_distinct"),
+        F.round(F.min("v_num"), 6).alias("min_num"),
+        F.round(F.max("v_num"), 6).alias("max_num"),
+        F.min("v_str").alias("min_str"),
+        F.max("v_str").alias("max_str"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_snapshot": scd2_snapshot,
@@ -304,6 +404,8 @@ ANALYTICS_QUERIES = {
     "sales_grouping_sets": sales_grouping_sets,
     "value_by_weekday": value_by_weekday,
     "revenue_seasonality": revenue_seasonality,
+    "column_profile": column_profile,
+    "rfm_segments": rfm_segments,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -458,5 +560,48 @@ SELECT month,
        round((rev - lag(rev) OVER (ORDER BY month))::DOUBLE
              / (lag(rev) OVER (ORDER BY month))::DOUBLE, 6) AS growth_pct
 FROM monthly
+""",
+    "column_profile": """
+WITH s AS (
+  SELECT 'o_orderkey' AS column_name, o_orderkey::DOUBLE AS v_num, NULL::VARCHAR AS v_str FROM orders
+  UNION ALL SELECT 'o_custkey', o_custkey::DOUBLE, NULL FROM orders
+  UNION ALL SELECT 'o_orderstatus', NULL, o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice', o_totalprice, NULL FROM orders
+  UNION ALL SELECT 'o_orderdate', epoch(o_orderdate), NULL FROM orders
+  UNION ALL SELECT 'o_orderpriority', NULL, o_orderpriority FROM orders
+)
+SELECT column_name,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE v_num IS NULL AND v_str IS NULL) AS n_null,
+       count(DISTINCT v_num) + count(DISTINCT v_str) AS n_distinct,
+       round(min(v_num), 6) AS min_num,
+       round(max(v_num), 6) AS max_num,
+       min(v_str) AS min_str,
+       max(v_str) AS max_str
+FROM s GROUP BY 1
+""",
+    "rfm_segments": f"""
+WITH per AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // {US_PER_DAY}) AS recency_day,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, recency_day, frequency,
+         round(CAST(mon AS DOUBLE), 2) AS monetary,
+         ntile(5) OVER (ORDER BY recency_day, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY mon, o_custkey) AS m
+  FROM per
+)
+SELECT o_custkey, recency_day, frequency, monetary, r, f, m,
+       CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+            WHEN r >= 4 THEN 'recent'
+            WHEN f >= 4 THEN 'loyal'
+            WHEN r <= 2 AND f <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
 """,
 }

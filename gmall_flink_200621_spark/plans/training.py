@@ -220,6 +220,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ivf(_emb(spark, sf_dir))
 
 
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.knn_graph(_emb(spark, sf_dir))
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_dedup(_emb(spark, sf_dir))
 
@@ -302,6 +306,22 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.split_leakage_audit(_docs(spark, sf_dir))
 
 
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cluster_aware_split(_docs(spark, sf_dir))
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.boilerplate_scrub(_docs(spark, sf_dir))
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_lm_score(_docs(spark, sf_dir))
+
+
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.sparse_cosine_pairs(_docs(spark, sf_dir))
+
+
 def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_cluster_sizes(_docs(spark, sf_dir))
 
@@ -375,4 +395,9 @@ TRAINING_QUERIES = {
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "token_entropy": token_entropy,
     "source_divergence": source_divergence,
+    "knn_graph": knn_graph,
+    "cluster_aware_split": cluster_aware_split,
+    "boilerplate_scrub": boilerplate_scrub,
+    "bigram_lm_score": bigram_lm_score,
+    "sparse_cosine_pairs": sparse_cosine_pairs,
 }

@@ -11,6 +11,10 @@ from __future__ import annotations
 from ..functions.text import MERSENNE31, minhash_sig_sql
 from ..operators.dedup import (
     BENCH_PER_MILLE,
+    CAS_SEED,
+    CAS_TEST_PER_MILLE,
+    CAS_VAL_PER_MILLE,
+    SPARSE_COS_THRESHOLD,
     SUBSTR_DF_CAP,
     SUBSTR_MIN_WINDOWS,
     DF_CAP,
@@ -28,6 +32,7 @@ from ..operators.similarity import (
     IVF_NPROBE,
     KM_CENT_MOD,
     KM_ITERS,
+    KNN_GRAPH_K,
     KNN_K,
     LSH_PLANES,
     LSH_SIGN_BANDS,
@@ -35,7 +40,17 @@ from ..operators.similarity import (
     SEMDEDUP_THRESHOLD,
     _plane_coeff,
 )
-from ..operators.textops import LANG_MARKERS, RK_BASE, RK_MOD, RK_TOKMOD, RK_WINDOW, SEQ_LEN
+from ..operators.textops import (
+    BIGRAM_BUCKETS,
+    BP_DF_THRESHOLD,
+    BP_SEG_LEN,
+    LANG_MARKERS,
+    RK_BASE,
+    RK_MOD,
+    RK_TOKMOD,
+    RK_WINDOW,
+    SEQ_LEN,
+)
 
 H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
 
@@ -158,6 +173,110 @@ reach(doc_id, lab) AS (
   SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
 )
 SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1
+"""
+
+CLUSTER_AWARE_SPLIT = f"""
+WITH cc AS ({DEDUP_CLUSTERS}),
+b AS (
+  SELECT doc_id, canonical_id,
+         {H60.format(c=f"'{CAS_SEED}:' || canonical_id::VARCHAR")} % 1000 AS bk
+  FROM cc
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN bk < {CAS_VAL_PER_MILLE} THEN 'val'
+            WHEN bk < {CAS_VAL_PER_MILLE + CAS_TEST_PER_MILLE} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+BOILERPLATE_SCRUB = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, toks, CAST(floor(len(toks) / {BP_SEG_LEN}) AS INT) AS n_seg FROM t),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         toks[(i*{BP_SEG_LEN}+1):(i*{BP_SEG_LEN}+{BP_SEG_LEN})] AS seg_toks
+  FROM base, UNNEST(range(CAST(n_seg AS BIGINT))) AS u(i)
+),
+segh AS (
+  SELECT doc_id, seg_idx, seg_toks,
+         {H60.format(c="array_to_string(seg_toks, ' ')")} AS seg_h
+  FROM seg
+),
+hot AS (SELECT seg_h FROM segh GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BP_DF_THRESHOLD}),
+kept AS (SELECT * FROM segh WHERE seg_h NOT IN (SELECT seg_h FROM hot)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         flatten(list(seg_toks ORDER BY seg_idx)) AS kept_toks
+  FROM kept GROUP BY 1
+),
+clean AS (
+  SELECT b.doc_id, b.n_seg, coalesce(a.n_kept, 0) AS n_kept,
+         coalesce(a.kept_toks, CAST([] AS VARCHAR[])) || b.toks[(b.n_seg*{BP_SEG_LEN}+1):] AS clean_toks
+  FROM base b LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id,
+       n_seg AS n_segments,
+       CAST(n_seg - n_kept AS INT) AS n_removed,
+       CAST(len(clean_toks) AS INT) AS n_tokens_clean,
+       md5(coalesce(array_to_string(clean_toks, ' '), '')) AS clean_fp
+FROM clean
+"""
+
+BIGRAM_LM_SCORE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         {H60.format(c="toks[i]")} % {BIGRAM_BUCKETS} AS ctx,
+         {H60.format(c="toks[i+1]")} % {BIGRAM_BUCKETS} AS w
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+pd AS (SELECT doc_id, ctx, w, count(*) AS cnt FROM big GROUP BY 1, 2, 3),
+c2 AS (SELECT ctx, w, sum(cnt) AS c2 FROM pd GROUP BY 1, 2),
+c1 AS (SELECT ctx, sum(cnt) AS c1 FROM pd GROUP BY 1),
+lp AS (
+  SELECT c2.ctx, c2.w,
+         log2((c2.c2 + 1)::DOUBLE / (c1.c1 + {BIGRAM_BUCKETS})::DOUBLE) AS lp
+  FROM c2 JOIN c1 USING (ctx)
+),
+sc AS (
+  SELECT pd.doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+         round(-sum(lp * cnt) / sum(cnt), 6) AS bigram_ce
+  FROM pd JOIN lp USING (ctx, w) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.bigram_ce
+FROM documents d LEFT JOIN sc s USING (doc_id)
+"""
+
+SPARSE_COSINE_PAIRS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+      list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS shingle
+    FROM t
+  ) WHERE shingle <> ''
+),
+tf0 AS (
+  SELECT doc_id, {H60.format(c="shingle")} AS sh60, count(*) AS tf
+  FROM sh GROUP BY 1, 2
+),
+tf AS (
+  SELECT doc_id, sh60, tf FROM tf0
+  WHERE sh60 IN (SELECT sh60 FROM tf0 GROUP BY 1 HAVING count(*) <= {DF_CAP})
+),
+n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b ON a.sh60 = b.sh60 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
+FROM dots
+JOIN n2 na ON na.doc_id = id_a
+JOIN n2 nb ON nb.doc_id = id_b
+WHERE dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= {SPARSE_COS_THRESHOLD}
 """
 
 _SIMHASH_CTE = f"""
@@ -457,6 +576,34 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cosine_sql("a.q", "b.q")}, 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.q", "b.q")} >= {EMB_DEDUP_THRESHOLD}
+"""
+
+# candidates = any shared (band, bucket); the Spark side's per-bucket
+# top-k PRE-prune is exact (a global top-k pair ranks <= k inside its own
+# bucket under the identical order), so ranking the unpruned union here
+# reproduces it
+KNN_GRAPH = f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+eb AS (SELECT vec_id, q, {_LSH_BAND_COLS} FROM e),
+stacked AS ({_LSH_STACK}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+  FROM stacked a JOIN stacked b ON a.bi = b.bi AND a.bv = b.bv
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.src_id, c.nbr_id, {_cosine_sql("sa.q", "sb.q")} AS cosine
+  FROM cands c
+  JOIN e sa ON sa.vec_id = c.src_id
+  JOIN e sb ON sb.vec_id = c.nbr_id
+),
+ranked AS (
+  SELECT src_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT src_id, nbr_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
 def _kmeans_ctes(cent_mod: int, iters: int) -> str:
@@ -1058,6 +1205,9 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_brute": KNN_BRUTE,
     "knn_lsh": KNN_LSH,
     "knn_ivf": KNN_IVF,
+    "knn_graph": KNN_GRAPH,
+    "cluster_aware_split": CLUSTER_AWARE_SPLIT,
+    "boilerplate_scrub": BOILERPLATE_SCRUB,
     "embedding_dedup": EMBEDDING_DEDUP,
     "kmeans_embeddings": KMEANS_EMBEDDINGS,
     "semdedup": SEMDEDUP,

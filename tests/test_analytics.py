@@ -222,3 +222,32 @@ class TestActiveUsersRolling:
         rows = active_users_rolling7(spark, sf_dir).collect()
         assert rows
         assert all(r.wau7 >= r.dau for r in rows)
+
+
+class TestColumnProfile:
+    def test_matches_duckdb_per_column_truth(self, spark, sf_dir, duck):
+        """Profile stats equal independently-computed per-column answers
+        (straight per-column aggregates, not the long-form recipe the
+        operator and its oracle share)."""
+        from gmall_flink_200621_spark.plans.analytics import column_profile
+
+        prof = {r.column_name: r for r in column_profile(spark, sf_dir).collect()}
+        assert set(prof) == {
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        }
+        n, = duck.execute("SELECT count(*) FROM orders").fetchone()
+        for c in prof.values():
+            assert c.n_rows == n and c.n_null == 0
+        ndv_status, min_s, max_s = duck.execute(
+            "SELECT count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders"
+        ).fetchone()
+        st = prof["o_orderstatus"]
+        assert (st.n_distinct, st.min_str, st.max_str) == (ndv_status, min_s, max_s)
+        assert st.min_num is None and st.max_num is None
+        ndv_key, min_k, max_k = duck.execute(
+            "SELECT count(DISTINCT o_orderkey), min(o_orderkey), max(o_orderkey) FROM orders"
+        ).fetchone()
+        ok = prof["o_orderkey"]
+        assert (ok.n_distinct, ok.min_num, ok.max_num) == (ndv_key, float(min_k), float(max_k))
+        assert ok.min_str is None and ok.max_str is None

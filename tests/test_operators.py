@@ -305,6 +305,48 @@ class TestSimilarity:
         recall = len(set(exact) & set(approx)) / len(exact)
         assert recall == (0.32 if sf_dir.endswith("sf0.001") else 0.40), recall
 
+    def test_knn_graph_vs_numpy_all_pairs(self, spark, sf_dir):
+        """knn_graph makes EVERY vector a query (top-k neighbor graph via
+        banded-LSH buckets + per-bucket matmul). Checked against a numpy
+        all-pairs brute force: emitted cosines are the exact values (to
+        the output rounding), per-src fan-out is exactly k, and recall vs
+        the true top-k is deterministic — pinned exactly (727/1500 resp.
+        672/1500 with the 4×4 banding; a candidate-generation change
+        cannot hide behind a loose threshold)."""
+        import numpy as np
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            KNN_GRAPH_K,
+            Q_SCALE,
+            knn_graph,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        v = np.array([r.embedding for r in rows], dtype=np.float64) * Q_SCALE
+        m = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)  # round half-away
+        g = m @ m.T
+        rt = np.sqrt(np.diag(g).astype(np.float64))
+        cos = g / (rt[:, None] * rt[None, :])
+        exact = set()
+        for i in range(len(ids)):
+            taken = 0
+            for j in np.lexsort((ids, -cos[i])):  # cosine desc, nbr asc
+                if j == i:
+                    continue
+                exact.add((ids[i], ids[j]))
+                taken += 1
+                if taken >= KNN_GRAPH_K:
+                    break
+        got = {(r.src_id, r.nbr_id): r.cosine for r in knn_graph(emb).collect()}
+        assert len(got) == len(ids) * KNN_GRAPH_K  # full fan-out, no self loops
+        id2i = {x: k for k, x in enumerate(ids)}
+        assert all(abs(c - cos[id2i[s], id2i[n]]) < 1e-6 for (s, n), c in got.items())
+        hits = len(exact & set(got))
+        assert hits == (727 if sf_dir.endswith("sf0.001") else 672), hits
+
 
 class TestMultimodal:
     def test_extract_features_shape(self, spark):
@@ -718,6 +760,64 @@ class TestPiiScrub:
         expected1 = f"contact {PII_TOKEN} or {PII_TOKEN} now"
         assert got[1][2] == hashlib.md5(expected1.encode()).hexdigest()
         assert got[2][2] == hashlib.md5(rows[1][1].encode()).hexdigest()
+
+
+class TestBoilerplateScrub:
+    def test_shared_segment_removed_tail_kept(self, spark):
+        import hashlib
+
+        from gmall_flink_200621_spark.operators.textops import boilerplate_scrub
+
+        rows = [
+            (1, "x1 x2 x3 x4 a b c d"),  # segments: [x1..x4], [a b c d]
+            (2, "a b c d y1 y2 y3 y4 tail1"),  # [a b c d], [y1..y4], tail kept
+            (3, "q1 q2"),  # shorter than one segment: never scrubbed
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segments, r.n_removed, r.n_tokens_clean, r.clean_fp)
+            for r in boilerplate_scrub(df).collect()
+        }
+        # "a b c d" is aligned in both docs 1 and 2 -> df=2 -> boilerplate
+        assert got[1] == (2, 1, 4, hashlib.md5(b"x1 x2 x3 x4").hexdigest())
+        assert got[2] == (2, 1, 5, hashlib.md5(b"y1 y2 y3 y4 tail1").hexdigest())
+        assert got[3] == (0, 0, 2, hashlib.md5(b"q1 q2").hexdigest())
+
+    def test_unaligned_repeat_is_not_scrubbed(self, spark):
+        """Alignment is part of the contract: a repeated phrase that does
+        not start on a segment boundary hashes into different segments and
+        survives — the trade that keeps the operator one aggregate over
+        aligned slices instead of an every-offset (stride-1) index with
+        seg_len x the rows (exact-substring dedup covers that shape)."""
+        from gmall_flink_200621_spark.operators.textops import boilerplate_scrub
+
+        rows = [
+            (1, "a b c d w1 w2 w3 w4"),
+            (2, "z1 a b c d w5 w6 w7"),  # same phrase shifted by one
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.n_removed for r in boilerplate_scrub(df).collect()}
+        assert got == {1: 0, 2: 0}
+
+
+class TestClusterAwareSplit:
+    def test_zero_leakage_and_total_assignment(self, spark, sf_dir):
+        """The invariant split_leakage_audit measures: with cluster-aware
+        assignment, NO near-dup pair straddles splits (per-doc hash
+        splitting strands ~half of each pair across the boundary)."""
+        from gmall_flink_200621_spark.operators.dedup import (
+            cluster_aware_split,
+            dedup_minhash_lsh,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        splits = {r.doc_id: r.split for r in cluster_aware_split(docs).collect()}
+        pairs = dedup_minhash_lsh(docs).collect()
+        assert pairs, "corpus has planted near-dups; audit is non-vacuous"
+        assert all(splits[r.id_a] == splits[r.id_b] for r in pairs)
+        assert len(splits) == docs.count()  # every doc assigned exactly once
+        assert "train" in set(splits.values())
 
 
 class TestQualityGopher:
