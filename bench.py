@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "event_type_unpivot",
     "knn_graph",
+    "pagerank_knn",
     "boilerplate_scrub",
     "cluster_aware_split",
     "column_profile",

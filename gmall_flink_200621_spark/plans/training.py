@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import similarity as V
 from ..operators import textops as T
 from ..sources.loaders import load_table
@@ -224,6 +225,15 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
 
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the corpus k-NN graph: edges from
+    knn_graph (banded sign-LSH candidates, exact top-k), vertices = every
+    embedding. Fixed-point integer ranks — see operators/graph.pagerank."""
+    emb = _emb(spark, sf_dir)
+    edges = V.knn_graph(emb).select("src_id", "nbr_id")
+    return G.pagerank(edges, emb.select("vec_id"))
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_dedup(_emb(spark, sf_dir))
 
@@ -396,6 +406,7 @@ TRAINING_QUERIES = {
     "token_entropy": token_entropy,
     "source_divergence": source_divergence,
     "knn_graph": knn_graph,
+    "pagerank_knn": pagerank_knn,
     "cluster_aware_split": cluster_aware_split,
     "boilerplate_scrub": boilerplate_scrub,
     "bigram_lm_score": bigram_lm_score,

@@ -25,6 +25,7 @@ from ..operators.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
+from ..operators.graph import PR_DAMP_PCT, PR_ITERS, PR_SCALE, PR_TELEPORT
 from ..operators.similarity import (
     DIM,
     EMB_DEDUP_THRESHOLD,
@@ -582,8 +583,9 @@ WHERE {_cosine_sql("a.q", "b.q")} >= {EMB_DEDUP_THRESHOLD}
 # top-k PRE-prune is exact (a global top-k pair ranks <= k inside its own
 # bucket under the identical order), so ranking the unpruned union here
 # reproduces it
-KNN_GRAPH = f"""
-WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+# CTE body shared by KNN_GRAPH and PAGERANK_KNN (which runs PageRank over
+# the exact same edge list).
+_KNN_GRAPH_CTES = f"""e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
 eb AS (SELECT vec_id, q, {_LSH_BAND_COLS} FROM e),
 stacked AS ({_LSH_STACK}),
 cands AS (
@@ -601,9 +603,53 @@ ranked AS (
   SELECT src_id, nbr_id, cosine,
          CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id ASC) AS INT) AS rank
   FROM scored
-)
+)"""
+
+KNN_GRAPH = f"""
+WITH {_KNN_GRAPH_CTES}
 SELECT src_id, nbr_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+def _pagerank_ctes(iters: int) -> str:
+    """Unrolled PageRank iteration chain (the _kmeans_ctes pattern):
+    pr{i} from pr{i-1} with integer floor-division contrib splitting and
+    integer damping — bit-identical to operators/graph.pagerank because
+    both sides compute only int64 sums/divisions from the same Python
+    constants (PR_SCALE, PR_DAMP_PCT)."""
+    parts = [
+        f"verts AS (SELECT DISTINCT vec_id AS vertex_id FROM embeddings)",
+        f"edges AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K})",
+        "deg AS (SELECT src_id, COUNT(*) AS deg FROM edges GROUP BY src_id)",
+        f"pr0 AS (SELECT vertex_id, CAST({PR_SCALE} AS BIGINT) AS r FROM verts)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""pr{it} AS (
+  SELECT v.vertex_id,
+         CAST({PR_TELEPORT} + ({PR_DAMP_PCT} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.nbr_id AS vertex_id, SUM(p.r // d.deg) AS s
+    FROM pr{it - 1} p
+    JOIN deg d ON d.src_id = p.vertex_id
+    JOIN edges e ON e.src_id = p.vertex_id
+    GROUP BY e.nbr_id) s ON s.vertex_id = v.vertex_id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+PAGERANK_KNN = f"""
+WITH {_KNN_GRAPH_CTES},
+{_pagerank_ctes(PR_ITERS)}
+SELECT v.vertex_id,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
+       p.r AS rank_units,
+       round(p.r / {PR_SCALE}, 6) AS rank
+FROM pr{PR_ITERS} p
+JOIN verts v USING (vertex_id)
+LEFT JOIN deg d ON d.src_id = v.vertex_id
 """
 
 def _kmeans_ctes(cent_mod: int, iters: int) -> str:
@@ -1206,6 +1252,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_lsh": KNN_LSH,
     "knn_ivf": KNN_IVF,
     "knn_graph": KNN_GRAPH,
+    "pagerank_knn": PAGERANK_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,
     "embedding_dedup": EMBEDDING_DEDUP,

@@ -560,6 +560,56 @@ class TestPointerJumping:
         assert got == {i: 1 for i in range(1, n + 1)}
 
 
+class TestPageRank:
+    def test_matches_python_fixed_point_reference(self, spark):
+        """pagerank's integer iteration vs an independent pure-Python
+        implementation of the documented semantics — EXACT rank_units
+        equality on a graph with a cycle, a dangler (4: out-edges but
+        nothing back), and an isolated vertex (5: teleport-only rank)."""
+        from gmall_flink_200621_spark.operators.graph import (
+            PR_DAMP_PCT,
+            PR_SCALE,
+            PR_TELEPORT,
+            pagerank,
+        )
+
+        edge_list = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+        verts = [1, 2, 3, 4, 5]
+        iters = 5
+        r = {v: PR_SCALE for v in verts}
+        out = {}
+        for s, _ in edge_list:
+            out[s] = out.get(s, 0) + 1
+        for _ in range(iters):
+            s = {v: 0 for v in verts}
+            for a, b in edge_list:
+                s[b] += r[a] // out[a]
+            r = {v: PR_TELEPORT + (PR_DAMP_PCT * s[v]) // 100 for v in verts}
+
+        edges = spark.createDataFrame(edge_list, "src_id long, nbr_id long")
+        vdf = spark.createDataFrame([(v,) for v in verts], "vec_id long")
+        got = {x.vertex_id: x.rank_units for x in pagerank(edges, vdf, iters=iters).collect()}
+        assert got == r
+        # in-degree-0 vertices hold the teleport-only fixpoint: 5 is fully
+        # isolated, 4 has an out-edge but nothing inbound
+        assert got[5] == PR_TELEPORT
+        assert got[4] == PR_TELEPORT
+
+    def test_partition_order_invariant(self, spark):
+        """The fixed-point claim: integer sums commute, so rank_units are
+        identical under different partitionings of the edge list (a float
+        implementation would differ in the last ulp here)."""
+        from gmall_flink_200621_spark.operators.graph import pagerank
+
+        edge_list = [(i, (i * 7) % 50) for i in range(50) if i != (i * 7) % 50]
+        verts = spark.createDataFrame([(v,) for v in range(50)], "vec_id long")
+        a = spark.createDataFrame(edge_list, "src_id long, nbr_id long").repartition(1)
+        b = spark.createDataFrame(list(reversed(edge_list)), "src_id long, nbr_id long").repartition(17)
+        ra = {x.vertex_id: x.rank_units for x in pagerank(a, verts).collect()}
+        rb = {x.vertex_id: x.rank_units for x in pagerank(b, verts).collect()}
+        assert ra == rb
+
+
 class TestKmeansSemdedup:
     def test_lloyd_objective_monotone(self, spark, sf_dir):
         """Each Lloyd update must not decrease the mean assignment cosine
