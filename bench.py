@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "event_type_unpivot",
     "knn_graph",
     "pagerank_knn",
+    "perceptron_lang",
+    "fuzzy_part_matches",
+    "time_grid_fill",
     "boilerplate_scrub",
     "cluster_aware_split",
     "column_profile",

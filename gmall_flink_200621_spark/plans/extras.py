@@ -539,6 +539,102 @@ def nation_spend_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 3  # levenshtein threshold for a candidate entity match
+
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution (record linkage) over part names:
+    pairs of DISTINCT names within an edit distance of FUZZY_MAX_DIST,
+    candidate-generated by a blocking key (first token) so the pairwise
+    step is Σ-block², never N². The standard dedup shape for free-text
+    dimension values — vendor/product/address normalization before a
+    join, catalog merge after an acquisition.
+
+    Scale shape, in order: (1) collapse rows to DISTINCT names first —
+    the quadratic stage runs over entity mentions (bounded vocab), not
+    table rows, and each name carries its occurrence count; (2) block by
+    first token (equality join — hash-shuffled, no cross join); (3)
+    `levenshtein` is a JVM codegen built-in, evaluated only on
+    within-block pairs. Hot blocks are the skew risk at 100 TB — the
+    production knob is the DF-cap posture of dedup_ngram_jaccard
+    (operators/dedup.py DF_CAP): drop or re-block tokens whose block
+    exceeds a cap. The a<b inequality halves the block square and makes
+    each unordered pair unique."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n"), F.min("p_partkey").alias("min_key")
+    )
+    blocked = names.select(
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+        F.col("p_name"),
+        "n",
+        "min_key",
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, on="block")
+        .where(F.col("a.p_name") < F.col("b.p_name"))
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.least("a.min_key", "b.min_key").alias("canonical_key"),
+        )
+    )
+
+
+def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per user, a dense DAILY grid
+    spanning that user's first..last event date, daily totals where the
+    day had events, and last-observation-carried-forward (LOCF) filling
+    across the gaps — the standard step before feeding irregular event
+    streams to anything expecting a regular cadence (forecasting, rolling
+    features, charting).
+
+    Shape: the grid is generated RELATIONALLY — `sequence(d0, d1)` +
+    explode off a per-user min/max aggregate, so grid size is
+    Σ_user(span_days), never users × global_span; the fill is one
+    `last(ignorenulls)` running window per user (a single hash partition
+    per key, no self-join, no driver loop). Daily sums are fixed-point
+    cents (values carry 2 decimals) so the aggregation is
+    partition-order independent and the oracle hash-exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.sum("cents").alias("day_cents"), F.count(F.lit(1)).alias("n_events")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.col("day_cents") / 100.0, 2).alias("day_value"),
+        F.round(
+            F.last("day_cents", ignorenulls=True).over(w) / 100.0, 2
+        ).alias("filled_value"),
+    )
+
+
 EXTRA_QUERIES = {
     "late_arrival_audit": late_arrival_audit,
     "user_churn_sets": user_churn_sets,
@@ -558,9 +654,50 @@ EXTRA_QUERIES = {
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
     "tpch_expectations": tpch_expectations,
     "event_type_unpivot": event_type_unpivot,
+    "fuzzy_part_matches": fuzzy_part_matches,
+    "time_grid_fill": time_grid_fill,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "fuzzy_part_matches": f"""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n, min(p_partkey) AS min_key
+  FROM part GROUP BY p_name
+), blocked AS (
+  SELECT split_part(p_name, ' ', 1) AS block, p_name, n, min_key FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       a.n AS n_a, b.n AS n_b,
+       least(a.min_key, b.min_key) AS canonical_key
+FROM blocked a JOIN blocked b ON a.block = b.block
+WHERE a.p_name < b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+""",
+    "time_grid_fill": """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT user_id, day, SUM(cents) AS day_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)
+), j AS (
+  SELECT g.user_id, g.day, d.day_cents, COALESCE(d.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+)
+SELECT user_id, day, n_events,
+       round(day_cents / 100.0, 2) AS day_value,
+       round(last_value(day_cents IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0,
+             2) AS filled_value
+FROM j
+""",
     "event_type_unpivot": """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
 FROM events

@@ -225,6 +225,14 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
 
+def perceptron_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch-perceptron training + scoring — see
+    operators/classifier.perceptron_lang."""
+    from ..operators.classifier import perceptron_lang as _p
+
+    return _p(_docs(spark, sf_dir))
+
+
 def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the corpus k-NN graph: edges from
     knn_graph (banded sign-LSH candidates, exact top-k), vertices = every
@@ -407,6 +415,7 @@ TRAINING_QUERIES = {
     "source_divergence": source_divergence,
     "knn_graph": knn_graph,
     "pagerank_knn": pagerank_knn,
+    "perceptron_lang": perceptron_lang,
     "cluster_aware_split": cluster_aware_split,
     "boilerplate_scrub": boilerplate_scrub,
     "bigram_lm_score": bigram_lm_score,

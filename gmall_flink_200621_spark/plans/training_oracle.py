@@ -25,6 +25,7 @@ from ..operators.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
+from ..operators.classifier import PERC_ITERS, PERC_POS_LANG
 from ..operators.graph import PR_DAMP_PCT, PR_ITERS, PR_SCALE, PR_TELEPORT
 from ..operators.similarity import (
     DIM,
@@ -609,6 +610,50 @@ KNN_GRAPH = f"""
 WITH {_KNN_GRAPH_CTES}
 SELECT src_id, nbr_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+def _perceptron_ctes(iters: int) -> str:
+    """Unrolled batch-perceptron chain mirroring
+    operators/classifier.perceptron_lang: w{i} is a single row of four
+    BIGINT weights; each step LEFT-joins the weight row to the
+    misclassified features (margin ≤ 0 under w{i-1}) so an iteration
+    with zero misclassifications still yields one row (all-NULL sums →
+    COALESCE 0). Integer-only arithmetic ⇒ hash-exact vs Spark."""
+    margin = "f.y * (p.a*f.x0 + p.b*f.x1 + p.c*f.x2 + p.d*f.x3)"
+    parts = [
+        f"""feats AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{PERC_POS_LANG}' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(n_chars // 64 AS BIGINT) AS x1,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x3
+  FROM documents
+)""",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""w{it} AS (
+  SELECT p.a + COALESCE(SUM(f.y * f.x0), 0) AS a,
+         p.b + COALESCE(SUM(f.y * f.x1), 0) AS b,
+         p.c + COALESCE(SUM(f.y * f.x2), 0) AS c,
+         p.d + COALESCE(SUM(f.y * f.x3), 0) AS d
+  FROM w{it - 1} p LEFT JOIN feats f ON {margin} <= 0
+  GROUP BY p.a, p.b, p.c, p.d
+)"""
+        )
+    return ",\n".join(parts)
+
+
+PERCEPTRON_LANG = f"""
+WITH {_perceptron_ctes(PERC_ITERS)}
+SELECT f.doc_id, f.y AS label,
+       CAST(p.a*f.x0 + p.b*f.x1 + p.c*f.x2 + p.d*f.x3 AS BIGINT) AS score_units,
+       CASE WHEN p.a*f.x0 + p.b*f.x1 + p.c*f.x2 + p.d*f.x3 > 0 THEN 1 ELSE -1 END AS pred,
+       CASE WHEN f.y * (p.a*f.x0 + p.b*f.x1 + p.c*f.x2 + p.d*f.x3) > 0 THEN 1 ELSE 0 END AS correct
+FROM feats f, w{PERC_ITERS} p
 """
 
 
@@ -1253,6 +1298,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivf": KNN_IVF,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
+    "perceptron_lang": PERCEPTRON_LANG,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,
     "embedding_dedup": EMBEDDING_DEDUP,

@@ -251,3 +251,117 @@ class TestColumnProfile:
         ok = prof["o_orderkey"]
         assert (ok.n_distinct, ok.min_num, ok.max_num) == (ndv_key, float(min_k), float(max_k))
         assert ok.min_str is None and ok.max_str is None
+
+
+class TestTimeGridFill:
+    def test_locf_fills_planted_gaps(self, spark, tmp_path):
+        """User 1 has events on days 1, 2, 5 (values 1.50, 2.25, 4.00):
+        the grid must be dense over 1..5, days 3-4 carry n_events=0 with
+        day_value NULL, and filled_value carries 2.25 forward until day 5
+        overwrites it. User 2 (single day) gets a single-row grid."""
+        from gmall_flink_200621_spark.plans.extras import time_grid_fill
+
+        day = 86400.0
+        rows = [
+            (1, 0.5 * day, 1, "view", 1.50),
+            (2, 1.5 * day, 1, "view", 2.25),
+            (3, 4.5 * day, 1, "view", 4.00),
+            (4, 2.5 * day, 2, "view", 9.99),
+        ]
+        _write_events(spark, rows, str(tmp_path))
+        got = {
+            (r.user_id, str(r.day)): (r.n_events, r.day_value, r.filled_value)
+            for r in time_grid_fill(spark, str(tmp_path)).collect()
+        }
+        assert len(got) == 5 + 1
+        assert got[(1, "1970-01-01")] == (1, 1.50, 1.50)
+        assert got[(1, "1970-01-02")] == (1, 2.25, 2.25)
+        assert got[(1, "1970-01-03")] == (0, None, 2.25)
+        assert got[(1, "1970-01-04")] == (0, None, 2.25)
+        assert got[(1, "1970-01-05")] == (1, 4.00, 4.00)
+        assert got[(2, "1970-01-03")] == (1, 9.99, 9.99)
+
+    def test_same_day_events_sum_exactly(self, spark, tmp_path):
+        """Fixed-point cents: 0.10+0.20 sums to exactly 0.30 (a float sum
+        would carry representation error into the hash)."""
+        from gmall_flink_200621_spark.plans.extras import time_grid_fill
+
+        rows = [(1, 100.0, 7, "view", 0.10), (2, 200.0, 7, "view", 0.20)]
+        _write_events(spark, rows, str(tmp_path))
+        (r,) = time_grid_fill(spark, str(tmp_path)).collect()
+        assert (r.n_events, r.day_value, r.filled_value) == (2, 0.30, 0.30)
+
+
+class TestFuzzyPartMatches:
+    def test_blocking_and_distance_threshold(self, spark, tmp_path):
+        """Within-block pairs at levenshtein ≤ 3 match; a cross-block
+        near-pair ('hot lace' vs 'cot lace', distance 1) is NOT emitted —
+        blocking is a documented semantic, not an optimization; counts
+        aggregate over duplicate rows before the quadratic stage."""
+        from gmall_flink_200621_spark.plans.extras import fuzzy_part_matches
+
+        rows = [
+            (1, "small ring"), (2, "small ruby"), (3, "small ring"),
+            (4, "small spinning top"),   # dist > 3 from both smalls
+            (5, "hot lace"), (6, "cot lace"),
+        ]
+        spark.createDataFrame(rows, "p_partkey long, p_name string").write.parquet(
+            f"{tmp_path}/part.parquet"
+        )
+        got = {
+            (r.name_a, r.name_b): (r.dist, r.n_a, r.n_b, r.canonical_key)
+            for r in fuzzy_part_matches(spark, str(tmp_path)).collect()
+        }
+        assert got == {("small ring", "small ruby"): (3, 2, 1, 1)}
+
+
+class TestPerceptron:
+    @staticmethod
+    def _py_reference(feats, iters):
+        w = [0, 0, 0, 0]
+        for _ in range(iters):
+            g = [0, 0, 0, 0]
+            for y, x in feats:
+                if y * sum(wj * xj for wj, xj in zip(w, x)) <= 0:
+                    for j in range(4):
+                        g[j] += y * x[j]
+            w = [wj + gj for wj, gj in zip(w, g)]
+        return w
+
+    def test_matches_python_reference_and_separates(self, spark):
+        """Batch perceptron vs an independent Python implementation of
+        the same integer rule — exact score equality — and on linearly
+        separable data (en docs systematically longer) it must reach
+        100% training accuracy within the fixed iteration budget."""
+        from gmall_flink_200621_spark.operators.classifier import (
+            PERC_ITERS,
+            perceptron_lang,
+        )
+
+        # separable along the distinct-token axis: en docs have a rich
+        # vocabulary (distinct == total), zh docs repeat one token
+        docs = []
+        for i in range(30):
+            if i % 2 == 0:
+                text = " ".join(f"w{j}" for j in range(10 + i // 2))
+                docs.append((i, text, "en", len(text)))
+            else:
+                text = " ".join("a" for _ in range(40 + i))
+                docs.append((i, text, "zh", len(text)))
+        df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n_chars long")
+        got = {r.doc_id: r for r in perceptron_lang(df).collect()}
+
+        feats = []
+        by_id = {}
+        for i, text, lang, n_chars in docs:
+            toks = text.split(" ")
+            x = [1, n_chars // 64, len(toks), len(set(toks))]
+            y = 1 if lang == "en" else -1
+            feats.append((y, x))
+            by_id[i] = (y, x)
+        w = self._py_reference(feats, PERC_ITERS)
+        for i, (y, x) in by_id.items():
+            score = sum(wj * xj for wj, xj in zip(w, x))
+            assert got[i].score_units == score, i
+            assert got[i].label == y
+        assert all(r.correct == 1 for r in got.values())  # separable ⇒ 100%
