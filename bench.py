@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "knn_graph",
     "pagerank_knn",
     "perceptron_lang",
+    "knn_triangles",
+    "point_in_time_join",
     "fuzzy_part_matches",
     "time_grid_fill",
     "boilerplate_scrub",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from ..operators.frequency import DEFAULT_DENOM, heavy_hitters
 from ..operators.rangejoin import interval_join_binned
 from ..sources.loaders import load_table
@@ -337,6 +338,63 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIT_SILVER = 3  # cumulative purchases that promote to silver
+PIT_GOLD = 6  # ... and to gold
+
+
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every VIEW event joined to the
+    dimension version valid AT ITS TIMESTAMP — the user's loyalty tier,
+    an SCD2-style dimension derived from cumulative purchase count
+    (bronze at the 1st purchase, silver at the {PIT_SILVER}th, gold at
+    the {PIT_GOLD}th; 'none' before any purchase). The lookup every
+    feature-store / training-set builder needs: joining facts to a
+    versioned dimension WITHOUT leaking future versions.
+
+    Shape: the tier-change stream is tiny (≤3 rows per user — only the
+    promoting purchases survive the filter) and the join is the engine's
+    single-shuffle union as-of join (operators/asof.py): both sides hash
+    on user_id once, one running last(ignorenulls) window — no range
+    self-join, no per-row probe. DuckDB's native ASOF JOIN certifies the
+    semantics."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    wp = Window.partitionBy("user_id").orderBy("t", "event_id")
+    p = e.filter(F.col("event_type") == "purchase").withColumn(
+        "cum", F.row_number().over(wp)
+    )
+    changes = p.filter(
+        (F.col("cum") == 1) | (F.col("cum") == PIT_SILVER) | (F.col("cum") == PIT_GOLD)
+    ).select(
+        "user_id",
+        "t",
+        "cum",
+        F.when(F.col("cum") >= PIT_GOLD, F.lit("gold"))
+        .when(F.col("cum") >= PIT_SILVER, F.lit("silver"))
+        .otherwise(F.lit("bronze"))
+        .alias("tier"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("t").alias("t_us")
+    )
+    joined = asof_join(
+        views,
+        changes,
+        on=["user_id"],
+        left_ts="t_us",
+        right_ts="t",
+        payload_cols=["tier"],
+        tiebreak="cum",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "t_us",
+        F.coalesce(F.col("tier"), F.lit("none")).alias("tier"),
+    )
+
+
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile of `orders` — per column: row/null
     counts, EXACT distinct count, numeric min/max (doubles; timestamps as
@@ -406,6 +464,7 @@ ANALYTICS_QUERIES = {
     "revenue_seasonality": revenue_seasonality,
     "column_profile": column_profile,
     "rfm_segments": rfm_segments,
+    "point_in_time_join": point_in_time_join,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -428,6 +487,31 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "point_in_time_join": f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), p AS (
+  SELECT user_id, t, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS cum
+  FROM e WHERE event_type = 'purchase'
+), changes_raw AS (
+  SELECT user_id, t, cum,
+         CASE WHEN cum >= {PIT_GOLD} THEN 'gold'
+              WHEN cum >= {PIT_SILVER} THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM p WHERE cum = 1 OR cum = {PIT_SILVER} OR cum = {PIT_GOLD}
+), changes AS (
+  -- ASOF leaves equal-timestamp ties unspecified; dedupe to max cum the
+  -- way the Spark side's tiebreak does
+  SELECT user_id, t, tier FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, t ORDER BY cum DESC) AS rn
+    FROM changes_raw) WHERE rn = 1
+), v AS (
+  SELECT user_id, event_id AS view_id, t AS t_us FROM e WHERE event_type = 'view'
+)
+SELECT v.user_id, v.view_id, v.t_us, COALESCE(c.tier, 'none') AS tier
+FROM v ASOF LEFT JOIN changes c ON v.user_id = c.user_id AND v.t_us >= c.t
+""",
     "retention_cohorts": f"""
 WITH e AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS d FROM events),
 f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),

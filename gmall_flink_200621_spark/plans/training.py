@@ -225,6 +225,14 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
 
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count / clustering coefficient over the corpus k-NN graph
+    — see operators/graph.triangle_count."""
+    emb = _emb(spark, sf_dir)
+    edges = V.knn_graph(emb).select("src_id", "nbr_id")
+    return G.triangle_count(edges, emb.select("vec_id"))
+
+
 def perceptron_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed batch-perceptron training + scoring — see
     operators/classifier.perceptron_lang."""
@@ -416,6 +424,7 @@ TRAINING_QUERIES = {
     "knn_graph": knn_graph,
     "pagerank_knn": pagerank_knn,
     "perceptron_lang": perceptron_lang,
+    "knn_triangles": knn_triangles,
     "cluster_aware_split": cluster_aware_split,
     "boilerplate_scrub": boilerplate_scrub,
     "bigram_lm_score": bigram_lm_score,

@@ -613,6 +613,39 @@ FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+KNN_TRIANGLES = f"""
+WITH {_KNN_GRAPH_CTES},
+edges AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K}),
+und AS (
+  SELECT DISTINCT least(src_id, nbr_id) AS a, greatest(src_id, nbr_id) AS b
+  FROM edges WHERE src_id <> nbr_id
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_vertex AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS v FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
+  GROUP BY v
+)
+SELECT e.vec_id AS vertex_id,
+       COALESCE(d.degree, 0) AS degree,
+       COALESCE(t.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM (SELECT DISTINCT vec_id FROM embeddings) e
+LEFT JOIN deg d ON d.v = e.vec_id
+LEFT JOIN per_vertex t ON t.v = e.vec_id
+"""
+
+
 def _perceptron_ctes(iters: int) -> str:
     """Unrolled batch-perceptron chain mirroring
     operators/classifier.perceptron_lang: w{i} is a single row of four
@@ -1299,6 +1332,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,
+    "knn_triangles": KNN_TRIANGLES,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,
     "embedding_dedup": EMBEDDING_DEDUP,

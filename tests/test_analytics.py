@@ -365,3 +365,25 @@ class TestPerceptron:
             assert got[i].score_units == score, i
             assert got[i].label == y
         assert all(r.correct == 1 for r in got.values())  # separable ⇒ 100%
+
+
+class TestPointInTimeJoin:
+    def test_views_see_only_past_tier_versions(self, spark, tmp_path):
+        """User 1: views at t=5 (pre-purchase → none), t=15 (after 1st
+        purchase → bronze), t=45 (after 3rd → silver), t=75 (after 6th →
+        gold). A view at the exact promotion timestamp joins inclusively.
+        No future-version leakage: the t=15 view must NOT see silver."""
+        from gmall_flink_200621_spark.plans.analytics import point_in_time_join
+
+        rows = [(100 + i, 10.0 * (i + 1), 1, "purchase", 1.0) for i in range(6)]
+        rows += [
+            (1, 5.0, 1, "view", 0.0),
+            (2, 15.0, 1, "view", 0.0),
+            (3, 45.0, 1, "view", 0.0),
+            (4, 75.0, 1, "view", 0.0),
+            (5, 30.0, 1, "view", 0.0),  # exactly at the silver promotion
+            (6, 50.0, 2, "view", 0.0),  # user with no purchases at all
+        ]
+        _write_events(spark, rows, str(tmp_path))
+        got = {r.view_id: r.tier for r in point_in_time_join(spark, str(tmp_path)).collect()}
+        assert got == {1: "none", 2: "bronze", 3: "silver", 4: "gold", 5: "silver", 6: "none"}

@@ -1428,3 +1428,22 @@ class TestFanOutSizing:
         ).write.parquet(str(par))
         df_par = spark.read.parquet(str(par))
         assert fan_out(df_par) is df_par  # ≥ target splits already
+
+
+class TestTriangleCount:
+    def test_k4_plus_pendant(self, spark):
+        """K4 (every vertex: degree 3, 3 triangles, clustering 1.0) plus a
+        pendant vertex 5 hanging off 1 (degree 1 → clustering 0) and an
+        isolated vertex 6. Arc direction and duplicate arcs must not
+        matter (canonicalized to undirected edges first)."""
+        from gmall_flink_200621_spark.operators.graph import triangle_count
+
+        k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]  # both directions
+        edges = spark.createDataFrame(k4 + [(5, 1)], "src_id long, nbr_id long")
+        verts = spark.createDataFrame([(v,) for v in range(1, 7)], "vec_id long")
+        got = {r.vertex_id: (r.degree, r.triangles, r.clustering) for r in triangle_count(edges, verts).collect()}
+        assert got[1] == (4, 3, 0.5)  # 3 closed of C(4,2)=6 wedges
+        for v in (2, 3, 4):
+            assert got[v] == (3, 3, 1.0)
+        assert got[5] == (1, 0, 0.0)
+        assert got[6] == (0, 0, 0.0)
