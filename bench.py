@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "pagerank_knn",
     "perceptron_lang",
     "knn_triangles",
+    "label_propagation_knn",
     "point_in_time_join",
     "fuzzy_part_matches",
     "time_grid_fill",

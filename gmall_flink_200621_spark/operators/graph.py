@@ -20,12 +20,101 @@ orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 PR_ITERS = 5
 PR_SCALE = 10**9  # fixed-point units per 1.0 of rank
 PR_DAMP_PCT = 85  # damping 0.85 as an integer percentage
 PR_TELEPORT = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+
+
+LP_ITERS = 3
+LP_SEED_MOD = 5  # vec_id % LP_SEED_MOD == 0 keeps its ground-truth label
+
+
+def label_propagation(
+    edges: DataFrame,
+    labeled_vertices: DataFrame,
+    iters: int = LP_ITERS,
+    seed_mod: int = LP_SEED_MOD,
+) -> DataFrame:
+    """Semi-supervised label propagation: a sparse set of SEED vertices
+    (vertex_id % seed_mod == 0) keeps its ground-truth label; everyone
+    else takes, each iteration, the majority label among currently
+    labeled neighbors (ties → smallest label; no labeled neighbor →
+    keep current, possibly none). The auto-labeling pass of a curation
+    pipeline: spread scarce human labels across the k-NN graph, then
+    audit agreement against held-out truth.
+
+    Deterministic by construction — votes are integer counts and the
+    argmax order (count desc, label asc) is total — so the DuckDB
+    oracle (same iterations unrolled) matches hash-exactly; seeds are
+    CLAMPED (never re-voted).
+
+    Scale shape per iteration: one join of the current label frame onto
+    the symmetrized edge list, one (dst, label) count aggregation, one
+    per-dst argmax window — all keyed by vertex, no broadcast of
+    anything vertex-sized. Labels localCheckpoint-ed per iteration
+    (lineage discipline as pagerank/dedup_clusters).
+
+    `labeled_vertices`: (vertex id, label) ground truth; output carries
+    true_label, is_seed, the propagated label (null if never reached),
+    and a correctness flag for the non-seed audit."""
+    vid, lbl = labeled_vertices.columns[0], labeled_vertices.columns[1]
+    base = (
+        labeled_vertices.select(
+            F.col(vid).alias("vertex_id"),
+            F.col(lbl).cast("long").alias("true_label"),
+            (F.col(vid) % seed_mod == 0).alias("is_seed"),
+        )
+        .withColumn(
+            "seed_label", F.when(F.col("is_seed"), F.col("true_label"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        edges.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("nbr_id").alias("src"), F.col("src_id").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = base.select("vertex_id", F.col("seed_label").alias("label"))
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.where(F.col("label").isNotNull()),
+                und.src == labels.vertex_id,
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst"), F.col("label").alias("vote"))
+        )
+        labels = (
+            base.join(labels, "vertex_id")
+            .join(votes, base.vertex_id == votes.dst, "left")
+            .select(
+                "vertex_id",
+                F.coalesce("seed_label", "vote", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return base.join(labels, "vertex_id").select(
+        "vertex_id",
+        "true_label",
+        F.col("is_seed").cast("int").alias("is_seed"),
+        F.col("label").alias("propagated"),
+        F.when(F.col("label") == F.col("true_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("correct"),
+    )
 
 
 def triangle_count(edges: DataFrame, vertices: DataFrame) -> DataFrame:

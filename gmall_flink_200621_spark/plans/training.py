@@ -225,6 +225,15 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
 
+def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading over the corpus k-NN graph with
+    1-in-LP_SEED_MOD ground-truth seeds — see
+    operators/graph.label_propagation."""
+    emb = _emb(spark, sf_dir)
+    edges = V.knn_graph(emb).select("src_id", "nbr_id")
+    return G.label_propagation(edges, emb.select("vec_id", "label"))
+
+
 def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count / clustering coefficient over the corpus k-NN graph
     — see operators/graph.triangle_count."""
@@ -425,6 +434,7 @@ TRAINING_QUERIES = {
     "pagerank_knn": pagerank_knn,
     "perceptron_lang": perceptron_lang,
     "knn_triangles": knn_triangles,
+    "label_propagation_knn": label_propagation_knn,
     "cluster_aware_split": cluster_aware_split,
     "boilerplate_scrub": boilerplate_scrub,
     "bigram_lm_score": bigram_lm_score,

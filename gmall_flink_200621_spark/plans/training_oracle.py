@@ -26,7 +26,14 @@ from ..operators.dedup import (
     SIMHASH_BITS,
 )
 from ..operators.classifier import PERC_ITERS, PERC_POS_LANG
-from ..operators.graph import PR_DAMP_PCT, PR_ITERS, PR_SCALE, PR_TELEPORT
+from ..operators.graph import (
+    LP_ITERS,
+    LP_SEED_MOD,
+    PR_DAMP_PCT,
+    PR_ITERS,
+    PR_SCALE,
+    PR_TELEPORT,
+)
 from ..operators.similarity import (
     DIM,
     EMB_DEDUP_THRESHOLD,
@@ -643,6 +650,57 @@ SELECT e.vec_id AS vertex_id,
 FROM (SELECT DISTINCT vec_id FROM embeddings) e
 LEFT JOIN deg d ON d.v = e.vec_id
 LEFT JOIN per_vertex t ON t.v = e.vec_id
+"""
+
+
+def _label_prop_ctes(iters: int) -> str:
+    """Unrolled label-propagation chain mirroring
+    operators/graph.label_propagation: lab{i} = clamp(seed) else majority
+    vote (count desc, label asc) over lab{i-1} neighbors else carry."""
+    parts = [
+        f"edges AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K})",
+        """und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src_id AS src, nbr_id AS dst FROM edges
+    UNION ALL SELECT nbr_id, src_id FROM edges)
+  WHERE src <> dst
+)""",
+        f"""base AS (
+  SELECT vec_id AS vertex_id, CAST(label AS BIGINT) AS true_label,
+         CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed,
+         CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN CAST(label AS BIGINT) END AS seed_label
+  FROM embeddings
+)""",
+        "lab0 AS (SELECT vertex_id, seed_label AS label FROM base)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""lab{it} AS (
+  SELECT b.vertex_id, COALESCE(b.seed_label, v.vote, l.label) AS label
+  FROM base b
+  JOIN lab{it - 1} l ON l.vertex_id = b.vertex_id
+  LEFT JOIN (
+    SELECT dst, label AS vote FROM (
+      SELECT u.dst, l2.label, count(*) AS c,
+             row_number() OVER (PARTITION BY u.dst
+                                ORDER BY count(*) DESC, l2.label ASC) AS rn
+      FROM und u JOIN lab{it - 1} l2
+        ON l2.vertex_id = u.src AND l2.label IS NOT NULL
+      GROUP BY u.dst, l2.label
+    ) WHERE rn = 1
+  ) v ON v.dst = b.vertex_id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+LABEL_PROPAGATION_KNN = f"""
+WITH {_KNN_GRAPH_CTES},
+{_label_prop_ctes(LP_ITERS)}
+SELECT b.vertex_id, b.true_label, CAST(b.is_seed AS INT) AS is_seed,
+       l.label AS propagated,
+       CASE WHEN l.label = b.true_label THEN 1 ELSE 0 END AS correct
+FROM base b JOIN lab{LP_ITERS} l USING (vertex_id)
 """
 
 
@@ -1333,6 +1391,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
+    "label_propagation_knn": LABEL_PROPAGATION_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,
     "embedding_dedup": EMBEDDING_DEDUP,

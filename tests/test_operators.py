@@ -1447,3 +1447,32 @@ class TestTriangleCount:
             assert got[v] == (3, 3, 1.0)
         assert got[5] == (1, 0, 0.0)
         assert got[6] == (0, 0, 0.0)
+
+
+class TestLabelPropagation:
+    def test_spread_clamp_tiebreak_isolated(self, spark):
+        """Chain spreading (2 hops in 2 iters), seed clamping, the
+        count-then-min-label tiebreak (vertex 4 sees one vote for 10 and
+        one for 20 → takes 10), and null propagation for the isolated
+        vertex 3. Seeds are vertex_id % 5 == 0, i.e. 0 (label 10) and
+        5 (label 20)."""
+        from gmall_flink_200621_spark.operators.graph import label_propagation
+
+        labeled = spark.createDataFrame(
+            [(0, 10), (1, 10), (2, 10), (3, 99), (4, 99), (5, 20), (6, 20)],
+            "vec_id long, label long",
+        )
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6), (0, 4), (5, 4)], "src_id long, nbr_id long"
+        )
+        got = {
+            r.vertex_id: (r.is_seed, r.propagated, r.correct)
+            for r in label_propagation(edges, labeled, iters=3).collect()
+        }
+        assert got[0] == (1, 10, 1)
+        assert got[5] == (1, 20, 1)
+        assert got[1] == (0, 10, 1)
+        assert got[2] == (0, 10, 1)   # reached on iteration 2
+        assert got[6] == (0, 20, 1)
+        assert got[4] == (0, 10, 0)   # tie → min label; true label 99 → wrong
+        assert got[3] == (0, None, 0)  # isolated: never labeled
