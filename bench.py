@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "knn_triangles",
     "label_propagation_knn",
     "point_in_time_join",
+    "skew_audit",
     "fuzzy_part_matches",
     "time_grid_fill",
     "boilerplate_scrub",

@@ -395,6 +395,47 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: for each candidate partition key of
+    the events stream (user_id, event_type), the distribution of per-key
+    row counts summarized as a count-MAGNITUDE histogram (bucket =
+    bit_length(count)−1, i.e. floor(log2) computed on integers — no
+    float log whose rounding could differ across engines), plus each
+    bucket's key count, row mass, worst key, and share of total rows.
+    This is the audit run before choosing a groupBy/join key at scale:
+    a bucket far above the median magnitude holding a large share IS
+    the hot-key problem (→ salting / AQE skew join, the page_view_salted
+    posture).
+
+    Shape: one count per key (map-side combinable), then a ~dozens-row
+    re-agg; the union of key audits shares one scan via unionByName of
+    two tiny aggregated frames."""
+    e = load_table(spark, sf_dir, "events")
+    total = e.count()
+
+    def audit(key: str) -> DataFrame:
+        per_key = e.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            per_key.withColumn("bucket", (F.length(F.bin("cnt")) - 1).cast("int"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cnt").alias("n_rows"),
+                F.max("cnt").alias("max_key_rows"),
+            )
+            .select(
+                F.lit(key).alias("key_name"),
+                "bucket",
+                "n_keys",
+                "n_rows",
+                "max_key_rows",
+                F.round(F.col("n_rows") / F.lit(total), 6).alias("row_share"),
+            )
+        )
+
+    return audit("user_id").unionByName(audit("event_type"))
+
+
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile of `orders` — per column: row/null
     counts, EXACT distinct count, numeric min/max (doubles; timestamps as
@@ -465,6 +506,7 @@ ANALYTICS_QUERIES = {
     "column_profile": column_profile,
     "rfm_segments": rfm_segments,
     "point_in_time_join": point_in_time_join,
+    "skew_audit": skew_audit,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -487,6 +529,25 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "skew_audit": """
+WITH tot AS (SELECT count(*) AS total FROM events),
+ku AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+kt AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+au AS (
+  SELECT 'user_id' AS key_name, CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+  FROM ku GROUP BY 2
+), at AS (
+  SELECT 'event_type' AS key_name, CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+  FROM kt GROUP BY 2
+)
+SELECT key_name, bucket, n_keys, n_rows, max_key_rows,
+       round(n_rows / (SELECT total FROM tot), 6) AS row_share
+FROM (SELECT * FROM au UNION ALL SELECT * FROM at)
+""",
     "point_in_time_join": f"""
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events

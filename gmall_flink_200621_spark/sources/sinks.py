@@ -181,6 +181,59 @@ def layout_by_range(df: DataFrame, path: str, cols: list[str], n_files: int = 8)
     )
 
 
+ZORDER_BITS = 16  # bits per dimension in the interleaved key
+
+
+def zorder_key(a, b, a_min: int, a_max: int, b_min: int, b_max: int):
+    """Two-dimensional Z-order (Morton) key as a pure codegen expression:
+    each column is linearly scaled to ZORDER_BITS bits over its observed
+    [min, max], then the bits are interleaved (a even positions, b odd).
+    Locality in z-value ⇒ locality in BOTH dimensions, which is what
+    makes multi-column min/max pruning work where a lexicographic sort
+    only ever prunes on its leading column.
+
+    Linear scaling is the simple variant — fine for roughly uniform
+    domains; for heavy skew, production systems (Delta OPTIMIZE ZORDER)
+    use sampled range boundaries per dimension instead. Swapping the
+    scaler leaves the interleave untouched."""
+    span_a = max(a_max - a_min, 1)
+    span_b = max(b_max - b_min, 1)
+    top = (1 << ZORDER_BITS) - 1
+    qa = ((a - F.lit(a_min)) * top / F.lit(span_a)).cast("long")
+    qb = ((b - F.lit(b_min)) * top / F.lit(span_b)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def layout_by_zorder(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 8
+) -> None:
+    """Z-order-clustered layout over two integer columns: compute the
+    Morton key, range-partition + sort on it, write. Each output file
+    then owns a compact 2-D tile, so min/max footer stats are tight on
+    BOTH columns — a predicate on EITHER dimension skips most files,
+    where `layout_by_range` only ever prunes its leading column. The
+    min/max scan for the scaler is one cheap columnar aggregate; the
+    key itself is whole-stage-codegen bit math, no UDF."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z = zorder_key(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def publish_with_audit(df: DataFrame, path: str, checks) -> dict:
     """Write-audit-publish: stage the frame, run the expectation suite
     AGAINST THE STAGED FILES (what readers would actually see, not the

@@ -387,3 +387,23 @@ class TestPointInTimeJoin:
         _write_events(spark, rows, str(tmp_path))
         got = {r.view_id: r.tier for r in point_in_time_join(spark, str(tmp_path)).collect()}
         assert got == {1: "none", 2: "bronze", 3: "silver", 4: "gold", 5: "silver", 6: "none"}
+
+
+class TestSkewAudit:
+    def test_planted_hot_key_lands_in_top_bucket(self, spark, tmp_path):
+        """One user with 1000 rows + 50 singleton users: the hot key must
+        surface alone in magnitude bucket 9 (512..1023) holding ~95% of
+        rows, singletons in bucket 0 — the exact signature the salting
+        decision keys off."""
+        from gmall_flink_200621_spark.plans.analytics import skew_audit
+
+        rows = [(i, float(i), 7, "view", 1.0) for i in range(1000)]
+        rows += [(10_000 + u, 5000.0 + u, 100 + u, "view", 1.0) for u in range(50)]
+        _write_events(spark, rows, str(tmp_path))
+        got = {
+            (r.key_name, r.bucket): (r.n_keys, r.n_rows, r.max_key_rows, r.row_share)
+            for r in skew_audit(spark, str(tmp_path)).collect()
+        }
+        assert got[("user_id", 9)] == (1, 1000, 1000, round(1000 / 1050, 6))
+        assert got[("user_id", 0)] == (50, 50, 1, round(50 / 1050, 6))
+        assert got[("event_type", 10)] == (1, 1050, 1050, 1.0)

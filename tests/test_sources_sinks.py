@@ -562,3 +562,55 @@ class TestFormatRoundTrips:
             read_as(spark, str(tmp_path / "json"), "json")
         with _pytest.raises(ValueError, match="unsupported"):
             write_as(e, str(tmp_path / "nope"), "avro")
+
+
+class TestZorderLayout:
+    def test_tiles_prune_on_both_dimensions(self, spark, tmp_path):
+        """On a uniform 64x64 integer grid written as 16 files: a point
+        predicate on EITHER column must touch far fewer files under the
+        z-order layout than the per-dimension worst case, while a
+        lexicographic range layout on (x, y) leaves y unpruned (every
+        file spans ~the full y domain)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_200621_spark.sources.sinks import layout_by_range, layout_by_zorder
+
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+        )
+
+        def ranges(path, idx):
+            out = []
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                out.append((min(mins), max(maxs)))
+            return out
+
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lex")
+        layout_by_zorder(grid, zpath, "x", "y", n_files=16)
+        layout_by_range(grid, lpath, ["x", "y"], n_files=16)
+
+        def touched(rs, point):
+            return sum(1 for mn, mx in rs if mn <= point <= mx)
+
+        zx, zy = ranges(zpath, 0), ranges(zpath, 1)
+        lx, ly = ranges(lpath, 0), ranges(lpath, 1)
+        assert len(zx) == 16
+        # z-order: a point probe on either dimension touches a minority
+        # of files (16 square-ish tiles over a 64x64 grid -> a probe line
+        # crosses ~sqrt(16) of them)
+        assert touched(zx, 33) <= 8
+        assert touched(zy, 33) <= 8
+        # lexicographic: x prunes (leading column)...
+        assert touched(lx, 33) <= 4
+        # ...but y is useless: (nearly) every file spans the y domain
+        assert touched(ly, 33) >= 12
+        # data intact
+        assert spark.read.parquet(zpath).count() == 64 * 64
