@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "label_propagation_knn",
     "point_in_time_join",
     "skew_audit",
+    "attribution_position",
     "fuzzy_part_matches",
     "time_grid_fill",
     "boilerplate_scrub",

@@ -221,6 +221,77 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_PPM = 1_000_000  # one conversion's credit, in parts-per-million
+ATTR_END_PPM = 400_000  # U-shape: first and last touch each take 40%
+
+
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each converting
+    user's journey = their non-purchase events strictly before their
+    FIRST purchase, ordered by (ts, event_id). Credit per conversion is
+    ATTR_PPM integer parts-per-million: single touch takes it all, two
+    touches split 50/50, otherwise first/last take ATTR_END_PPM each and
+    the middles share the rest by integer division with the remainder
+    assigned to the EARLIEST middle — so every journey's credits sum to
+    exactly ATTR_PPM and the per-channel totals are integer sums
+    (partition-order independent, oracle hash-exact; a float credit
+    split could not be).
+
+    Shape: one window pass over each user's pre-conversion prefix (the
+    join to first-purchase is a broadcast-sized frame only when users
+    are few — at scale it hash-joins on user_id, same shuffle as the
+    window), then a 5-row channel aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_s", "event_id")).alias("fp"))
+        .select("user_id", F.col("fp.ts_s").alias("fp_ts"), F.col("fp.event_id").alias("fp_eid"))
+    )
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .where(
+            (F.col("ts_s") < F.col("fp_ts"))
+            | ((F.col("ts_s") == F.col("fp_ts")) & (F.col("event_id") < F.col("fp_eid")))
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    wn = Window.partitionBy("user_id")
+    mid_ppm = ATTR_PPM - 2 * ATTR_END_PPM
+    ranked = touches.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(ATTR_PPM))
+        .when((F.col("n") == 2), F.lit(ATTR_PPM // 2))
+        .when(F.col("rn") == 1, F.lit(ATTR_END_PPM))
+        .when(F.col("rn") == F.col("n"), F.lit(ATTR_END_PPM))
+        .otherwise(
+            F.expr(f"{mid_ppm} div (n - 2)")
+            + F.when(F.col("rn") == 2, F.expr(f"{mid_ppm} % (n - 2)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+    )
+    per_channel = (
+        ranked.withColumn("credit", credit)
+        .groupBy("event_type")
+        .agg(
+            F.sum("credit").alias("credit_ppm"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    total = per_channel.agg(F.sum("credit_ppm")).first()[0]
+    return per_channel.select(
+        F.col("event_type").alias("channel"),
+        "credit_ppm",
+        "n_users",
+        F.round(F.col("credit_ppm") / F.lit(total), 6).alias("credit_share"),
+    )
+
+
 def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((segment), (priority), ()) — the third member of the
     cube/rollup family, same two-level shape as sales_cube: facts
@@ -507,6 +578,7 @@ ANALYTICS_QUERIES = {
     "rfm_segments": rfm_segments,
     "point_in_time_join": point_in_time_join,
     "skew_audit": skew_audit,
+    "attribution_position": attribution_position,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -529,6 +601,42 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "attribution_position": f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, event_type
+  FROM events
+), fpx AS (
+  SELECT user_id, ts_s AS fp_ts, event_id AS fp_eid FROM (
+    SELECT user_id, ts_s, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn
+    FROM e WHERE event_type = 'purchase') WHERE rn = 1
+), touches AS (
+  SELECT e.user_id, e.ts_s, e.event_id, e.event_type
+  FROM e JOIN fpx ON e.user_id = fpx.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (e.ts_s < fpx.fp_ts OR (e.ts_s = fpx.fp_ts AND e.event_id < fpx.fp_eid))
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+), credited AS (
+  SELECT event_type, user_id,
+         CAST(CASE WHEN n = 1 THEN {1_000_000}
+              WHEN n = 2 THEN {500_000}
+              WHEN rn = 1 OR rn = n THEN {400_000}
+              ELSE {200_000} // (n - 2)
+                   + CASE WHEN rn = 2 THEN {200_000} % (n - 2) ELSE 0 END
+         END AS BIGINT) AS credit
+  FROM ranked
+), per_channel AS (
+  SELECT event_type AS channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM credited GROUP BY 1
+)
+SELECT channel, credit_ppm, n_users,
+       round(credit_ppm / (SELECT SUM(credit_ppm) FROM per_channel), 6) AS credit_share
+FROM per_channel
+""",
     "skew_audit": """
 WITH tot AS (SELECT count(*) AS total FROM events),
 ku AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),

@@ -407,3 +407,34 @@ class TestSkewAudit:
         assert got[("user_id", 9)] == (1, 1000, 1000, round(1000 / 1050, 6))
         assert got[("user_id", 0)] == (50, 50, 1, round(50 / 1050, 6))
         assert got[("event_type", 10)] == (1, 1050, 1050, 1.0)
+
+
+class TestAttributionPosition:
+    def test_u_shape_credit_exact(self, spark, tmp_path):
+        """Journey credit rules, pinned per cardinality: n=1 takes all;
+        n=2 splits 50/50; n=5 gives 40/40 to the ends and the 200000
+        middle pool splits 66666+66667+66667 with the REMAINDER... on the
+        EARLIEST middle (66668, 66666, 66666). Credits per journey sum to
+        exactly 1e6; post-first-purchase events never earn credit."""
+        from gmall_flink_200621_spark.plans.analytics import attribution_position
+
+        rows = [
+            # u1: single touch then purchase
+            (1, 10.0, 1, "view", 1.0), (2, 20.0, 1, "purchase", 1.0),
+            # u2: two touches
+            (3, 10.0, 2, "view", 1.0), (4, 11.0, 2, "click", 1.0), (5, 20.0, 2, "purchase", 1.0),
+            # u3: five touches: view click error click signup | purchase
+            (6, 1.0, 3, "view", 1.0), (7, 2.0, 3, "click", 1.0), (8, 3.0, 3, "error", 1.0),
+            (9, 4.0, 3, "click", 1.0), (10, 5.0, 3, "signup", 1.0), (11, 9.0, 3, "purchase", 1.0),
+            # u3 post-purchase touch: must NOT be credited
+            (12, 50.0, 3, "view", 1.0),
+        ]
+        _write_events(spark, rows, str(tmp_path))
+        got = {r.channel: (r.credit_ppm, r.n_users) for r in attribution_position(spark, str(tmp_path)).collect()}
+        # u1: view 1_000_000. u2: view 500_000 + click 500_000.
+        # u3 middles pool 200_000 over 3: click(rn2)=66_666+2, error(rn3)=66_666, click(rn4)=66_666
+        assert got["view"] == (1_000_000 + 500_000 + 400_000, 3)
+        assert got["click"] == (500_000 + 66_668 + 66_666, 2)
+        assert got["error"] == (66_666, 1)
+        assert got["signup"] == (400_000, 1)
+        assert sum(c for c, _ in got.values()) == 3_000_000
