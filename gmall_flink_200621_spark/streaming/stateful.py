@@ -471,6 +471,65 @@ def _pay_receipt_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd
         yield pd.DataFrame(out, columns=cols)
 
 
+def _tier_enrich_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Streaming point-in-time enrichment: per-user cumulative purchase
+    count as keyed state; every view emits the loyalty tier AS OF its
+    position in the per-user event-time order. Within a batch rows are
+    sorted by (t_us, event_id); across batches the twin matches the
+    batch `point_in_time_join` exactly when input arrives in event-time
+    order (the staged-replay guarantee all the stream==batch twins use —
+    an out-of-order source would need the late-data engine's buffering)."""
+    from ..plans.analytics import PIT_GOLD, PIT_SILVER
+
+    (user_id,) = key
+    cum = state.get[0] if state.exists else 0
+    out = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values(["t_us", "event_id"]).itertuples():
+            if r.event_type == "purchase":
+                cum += 1
+            else:  # view
+                if cum >= PIT_GOLD:
+                    tier = "gold"
+                elif cum >= PIT_SILVER:
+                    tier = "silver"
+                elif cum >= 1:
+                    tier = "bronze"
+                else:
+                    tier = "none"
+                out.append((user_id, r.event_id, r.t_us, tier))
+    state.update((int(cum),))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "view_id", "t_us", "tier"])
+
+
+def tier_enrich_stream(events: "DataFrame"):  # noqa: F821
+    """Streaming twin of plans/analytics.point_in_time_join: enrich the
+    view stream with the SCD2-style tier version valid at event time,
+    carried as O(1) keyed state (one counter per user) instead of a
+    batch as-of join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+    )
+    return keyed.applyInPandasWithState(
+        _tier_enrich_fn,
+        outputStructType="user_id LONG, view_id LONG, t_us LONG, tier STRING",
+        stateStructType="cum LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def blacklist_stream(events: "DataFrame"):  # noqa: F821
     """BlacklistProcessor semantics (A7/A8/P9) over the click stream."""
     from pyspark.sql import functions as F

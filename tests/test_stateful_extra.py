@@ -127,3 +127,20 @@ class TestBrowseAbandonStateBound:
         st2._v = ([], [], [1000])
         list(_browse_abandon_fn((7,), iter([]), st2))
         assert st2.removed
+
+
+class TestTierEnrichStream:
+    def test_stream_equals_batch_point_in_time_join(self, spark, sf_dir):
+        """The O(1)-state streaming enrichment must reproduce the batch
+        as-of join row for row: same views, same tier versions, no
+        future-version leakage (the state counter only ever reflects
+        purchases at-or-before the view in event-time order)."""
+        from gmall_flink_200621_spark.plans.analytics import point_in_time_join
+        from gmall_flink_200621_spark.streaming.stateful import tier_enrich_stream
+
+        got = _run(spark, sf_dir, tier_enrich_stream, "tier_stream")
+        batch = point_in_time_join(spark, sf_dir).toPandas()
+        key = ["user_id", "view_id", "t_us", "tier"]
+        g = sorted(map(tuple, got[key].values.tolist()))
+        b = sorted(map(tuple, batch[key].values.tolist()))
+        assert g == b and len(g) > 0
