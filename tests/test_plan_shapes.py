@@ -444,3 +444,33 @@ class TestRound5Shapes:
         s = _plan(embedding_quantize(spark, sf_dir))
         assert s.count("Exchange") <= 1  # fan_out only
         assert "Join" not in s and "HashAggregate" not in s
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_seeds_bloom_on_fact_scan(self, spark, sf_dir):
+        """The session enables runtime bloom-filter join pruning
+        (session.py); at production sizes the selective dim side of a
+        shuffle join seeds a bloom filter that prunes the fact scan.
+        Thresholds keep it off at test scale, so this pin lowers them and
+        asserts the optimizer actually injects BloomFilterAggregate /
+        might_contain around a filtered part -> lineitem join — i.e. the
+        conf is live, not a no-op string."""
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            l = load_table(spark, sf_dir, "lineitem")
+            p = load_table(spark, sf_dir, "part").filter("p_size = 11")
+            j = l.join(p, l.l_partkey == p.p_partkey).groupBy("p_type").count()
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan and "might_contain" in plan
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
