@@ -259,6 +259,11 @@ def pagerank(
             "vertex_id",
             F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_deg"),
             F.col("r").alias("rank_units"),
-            F.round(F.col("r") / F.lit(PR_SCALE), 6).alias("rank"),
+            # raw division, NOT round(…, 6): both engines produce the
+            # identical IEEE double from the identical integer, whereas
+            # explicit 6-dp rounding hits half-way ties (…x500 unit
+            # tails) where Spark's HALF_UP and DuckDB's nearest-double
+            # disagree in the last digit
+            (F.col("r") / F.lit(PR_SCALE)).alias("rank"),
         )
     )

@@ -782,7 +782,7 @@ WITH {_KNN_GRAPH_CTES},
 SELECT v.vertex_id,
        CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
        p.r AS rank_units,
-       round(p.r / {PR_SCALE}, 6) AS rank
+       p.r / {PR_SCALE} AS rank
 FROM pr{PR_ITERS} p
 JOIN verts v USING (vertex_id)
 LEFT JOIN deg d ON d.src_id = v.vertex_id
