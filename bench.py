@@ -103,10 +103,12 @@ BENCH_QUERIES = [
     "knn_graph",
     "pagerank_knn",
     "perceptron_lang",
+    "lang_confusion",
     "knn_triangles",
     "label_propagation_knn",
     "point_in_time_join",
     "skew_audit",
+    "join_blowup_audit",
     "attribution_position",
     "fuzzy_part_matches",
     "time_grid_fill",

@@ -37,6 +37,7 @@ def label_propagation(
     labeled_vertices: DataFrame,
     iters: int = LP_ITERS,
     seed_mod: int = LP_SEED_MOD,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Semi-supervised label propagation: a sparse set of SEED vertices
     (vertex_id % seed_mod == 0) keeps its ground-truth label; everyone
@@ -54,8 +55,9 @@ def label_propagation(
     Scale shape per iteration: one join of the current label frame onto
     the symmetrized edge list, one (dst, label) count aggregation, one
     per-dst argmax window — all keyed by vertex, no broadcast of
-    anything vertex-sized. Labels localCheckpoint-ed per iteration
-    (lineage discipline as pagerank/dedup_clusters).
+    anything vertex-sized. Labels localCheckpoint-ed every
+    `checkpoint_every` iterations (the pagerank cadence knob: bounded
+    lineage without paying one barrier job per iteration).
 
     `labeled_vertices`: (vertex id, label) ground truth; output carries
     true_label, is_seed, the propagated label (null if never reached),
@@ -85,7 +87,7 @@ def label_propagation(
     )
     labels = base.select("vertex_id", F.col("seed_label").alias("label"))
     w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(iters):
+    for it in range(iters):
         votes = (
             und.join(
                 labels.where(F.col("label").isNotNull()),
@@ -104,8 +106,9 @@ def label_propagation(
                 "vertex_id",
                 F.coalesce("seed_label", "vote", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
     return base.join(labels, "vertex_id").select(
         "vertex_id",
         "true_label",
@@ -190,6 +193,7 @@ def pagerank(
     edges: DataFrame,
     vertices: DataFrame,
     iters: int = PR_ITERS,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed-point, fixed iteration
     count (deterministic — no convergence test, so the oracle can unroll
@@ -211,11 +215,16 @@ def pagerank(
     Scale shape: per iteration ONE join of the rank frame (|V| rows,
     16 bytes) to the degree-annotated edge list on src_id and ONE
     aggregation keyed by nbr_id — the Pregel message-passing shape.
-    Ranks are localCheckpoint-ed per iteration (the dedup_clusters
-    lineage discipline: plans stay O(1) deep; on a real cluster swap for
-    reliable checkpoint()). The edge list is checkpointed ONCE and
-    re-used by all iterations, so an expensive upstream edge builder
-    (knn_graph's banded matmul) runs once, not `iters` times.
+    Ranks are localCheckpoint-ed every `checkpoint_every` iterations
+    (the dedup_clusters lineage discipline, with a cadence knob: each
+    eager checkpoint is a full job BARRIER, so truncating every
+    iteration costs `iters` sequential jobs while lineage only needs
+    bounding — ≤ checkpoint_every join layers accumulate between
+    truncations, and the un-truncated tail fuses into the final job.
+    On a real cluster swap for reliable checkpoint(); the cadence then
+    also sets recovery replay depth). The edge list is checkpointed
+    ONCE and re-used by all iterations, so an expensive upstream edge
+    builder (knn_graph's banded matmul) runs once, not `iters` times.
 
     Overflow margin: a vertex's in-sum is ≤ in_deg · max_rank; ranks stay
     O(PR_SCALE · in_deg/out_deg) ≈ O(PR_SCALE · k) on k-NN graphs, so
@@ -234,25 +243,23 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = verts.select("vertex_id", F.lit(PR_SCALE).cast("long").alias("r"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             ed.join(ranks, ed.src_id == ranks.vertex_id)
             .groupBy("nbr_id")
             .agg(F.sum(F.expr("r div deg")).alias("s"))
         )
-        ranks = (
-            verts.join(contribs, verts.vertex_id == contribs.nbr_id, "left")
-            .select(
-                "vertex_id",
-                (
-                    F.lit(PR_TELEPORT)
-                    + F.expr(f"({PR_DAMP_PCT} * coalesce(s, 0L)) div 100")
-                )
-                .cast("long")
-                .alias("r"),
+        ranks = verts.join(contribs, verts.vertex_id == contribs.nbr_id, "left").select(
+            "vertex_id",
+            (
+                F.lit(PR_TELEPORT)
+                + F.expr(f"({PR_DAMP_PCT} * coalesce(s, 0L)) div 100")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("r"),
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.join(deg, ranks.vertex_id == deg.src_id, "left")
         .select(

@@ -507,6 +507,38 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("user_id").unionByName(audit("event_type"))
 
 
+def join_blowup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality forecast for candidate keys, computed from the
+    same per-key counts as skew_audit: a self-equi-join on key k produces
+    exactly Σ cnt(k)² rows, and a key's worst contribution is max(cnt)².
+    `blowup` = Σcnt²/n_rows is the average fan-out a join on that key
+    multiplies a probe side by — the number to check BEFORE shipping a
+    join at 100 TB (event_type as a join key shows blowup in the
+    thousands here; user_id stays ~tens). Integer arithmetic end-to-end
+    (sums of cnt² fit int64 up to ~3B-row hottest keys; the decimal
+    upgrade is the value_anomalies posture)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def audit(key: str) -> DataFrame:
+        per_key = e.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        return per_key.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("self_join_rows"),
+            F.max("cnt").alias("max_key_rows"),
+        ).select(
+            F.lit(key).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "self_join_rows",
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            (F.col("max_key_rows") * F.col("max_key_rows")).cast("long").alias("max_key_pairs"),
+            (F.col("self_join_rows") / F.col("n_rows")).alias("blowup"),
+        )
+
+    return audit("user_id").unionByName(audit("event_type"))
+
+
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile of `orders` — per column: row/null
     counts, EXACT distinct count, numeric min/max (doubles; timestamps as
@@ -579,6 +611,7 @@ ANALYTICS_QUERIES = {
     "point_in_time_join": point_in_time_join,
     "skew_audit": skew_audit,
     "attribution_position": attribution_position,
+    "join_blowup_audit": join_blowup_audit,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -601,6 +634,25 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "join_blowup_audit": """
+WITH ku AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+kt AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+au AS (
+  SELECT 'user_id' AS key_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS self_join_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+  FROM ku
+), at AS (
+  SELECT 'event_type', CAST(SUM(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(SUM(cnt * cnt) AS BIGINT), CAST(MAX(cnt) AS BIGINT)
+  FROM kt
+)
+SELECT key_name, n_rows, n_keys, self_join_rows, max_key_rows,
+       max_key_rows * max_key_rows AS max_key_pairs,
+       self_join_rows / n_rows AS blowup
+FROM (SELECT * FROM au UNION ALL SELECT * FROM at)
+""",
     "attribution_position": f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, event_type

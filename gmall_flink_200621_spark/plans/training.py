@@ -5,6 +5,7 @@ around operators/{dedup,similarity,textops}.py over the `documents` and
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import graph as G
@@ -242,6 +243,31 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(edges, emb.select("vec_id"))
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation surface: the (true lang × predicted lang)
+    confusion matrix for the marker-stopword lang_id, with each cell's
+    share of its true-language row — the per-class recall diagonal. One
+    join of two doc-keyed frames + a 25-cell aggregate; the share is the
+    only non-integer and divides two exact counts."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    preds = T.lang_id(docs)
+    cm = (
+        docs.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n") / F.sum("n").over(w)).alias("share_of_lang"),
+    )
+
+
 def perceptron_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed batch-perceptron training + scoring — see
     operators/classifier.perceptron_lang."""
@@ -433,6 +459,7 @@ TRAINING_QUERIES = {
     "knn_graph": knn_graph,
     "pagerank_knn": pagerank_knn,
     "perceptron_lang": perceptron_lang,
+    "lang_confusion": lang_confusion,
     "knn_triangles": knn_triangles,
     "label_propagation_knn": label_propagation_knn,
     "cluster_aware_split": cluster_aware_split,

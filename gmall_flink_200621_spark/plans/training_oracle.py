@@ -354,8 +354,7 @@ def _lang_case() -> str:
     return expr
 
 
-LANG_ID = f"""
-WITH scored AS (
+_LANG_ID_CTES = f"""scored AS (
   SELECT doc_id,
          {", ".join(
            f"len(list_intersect(list_distinct(string_split(text, ' ')), {list(m)})) AS s_{lang}"
@@ -365,8 +364,24 @@ WITH scored AS (
 ),
 withbest AS (
   SELECT *, greatest({", ".join(f"s_{lang}" for lang in LANG_MARKERS)}) AS best FROM scored
-)
+)"""
+
+LANG_ID = f"""
+WITH {_LANG_ID_CTES}
 SELECT doc_id, {_lang_case()} AS lang_pred FROM withbest
+"""
+
+LANG_CONFUSION = f"""
+WITH {_LANG_ID_CTES},
+pred AS (SELECT doc_id, {_lang_case()} AS lang_pred FROM withbest),
+cm AS (
+  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n,
+       n / SUM(n) OVER (PARTITION BY lang) AS share_of_lang
+FROM cm
 """
 
 TOKEN_COUNTS = """
@@ -1381,6 +1396,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "dedup_substring": DEDUP_SUBSTRING,
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
+    "lang_confusion": LANG_CONFUSION,
     "rolling_fingerprint": ROLLING_FINGERPRINT,
     "token_counts": TOKEN_COUNTS,
     "corpus_prep": _corpus_prep_sql(),

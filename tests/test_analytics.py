@@ -438,3 +438,23 @@ class TestAttributionPosition:
         assert got["error"] == (66_666, 1)
         assert got["signup"] == (400_000, 1)
         assert sum(c for c, _ in got.values()) == 3_000_000
+
+
+class TestJoinBlowupAudit:
+    def test_planted_hot_key_forecast(self, spark, tmp_path):
+        """10 rows of user 7 + 5 singletons: a self-join on user_id would
+        produce exactly 10²+5·1²=105 rows (blowup 7.0), with the hot key
+        alone contributing 100 — the forecast the audit must report."""
+        from gmall_flink_200621_spark.plans.analytics import join_blowup_audit
+
+        rows = [(i, float(i), 7, "view", 1.0) for i in range(10)]
+        rows += [(100 + u, 500.0 + u, 100 + u, "view", 1.0) for u in range(5)]
+        _write_events(spark, rows, str(tmp_path))
+        got = {r.key_name: r for r in join_blowup_audit(spark, str(tmp_path)).collect()}
+        u = got["user_id"]
+        assert (u.n_rows, u.n_keys, u.self_join_rows, u.max_key_rows, u.max_key_pairs) == (
+            15, 6, 105, 10, 100,
+        )
+        assert u.blowup == 105 / 15
+        t = got["event_type"]
+        assert (t.n_keys, t.self_join_rows, t.blowup) == (1, 225, 15.0)
