@@ -104,11 +104,14 @@ BENCH_QUERIES = [
     "pagerank_knn",
     "perceptron_lang",
     "lang_confusion",
+    "embedding_norm_audit",
     "knn_triangles",
     "label_propagation_knn",
     "point_in_time_join",
     "skew_audit",
     "join_blowup_audit",
+    "transition_matrix",
+    "ltv_cohorts",
     "attribution_position",
     "fuzzy_part_matches",
     "time_grid_fill",

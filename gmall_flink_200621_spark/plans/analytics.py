@@ -507,6 +507,79 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("user_id").unionByName(audit("event_type"))
 
 
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over event types: counts of consecutive
+    same-session (gap ≤ SESSION_GAP_S) event pairs per user, with each
+    cell's row-conditional probability p(to|from) — the product-analytics
+    input for next-action prediction, anomaly flows, and funnel
+    discovery. Consecutive-pair extraction is one lag window per user
+    (identical pair semantics to `sessionize`'s boundaries, without
+    materializing session ids); the matrix is ≤ |types|² rows, counts
+    are integers, and the only division is exact-count / exact-count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .withColumn("prev_ts", F.lag("ts_s").over(w))
+        .where(
+            F.col("from_type").isNotNull()
+            & ((F.col("ts_s") - F.col("prev_ts")) <= SESSION_GAP_S)
+        )
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wf)).alias("p"),
+    )
+
+
+def ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    day (the retention_cohorts key), purchase revenue accumulated per
+    day-offset — cum_rev_cents is an integer running sum (exact), and
+    the per-user LTV divides it by the cohort's fixed user count. The
+    curve every growth team plots; the shape is two small aggregates +
+    one ordered window over the (cohort, offset) grid — events shuffle
+    once on user_id, the grid is tiny."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {US_PER_DAY}").alias("d"),
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_rev_cents", F.sum("rev_cents").over(wc))
+        .join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "rev_cents",
+            "cum_rev_cents",
+            "n_users",
+            (F.col("cum_rev_cents") / F.lit(100.0) / F.col("n_users")).alias("ltv_per_user"),
+        )
+    )
+
+
 def join_blowup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality forecast for candidate keys, computed from the
     same per-key counts as skew_audit: a self-equi-join on key k produces
@@ -612,6 +685,8 @@ ANALYTICS_QUERIES = {
     "skew_audit": skew_audit,
     "attribution_position": attribution_position,
     "join_blowup_audit": join_blowup_audit,
+    "transition_matrix": transition_matrix,
+    "ltv_cohorts": ltv_cohorts,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -634,6 +709,48 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "transition_matrix": f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, event_type
+  FROM events
+), lagged AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER w AS from_type,
+         ts_s - lag(ts_s) OVER w AS gap
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), cm AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM lagged WHERE from_type IS NOT NULL AND gap <= {SESSION_GAP_S}
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       n / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM cm
+""",
+    "ltv_cohorts": f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS d, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), cohort AS (
+  SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1
+), sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1
+), rev AS (
+  SELECT c.cohort_day, e.d - c.cohort_day AS day_offset,
+         CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+  FROM e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), cum AS (
+  SELECT *, CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+  FROM rev
+)
+SELECT cohort_day, day_offset, rev_cents, cum_rev_cents, s.n_users,
+       cum_rev_cents / 100.0 / s.n_users AS ltv_per_user
+FROM cum JOIN sizes s USING (cohort_day)
+""",
     "join_blowup_audit": """
 WITH ku AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
 kt AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),

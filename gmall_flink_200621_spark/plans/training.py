@@ -243,6 +243,31 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(edges, emb.select("vec_id"))
 
 
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality audit: histogram of squared-norm MAGNITUDE
+    (bucket = bit_length of the fixed-point ∑q², the integer-exact
+    floor(log2) trick from skew_audit) with per-bucket counts and exact
+    min/max. Catches the three classic vector-corpus defects before any
+    ANN/clustering run — zero vectors (bucket 0), truncated/half-written
+    vectors (low-magnitude outlier buckets), and unnormalized mixtures
+    (mass in >1 bucket when the corpus claims unit norm). All integer:
+    no sqrt, no float mean, partition-order independent."""
+    from ..operators.similarity import _idot, quantize
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _idot(quantize(F.col("embedding")), quantize(F.col("embedding"))).alias("n2")
+    )
+    return (
+        e.withColumn("bucket", (F.length(F.bin("n2")) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("n2").alias("min_n2"),
+            F.max("n2").alias("max_n2"),
+        )
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation surface: the (true lang × predicted lang)
     confusion matrix for the marker-stopword lang_id, with each cell's
@@ -460,6 +485,7 @@ TRAINING_QUERIES = {
     "pagerank_knn": pagerank_knn,
     "perceptron_lang": perceptron_lang,
     "lang_confusion": lang_confusion,
+    "embedding_norm_audit": embedding_norm_audit,
     "knn_triangles": knn_triangles,
     "label_propagation_knn": label_propagation_knn,
     "cluster_aware_split": cluster_aware_split,

@@ -635,6 +635,19 @@ FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+EMBEDDING_NORM_AUDIT = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_sum(list_transform({_QVEC}, x -> x * x)) AS n2
+  FROM embeddings
+)
+SELECT CAST(length(bin(n2)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(n2) AS BIGINT) AS min_n2,
+       CAST(max(n2) AS BIGINT) AS max_n2
+FROM e GROUP BY 1
+"""
+
 KNN_TRIANGLES = f"""
 WITH {_KNN_GRAPH_CTES},
 edges AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K}),
@@ -1397,6 +1410,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
     "lang_confusion": LANG_CONFUSION,
+    "embedding_norm_audit": EMBEDDING_NORM_AUDIT,
     "rolling_fingerprint": ROLLING_FINGERPRINT,
     "token_counts": TOKEN_COUNTS,
     "corpus_prep": _corpus_prep_sql(),

@@ -458,3 +458,46 @@ class TestJoinBlowupAudit:
         assert u.blowup == 105 / 15
         t = got["event_type"]
         assert (t.n_keys, t.self_join_rows, t.blowup) == (1, 225, 15.0)
+
+
+class TestTransitionMatrix:
+    def test_counts_and_conditional_p(self, spark, tmp_path):
+        """u1: view->click->view within gap, then a >gap jump to error
+        (that pair must NOT count); u2: view->view. Conditional p rows
+        sum to 1 per from_type."""
+        from gmall_flink_200621_spark.plans.analytics import transition_matrix
+
+        rows = [
+            (1, 0.0, 1, "view", 1.0), (2, 10.0, 1, "click", 1.0), (3, 20.0, 1, "view", 1.0),
+            (4, 20_000.0, 1, "error", 1.0),  # gap > 1800s: boundary, not a transition
+            (5, 0.0, 2, "view", 1.0), (6, 5.0, 2, "view", 1.0),
+        ]
+        _write_events(spark, rows, str(tmp_path))
+        got = {(r.from_type, r.to_type): (r.n, r.p) for r in transition_matrix(spark, str(tmp_path)).collect()}
+        assert got == {
+            ("view", "click"): (1, 0.5),
+            ("view", "view"): (1, 0.5),
+            ("click", "view"): (1, 1.0),
+        }
+
+
+class TestLtvCohorts:
+    def test_cumulative_revenue_per_cohort_user(self, spark, tmp_path):
+        """Cohort day 0 has two users (one never purchases — still in the
+        denominator); purchases on offsets 0 and 2 accumulate: LTV curve
+        10.00 -> 17.50 per 2 users."""
+        from gmall_flink_200621_spark.plans.analytics import ltv_cohorts
+
+        day = 86400.0
+        rows = [
+            (1, 0.0, 1, "purchase", 10.00),
+            (2, 2 * day + 5, 1, "purchase", 7.50),
+            (3, 10.0, 2, "view", 1.0),  # same cohort, no revenue
+        ]
+        _write_events(spark, rows, str(tmp_path))
+        got = {r.day_offset: (r.rev_cents, r.cum_rev_cents, r.n_users, r.ltv_per_user)
+               for r in ltv_cohorts(spark, str(tmp_path)).collect()}
+        assert got == {
+            0: (1000, 1000, 2, 5.0),
+            2: (750, 1750, 2, 8.75),
+        }

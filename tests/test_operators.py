@@ -1476,3 +1476,20 @@ class TestLabelPropagation:
         assert got[6] == (0, 20, 1)
         assert got[4] == (0, 10, 0)   # tie → min label; true label 99 → wrong
         assert got[3] == (0, None, 0)  # isolated: never labeled
+
+
+class TestEmbeddingNormAudit:
+    def test_zero_vector_lands_in_bucket_zero(self, spark):
+        from gmall_flink_200621_spark.plans.training import embedding_norm_audit
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(1, [0.5] * 4 + [0.0] * 60, 0), (2, [0.0] * 64, 1)],
+                "vec_id long, embedding array<float>, label int",
+            ).write.parquet(f"{d}/embeddings.parquet")
+            got = {r.bucket: (r.n_vectors, r.min_n2, r.max_n2) for r in embedding_norm_audit(spark, d).collect()}
+        # q = 0.5*2^24 = 2^23; n2 = 4*2^46 = 2^48 -> bucket 48
+        assert got[0] == (1, 0, 0)
+        assert got[48] == (1, 1 << 48, 1 << 48)
