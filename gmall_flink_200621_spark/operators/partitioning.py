@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # (session id, semanticHash, input-file-listing hash) → scan partition
 # count. getNumPartitions forces a full physical plan; memoizing per
@@ -36,6 +37,42 @@ def _input_bytes(files: list[str]) -> int | None:
             return None
         total += os.path.getsize(p)
     return total
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-proof equi-join: the FACT side gets a random-uniform salt
+    in [0, salt), the DIM side is replicated salt× with every salt value,
+    and the join runs on (key, salt) — a hot fact key's rows now spread
+    over `salt` shuffle partitions instead of hammering one task. The
+    manual form of what AQE skew-join does adaptively (plan-pinned in
+    TestSkewJoin); use THIS when the skew is known ahead of time, the
+    join is stream-stream (AQE can't split), or a deterministic layout
+    matters more than adaptivity.
+
+    Cost model: dim shuffle volume × salt (fine for dimension tables —
+    that's the point; NEVER salt two fact-sized sides, pre-aggregate or
+    bucket instead). Row multiplicity is unchanged: each fact row carries
+    exactly one salt value and meets exactly one of the dim's salt
+    replicas. Salt uses a hash of the full row's monotonic id, not
+    rand(), so retried tasks re-derive the same assignment
+    (nondeterministic salting + task retry = lost/duplicated rows, the
+    classic production incident)."""
+    if salt < 1:
+        raise ValueError(f"salted_join: salt must be >= 1, got {salt}")
+    f = facts.withColumn(
+        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = f.join(d, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -1493,3 +1493,45 @@ class TestEmbeddingNormAudit:
         # q = 0.5*2^24 = 2^23; n2 = 4*2^46 = 2^48 -> bucket 48
         assert got[0] == (1, 0, 0)
         assert got[48] == (1, 1 << 48, 1 << 48)
+
+
+class TestSaltedJoin:
+    def test_content_equals_plain_join_and_spreads_hot_key(self, spark):
+        """Multiset equality with the unsalted join (row multiplicity must
+        be exactly preserved — each fact row meets exactly one dim
+        replica), and the planted hot key's rows actually spread over
+        multiple salt buckets (the whole point)."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.partitioning import salted_join
+
+        facts = spark.createDataFrame(
+            [(7, i) for i in range(2000)] + [(k, 0) for k in range(50)],
+            "k long, payload long",
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(50)] + [(7, "hot")], "k long, name string"
+        ).dropDuplicates(["k"])
+        got = sorted(
+            (r.k, r.payload, r.name)
+            for r in salted_join(facts, dim, "k", salt=8).collect()
+        )
+        want = sorted((r.k, r.payload, r.name) for r in facts.join(dim, "k").collect())
+        assert got == want
+        # the hot key's 2000 rows must occupy several of the 8 buckets
+        spread = (
+            facts.where("k = 7")
+            .withColumn("__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % 8).cast("int"))
+            .select("__salt")
+            .distinct()
+            .count()
+        )
+        assert spread >= 4
+
+    def test_left_join_keeps_unmatched_facts(self, spark):
+        from gmall_flink_200621_spark.operators.partitioning import salted_join
+
+        facts = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        dim = spark.createDataFrame([(1, "a")], "k long, name string")
+        got = {(r.k, r.name) for r in salted_join(facts, dim, "k", salt=4, how="left").collect()}
+        assert got == {(1, "a"), (2, None)}

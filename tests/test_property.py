@@ -280,3 +280,47 @@ class TestAsofForwardProperty:
 
         expected = {lid: brute(k, lts) for (k, lts, lid) in left}
         assert got == expected
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=0,
+    max_size=25,
+)
+
+
+class TestPageRankProperty:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(edges=EDGES)
+    def test_pagerank_matches_python_reference(self, spark, edges):
+        """Exact integer equality with an independent Python reference on
+        arbitrary small digraphs — self-loops dropped upstream (knn_graph
+        never emits them), duplicate arcs deduped to match the operator's
+        documented pre-deduped-edges contract."""
+        from gmall_flink_200621_spark.operators.graph import (
+            PR_DAMP_PCT,
+            PR_SCALE,
+            PR_TELEPORT,
+            pagerank,
+        )
+
+        edges = sorted({(a, b) for a, b in edges if a != b})
+        verts = list(range(10))
+        r = {v: PR_SCALE for v in verts}
+        out_deg: dict[int, int] = {}
+        for a, _ in edges:
+            out_deg[a] = out_deg.get(a, 0) + 1
+        for _ in range(3):
+            s = {v: 0 for v in verts}
+            for a, b in edges:
+                s[b] += r[a] // out_deg[a]
+            r = {v: PR_TELEPORT + (PR_DAMP_PCT * s[v]) // 100 for v in verts}
+
+        vdf = spark.createDataFrame([(v,) for v in verts], "vec_id long")
+        edf = (
+            spark.createDataFrame(edges, "src_id long, nbr_id long")
+            if edges
+            else spark.createDataFrame([], "src_id long, nbr_id long")
+        )
+        got = {x.vertex_id: x.rank_units for x in pagerank(edf, vdf, iters=3).collect()}
+        assert got == r
