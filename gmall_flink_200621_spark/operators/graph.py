@@ -127,15 +127,17 @@ def triangle_count(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     high-clustering k-NN region is a semantic cluster; a hub with zero
     closure is an artifact).
 
-    Enumeration is the a<b<c ordered-wedge join: canonicalize arcs to
-    a<b pairs (each undirected edge exactly once), then wedge b→c on the
-    middle vertex and close with a third join — every triangle is
-    produced EXACTLY once, no ÷6 correction, no symmetric blow-up. Scale
-    shape: two hash joins on vertex keys; wedge count is Σ_v deg(v)² —
-    the standard skew bound (production twist for power-law graphs:
-    orient edges low-degree→high-degree before wedging, which caps the
-    square at the max low-side degree; unnecessary on k-NN graphs where
-    out-degree ≤ k by construction).
+    Enumeration is DEGREE-ORIENTED wedging (Schank's algorithm, the
+    power-law-safe shape): orient each undirected edge from its
+    lower-(degree, id) endpoint to the higher one — a total order, so
+    the oriented graph is acyclic and every triangle has exactly one
+    vertex with two out-arcs. Wedge at that vertex (join the oriented
+    list with itself on the source) and close with one oriented-edge
+    probe — each triangle produced EXACTLY once, and wedge volume is
+    Σ out-deg² = O(m^1.5) instead of the naive Σ deg² (a celebrity hub
+    with degree d contributes d² unordered wedges but only ~m^0.5·d
+    oriented ones, because all its heavy neighbors orient TOWARD it).
+    On k-NN graphs out-degree is additionally ≤ 2k by construction.
 
     Clustering coefficient = 2·T / (deg·(deg−1)) on the undirected
     degree; 0.0 when deg < 2 (no wedge to close)."""
@@ -153,12 +155,35 @@ def triangle_count(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
         .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    e3 = und.alias("e3")
+    # wedge at the (unique) vertex with two out-arcs; e1.dst < e2.dst
+    # generates each wedge once; close by probing the UNDIRECTED
+    # canonical edge on (least, greatest) — a plain two-key equi-join
+    # (an oriented-edge probe would need an OR over both directions,
+    # which no hash join can serve)
+    tris = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")))
+        .join(
+            e3,
+            (F.col("e3.a") == F.least(F.col("e1.dst"), F.col("e2.dst")))
+            & (F.col("e3.b") == F.greatest(F.col("e1.dst"), F.col("e2.dst"))),
+        )
+        .select(
+            F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
         )
     )
     per_vertex = (
