@@ -479,14 +479,14 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture).
 
     Shape: one count per key (map-side combinable), then a ~dozens-row
-    re-agg; the union of key audits shares one scan via unionByName of
-    two tiny aggregated frames."""
+    re-agg; the denominator for row_share is a window sum over each
+    key's own (tiny) bucket frame — no separate driver-side count()
+    action, no extra scan of events."""
     e = load_table(spark, sf_dir, "events")
-    total = e.count()
 
     def audit(key: str) -> DataFrame:
         per_key = e.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
-        return (
+        buckets = (
             per_key.withColumn("bucket", (F.length(F.bin("cnt")) - 1).cast("int"))
             .groupBy("bucket")
             .agg(
@@ -494,14 +494,15 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cnt").alias("n_rows"),
                 F.max("cnt").alias("max_key_rows"),
             )
-            .select(
-                F.lit(key).alias("key_name"),
-                "bucket",
-                "n_keys",
-                "n_rows",
-                "max_key_rows",
-                F.round(F.col("n_rows") / F.lit(total), 6).alias("row_share"),
-            )
+        )
+        wt = Window.partitionBy()
+        return buckets.select(
+            F.lit(key).alias("key_name"),
+            "bucket",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("n_rows") / F.sum("n_rows").over(wt), 6).alias("row_share"),
         )
 
     return audit("user_id").unionByName(audit("event_type"))

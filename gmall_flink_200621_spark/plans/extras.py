@@ -540,6 +540,7 @@ def nation_spend_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUZZY_MAX_DIST = 3  # levenshtein threshold for a candidate entity match
+FUZZY_BLOCK_CAP = 1000  # blocks with more distinct names than this are dropped
 
 
 def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,11 +556,13 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     table rows, and each name carries its occurrence count; (2) block by
     first token (equality join — hash-shuffled, no cross join); (3)
     `levenshtein` is a JVM codegen built-in, evaluated only on
-    within-block pairs. Hot blocks are the skew risk at 100 TB — the
-    production knob is the DF-cap posture of dedup_ngram_jaccard
-    (operators/dedup.py DF_CAP): drop or re-block tokens whose block
-    exceeds a cap. The a<b inequality halves the block square and makes
-    each unordered pair unique."""
+    within-block pairs. Hot blocks are the skew risk at 100 TB, so the
+    DF-cap posture of dedup_ngram_jaccard is IMPLEMENTED, not just
+    documented: blocks holding more than FUZZY_BLOCK_CAP distinct names
+    are dropped before the quadratic stage (an adversarial stop-word
+    first token can no longer force a cap²-pair task; the cap is a
+    window-count filter, one extra tiny aggregation). The a<b inequality
+    halves the block square and makes each unordered pair unique."""
     p = load_table(spark, sf_dir, "part")
     names = p.groupBy("p_name").agg(
         F.count(F.lit(1)).alias("n"), F.min("p_partkey").alias("min_key")
@@ -569,6 +572,12 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name"),
         "n",
         "min_key",
+    )
+    block_sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("block_n"))
+    blocked = (
+        blocked.join(block_sizes, "block")
+        .where(F.col("block_n") <= FUZZY_BLOCK_CAP)
+        .drop("block_n")
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
@@ -663,8 +672,12 @@ EXTRA_ORACLES: dict[str, str] = {
 WITH names AS (
   SELECT p_name, CAST(count(*) AS BIGINT) AS n, min(p_partkey) AS min_key
   FROM part GROUP BY p_name
-), blocked AS (
+), blocked_raw AS (
   SELECT split_part(p_name, ' ', 1) AS block, p_name, n, min_key FROM names
+), blocked AS (
+  SELECT * FROM blocked_raw
+  WHERE block IN (
+    SELECT block FROM blocked_raw GROUP BY block HAVING count(*) <= {FUZZY_BLOCK_CAP})
 )
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,

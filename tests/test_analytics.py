@@ -501,3 +501,19 @@ class TestLtvCohorts:
             0: (1000, 1000, 2, 5.0),
             2: (750, 1750, 2, 8.75),
         }
+
+
+class TestFuzzyBlockCap:
+    def test_hot_block_dropped_before_quadratic_stage(self, spark, tmp_path):
+        """A block with more than FUZZY_BLOCK_CAP distinct names (an
+        adversarial stop-word first token) is dropped entirely; normal
+        blocks still match. Guards the cap²-pair task at scale."""
+        from gmall_flink_200621_spark.plans.extras import FUZZY_BLOCK_CAP, fuzzy_part_matches
+
+        rows = [(i, f"mega name{i:05d}") for i in range(FUZZY_BLOCK_CAP + 1)]
+        rows += [(90_001, "tiny ring"), (90_002, "tiny ruby")]
+        spark.createDataFrame(rows, "p_partkey long, p_name string").write.parquet(
+            f"{tmp_path}/part.parquet"
+        )
+        got = {(r.name_a, r.name_b) for r in fuzzy_part_matches(spark, str(tmp_path)).collect()}
+        assert got == {("tiny ring", "tiny ruby")}
