@@ -74,6 +74,9 @@ def label_propagation(
         )
         .localCheckpoint(eager=True)
     )
+    # materialize upstream edges once — the symmetrizing union references
+    # them twice, which would otherwise run an expensive builder twice
+    edges = edges.select("src_id", "nbr_id").localCheckpoint(eager=True)
     und = (
         edges.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
         .unionByName(
@@ -141,6 +144,9 @@ def triangle_count(edges: DataFrame, vertices: DataFrame) -> DataFrame:
 
     Clustering coefficient = 2·T / (deg·(deg−1)) on the undirected
     degree; 0.0 when deg < 2 (no wedge to close)."""
+    # materialized once: deg, both wedge sides, and the closing probe all
+    # reuse this frame (4 plan branches — without the checkpoint each one
+    # would re-run the upstream edge builder)
     und = (
         edges.select(
             F.least("src_id", "nbr_id").alias("a"),
@@ -148,6 +154,7 @@ def triangle_count(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -261,12 +268,13 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # materialize the edge list BEFORE deriving deg: the degree aggregate
+    # and the join below both consume it, and an expensive upstream
+    # builder (knn_graph's banded matmul) must run once, not once per
+    # plan branch
+    edges = edges.select("src_id", "nbr_id").localCheckpoint(eager=True)
     deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
-    ed = (
-        edges.select("src_id", "nbr_id")
-        .join(deg, "src_id")
-        .localCheckpoint(eager=True)
-    )
+    ed = edges.join(deg, "src_id").localCheckpoint(eager=True)
     ranks = verts.select("vertex_id", F.lit(PR_SCALE).cast("long").alias("r"))
     for it in range(iters):
         contribs = (
