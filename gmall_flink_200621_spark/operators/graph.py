@@ -57,7 +57,12 @@ def label_propagation(
     per-dst argmax window — all keyed by vertex, no broadcast of
     anything vertex-sized. Labels localCheckpoint-ed every
     `checkpoint_every` iterations (the pagerank cadence knob: bounded
-    lineage without paying one barrier job per iteration).
+    lineage without paying one barrier job per iteration). Unlike
+    pagerank, each iteration references `labels` TWICE (votes + carry),
+    so the un-truncated logical plan doubles per iteration —
+    2^checkpoint_every plan copies is the analysis-cost bound (runtime
+    stays single-execution via exchange reuse); keep the cadence small
+    here, and never set it above ~6.
 
     `labeled_vertices`: (vertex id, label) ground truth; output carries
     true_label, is_seed, the propagated label (null if never reached),
