@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "embedding_norm_audit",
     "knn_triangles",
+    "components_knn",
     "label_propagation_knn",
     "point_in_time_join",
     "skew_audit",

@@ -235,6 +235,22 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.label_propagation(edges, emb.select("vec_id", "label"))
 
 
+def components_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the corpus k-NN graph — the same
+    hop+pointer-jump min-label machinery as dedup_clusters
+    (operators/dedup.py), instantiated on similarity edges instead of
+    near-duplicate pairs: one CC operator, two surfaces. Component ids
+    are the min vec_id per component; singletons map to themselves."""
+    emb = _emb(spark, sf_dir)
+    edges = V.knn_graph(emb).select("src_id", "nbr_id")
+    verts = emb.select(F.col("vec_id").alias("doc_id"), F.lit("").alias("text"))
+    pairs = edges.select(F.col("src_id").alias("id_a"), F.col("nbr_id").alias("id_b"))
+    out = D.dedup_clusters(verts, pairs=pairs)
+    return out.select(
+        F.col("doc_id").alias("vertex_id"), F.col("canonical_id").alias("component_id")
+    )
+
+
 def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count / clustering coefficient over the corpus k-NN graph
     — see operators/graph.triangle_count."""
@@ -487,6 +503,7 @@ TRAINING_QUERIES = {
     "lang_confusion": lang_confusion,
     "embedding_norm_audit": embedding_norm_audit,
     "knn_triangles": knn_triangles,
+    "components_knn": components_knn,
     "label_propagation_knn": label_propagation_knn,
     "cluster_aware_split": cluster_aware_split,
     "boilerplate_scrub": boilerplate_scrub,

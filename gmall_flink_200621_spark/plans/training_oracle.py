@@ -635,6 +635,22 @@ FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+COMPONENTS_KNN = f"""
+WITH RECURSIVE
+{_KNN_GRAPH_CTES},
+kedges AS (
+  SELECT src_id AS src, nbr_id AS dst FROM ranked WHERE rank <= {KNN_GRAPH_K}
+  UNION
+  SELECT nbr_id, src_id FROM ranked WHERE rank <= {KNN_GRAPH_K}
+),
+reach(v, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.lab FROM kedges e JOIN reach r ON r.v = e.dst
+)
+SELECT v AS vertex_id, CAST(min(lab) AS BIGINT) AS component_id FROM reach GROUP BY 1
+"""
+
 EMBEDDING_NORM_AUDIT = f"""
 WITH e AS (
   SELECT vec_id,
@@ -1421,6 +1437,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
+    "components_knn": COMPONENTS_KNN,
     "label_propagation_knn": LABEL_PROPAGATION_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,
