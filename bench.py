@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "props_variant_stats",
     "sessionize_dynamic_gap",
     "tpch_expectations",
+    "corpus_expectations",
     "value_by_weekday",
     "revenue_seasonality",
     "token_entropy",

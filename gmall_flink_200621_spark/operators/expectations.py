@@ -41,6 +41,17 @@ def check_unique(df: DataFrame, cols: list[str], rule: str | None = None) -> Dat
     )
 
 
+def check_expression(df: DataFrame, predicate_sql: str, rule: str) -> DataFrame:
+    """Violations = rows where the SQL predicate is NOT satisfied (false
+    OR null) — the free-form row-level invariant check (cross-column
+    consistency, computed-field agreement)."""
+    ok = F.expr(predicate_sql)
+    return df.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.when(~F.coalesce(ok, F.lit(False)), 1)).alias("violations"),
+    )
+
+
 def check_accepted_range(
     df: DataFrame, col: str, lo, hi, rule: str | None = None
 ) -> DataFrame:

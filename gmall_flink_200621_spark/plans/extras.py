@@ -539,6 +539,39 @@ def nation_spend_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tpch_expectations analog for the curation tables: the
+    constraint suite a training-data pipeline runs before a corpus
+    version is published — PK uniqueness, payload presence, metadata↔
+    payload consistency (n_chars must equal length(text) — a mismatch
+    means a truncated rewrite), accepted language codes, embedding
+    dimensionality and label domain. One (rule, violations) row per
+    check; any nonzero names the broken invariant without a re-scan."""
+    from ..operators.expectations import (
+        check_accepted_range,
+        check_accepted_values,
+        check_expression,
+        check_not_null,
+        check_unique,
+        run_suite,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return run_suite(
+        [
+            check_unique(d, ["doc_id"]),
+            check_not_null(d, "text"),
+            check_expression(d, "n_chars = length(text)", "consistent:n_chars"),
+            check_expression(d, "length(text) > 0", "non_empty:text"),
+            check_accepted_values(d, "lang", ["de", "en", "es", "fr", "zh"]),
+            check_unique(e, ["vec_id"]),
+            check_expression(e, "size(embedding) = 64", "dim:embedding=64"),
+            check_accepted_range(e, "label", 0, 9),
+        ]
+    )
+
+
 FUZZY_MAX_DIST = 3  # levenshtein threshold for a candidate entity match
 FUZZY_BLOCK_CAP = 1000  # blocks with more distinct names than this are dropped
 
@@ -665,9 +698,40 @@ EXTRA_QUERIES = {
     "event_type_unpivot": event_type_unpivot,
     "fuzzy_part_matches": fuzzy_part_matches,
     "time_grid_fill": time_grid_fill,
+    "corpus_expectations": corpus_expectations,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "corpus_expectations": """
+SELECT 'unique:doc_id' AS rule,
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
+FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)
+UNION ALL
+SELECT 'not_null:text', CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'consistent:n_chars',
+       CAST(count(CASE WHEN NOT coalesce(n_chars = length(text), FALSE) THEN 1 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'non_empty:text',
+       CAST(count(CASE WHEN NOT coalesce(length(text) > 0, FALSE) THEN 1 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'accepted:lang',
+       CAST(count(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh') THEN 1 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'unique:vec_id', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM embeddings GROUP BY vec_id)
+UNION ALL
+SELECT 'dim:embedding=64',
+       CAST(count(CASE WHEN NOT coalesce(len(embedding) = 64, FALSE) THEN 1 END) AS BIGINT)
+FROM embeddings
+UNION ALL
+SELECT 'range:label',
+       CAST(count(CASE WHEN label IS NULL OR label < 0 OR label > 9 THEN 1 END) AS BIGINT)
+FROM embeddings
+""",
     "fuzzy_part_matches": f"""
 WITH names AS (
   SELECT p_name, CAST(count(*) AS BIGINT) AS n, min(p_partkey) AS min_key

@@ -517,3 +517,37 @@ class TestFuzzyBlockCap:
         )
         got = {(r.name_a, r.name_b) for r in fuzzy_part_matches(spark, str(tmp_path)).collect()}
         assert got == {("tiny ring", "tiny ruby")}
+
+
+class TestCorpusExpectations:
+    def test_clean_corpus_all_zero_and_planted_violations_caught(self, spark, tmp_path):
+        """Planted defects: duplicate doc_id, n_chars drift, empty text,
+        off-vocabulary lang — each must surface in exactly its own rule's
+        violation count."""
+        from gmall_flink_200621_spark.plans.extras import corpus_expectations
+
+        docs = [
+            (1, "good text", "en", 9),
+            (1, "dup id", "en", 6),          # unique:doc_id
+            (2, "drifted", "en", 99),        # consistent:n_chars
+            (3, "", "en", 0),                # non_empty:text
+            (4, "bad lang", "xx", 8),        # accepted:lang
+        ]
+        spark.createDataFrame(docs, "doc_id long, text string, lang string, n_chars long").write.parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        spark.createDataFrame(
+            [(1, [0.1] * 64, 3), (2, [0.2] * 32, 11)],  # short vector + label out of range
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        got = {r.rule: r.violations for r in corpus_expectations(spark, str(tmp_path)).collect()}
+        assert got == {
+            "unique:doc_id": 1,
+            "not_null:text": 0,
+            "consistent:n_chars": 1,
+            "non_empty:text": 1,
+            "accepted:lang": 1,
+            "unique:vec_id": 0,
+            "dim:embedding=64": 1,
+            "range:label": 1,
+        }
