@@ -530,6 +530,48 @@ def tier_enrich_stream(events: "DataFrame"):  # noqa: F821
     )
 
 
+def _transition_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Streaming Markov-transition extraction: per-user state is the last
+    event's (ts_s, event_id, event_type); each arriving event (in
+    event-time order within the batch) emits a (from,to) pair when the
+    gap is within the session window, then becomes the new last event.
+    Matches the batch lag-window exactly under the staged-replay
+    ordering contract."""
+    from ..plans.extras import SESSION_GAP_S
+
+    st = state.get if state.exists else (None, None, None)
+    last_ts, last_eid, last_type = st
+    out = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values(["ts_s", "event_id"]).itertuples():
+            if last_type is not None and r.ts_s - last_ts <= SESSION_GAP_S:
+                out.append((last_type, r.event_type))
+            last_ts, last_eid, last_type = int(r.ts_s), int(r.event_id), r.event_type
+    state.update((last_ts, last_eid, last_type))
+    if out:
+        yield pd.DataFrame(out, columns=["from_type", "to_type"])
+
+
+def transition_stream(events: "DataFrame"):  # noqa: F821
+    """Streaming twin of plans/analytics.transition_matrix's pair
+    extraction: O(1) keyed state (the last event per user) instead of a
+    batch lag window. Downstream aggregation to the (from,to) matrix is
+    a plain streaming groupBy."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = events.select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _transition_fn,
+        outputStructType="from_type STRING, to_type STRING",
+        stateStructType="ts_s LONG, event_id LONG, event_type STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def blacklist_stream(events: "DataFrame"):  # noqa: F821
     """BlacklistProcessor semantics (A7/A8/P9) over the click stream."""
     from pyspark.sql import functions as F

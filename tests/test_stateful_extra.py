@@ -144,3 +144,20 @@ class TestTierEnrichStream:
         g = sorted(map(tuple, got[key].values.tolist()))
         b = sorted(map(tuple, batch[key].values.tolist()))
         assert g == b and len(g) > 0
+
+
+class TestTransitionStream:
+    def test_stream_pairs_equal_batch_matrix(self, spark, sf_dir):
+        """Aggregating the streamed (from,to) pairs must reproduce the
+        batch transition_matrix counts exactly (state = last event per
+        user, session gap honored across micro-batches)."""
+        from collections import Counter
+
+        from gmall_flink_200621_spark.plans.analytics import transition_matrix
+        from gmall_flink_200621_spark.streaming.stateful import transition_stream
+
+        got = _run(spark, sf_dir, transition_stream, "trans_stream")
+        stream_counts = Counter(map(tuple, got[["from_type", "to_type"]].values.tolist()))
+        batch = transition_matrix(spark, sf_dir).toPandas()
+        batch_counts = {(r.from_type, r.to_type): r.n for r in batch.itertuples()}
+        assert dict(stream_counts) == batch_counts and len(batch_counts) > 0
