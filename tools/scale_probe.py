@@ -158,6 +158,30 @@ def main() -> None:
 
     probes["sort window SKEWED 97%-one-key"] = sessionize_skewed
 
+    def pagerank_synthetic(k: int) -> DataFrame:
+        # pure iteration scaling, isolated from knn_graph's bucket
+        # density (which has its own banding-depth knob): a synthetic
+        # 3-out-regular digraph over k×5000 vertices built relationally.
+        # Expected alpha ≈ 1 — per iteration one |V| join + one |E| agg.
+        from gmall_flink_200621_spark.operators.graph import pagerank
+
+        n = k * 5000
+        verts = spark.range(n).select(F.col("id").alias("vec_id"))
+        edges = verts.select(
+            F.col("vec_id").alias("src_id"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("vec_id") * 7 + F.lit(off)) % n
+                        for off in (1, 3_001, 17)
+                    ]
+                )
+            ).alias("nbr_id"),
+        ).where(F.col("src_id") != F.col("nbr_id"))
+        return pagerank(edges, verts)
+
+    probes["iterative joins (pagerank 3-regular)"] = pagerank_synthetic
+
     print(f"{'query':42s} " + " ".join(f"t({k}x)" for k in KS) + "   alpha")
     for name, build in probes.items():
         build(1).write.format("noop").mode("overwrite").save()  # codegen warmup
