@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "perplexity_buckets",
     "tfidf_terms",
+    "bm25_search",
     "embedding_quantize",
     "contamination_matrix",
     "weighted_sample",

@@ -1013,3 +1013,80 @@ def source_divergence(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame
         j.groupBy("source")
         .agg(F.round(F.sum(term), 6).alias("jsd_bits"))
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "hash", "table")  # the fixed demo query
+BM25_TOPK = 20
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Full-text retrieval: top-k documents for a query by BM25
+    (Robertson/Sparck-Jones, the idf = ln(1 + (N−df+0.5)/(df+0.5))
+    positive variant) — the ranking function under every classic search
+    engine and the lexical half of hybrid (BM25 + vector) retrieval.
+
+    Scale shape: tokens are filtered to the QUERY TERMS BEFORE the
+    (doc, term) count shuffle — postings flow only for the handful of
+    searched terms, never the whole vocabulary (the tfidf_terms frame is
+    corpus-wide; a search touches ~|query| postings lists). Corpus stats
+    (N, Σdl) ride a broadcast one-row frame; doc length joins on doc_id.
+
+    Determinism: the per-doc score SUMS ≤|query| float contributions —
+    a groupBy SUM would add them in shuffle order (nondeterministic last
+    ulp), so contributions are PIVOTED to fixed columns and added in a
+    fixed expression order; both engines then evaluate the identical
+    IEEE expression tree. Rank ties break on doc_id. The final global
+    top-k window runs over the CANDIDATE set only (docs containing ≥1
+    query term — postings-sized, not corpus-sized); for a stop-word
+    query at extreme scale, pre-prune per partition with the
+    operators/topn two-stage shape first."""
+    from pyspark.sql import Window as W
+
+    toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
+    dl = toked.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    contrib = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .select("doc_id", "dl", "term", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("c"))
+    )
+    pivoted = contrib.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = sum(
+        (F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(query_terms))),
+        F.lit(0.0),
+    )
+    w = W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pivoted.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"), F.col("rank").cast("int").alias("rank"))
+    )

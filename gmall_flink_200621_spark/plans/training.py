@@ -284,6 +284,12 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed demo query by BM25 — see
+    operators/textops.bm25_search."""
+    return T.bm25_search(_docs(spark, sf_dir))
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation surface: the (true lang × predicted lang)
     confusion matrix for the marker-stopword lang_id, with each cell's
@@ -502,6 +508,7 @@ TRAINING_QUERIES = {
     "perceptron_lang": perceptron_lang,
     "lang_confusion": lang_confusion,
     "embedding_norm_audit": embedding_norm_audit,
+    "bm25_search": bm25_search,
     "knn_triangles": knn_triangles,
     "components_knn": components_knn,
     "label_propagation_knn": label_propagation_knn,

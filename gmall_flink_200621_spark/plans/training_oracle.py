@@ -51,6 +51,10 @@ from ..operators.similarity import (
 )
 from ..operators.textops import (
     BIGRAM_BUCKETS,
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY,
+    BM25_TOPK,
     BP_DF_THRESHOLD,
     BP_SEG_LEN,
     LANG_MARKERS,
@@ -634,6 +638,43 @@ SELECT src_id, nbr_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+_BM25_PIVOT = ",\n         ".join(
+    f"MAX(CASE WHEN term = '{t}' THEN c END) AS c{i}" for i, t in enumerate(BM25_QUERY)
+)
+_BM25_SCORE = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(len(BM25_QUERY)))
+
+BM25_SEARCH = f"""
+WITH toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toked),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, UNNEST(toks) AS term FROM toked)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, d.dl, t.term,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * ({BM25_K1} + 1.0)
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / (s.sum_dl / s.n_docs))) AS c
+  FROM tf t JOIN dfr f USING (term), stats s
+  JOIN dl d ON d.doc_id = t.doc_id
+),
+pivoted AS (
+  SELECT doc_id, dl,
+         {_BM25_PIVOT}
+  FROM contrib GROUP BY 1, 2
+),
+scored AS (SELECT doc_id, dl, 0.0 + {_BM25_SCORE} AS score FROM pivoted)
+SELECT doc_id, dl, round(score, 6) AS bm25,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOPK}
+"""
 
 COMPONENTS_KNN = f"""
 WITH RECURSIVE
@@ -1438,6 +1479,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,
+    "bm25_search": BM25_SEARCH,
     "label_propagation_knn": LABEL_PROPAGATION_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,

@@ -1535,3 +1535,52 @@ class TestSaltedJoin:
         dim = spark.createDataFrame([(1, "a")], "k long, name string")
         got = {(r.k, r.name) for r in salted_join(facts, dim, "k", salt=4, how="left").collect()}
         assert got == {(1, "a"), (2, None)}
+
+
+class TestBM25:
+    def test_ranking_vs_python_reference(self, spark):
+        """BM25 scores vs an independent Python implementation on a tiny
+        corpus with known tf/df/dl structure: exact rank order and scores
+        to 1e-9. Doc 1 repeats 'spark' (tf saturation must dampen it vs
+        the short doc 3 containing two distinct query terms)."""
+        import math
+
+        from gmall_flink_200621_spark.operators.textops import (
+            BM25_B,
+            BM25_K1,
+            bm25_search,
+        )
+
+        corpus = {
+            1: "spark spark spark spark filler filler filler filler",
+            2: "hash filler",
+            3: "spark table",
+            4: "filler filler",
+        }
+        df = spark.createDataFrame(
+            [(i, t, "en", len(t)) for i, t in corpus.items()],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        got = {r.doc_id: (r.bm25, r.rank) for r in bm25_search(df).collect()}
+
+        docs = {i: t.split(" ") for i, t in corpus.items()}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        dfc = {q: sum(1 for t in docs.values() if q in t) for q in ("spark", "hash", "table")}
+        want = {}
+        for i, t in docs.items():
+            s = 0.0
+            for q in ("spark", "hash", "table"):
+                tf = t.count(q)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - dfc[q] + 0.5) / (dfc[q] + 0.5))
+                s += idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(t) / avgdl))
+            if s > 0:
+                want[i] = s
+        assert set(got) == set(want)
+        for i, s in want.items():
+            # output is rounded to 6 dp
+            assert abs(got[i][0] - s) <= 5e-7, (i, got[i], s)
+        order = [i for i, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
+        assert [got[i][1] for i in order] == list(range(1, len(order) + 1))
