@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "tfidf_terms",
     "bm25_search",
+    "hybrid_search_rrf",
     "embedding_quantize",
     "contamination_matrix",
     "weighted_sample",

@@ -290,6 +290,73 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_search(_docs(spark, sf_dir))
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_QUERY_VEC = 0  # vec_id of the demo query vector
+RRF_SEM_K = 100  # semantic candidate-list depth
+RRF_TOPK = 20
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the LEXICAL top list (bm25_search, fixed
+    term query) with a SEMANTIC top list (exact cosine of each doc's
+    embedding to the demo query vector, vec_id == doc_id, depth
+    RRF_SEM_K) by reciprocal-rank fusion over the UNION of candidates:
+    rrf = 1/(K+r_lex) + 1/(K+r_sem), an absent rank contributing 0 —
+    the industry-standard fusion that needs no score calibration
+    between retrievers.
+
+    Determinism: ranks are integers and the fused score is a fixed
+    two-term sum of exact-rational doubles — no order-dependent float
+    aggregation anywhere. Scale shape: ONE broadcast query vector (the
+    knn_brute query-subset posture); the semantic top-list window runs
+    over scored candidates (at extreme N, pre-prune per partition with
+    operators/topn's two-stage shape first); fusion is a full-outer
+    join of two candidate lists of ≤ RRF_SEM_K rows."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _idot, quantize
+
+    docs = _docs(spark, sf_dir)
+    lex = T.bm25_search(docs).select("doc_id", F.col("rank").alias("r_lex"))
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    cos = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != RRF_QUERY_VEC)
+        .select(
+            "vec_id",
+            (
+                _idot(F.col("q"), F.col("qq"))
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    wsem = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem = (
+        cos.withColumn("r_sem", F.row_number().over(wsem))
+        .where(F.col("r_sem") <= RRF_SEM_K)
+        .select(F.col("vec_id").alias("doc_id"), "r_sem")
+    )
+    fused = sem.join(lex, "doc_id", "outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= RRF_TOPK)
+        .select("doc_id", "r_lex", "r_sem", "rrf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation surface: the (true lang × predicted lang)
     confusion matrix for the marker-stopword lang_id, with each cell's
@@ -509,6 +576,7 @@ TRAINING_QUERIES = {
     "lang_confusion": lang_confusion,
     "embedding_norm_audit": embedding_norm_audit,
     "bm25_search": bm25_search,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "knn_triangles": knn_triangles,
     "components_knn": components_knn,
     "label_propagation_knn": label_propagation_knn,

@@ -26,6 +26,7 @@ from ..operators.dedup import (
     SIMHASH_BITS,
 )
 from ..operators.classifier import PERC_ITERS, PERC_POS_LANG
+from .training import RRF_K, RRF_QUERY_VEC, RRF_SEM_K, RRF_TOPK
 from ..operators.graph import (
     LP_ITERS,
     LP_SEED_MOD,
@@ -674,6 +675,30 @@ SELECT doc_id, dl, round(score, 6) AS bm25,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {BM25_TOPK}
+"""
+
+HYBRID_SEARCH_RRF = f"""
+WITH lex AS (SELECT doc_id, rank AS r_lex FROM ({BM25_SEARCH}) bq),
+e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+qv AS (SELECT q AS qq FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+cosr AS (
+  SELECT e.vec_id, {_cosine_sql("e.q", "qv.qq")} AS cosine
+  FROM e, qv WHERE e.vec_id <> {RRF_QUERY_VEC}
+),
+sem AS (
+  SELECT vec_id AS doc_id, r_sem FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_sem
+    FROM cosr) WHERE r_sem <= {RRF_SEM_K}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + s.r_sem), 0.0) AS rrf
+  FROM sem s FULL OUTER JOIN lex l ON s.doc_id = l.doc_id
+)
+SELECT doc_id, r_lex, r_sem, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM fused QUALIFY rank <= {RRF_TOPK}
 """
 
 COMPONENTS_KNN = f"""
@@ -1480,6 +1505,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,
     "bm25_search": BM25_SEARCH,
+    "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "label_propagation_knn": LABEL_PROPAGATION_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,

@@ -1584,3 +1584,27 @@ class TestBM25:
             assert abs(got[i][0] - s) <= 5e-7, (i, got[i], s)
         order = [i for i, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
         assert [got[i][1] for i in order] == list(range(1, len(order) + 1))
+
+
+class TestHybridRRF:
+    def test_fusion_union_and_rrf_arithmetic(self, spark, sf_dir):
+        """RRF invariants on the real corpus: every emitted doc carries at
+        least one rank; rrf equals the two-term formula exactly; a doc on
+        BOTH lists outranks the same semantic rank without lexical
+        support."""
+        from gmall_flink_200621_spark.plans.training import (
+            RRF_K,
+            RRF_TOPK,
+            hybrid_search_rrf,
+        )
+
+        rows = hybrid_search_rrf(spark, sf_dir).collect()
+        assert 0 < len(rows) <= RRF_TOPK
+        for r in rows:
+            assert r.r_lex is not None or r.r_sem is not None
+            want = (1.0 / (RRF_K + r.r_lex) if r.r_lex is not None else 0.0) + (
+                1.0 / (RRF_K + r.r_sem) if r.r_sem is not None else 0.0
+            )
+            assert r.rrf == want
+        ranks = [r.rank for r in sorted(rows, key=lambda x: (-x.rrf, x.doc_id))]
+        assert ranks == list(range(1, len(rows) + 1))
