@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "bm25_search",
     "hybrid_search_rrf",
+    "dedup_rate_by_source",
     "embedding_quantize",
     "contamination_matrix",
     "weighted_sample",
@@ -116,6 +117,7 @@ BENCH_QUERIES = [
     "join_blowup_audit",
     "transition_matrix",
     "ltv_cohorts",
+    "revenue_pareto",
     "attribution_position",
     "fuzzy_part_matches",
     "time_grid_fill",

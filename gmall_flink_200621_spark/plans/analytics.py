@@ -581,6 +581,35 @@ def ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: purchase revenue per user,
+    users ranked by spend into deciles (ntile over the total order
+    spend desc, user asc — deterministic under ties), each decile's user
+    count, revenue, and the CUMULATIVE share of total revenue — the
+    "top 10% of users drive X% of revenue" read-out. Integer cents
+    throughout; the two divisions are exact-int/exact-int."""
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    )
+    wd = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    deciled = spend.withColumn("decile", F.ntile(10).over(wd))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("cents").alias("decile_cents")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        F.sum("decile_cents").over(wc).alias("cum_cents"),
+        (F.sum("decile_cents").over(wc) / F.sum("decile_cents").over(wt)).alias("cum_share"),
+    )
+
+
 def join_blowup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality forecast for candidate keys, computed from the
     same per-key counts as skew_audit: a self-equi-join on key k produces
@@ -688,6 +717,7 @@ ANALYTICS_QUERIES = {
     "join_blowup_audit": join_blowup_audit,
     "transition_matrix": transition_matrix,
     "ltv_cohorts": ltv_cohorts,
+    "revenue_pareto": revenue_pareto,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -710,6 +740,25 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "revenue_pareto": """
+WITH spend AS (
+  SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), deciled AS (
+  SELECT *, ntile(10) OVER (ORDER BY cents DESC, user_id ASC) AS decile FROM spend
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM deciled GROUP BY 1
+)
+SELECT decile, n_users, decile_cents,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       SUM(decile_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / SUM(decile_cents) OVER () AS cum_share
+FROM per
+""",
     "transition_matrix": f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, event_type

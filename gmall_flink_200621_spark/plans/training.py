@@ -284,6 +284,27 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report: per-source duplication statistics — docs, unique
+    texts, within-source duplicate count/rate, and how many of the
+    source's distinct texts ALSO appear in at least one other source
+    (the cross-source contamination count). The summary every corpus
+    build publishes next to its dedup pass. Shape: one (source, fp)
+    collapse (the only doc-cardinality shuffle — ~40-byte rows), a
+    fp-keyed source-count frame for the shared flag, two tiny re-aggs."""
+    d = _docs(spark, sf_dir).select("source", F.md5("text").alias("fp"))
+    per = d.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("n"))
+    fp_sources = per.groupBy("fp").agg(F.count(F.lit(1)).alias("n_sources"))
+    joined = per.join(fp_sources, "fp")
+    return joined.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n") - 1).alias("n_dup_docs"),
+        (F.sum(F.col("n") - 1) / F.sum("n")).alias("dup_rate"),
+        F.count(F.when(F.col("n_sources") > 1, F.lit(1))).alias("n_shared_fps"),
+    )
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for the fixed demo query by BM25 — see
     operators/textops.bm25_search."""
@@ -577,6 +598,7 @@ TRAINING_QUERIES = {
     "embedding_norm_audit": embedding_norm_audit,
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "knn_triangles": knn_triangles,
     "components_knn": components_knn,
     "label_propagation_knn": label_propagation_knn,

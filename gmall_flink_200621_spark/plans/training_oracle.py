@@ -677,6 +677,20 @@ FROM scored
 QUALIFY rank <= {BM25_TOPK}
 """
 
+DEDUP_RATE_BY_SOURCE = """
+WITH d AS (SELECT source, md5(text) AS fp FROM documents),
+per AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+fps AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_sources FROM per GROUP BY 1)
+SELECT p.source,
+       CAST(SUM(p.n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(SUM(p.n - 1) AS BIGINT) AS n_dup_docs,
+       SUM(p.n - 1) / SUM(p.n) AS dup_rate,
+       CAST(count(CASE WHEN f.n_sources > 1 THEN 1 END) AS BIGINT) AS n_shared_fps
+FROM per p JOIN fps f USING (fp)
+GROUP BY 1
+"""
+
 HYBRID_SEARCH_RRF = f"""
 WITH lex AS (SELECT doc_id, rank AS r_lex FROM ({BM25_SEARCH}) bq),
 e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
@@ -1506,6 +1520,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "components_knn": COMPONENTS_KNN,
     "bm25_search": BM25_SEARCH,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
+    "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,
     "label_propagation_knn": LABEL_PROPAGATION_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,

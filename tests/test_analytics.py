@@ -551,3 +551,46 @@ class TestCorpusExpectations:
             "dim:embedding=64": 1,
             "range:label": 1,
         }
+
+
+class TestRevenuePareto:
+    def test_concentration_curve(self, spark, tmp_path):
+        """20 users: one whale (1000.00) + 19 at 1.00 each. The whale's
+        decile must hold ~98% of revenue; cum_share is monotone ending at
+        exactly 1.0; decile sizes partition the users."""
+        from gmall_flink_200621_spark.plans.analytics import revenue_pareto
+
+        rows = [(1, 10.0, 99, "purchase", 1000.00)]
+        rows += [(10 + u, 20.0 + u, u, "purchase", 1.00) for u in range(19)]
+        _write_events(spark, rows, str(tmp_path))
+        out = sorted(revenue_pareto(spark, str(tmp_path)).collect(), key=lambda r: r.decile)
+        assert sum(r.n_users for r in out) == 20
+        # 20 users / 10 deciles = 2 each: decile 1 = whale + one 1.00 user
+        assert (out[0].n_users, out[0].decile_cents) == (2, 100000 + 100)
+        shares = [r.cum_share for r in out]
+        assert shares == sorted(shares) and shares[-1] == 1.0
+        assert out[0].cum_share > 0.98
+
+
+class TestDedupRateBySource:
+    def test_within_and_cross_source_stats(self, spark, tmp_path):
+        """srcA: 3 docs, one text twice (1 within-source dup) and one text
+        shared with srcB (cross-source flag). srcB: 2 distinct docs, one
+        shared with A."""
+        from gmall_flink_200621_spark.plans.training import dedup_rate_by_source
+
+        docs = [
+            (1, "same", "en", 4, "srcA"),
+            (2, "same", "en", 4, "srcA"),
+            (3, "shared", "en", 6, "srcA"),
+            (4, "shared", "en", 6, "srcB"),
+            (5, "only b", "en", 6, "srcB"),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, n_chars long, source string"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        got = {r.source: r for r in dedup_rate_by_source(spark, str(tmp_path)).collect()}
+        a, b = got["srcA"], got["srcB"]
+        assert (a.n_docs, a.n_unique, a.n_dup_docs, a.n_shared_fps) == (3, 2, 1, 1)
+        assert a.dup_rate == 1 / 3
+        assert (b.n_docs, b.n_unique, b.n_dup_docs, b.n_shared_fps) == (2, 2, 0, 1)
