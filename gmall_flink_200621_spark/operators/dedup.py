@@ -450,6 +450,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
     coalesce(label, doc_id)."""
     if pairs is None:
         pairs = dedup_minhash_lsh(docs)
+    # materialize the pair list before the symmetrizing union references
+    # it twice — an expensive upstream builder (the LSH band join, or
+    # knn_graph's banded matmul when components_knn passes similarity
+    # edges) must run once, not once per union branch
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
