@@ -161,3 +161,87 @@ class TestTransitionStream:
         batch = transition_matrix(spark, sf_dir).toPandas()
         batch_counts = {(r.from_type, r.to_type): r.n for r in batch.itertuples()}
         assert dict(stream_counts) == batch_counts and len(batch_counts) > 0
+
+
+def _stage_sorted_halves(sf_dir, tmp_path):
+    """Two strictly ts-ordered staged files (no late deferral — the
+    keyed-state twins' ordering contract)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(stage / "part-0.parquet", index=False)
+    return stage, pdf.iloc[half:]
+
+
+def _run_ckpt(spark, stage, ckpt, sink, build, name):
+    """Parquet file sink (memory sink cannot recover from a checkpoint);
+    its metadata log + the checkpoint give exactly-once across restarts.
+    Returns the CUMULATIVE sink contents and the nonempty progress
+    entries of this run."""
+    from gmall_flink_200621_spark.sources.loaders import events_parquet_stream
+
+    out = build(events_parquet_stream(spark, str(stage)))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .queryName(name)
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    q.awaitTermination()
+    return spark.read.parquet(str(sink)).toPandas(), progress
+
+
+class TestKeyedStateCheckpointRecovery:
+    def test_tier_enrich_resumes_from_checkpoint(self, spark, sf_dir, tmp_path):
+        """Kill the tier stream after the first half of the (ts-ordered)
+        events, restart on the same checkpoint with the second half
+        staged: per-user purchase counters and source offsets resume, so
+        the union of both runs' outputs equals the batch point-in-time
+        join — and the restart processes ONLY the new file."""
+        from gmall_flink_200621_spark.plans.analytics import point_in_time_join
+        from gmall_flink_200621_spark.streaming.stateful import tier_enrich_stream
+
+        stage, rest = _stage_sorted_halves(sf_dir, tmp_path)
+        ckpt, sink = tmp_path / "ckpt", tmp_path / "sink"
+        _run_ckpt(spark, stage, ckpt, sink, tier_enrich_stream, "tier_rec1")
+        rest.to_parquet(stage / "part-1.parquet", index=False)
+        both, progress = _run_ckpt(spark, stage, ckpt, sink, tier_enrich_stream, "tier_rec2")
+        assert len(progress) == 1  # resumed: only the new file was read
+
+        key = ["user_id", "view_id", "t_us", "tier"]
+        got = sorted(map(tuple, both[key].values.tolist()))
+        batch = point_in_time_join(spark, sf_dir).toPandas()
+        want = sorted(map(tuple, batch[key].values.tolist()))
+        assert got == want and len(got) > 0
+
+    def test_transition_stream_resumes_from_checkpoint(self, spark, sf_dir, tmp_path):
+        """Same recovery contract for the transition extractor: the
+        last-event state spans the kill — the pair straddling the two
+        staged files must be emitted exactly once, by the restarted run."""
+        from collections import Counter
+
+        from gmall_flink_200621_spark.plans.analytics import transition_matrix
+        from gmall_flink_200621_spark.streaming.stateful import transition_stream
+
+        stage, rest = _stage_sorted_halves(sf_dir, tmp_path)
+        ckpt, sink = tmp_path / "ckpt", tmp_path / "sink"
+        _run_ckpt(spark, stage, ckpt, sink, transition_stream, "trans_rec1")
+        rest.to_parquet(stage / "part-1.parquet", index=False)
+        both, progress = _run_ckpt(spark, stage, ckpt, sink, transition_stream, "trans_rec2")
+        assert len(progress) == 1
+
+        stream_counts = Counter(map(tuple, both[["from_type", "to_type"]].values.tolist()))
+        batch = transition_matrix(spark, sf_dir).toPandas()
+        batch_counts = {(r.from_type, r.to_type): r.n for r in batch.itertuples()}
+        assert dict(stream_counts) == batch_counts
