@@ -760,6 +760,7 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
 # --------------------------------------- hashed-bigram LM scoring
 
 BIGRAM_BUCKETS = 256  # ctx × word bucket pairs ≤ 65k rows — broadcastable
+LP_SCALE = 1 << 40  # fixed-point units per 1.0 of log2-prob (see bigram_lm_score)
 
 
 def bigram_lm_score(docs: DataFrame, buckets: int = BIGRAM_BUCKETS) -> DataFrame:
@@ -806,14 +807,23 @@ def bigram_lm_score(docs: DataFrame, buckets: int = BIGRAM_BUCKETS) -> DataFrame
     per_doc = big.groupBy("doc_id", "ctx", "w").agg(F.count(F.lit(1)).alias("cnt")).persist()
     c2 = per_doc.groupBy("ctx", "w").agg(F.sum("cnt").alias("c2"))
     c1 = per_doc.groupBy("ctx").agg(F.sum("cnt").alias("c1"))
+    # log-prob quantized to fixed-point units: the per-doc Σ lp·cnt then
+    # sums INTEGERS (partition-order independent ⇒ the DuckDB oracle
+    # hash-matches); at 2^-40 resolution the quantization error on the
+    # final cross-entropy is ≤ ~1e-9, invisible at the 6-dp output
     lp = (
         c2.join(c1, "ctx")
         .select(
             "ctx",
             "w",
-            F.log2((F.col("c2") + 1).cast("double") / (F.col("c1") + buckets).cast("double")).alias(
-                "lp"
-            ),
+            F.round(
+                F.log2(
+                    (F.col("c2") + 1).cast("double") / (F.col("c1") + buckets).cast("double")
+                )
+                * LP_SCALE
+            )
+            .cast("long")
+            .alias("lpu"),
         )
     )
     scored = (
@@ -821,7 +831,9 @@ def bigram_lm_score(docs: DataFrame, buckets: int = BIGRAM_BUCKETS) -> DataFrame
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("int").alias("n_bigrams"),
-            F.round(-F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias("bigram_ce"),
+            F.round(
+                -((F.sum(F.col("lpu") * F.col("cnt")) / F.lit(LP_SCALE)) / F.sum("cnt")), 6
+            ).alias("bigram_ce"),
         )
     )
     return (

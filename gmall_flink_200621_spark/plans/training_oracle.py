@@ -59,6 +59,7 @@ from ..operators.textops import (
     BP_DF_THRESHOLD,
     BP_SEG_LEN,
     LANG_MARKERS,
+    LP_SCALE,
     RK_BASE,
     RK_MOD,
     RK_TOKMOD,
@@ -236,61 +237,38 @@ SELECT doc_id,
 FROM clean
 """
 
+# NOTE: the certified BIGRAM_LM_SCORE / SPARSE_COSINE_PAIRS oracles live
+# further down (round-5: the LM's per-doc log-prob sum is fixed-point
+# quantized so the Σ is integer-exact — the float version here was
+# never registrable because its Σ lp·cnt was shuffle-order dependent).
+
 BIGRAM_LM_SCORE = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-big AS (
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
   SELECT doc_id,
-         {H60.format(c="toks[i]")} % {BIGRAM_BUCKETS} AS ctx,
-         {H60.format(c="toks[i+1]")} % {BIGRAM_BUCKETS} AS w
-  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+         ({H60.format(c="prev")}) % {BIGRAM_BUCKETS} AS ctx,
+         ({H60.format(c="cur")}) % {BIGRAM_BUCKETS} AS w
+  FROM (
+    SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i))
 ),
-pd AS (SELECT doc_id, ctx, w, count(*) AS cnt FROM big GROUP BY 1, 2, 3),
-c2 AS (SELECT ctx, w, sum(cnt) AS c2 FROM pd GROUP BY 1, 2),
-c1 AS (SELECT ctx, sum(cnt) AS c1 FROM pd GROUP BY 1),
+per_doc AS (SELECT doc_id, ctx, w, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT ctx, w, CAST(SUM(cnt) AS BIGINT) AS c2 FROM per_doc GROUP BY 1, 2),
+c1 AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS c1 FROM per_doc GROUP BY 1),
 lp AS (
   SELECT c2.ctx, c2.w,
-         log2((c2.c2 + 1)::DOUBLE / (c1.c1 + {BIGRAM_BUCKETS})::DOUBLE) AS lp
+         CAST(round(log2((c2.c2 + 1)::DOUBLE / (c1.c1 + {BIGRAM_BUCKETS})::DOUBLE)
+                    * {LP_SCALE}) AS BIGINT) AS lpu
   FROM c2 JOIN c1 USING (ctx)
 ),
-sc AS (
-  SELECT pd.doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
-         round(-sum(lp * cnt) / sum(cnt), 6) AS bigram_ce
-  FROM pd JOIN lp USING (ctx, w) GROUP BY 1
+scored AS (
+  SELECT p.doc_id, CAST(SUM(p.cnt) AS INT) AS n_bigrams,
+         round(-((SUM(l.lpu * p.cnt) / {LP_SCALE}) / SUM(p.cnt)), 6) AS bigram_ce
+  FROM per_doc p JOIN lp l ON l.ctx = p.ctx AND l.w = p.w
+  GROUP BY 1
 )
-SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.bigram_ce
-FROM documents d LEFT JOIN sc s USING (doc_id)
-"""
-
-SPARSE_COSINE_PAIRS = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
-  SELECT doc_id, shingle FROM (
-    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
-      list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-    ELSE [] END) AS shingle
-    FROM t
-  ) WHERE shingle <> ''
-),
-tf0 AS (
-  SELECT doc_id, {H60.format(c="shingle")} AS sh60, count(*) AS tf
-  FROM sh GROUP BY 1, 2
-),
-tf AS (
-  SELECT doc_id, sh60, tf FROM tf0
-  WHERE sh60 IN (SELECT sh60 FROM tf0 GROUP BY 1 HAVING count(*) <= {DF_CAP})
-),
-n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
-dots AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
-  FROM tf a JOIN tf b ON a.sh60 = b.sh60 AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       round(dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
-FROM dots
-JOIN n2 na ON na.doc_id = id_a
-JOIN n2 nb ON nb.doc_id = id_b
-WHERE dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= {SPARSE_COS_THRESHOLD}
+SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS INT) AS n_bigrams, s.bigram_ce
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 _SIMHASH_CTE = f"""
@@ -675,6 +653,37 @@ SELECT doc_id, dl, round(score, 6) AS bm25,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {BM25_TOPK}
+"""
+
+SPARSE_COSINE_PAIRS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+-- NO list_distinct: tf-cosine keeps shingle multiplicities
+shm AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END) AS shingle
+    FROM toks) WHERE shingle <> ''
+),
+tf AS (
+  SELECT doc_id, {H60.format(c="shingle")} AS sh60, CAST(count(*) AS BIGINT) AS tf
+  FROM shm GROUP BY 1, 2
+),
+hot AS (SELECT sh60 FROM tf GROUP BY sh60 HAVING count(*) > {DF_CAP}),
+capped AS (SELECT * FROM tf WHERE sh60 NOT IN (SELECT sh60 FROM hot)),
+n2 AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM capped GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM capped a JOIN capped b ON a.sh60 = b.sh60 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+  SELECT d.id_a, d.id_b,
+         d.dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS c
+  FROM dots d
+  JOIN n2 na ON na.doc_id = d.id_a
+  JOIN n2 nb ON nb.doc_id = d.id_b)
+WHERE c >= {SPARSE_COS_THRESHOLD}
 """
 
 DEDUP_RATE_BY_SOURCE = """
@@ -1497,6 +1506,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "doc_fingerprint": DOC_FINGERPRINT,
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
+    "sparse_cosine_pairs": SPARSE_COSINE_PAIRS,
+    "bigram_lm_score": BIGRAM_LM_SCORE,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "minhash_signatures": MINHASH_SIGNATURES,
     "simhash_fingerprints": SIMHASH_FINGERPRINTS,
