@@ -1608,3 +1608,61 @@ class TestHybridRRF:
             assert r.rrf == want
         ranks = [r.rank for r in sorted(rows, key=lambda x: (-x.rrf, x.doc_id))]
         assert ranks == list(range(1, len(rows) + 1))
+
+
+class TestBigramLmQuantized:
+    def test_matches_python_fixed_point_reference(self, spark):
+        """The quantized bigram cross-entropy vs an independent Python
+        implementation of the same fixed-point formula (md5-based bucket
+        hash, add-one smoothing, 2^-40 log-prob units): exact to the
+        6-dp output on a corpus with repeated and ordered structure."""
+        import hashlib
+        import math
+
+        from gmall_flink_200621_spark.operators.textops import (
+            BIGRAM_BUCKETS,
+            LP_SCALE,
+            bigram_lm_score,
+        )
+
+        corpus = {
+            1: "a b a b a b",
+            2: "b a b a",
+            3: "c c c c c",
+            4: "solo",  # no bigrams -> NULL ce, n_bigrams 0
+        }
+        df = spark.createDataFrame(
+            [(i, t, "en", len(t)) for i, t in corpus.items()],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        got = {r.doc_id: (r.n_bigrams, r.bigram_ce) for r in bigram_lm_score(df).collect()}
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        per_doc: dict = {}
+        for i, t in corpus.items():
+            toks = t.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                k = (i, h60(a) % BIGRAM_BUCKETS, h60(b) % BIGRAM_BUCKETS)
+                per_doc[k] = per_doc.get(k, 0) + 1
+        c2: dict = {}
+        c1: dict = {}
+        for (i, ctx, w), n in per_doc.items():
+            c2[(ctx, w)] = c2.get((ctx, w), 0) + n
+            c1[ctx] = c1.get(ctx, 0) + n
+        lpu = {
+            k: round(math.log2((v + 1) / (c1[k[0]] + BIGRAM_BUCKETS)) * LP_SCALE)
+            for k, v in c2.items()
+        }
+        want: dict = {}
+        for i in corpus:
+            rows = {k: n for k, n in per_doc.items() if k[0] == i}
+            if not rows:
+                want[i] = (0, None)
+                continue
+            su = sum(lpu[(ctx, w)] * n for (_, ctx, w), n in rows.items())
+            nb = sum(rows.values())
+            want[i] = (nb, round(-((su / LP_SCALE) / nb), 6))
+        assert got == want
+        assert got[4] == (0, None)
