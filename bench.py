@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_search_rrf",
     "dedup_rate_by_source",
+    "bigram_lm_score",
+    "sparse_cosine_pairs",
     "embedding_quantize",
     "contamination_matrix",
     "weighted_sample",

@@ -614,3 +614,60 @@ class TestZorderLayout:
         assert touched(ly, 33) >= 12
         # data intact
         assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+class TestPythonDataSource:
+    def test_batch_read_deterministic_and_partitioned(self, spark):
+        """Spark-4 Python Data Source (the reference SourceFunction
+        analog, S3): registered as a format, splits the id range across
+        partitions, and two reads produce byte-identical rows (the
+        determinism the stream reader's exactly-once story rests on)."""
+        from gmall_flink_200621_spark.sources.pydatasource import BEHAVIORS, CHANNELS, register
+
+        register(spark)
+        df = (
+            spark.read.format("market_behavior")
+            .option("numrows", 250)
+            .option("numpartitions", 7)
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: r.event_id)
+        assert len(rows) == 250
+        assert [r.event_id for r in rows] == list(range(250))
+        assert {r.behavior for r in rows} <= set(BEHAVIORS)
+        assert {r.channel for r in rows} <= set(CHANNELS)
+        again = sorted(df.collect(), key=lambda r: r.event_id)
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    def test_stream_offsets_cover_range_exactly_once_and_match_batch(self, spark, tmp_path):
+        """The stream reader's counter offsets partition the id range into
+        disjoint micro-batches: the accumulated sink holds each id exactly
+        once, and rows equal the batch reader's for the same ids —
+        stream == batch for a replayable custom source."""
+        from gmall_flink_200621_spark.sources.pydatasource import register
+
+        register(spark)
+        out = (
+            spark.readStream.format("market_behavior")
+            .option("rows_per_batch", 40)
+            .option("max_rows", 120)
+            .load()
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("pyds_stream")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        got = sorted(
+            spark.sql("SELECT * FROM pyds_stream").collect(), key=lambda r: r.event_id
+        )
+        assert [r.event_id for r in got] == list(range(120))  # exactly once
+        batch = sorted(
+            spark.read.format("market_behavior").option("numrows", 120).load().collect(),
+            key=lambda r: r.event_id,
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in batch]
