@@ -322,7 +322,10 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_mktsegment", F.lit("*")).alias("segment"),
         F.coalesce("o_orderpriority", F.lit("*")).alias("priority"),
         "n_orders",
-        "revenue",
+        # AGGREGATE in decimal, EMIT as double (the sales_cube pattern):
+        # Decimal objects stringify with engine-specific trailing zeros
+        # ('…494.50' vs '…494.5') and dodge the verifier's float rounding
+        F.col("revenue").cast("double").alias("revenue"),
     )
 
 
@@ -1004,7 +1007,7 @@ WITH j AS (
 ),
 gs AS (
   SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-         CAST(sum(p) AS DECIMAL(28,2)) AS revenue
+         CAST(CAST(sum(p) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
   FROM j GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
 )
 SELECT CASE WHEN c_mktsegment IS NOT NULL THEN 'by_segment'

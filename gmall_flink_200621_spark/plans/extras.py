@@ -51,8 +51,10 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.timestamp_seconds(F.col("ts").cast("long")).alias("ts_s")
     )
-    # whole-second event times: session_window splits at diff >= gap on its
-    # input precision, so both engines must see identical integer seconds
+    # whole-second event times so both engines see identical integer
+    # seconds; session_window splits on STRICT diff > gap (an event at
+    # exactly start+gap stays in the session — probed, and mirrored by
+    # the oracle's > comparison)
     return (
         e.groupBy("user_id", F.session_window("ts_s", f"{SESSION_GAP_S} seconds").alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.max(F.col("ts_s").cast("long")).alias("session_end_s"))
@@ -529,13 +531,17 @@ def nation_spend_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("n_name").orderBy("spend")
     # ORDER on the exact decimal; EMIT as double (cross-engine decimal
-    # stringification differs, double round(2) hashes identically)
+    # stringification differs, double round(2) hashes identically).
+    # pct_rank/cume are emitted UNROUNDED: both engines compute the same
+    # k/(n−1) and k/n rationals, and explicit round(…,6) hits half-way
+    # ties (e.g. 3330/6400 = 0.52031250 at sf0.1) where Spark's HALF_UP
+    # and DuckDB's nearest-double disagree — the pagerank lesson
     return j.select(
         "n_name",
         "c_custkey",
         F.round(F.col("spend").cast("double"), 2).alias("spend"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
@@ -860,8 +866,8 @@ WITH spend AS (
   FROM orders GROUP BY 1
 )
 SELECT n.n_name, c.c_custkey, round(CAST(s.spend AS DOUBLE), 2) AS spend,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
 FROM spend s
 JOIN customer c ON s.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -969,7 +975,11 @@ WITH e AS (
 ), marked AS (
   SELECT user_id, ts_s, event_id,
          CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
-              WHEN ts_s - lag(ts_s) OVER w >= {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+              -- STRICT >: session_window keeps an event landing exactly
+              -- at start+gap in the same session (probed on Spark 4.1:
+              -- events at 0 and 1800 with a 1800s gap merge) — an
+              -- exact-gap boundary first appears in the sf0.1 data
+              WHEN ts_s - lag(ts_s) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
 ), sessions AS (
   SELECT user_id, ts_s,
