@@ -151,7 +151,7 @@ def dedup_ngram_jaccard(
         _shingle_pair_counts(docs, df_cap)
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -169,7 +169,7 @@ def dedup_containment(
         _shingle_pair_counts(docs, df_cap)
         .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
         .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .select("id_a", "id_b", "containment")
     )
 
 
@@ -411,7 +411,7 @@ def dedup_minhash_lsh(
         .join(sb, "id_b")
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
     )
 
 

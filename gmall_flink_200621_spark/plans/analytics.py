@@ -288,7 +288,7 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("channel"),
         "credit_ppm",
         "n_users",
-        F.round(F.col("credit_ppm") / F.lit(total), 6).alias("credit_share"),
+        (F.col("credit_ppm") / F.lit(total)).alias("credit_share"),
     )
 
 
@@ -361,9 +361,7 @@ def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month",
         F.round(F.col("rev").cast("double"), 2).alias("revenue"),
-        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 6).alias(
-            "growth_pct"
-        ),
+        ((F.col("rev") - prev).cast("double") / prev.cast("double")).alias("growth_pct"),
     )
 
 
@@ -505,7 +503,7 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
             "n_rows",
             "max_key_rows",
-            F.round(F.col("n_rows") / F.sum("n_rows").over(wt), 6).alias("row_share"),
+            (F.col("n_rows") / F.sum("n_rows").over(wt)).alias("row_share"),
         )
 
     return audit("user_id").unionByName(audit("event_type"))
@@ -856,7 +854,7 @@ WITH e AS (
   FROM credited GROUP BY 1
 )
 SELECT channel, credit_ppm, n_users,
-       round(credit_ppm / (SELECT SUM(credit_ppm) FROM per_channel), 6) AS credit_share
+       credit_ppm / (SELECT SUM(credit_ppm) FROM per_channel) AS credit_share
 FROM per_channel
 """,
     "skew_audit": """
@@ -875,7 +873,7 @@ au AS (
   FROM kt GROUP BY 2
 )
 SELECT key_name, bucket, n_keys, n_rows, max_key_rows,
-       round(n_rows / (SELECT total FROM tot), 6) AS row_share
+       n_rows / (SELECT total FROM tot) AS row_share
 FROM (SELECT * FROM au UNION ALL SELECT * FROM at)
 """,
     "point_in_time_join": f"""

@@ -107,7 +107,7 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
-       round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+       c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
 FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id
@@ -164,7 +164,7 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
-       round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+       c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
 FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id
@@ -1020,7 +1020,7 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
-       round(c.n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+       c.n_common / least(sa.n_sh, sb.n_sh) AS containment
 FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id

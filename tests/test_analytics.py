@@ -404,8 +404,8 @@ class TestSkewAudit:
             (r.key_name, r.bucket): (r.n_keys, r.n_rows, r.max_key_rows, r.row_share)
             for r in skew_audit(spark, str(tmp_path)).collect()
         }
-        assert got[("user_id", 9)] == (1, 1000, 1000, round(1000 / 1050, 6))
-        assert got[("user_id", 0)] == (50, 50, 1, round(50 / 1050, 6))
+        assert got[("user_id", 9)] == (1, 1000, 1000, 1000 / 1050)
+        assert got[("user_id", 0)] == (50, 50, 1, 50 / 1050)
         assert got[("event_type", 10)] == (1, 1050, 1050, 1.0)
 
 
