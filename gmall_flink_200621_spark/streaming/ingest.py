@@ -225,7 +225,7 @@ def _neardup_epoch(
         .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
         # a replayed epoch sees its docs TWICE (state copy + batch): the
         # duplicate join legs produce identical rows — collapse them
         .distinct()
