@@ -81,6 +81,29 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "doc_repetition", "dedup_containment", "corpus_profile", "corpus_sample",
         "corpus_split", "decontaminate", "shingle_novelty", "top_terms",
     ]},
+    # ---- round 5 (CORRECTNESS_r05.json, 49/50 + bpe rows-only) ----
+    # Overrides any earlier entry by merge order; the r06 window is then the
+    # 2 never-driver-certified names (ltv_cohorts, revenue_pareto — added to
+    # the registry after the r05 window ran) + the 48 stalest r01 names.
+    **{n: 5 for n in [
+        "quality_gopher", "importance_weights", "hard_negatives",
+        "perplexity_buckets", "tfidf_terms", "embedding_quantize",
+        "contamination_matrix", "weighted_sample", "dedup_eval",
+        "term_counts_cms", "bpe_merges", "split_leakage_audit",
+        "duplicate_cluster_sizes", "token_entropy", "source_divergence",
+        "knn_graph", "pagerank_knn", "perceptron_lang", "lang_confusion",
+        "embedding_norm_audit", "bm25_search", "hybrid_search_rrf",
+        "dedup_rate_by_source", "knn_triangles", "components_knn",
+        "label_propagation_knn", "cluster_aware_split", "boilerplate_scrub",
+        "bigram_lm_score", "sparse_cosine_pairs", "time_to_purchase",
+        "nation_spend_pct_rank", "props_variant_stats",
+        "sessionize_dynamic_gap", "tpch_expectations", "event_type_unpivot",
+        "fuzzy_part_matches", "time_grid_fill", "corpus_expectations",
+        "first_touch_attribution", "sales_grouping_sets", "value_by_weekday",
+        "revenue_seasonality", "column_profile", "rfm_segments",
+        "point_in_time_join", "skew_audit", "attribution_position",
+        "join_blowup_audit", "transition_matrix",
+    ]},
 }
 
 

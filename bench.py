@@ -1,8 +1,17 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line as the LAST stdout line:
+  {"metric": "bench_total", "value": N, "unit": "sec", "value_median": M,
+   "n": ..., "sf": ..., "detail": "BENCH_DETAIL_r{N}.json", "queries": {...}}
+
+The driver captures only the final ~2000 characters of stdout, so the
+full per-query min/median maps (104+ entries, ~5 KB — the reason the
+driver recorded `parsed: null` for BENCH_r04/r05) are written to a
+committed `BENCH_DETAIL_r{N}.json` instead; the stdout line carries the
+totals plus a small headline subset of `queries` (the 11 reference
+pipelines) and stays well under the capture limit.
+`tools/bench_compare.py` reads either format.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect, no output-side pruning shortcuts like count()).
@@ -12,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -200,24 +210,62 @@ def main() -> None:
     per_query_median = {n: round(v, 3) for n, v in per_query_median.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": round(sum(per_query.values()), 3),
-                "unit": "sec",
-                "queries": per_query,
-                "value_median": round(sum(per_query_median.values()), 3),
-                "queries_median": per_query_median,
-                "passes": N_PASSES,
-                # the stream runs fewer passes (startup-dominated); its
-                # 'median' is the mean of two samples — reported explicitly
-                # so the envelope stats aren't misread as min/median-of-3
-                "stream_passes": len(stream_samples),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "bench_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "value_median": round(sum(per_query_median.values()), 3),
+        "queries_median": per_query_median,
+        "passes": N_PASSES,
+        # the stream runs fewer passes (startup-dominated); its
+        # 'median' is the mean of two samples — reported explicitly
+        # so the envelope stats aren't misread as min/median-of-3
+        "stream_passes": len(stream_samples),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Full per-query maps go to a committed detail file; round number =
+    # $SPARK_GRAFT_ROUND, else one past the newest BENCH_r{N}.json the
+    # driver has already recorded (bench for round N runs before the
+    # driver writes BENCH_rN, so max-existing + 1 is this round).
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        seen = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    detail_name = f"BENCH_DETAIL_r{int(rnd):02d}.json"
+    with open(os.path.join(here, detail_name), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Compact driver-facing line (LAST stdout line, <2000 chars): totals
+    # plus the 11 reference-pipeline headliners so the driver still sees
+    # a per-query signal without overflowing its tail capture.
+    headliners = [
+        "hot_items", "hot_urls", "page_view", "uv_exact", "market_by_channel",
+        "ad_clicks_filtered", "login_fail", "order_timeout",
+        "order_receipt_join", "dedup_minhash_lsh", "hot_urls_late_stream",
+    ]
+    compact = {
+        "metric": "bench_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "value_median": detail["value_median"],
+        "n": len(per_query),
+        "passes": N_PASSES,
+        "sf": detail["sf"],
+        "detail": detail_name,
+        "queries": {k: per_query[k] for k in headliners if k in per_query},
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"compact bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -13,26 +13,47 @@ regressed beyond the threshold — the hook a CI perf gate calls.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
 
+def _follow_detail(d: dict, base_dir: str) -> dict:
+    """r06+ compact lines carry totals + a headline `queries` subset and
+    point at the committed BENCH_DETAIL_r{N}.json holding the full maps;
+    prefer the detail file when it's resolvable, else use the compact
+    subset (partial data beats none)."""
+    if "detail" in d:
+        dp = os.path.join(base_dir, d["detail"])
+        if os.path.exists(dp):
+            with open(dp) as f:
+                return json.load(f)
+    return d
+
+
 def load(path: str) -> dict:
+    base_dir = os.path.dirname(os.path.abspath(path))
     raw = open(path).read()
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = None
     if isinstance(d, dict) and "queries" in d:
-        return d
+        return _follow_detail(d, base_dir)
     # driver artifact: the bench line lives in the `tail` string
     if isinstance(d, dict) and "tail" in d:
         raw = d["tail"]
-    m = None
-    for m in re.finditer(r'\{"metric".*?"sf": [0-9.]+\}', raw):
-        pass
-    if m:
-        return json.loads(m.group(0))
+    # newest parseable {"metric": ...} JSON object in the text (compact
+    # r06+ lines put "detail"/"queries" after "sf"; old lines ended at
+    # "sf": N — match any balanced-looking candidate and json-validate)
+    best = None
+    for m in re.finditer(r'\{"metric".*?\}(?=\s*$|\s*\n)', raw, re.MULTILINE):
+        try:
+            best = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            continue
+    if best is not None and "queries" in best:
+        return _follow_detail(best, base_dir)
     # driver tails are sometimes truncated at the FRONT, even mid-key —
     # recover what remains of the per-query min dict: complete "name":
     # number pairs up to the dict's closing brace (the partial first pair
