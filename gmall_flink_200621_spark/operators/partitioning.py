@@ -62,11 +62,27 @@ def salted_join(
     replicas. Salt uses a hash of the full row's monotonic id, not
     rand(), so retried tasks re-derive the same assignment
     (nondeterministic salting + task retry = lost/duplicated rows, the
-    classic production incident)."""
+    classic production incident).
+
+    `how` is restricted to FACT-preserving join types: under
+    right/full-outer, an unmatched dim key would surface once per salt
+    replica — `salt` phantom output rows — so those modes are rejected
+    rather than silently wrong. The salt itself uses pmod, not
+    abs(...)%salt: abs(Long.MIN_VALUE) stays negative in the JVM, and a
+    negative salt for a non-power-of-two `salt` would silently drop
+    (inner) or null-extend (left) that fact row (ADVICE r05; same idiom
+    as operators/topn.py)."""
     if salt < 1:
         raise ValueError(f"salted_join: salt must be >= 1, got {salt}")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — unmatched dim "
+            f"rows would be duplicated {salt}x by the salt replication; use a "
+            "plain join for right/full outer semantics"
+        )
     f = facts.withColumn(
-        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
     )
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

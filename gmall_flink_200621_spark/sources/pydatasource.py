@@ -82,7 +82,15 @@ class MarketBehaviorReader(DataSourceReader):
 class MarketBehaviorStreamReader(DataSourceStreamReader):
     """Row-counter offsets: each micro-batch covers [start, end) ids.
     `latestOffset` advances by rows_per_batch up to max_rows (a bounded
-    demo stream; an unbounded source would advance with its upstream)."""
+    demo stream; an unbounded source would advance with its upstream).
+
+    Restart safety (ADVICE r05): `_latest` is in-memory only, so after a
+    checkpoint recovery a fresh reader would start re-advancing from 0 —
+    BEHIND the committed start offset Spark passes back in
+    `partitions(start, end)`. We clamp: every offset Spark hands us
+    (restored starts in partitions(), the committed end in commit())
+    ratchets `_latest` forward, so latestOffset() never plans a
+    backward/inverted range and committed ids are never re-emitted."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
@@ -97,6 +105,9 @@ class MarketBehaviorStreamReader(DataSourceStreamReader):
         return {"offset": self._latest}
 
     def partitions(self, start, end):
+        # ratchet against restored offsets (checkpoint recovery hands us
+        # starts the counter has never seen)
+        self._latest = max(self._latest, int(start["offset"]), int(end["offset"]))
         return [_Range(int(start["offset"]), int(end["offset"]))]
 
     def read(self, partition: _Range):
@@ -104,7 +115,7 @@ class MarketBehaviorStreamReader(DataSourceStreamReader):
             yield _row(i)
 
     def commit(self, end):
-        pass
+        self._latest = max(self._latest, int(end["offset"]))
 
     def stop(self):
         pass

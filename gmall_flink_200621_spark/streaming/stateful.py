@@ -475,17 +475,22 @@ def _tier_enrich_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd
     """Streaming point-in-time enrichment: per-user cumulative purchase
     count as keyed state; every view emits the loyalty tier AS OF its
     position in the per-user event-time order. Within a batch rows are
-    sorted by (t_us, event_id); across batches the twin matches the
-    batch `point_in_time_join` exactly when input arrives in event-time
-    order (the staged-replay guarantee all the stream==batch twins use —
-    an out-of-order source would need the late-data engine's buffering)."""
+    sorted by (t_us, is_view, event_id): PURCHASES APPLY BEFORE VIEWS at
+    an equal t_us, matching the batch `point_in_time_join`'s inclusive
+    as-of semantics (asof_join sorts right/tier-change rows before left
+    rows at equal ts, so a same-timestamp promotion is visible to the
+    view regardless of event_id order). Across batches the twin matches
+    the batch exactly when input arrives in event-time order (the
+    staged-replay guarantee all the stream==batch twins use — an
+    out-of-order source would need the late-data engine's buffering)."""
     from ..plans.analytics import PIT_GOLD, PIT_SILVER
 
     (user_id,) = key
     cum = state.get[0] if state.exists else 0
     out = []
     for pdf in pdf_iter:
-        for r in pdf.sort_values(["t_us", "event_id"]).itertuples():
+        pdf = pdf.assign(_is_view=(pdf["event_type"] != "purchase").astype(int))
+        for r in pdf.sort_values(["t_us", "_is_view", "event_id"]).itertuples():
             if r.event_type == "purchase":
                 cum += 1
             else:  # view

@@ -1536,6 +1536,40 @@ class TestSaltedJoin:
         got = {(r.k, r.name) for r in salted_join(facts, dim, "k", salt=4, how="left").collect()}
         assert got == {(1, "a"), (2, None)}
 
+    def test_non_fact_preserving_how_rejected(self, spark):
+        """ADVICE regression (r05): right/full-outer would emit unmatched
+        dim rows once per salt replica — reject rather than silently
+        duplicate."""
+        import pytest
+
+        from gmall_flink_200621_spark.operators.partitioning import salted_join
+
+        facts = spark.createDataFrame([(1, 10)], "k long, v long")
+        dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+        for how in ("right", "full", "outer", "full_outer"):
+            with pytest.raises(ValueError, match="fact-preserving"):
+                salted_join(facts, dim, "k", salt=4, how=how)
+
+    def test_salt_never_negative(self, spark):
+        """pmod, not abs(...)%n: abs(Long.MIN_VALUE) stays negative in the
+        JVM, so with a non-power-of-two salt a fact row could land a
+        negative salt and silently miss every dim replica (ADVICE r05).
+        Pin the expression's range directly on a value whose xxhash64 is
+        negative."""
+        from pyspark.sql import functions as F
+
+        facts = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+        salts = (
+            facts.select(
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(7))
+                .cast("int")
+                .alias("s")
+            )
+            .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+            .first()
+        )
+        assert salts.lo >= 0 and salts.hi <= 6
+
 
 class TestBM25:
     def test_ranking_vs_python_reference(self, spark):

@@ -671,3 +671,34 @@ class TestPythonDataSource:
             key=lambda r: r.event_id,
         )
         assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+    def test_stream_reader_restart_never_plans_backward_range(self):
+        """ADVICE regression (r05): after checkpoint recovery a FRESH
+        reader instance starts with _latest=0, but Spark replays the
+        restored offsets through partitions(start, end) — the counter
+        must ratchet to those, so the next latestOffset() advances FROM
+        the committed position instead of re-planning ids the sink
+        already holds. Driven exactly as Spark drives it, no session
+        needed."""
+        from gmall_flink_200621_spark.sources.pydatasource import (
+            MarketBehaviorStreamReader,
+        )
+
+        # original run: two batches committed, offset reached 80
+        r1 = MarketBehaviorStreamReader({"rows_per_batch": 40, "max_rows": 120})
+        assert r1.latestOffset() == {"offset": 40}
+        r1.partitions({"offset": 0}, {"offset": 40})
+        r1.commit({"offset": 40})
+        assert r1.latestOffset() == {"offset": 80}
+        r1.partitions({"offset": 40}, {"offset": 80})
+        r1.commit({"offset": 80})
+
+        # crash; recovery constructs a NEW reader and replays the last
+        # committed range before asking for a new latest offset
+        r2 = MarketBehaviorStreamReader({"rows_per_batch": 40, "max_rows": 120})
+        r2.partitions({"offset": 40}, {"offset": 80})
+        nxt = r2.latestOffset()["offset"]
+        assert nxt >= 80  # never behind the committed start
+        assert nxt == 120  # advances exactly one batch past the restore
+        ids = [i for p in r2.partitions({"offset": 80}, {"offset": nxt}) for i in range(p.start, p.end)]
+        assert ids == list(range(80, 120))  # no recommitted id re-emitted

@@ -145,6 +145,29 @@ class TestTierEnrichStream:
         b = sorted(map(tuple, batch[key].values.tolist()))
         assert g == b and len(g) > 0
 
+    def test_same_timestamp_purchase_applies_before_view(self):
+        """ADVICE regression (r05): the batch asof_join is INCLUSIVE — a
+        tier change at exactly the view's t_us is visible to the view,
+        regardless of event_id order. The stream must therefore sort
+        purchases before views at equal t_us; previously (t_us, event_id)
+        let a view with a smaller event_id read the stale counter."""
+        from gmall_flink_200621_spark.streaming.stateful import _tier_enrich_fn
+        from tests.test_tws_processors import FakeGroupState
+
+        # view event_id=1 and promoting purchase event_id=2 share t_us
+        pdf = pd.DataFrame(
+            {
+                "t_us": [100, 100, 200],
+                "event_id": [1, 2, 3],
+                "event_type": ["view", "purchase", "view"],
+            }
+        )
+        st = FakeGroupState()
+        (out,) = list(_tier_enrich_fn((7,), iter([pdf]), st))
+        tiers = dict(zip(out.view_id, out.tier))
+        assert tiers == {1: "bronze", 3: "bronze"}  # view 1 sees the tie
+        assert st._v == (1,)
+
 
 class TestTransitionStream:
     def test_stream_pairs_equal_batch_matrix(self, spark, sf_dir):
