@@ -194,6 +194,119 @@ def knn_lsh(
 
 
 KNN_GRAPH_K = 3
+KNN_GRAPH_BUCKET_CAP = 4096  # max vectors per scored (band, bucket) group
+_BUCKET_CAP_MAX_EXTRA = 16  # deepest re-band: 2^16 sub-buckets per band value
+
+
+def _capped_buckets(
+    e: DataFrame,
+    stacked: DataFrame,
+    bands: int,
+    rows: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """(vec_id, bi, bv, sub, sub2, q, n2) with every (bi, bv, sub, sub2)
+    group bounded to ~bucket_cap members — the hot-bucket guard for
+    `knn_graph`'s per-bucket O(B²·d) matmul.
+
+    Two-stage split, overflow rows only (the common path — no bucket over
+    cap — adds ONE count aggregation over the stacked band frame and
+    nothing else):
+
+    1. RE-BAND with deeper rows: members of an over-cap (bi, bv) bucket
+       get `depth = ceil(log2(bcnt/cap))` additional sign bits from
+       hyperplanes BEYOND the banding's bands·rows planes (same
+       deterministic coefficient stream, same relational projection as
+       sign_band_frame), splitting the bucket ~2^depth ways while keeping
+       genuinely-dissimilar members apart — near neighbors share the
+       deeper signs too, so recall inside a splittable hot bucket is
+       preserved.
+    2. HASH-SPLIT the residue: a bucket saturated with near-duplicates
+       has near-identical signs at ANY depth (the pathology that makes
+       re-banding alone unbounded), so still-over-cap (bi, bv, sub)
+       groups get a deterministic `pmod(xxhash64(vec_id), ceil(cnt/cap))`
+       split. This is the only lossy stage: same-bucket pairs straddling
+       a hash split are missed BY THAT BAND (other bands still propose
+       them; within a dup-saturated bucket any k of the ~identical
+       neighbors are interchangeable at equal cosine anyway).
+
+    Work bound: stage-2 groups have expected size ≤ cap under the hash
+    uniformity of vec_id — so per-group matmul cost is O(cap²·d)
+    regardless of corpus pathology."""
+    bucketed = stacked.join(e, "vec_id")
+    if bucket_cap is None:
+        return bucketed.withColumn("sub", F.lit(0).cast("long")).withColumn(
+            "sub2", F.lit(0).cast("long")
+        )
+    sizes = stacked.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("bcnt"))
+    bucketed = bucketed.join(
+        sizes.filter(F.col("bcnt") > bucket_cap), ["bi", "bv"], "left"
+    )
+    ok = bucketed.filter(F.col("bcnt").isNull()).select(
+        "vec_id",
+        "bi",
+        "bv",
+        F.lit(0).cast("long").alias("sub"),
+        F.lit(0).cast("long").alias("sub2"),
+        "q",
+        "n2",
+    )
+    over = bucketed.filter(F.col("bcnt").isNotNull())
+    # ---- stage 1: deeper sign bits for overflow-bucket members only ----
+    p0 = bands * rows
+    spark = e.sparkSession
+    coef = spark.createDataFrame(
+        [
+            (p, d, _plane_coeff(p0 + p, d))
+            for p in range(_BUCKET_CAP_MAX_EXTRA)
+            for d in range(DIM)
+        ],
+        "p int, d int, c long",
+    )
+    over_vecs = over.select("vec_id").distinct()
+    abits = (
+        e.join(over_vecs, "vec_id")
+        .select("vec_id", F.posexplode("q").alias("d", "qx"))
+        .join(F.broadcast(coef), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("proj"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("proj") > 0, F.expr("shiftleft(1, p)"))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("abits")
+        )
+    )
+    over = (
+        over.join(abits, "vec_id")
+        .withColumn(
+            "depth",
+            F.least(
+                F.lit(_BUCKET_CAP_MAX_EXTRA),
+                F.ceil(F.log2(F.col("bcnt") / F.lit(bucket_cap))).cast("int"),
+            ),
+        )
+        .withColumn("sub", F.col("abits").bitwiseAND(F.expr("shiftleft(1, depth) - 1")))
+    )
+    # ---- stage 2: hash-split any still-saturated (bi, bv, sub) group ----
+    resid = over.groupBy("bi", "bv", "sub").agg(F.count(F.lit(1)).alias("cnt2"))
+    over = (
+        over.join(resid, ["bi", "bv", "sub"])
+        .withColumn(
+            "sub2",
+            F.when(
+                F.col("cnt2") > bucket_cap,
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.ceil(F.col("cnt2") / F.lit(bucket_cap)).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .select("vec_id", "bi", "bv", "sub", "sub2", "q", "n2")
+    )
+    return ok.unionByName(over)
 
 
 def knn_graph(
@@ -201,6 +314,7 @@ def knn_graph(
     k: int = KNN_GRAPH_K,
     bands: int = LSH_SIGN_BANDS,
     rows: int = LSH_PLANES // 2,
+    bucket_cap: int | None = KNN_GRAPH_BUCKET_CAP,
 ) -> DataFrame:
     """Corpus-wide k-NN GRAPH: top-k cosine neighbors for EVERY vector
     (not a query subset) — the all-pairs step behind graph-based
@@ -224,7 +338,13 @@ def knn_graph(
     100 TB shape: vectors shuffle once per band (bands·N rows total, not
     N²); per-bucket cost is bounded by the banding selectivity (rows bits
     ⇒ E[B] ≈ N/2^rows per band — deepen `rows` as N grows to hold bucket
-    sizes; a production build would also cap B and re-band the overflow).
+    sizes) AND hard-capped at `bucket_cap` members per scored group by
+    `_capped_buckets`: over-cap buckets re-band with deeper sign planes,
+    and near-duplicate-saturated residues (which no sign depth splits)
+    hash-split deterministically — per-group work is O(bucket_cap²·d)
+    under any corpus pathology. At the test SFs every bucket is far under
+    the default cap, so the guard is plan-inert there (pinned in
+    TestKnnGraphBucketCap alongside a planted-hot-bucket split test).
     Dots are Q_SCALE int64 — dot ≤ 64·(0.53·2²⁴)² < 2⁵³, so the float64
     conversion and the sqrt/divide are IEEE-identical to the DuckDB
     oracle."""
@@ -234,7 +354,7 @@ def knn_graph(
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
     stacked = sign_band_frame(e, bands, rows)
-    bucketed = stacked.join(e, "vec_id")
+    bucketed = _capped_buckets(e, stacked, bands, rows, bucket_cap)
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -263,7 +383,7 @@ def knn_graph(
                     break
         return pd.DataFrame({"src_id": out_s, "nbr_id": out_n, "cosine": out_c})
 
-    pairs = bucketed.groupBy("bi", "bv").applyInPandas(
+    pairs = bucketed.groupBy("bi", "bv", "sub", "sub2").applyInPandas(
         bucket_topk, "src_id long, nbr_id long, cosine double"
     )
     # a pair found by several bands carries the identical cosine — max() is
