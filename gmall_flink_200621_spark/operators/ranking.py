@@ -1,0 +1,76 @@
+"""Distributed global ranking — the two-level (range-partition + offset)
+pattern that replaces partition-less `row_number()`/`ntile()` windows.
+
+A partition-less Window is a SINGLE task: every row moves through one
+`Exchange SinglePartition` and one sort — the classic scale cliff. The
+registry's decile queries feed it per-user AGGREGATES (|users| rows, never
+facts), which is survivable into the millions, but at ~1B users it becomes
+a 1B-row one-task sort. `global_rank_ntile` computes the exact same ranks
+and ntile buckets with no corpus-sized single-partition stage:
+
+1. `repartitionByRange(P, order)` — one shuffle; ordering is now TOTAL
+   across partitions (partition i's rows all precede partition i+1's).
+2. per-partition row_number via a Window partitioned on
+   `spark_partition_id()` — a second shuffle of the same frame (hash on
+   pid, P balanced groups, all JVM; ~16-byte rows for the decile
+   callers), never a single task.
+3. per-partition counts (P rows) → cumulative offsets + grand total via
+   a window over that P-ROW frame (the only single-partition stage left,
+   bounded by the partition count, not the data).
+4. global_rank = offset + local row_number; ntile derived from
+   (global_rank, N) with Spark's exact ntile bucket-size rule — first
+   (N mod n) buckets get one extra row — so results are bit-identical to
+   `F.ntile(n).over(Window.orderBy(...))`.
+
+Caller contract: `order` must be a TOTAL order (include a tiebreak key).
+With ties, range boundaries could split equal rows across partitions and
+make ranks nondeterministic — the same caveat the window form has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank_ntile(
+    df: DataFrame,
+    order: list[Column],
+    n: int | None = None,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Append `global_rank` (row_number over the total order `order`)
+    and, when `n` is given, `ntile` — computed distributed as described
+    in the module docstring. Column names `_pid`/`_lrn`/`_off`/`_N` are
+    reserved internally and dropped."""
+    p = npartitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_N"),
+    )
+
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "global_rank", (F.col("_off") + F.col("_lrn")).cast("long")
+    )
+    if n is not None:
+        # Spark ntile: q = N div n, r = N mod n; buckets 1..r hold q+1
+        # rows, buckets r+1..n hold q rows. floor(a/b) on doubles is
+        # exact below 2^53 rows — comfortably past any 100 TB row count.
+        q = F.expr(f"_N DIV {n}")
+        r = F.col("_N") % n
+        in_big = F.col("global_rank") <= r * (q + 1)
+        big = F.floor((F.col("global_rank") - 1) / (q + 1)) + 1
+        small = r + F.floor((F.col("global_rank") - r * (q + 1) - 1) / q) + 1
+        out = out.withColumn(
+            "ntile", F.when(in_big, big).otherwise(small).cast("int")
+        )
+    return out.drop("_pid", "_lrn", "_off", "_N")

@@ -584,19 +584,28 @@ def ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto) curve: purchase revenue per user,
-    users ranked by spend into deciles (ntile over the total order
-    spend desc, user asc — deterministic under ties), each decile's user
-    count, revenue, and the CUMULATIVE share of total revenue — the
-    "top 10% of users drive X% of revenue" read-out. Integer cents
-    throughout; the two divisions are exact-int/exact-int."""
+    users ranked by spend into deciles (over the total order spend desc,
+    user asc — deterministic under ties), each decile's user count,
+    revenue, and the CUMULATIVE share of total revenue — the "top 10% of
+    users drive X% of revenue" read-out. Integer cents throughout; the
+    two divisions are exact-int/exact-int.
+
+    Deciling runs through `global_rank_ntile` (operators/ranking.py):
+    range-partition + per-partition offsets, bit-identical to a
+    partition-less ntile(10) window but with no single-task sort over the
+    per-user aggregate — the ~1B-user posture. The remaining partition-
+    less windows below read the 10-row per-decile frame only."""
+    from ..operators.ranking import global_rank_ntile
+
     e = load_table(spark, sf_dir, "events")
     spend = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
     )
-    wd = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    deciled = spend.withColumn("decile", F.ntile(10).over(wd))
+    deciled = global_rank_ntile(
+        spend, [F.desc("cents"), F.asc("user_id")], n=10
+    ).withColumnRenamed("ntile", "decile")
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("cents").alias("decile_cents")
     )

@@ -399,30 +399,29 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) decile assignment over per-customer total spend — the
-    bucketing window family (ntile) the rest of the surface doesn't
-    exercise. Total order (spend desc, custkey) makes the decile
-    boundaries engine-independent.
+    """Decile assignment over per-customer total spend — the bucketing
+    family (ntile semantics) over the total order (spend desc, custkey),
+    engine-independent boundaries.
 
-    Scale note: the partition-less window is a single task, but its input
-    is the per-customer AGGREGATE (|customers| rows), never the fact
-    table — same stance as the final top-N stage. At extreme customer
-    cardinality, swap for the distributed rank pattern (range-partitioned
-    sort + per-partition offsets) or approx deciles via percentile_approx."""
-    from pyspark.sql import Window
+    Computed via `global_rank_ntile` (operators/ranking.py): range-
+    partitioned sort + per-partition offsets, bit-identical to a
+    partition-less ntile(10) window but with no single-task sort over
+    the per-customer aggregate — holds at extreme customer cardinality
+    (the only partition-less window left reads the P-row per-partition
+    count frame)."""
     from pyspark.sql import functions as F
 
+    from ..operators.ranking import global_rank_ntile
     from ..sources.loaders import load_table
 
     o = load_table(spark, sf_dir, "orders")
     totals = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_t")
     )
-    w = Window.orderBy(F.desc("_t"), F.asc("o_custkey"))
-    return totals.select(
+    return global_rank_ntile(totals, [F.desc("_t"), F.asc("o_custkey")], n=10).select(
         "o_custkey",
         F.col("_t").cast("double").alias("total_spend"),
-        F.ntile(10).over(w).alias("decile"),
+        F.col("ntile").alias("decile"),
     )
 
 

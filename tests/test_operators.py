@@ -1294,6 +1294,29 @@ class TestBpe:
         assert got == expected
         assert len(got) == BPE_MERGES
 
+    def test_incremental_counts_exact_at_n64(self, spark, sf_dir):
+        """The delta-maintained pair-count frame must stay merge-for-merge
+        exact deep into the vocabulary — 64 rounds covers every update
+        class (neighbor-pair shifts, merged-symbol pairs, overlap runs,
+        pair counts decaying to zero) many times over, the regime the
+        incremental rewrite exists for."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.bpe import bpe_merges
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = [
+            (r.rank, r.left, r.right, r.pair_count)
+            for r in bpe_merges(docs, n_merges=64).collect()
+        ]
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        wf = Counter(w for t in pdf["text"] for w in t.split(" ") if w)
+        assert got == self._py_bpe(dict(wf), 64)
+        assert len(got) == 64
+
     def test_overlapping_runs_merge_left_to_right(self, spark):
         """'aaaa' under merge (a,a) must become [aa][aa], never [a][aa][a]
         — the greedy non-overlap rule both implementations share."""

@@ -446,6 +446,75 @@ class TestRound5Shapes:
         assert "Join" not in s and "HashAggregate" not in s
 
 
+class TestDistributedNtile:
+    def test_matches_window_ntile_exactly(self, spark):
+        """global_rank_ntile must be bit-identical to the partition-less
+        row_number/ntile window it replaces — including Spark's
+        bigger-buckets-first sizing rule — across bucket counts that
+        divide N evenly, unevenly, and exceed N."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        df = spark.createDataFrame(
+            [((i * 37) % 101, i) for i in range(230)], "v long, id long"
+        )
+        order = [F.desc("v"), F.asc("id")]
+        for n in (10, 7, 230, 500):
+            got = {
+                (r.v, r.id): (r.global_rank, r.ntile)
+                for r in global_rank_ntile(df, order, n=n).collect()
+            }
+            w = Window.orderBy(*order)
+            want = {
+                (r.v, r.id): (r.rn, r.nt)
+                for r in df.select(
+                    "v",
+                    "id",
+                    F.row_number().over(w).alias("rn"),
+                    F.ntile(n).over(w).alias("nt"),
+                ).collect()
+            }
+            assert got == want, n
+
+    def test_no_corpus_sized_single_partition_stage(self, spark):
+        """The scale property the helper exists for: the DATA flows
+        through a rangepartitioning exchange + a spark_partition_id()-
+        keyed window, never an Exchange SinglePartition; the only
+        single-partition stage reads the P-row per-partition count
+        frame (its subtree aggregates on _pid). No global ntile window
+        node anywhere."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        df = spark.range(10_000).select(
+            (F.col("id") * 2_654_435_761 % 1_000_003).alias("v"), "id"
+        )
+        s = _plan(global_rank_ntile(df, [F.desc("v"), F.asc("id")], n=10))
+        assert "rangepartitioning" in s
+        assert "ntile(" not in s
+        # exactly one SinglePartition exchange, and it sits under the
+        # offsets computation (an aggregate keyed on _pid), not the data
+        assert s.count("Exchange SinglePartition") == 1
+        single = s.split("Exchange SinglePartition", 1)[1]
+        assert "keys=[_pid" in single  # its input is the per-pid count agg
+
+    def test_decile_queries_have_no_datawide_single_partition_sort(self, spark, sf_dir):
+        """spend_deciles and revenue_pareto route through the helper: the
+        customer/user aggregate must hit rangepartitioning, and every
+        remaining SinglePartition stage feeds off either the _pid counts
+        or a ≤10-row decile aggregate."""
+        from gmall_flink_200621_spark.plans.analytics import revenue_pareto
+        from gmall_flink_200621_spark.plans.extras import spend_deciles
+
+        for q in (spend_deciles, revenue_pareto):
+            s = _plan(q(spark, sf_dir))
+            assert "rangepartitioning" in s, q.__name__
+            assert "ntile(" not in s, q.__name__
+
+
 class TestRuntimeBloomFilter:
     def test_selective_dim_seeds_bloom_on_fact_scan(self, spark, sf_dir):
         """The session enables runtime bloom-filter join pruning
