@@ -652,23 +652,32 @@ def join_blowup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("user_id").unionByName(audit("event_type"))
 
 
-def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def column_profile(
+    spark: SparkSession, sf_dir: str, ndv_mode: str = "exact"
+) -> DataFrame:
     """ANALYZE-style table profile of `orders` — per column: row/null
-    counts, EXACT distinct count, numeric min/max (doubles; timestamps as
+    counts, distinct count, numeric min/max (doubles; timestamps as
     epoch seconds) and lexicographic min/max for varchar — the statistics
     a warehouse collects for CBO join-size estimates, data-quality
     monitoring, and partition-layout decisions.
 
-    Shape: ONE scan stacked long-form (explode of per-column structs —
-    the unpivot shape), then two hash aggregations: per-(column, value)
-    partial counts (map-side combinable; the only shuffle carries distinct
-    (column, value) pairs, ~NDV rows, not table rows), then the per-column
-    rollup where ndv = count of surviving groups — exact distinct WITHOUT
-    a per-column Expand plan (Spark's multi-countDistinct rewrite
-    replicates every input row once per distinct aggregate; the stack
-    shape shuffles each value once). At 100 TB swap the exact ndv for
-    `approx_count_distinct`/HLL (the uv_approx posture) and keep min/max
-    exact — the plan shape is unchanged."""
+    Shape (ndv_mode='exact', the certified registry path): ONE scan
+    stacked long-form (explode of per-column structs — the unpivot
+    shape), then two hash aggregations: per-(column, value) partial
+    counts (map-side combinable; the only shuffle carries distinct
+    (column, value) pairs, ~NDV rows, not table rows), then the
+    per-column rollup where ndv = count of surviving groups — exact
+    distinct WITHOUT a per-column Expand plan (Spark's multi-
+    countDistinct rewrite replicates every input row once per distinct
+    aggregate; the stack shape shuffles each value once).
+
+    ndv_mode='approx' is the 100 TB swap (the uv_approx posture): same
+    single-scan stacked shape, but ONE aggregation — the shuffle carries
+    per-column HLL sketches + min/max partials (O(columns) rows, not
+    O(NDV)); n_distinct becomes approx_count_distinct (default rsd 5%,
+    error-band-tested vs the exact path); null/min/max stay exact."""
+    if ndv_mode not in ("exact", "approx"):
+        raise ValueError(f"column_profile: ndv_mode must be exact|approx, got {ndv_mode!r}")
     o = load_table(spark, sf_dir, "orders")
     dnull = F.lit(None).cast("double")
     snull = F.lit(None).cast("string")
@@ -692,10 +701,22 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+    present = F.col("v_num").isNotNull() | F.col("v_str").isNotNull()
+    if ndv_mode == "approx":
+        return stacked.groupBy("column_name").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(~present, F.lit(1))).alias("n_null"),
+            F.approx_count_distinct(
+                F.coalesce(F.col("v_str"), F.col("v_num").cast("string"))
+            ).alias("n_distinct"),
+            F.round(F.min("v_num"), 6).alias("min_num"),
+            F.round(F.max("v_num"), 6).alias("max_num"),
+            F.min("v_str").alias("min_str"),
+            F.max("v_str").alias("max_str"),
+        )
     per_val = stacked.groupBy("column_name", "v_num", "v_str").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    present = F.col("v_num").isNotNull() | F.col("v_str").isNotNull()
     return per_val.groupBy("column_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.sum(F.when(~present, F.col("cnt")).otherwise(F.lit(0))).alias("n_null"),

@@ -252,6 +252,43 @@ class TestColumnProfile:
         assert (ok.n_distinct, ok.min_num, ok.max_num) == (ndv_key, float(min_k), float(max_k))
         assert ok.min_str is None and ok.max_str is None
 
+    def test_approx_mode_same_shape_bounded_error(self, spark, sf_dir):
+        """ndv_mode='approx' (the 100 TB swap): identical schema and
+        column set, exact stats (rows/nulls/min/max) EQUAL the exact
+        mode's, and the HLL n_distinct lands within the sketch's error
+        band (rsd 5%; assert 15% — 3σ) of the exact NDV per column. The
+        plan carries no per-(column, value) aggregation — the shuffle is
+        O(columns), pinned by the single HashAggregate pair."""
+        from gmall_flink_200621_spark.plans.analytics import column_profile
+
+        exact_df = column_profile(spark, sf_dir)
+        approx_df = column_profile(spark, sf_dir, ndv_mode="approx")
+        assert [(f.name, f.dataType) for f in approx_df.schema] == [
+            (f.name, f.dataType) for f in exact_df.schema
+        ]  # nullability differs (count vs sum aggregates) — immaterial
+        exact = {r.column_name: r for r in exact_df.collect()}
+        approx = {r.column_name: r for r in approx_df.collect()}
+        assert set(exact) == set(approx)
+        for name, e in exact.items():
+            a = approx[name]
+            assert (a.n_rows, a.n_null, a.min_num, a.max_num, a.min_str, a.max_str) == (
+                e.n_rows, e.n_null, e.min_num, e.max_num, e.min_str, e.max_str
+            ), name
+            assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.15 * e.n_distinct), (
+                name, a.n_distinct, e.n_distinct,
+            )
+        # one aggregation pair over the stacked frame (partial+final; the
+        # HLL+min/max mix plans as SortAggregate), no per-value stage —
+        # AQE echoes an "Initial Plan" section, so read the final only
+        s = approx_df._jdf.queryExecution().executedPlan().toString()
+        final = s.split("== Initial Plan ==")[0]
+        assert final.count("Aggregate") == 2
+
+        import pytest
+
+        with pytest.raises(ValueError, match="ndv_mode"):
+            column_profile(spark, sf_dir, ndv_mode="hll")
+
 
 class TestTimeGridFill:
     def test_locf_fills_planted_gaps(self, spark, tmp_path):
