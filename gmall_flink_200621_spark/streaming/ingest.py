@@ -452,3 +452,106 @@ def run_kmeans_stream(
         spark.catalog.refreshTable(cents_t)
 
     return vecs.writeStream.foreachBatch(km_batch).queryName(f"{name}_q").start()
+
+
+def stage_knn_edge_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
+    """The corpus k-NN edge list (knn_graph, computed once in batch —
+    deterministic) split into n_chunks files ordered by (src_id, nbr_id):
+    the chunked-arrival source for the incremental PageRank stream."""
+    from ..operators.similarity import knn_graph
+    from ..sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = (
+        knn_graph(emb)
+        .select("src_id", "nbr_id")
+        .toPandas()
+        .sort_values(["src_id", "nbr_id"])
+        .reset_index(drop=True)
+    )
+    stage = tempfile.mkdtemp(prefix="spark_graft_edgeingest_")
+    n = len(pdf)
+    base = None
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
+def run_pagerank_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    name: str = "pr_stream",
+    iters: int | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+):
+    """Incremental PageRank over an edge-ingest stream — the MV
+    discipline applied to the graph family (its only batch-only member
+    until now): edges arrive in micro-batches, accumulate in an
+    epoch-partitioned warehouse table, and every epoch refreshes a ranks
+    table by re-running the fixed-point batch `pagerank` on the
+    accumulated edges. The refreshed table after the last chunk is
+    BIT-IDENTICAL to batch `pagerank_knn` (integer fixed-point ranks —
+    no float drift between refresh cadences), pinned in pytest.
+
+    Exactly-once/crash-replay: the edge sink is epoch-partitioned and
+    dynamic-OVERWRITTEN (a replayed batch rewrites its own partition
+    byte-identically — the `_ingest_epoch` discipline), and the ranks
+    table is a deterministic pure function of the accumulated edges, so
+    a replayed refresh overwrites identical content. With a checkpoint,
+    kill-and-restart resumes from the committed offset (pinned).
+
+    Scale shape per epoch: the refresh is the batch operator unchanged —
+    |V|-row rank frame joined to the degree-annotated edge table per
+    iteration, localCheckpoint lineage bound. Refresh cost is a full
+    fixed-point run, NOT proportional to the delta: the honest cadence
+    trade (rank mass is global — a delta-bounded incremental PageRank
+    needs approximation budgets this engine's exactness contract
+    excludes; run the refresh per N epochs or on a timer at 100 TB).
+    Vertices derive from the accumulated edges (src ∪ nbr) — on k-NN
+    graphs every vector is a src, so this equals the embedding universe.
+    """
+    from ..operators.graph import PR_ITERS, pagerank
+
+    iters = iters or PR_ITERS
+    edges_t, ranks_t = f"{name}_edges", f"{name}_ranks"
+    if fresh_tables:
+        _drop_table(spark, edges_t)
+        _drop_table(spark, ranks_t)
+        spark.sql(
+            f"CREATE TABLE {edges_t} (src_id BIGINT, nbr_id BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    edges = (
+        spark.readStream.schema("src_id long, nbr_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    def pr_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.select(
+                "src_id", "nbr_id", F.lit(epoch_id).cast("long").alias("epoch")
+            ).write.mode("overwrite").insertInto(edges_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        acc = s.table(edges_t).select("src_id", "nbr_id")
+        verts = acc.select(F.col("src_id").alias("vertex_id")).unionByName(
+            acc.select(F.col("nbr_id").alias("vertex_id"))
+        )
+        ranks = pagerank(acc, verts, iters=iters)
+        ranks.write.mode("overwrite").saveAsTable(ranks_t)
+        s.catalog.refreshTable(ranks_t)
+
+    w = edges.writeStream.foreachBatch(pr_epoch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

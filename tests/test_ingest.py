@@ -325,3 +325,88 @@ class TestIngestCrashReplay:
         ).parquet(stage + "/part-1.parquet")
         _ingest_epoch(last_chunk, 1, "t_ing_idem_kept", "t_ing_idem_fps")
         assert snap() == before
+
+
+class TestPagerankStream:
+    def test_chunked_replay_final_ranks_equal_batch(self, spark, sf_dir):
+        """After the last edge chunk, the refreshed ranks table must be
+        BIT-identical (integer rank_units included) to the batch
+        pagerank_knn over the full corpus — the MV-discipline contract
+        for the graph family's streaming twin."""
+        from gmall_flink_200621_spark.plans.training import pagerank_knn
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_pagerank_stream,
+            stage_knn_edge_chunks,
+        )
+
+        stage = stage_knn_edge_chunks(spark, sf_dir, n_chunks=3)
+        q = run_pagerank_stream(spark, stage, name="t_pr")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = {
+            r.vertex_id: (r.out_deg, r.rank_units, r.rank)
+            for r in spark.table("t_pr_ranks").collect()
+        }
+        want = {
+            r.vertex_id: (r.out_deg, r.rank_units, r.rank)
+            for r in pagerank_knn(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_crash_replay_and_checkpoint_recovery(self, spark, sf_dir, tmp_path):
+        """Kill after the first chunk, restart on the same checkpoint with
+        the remaining chunks staged: the restart reads ONLY the new
+        files, the epoch-partitioned edge table holds each edge once,
+        and the final ranks equal the batch run."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.plans.training import pagerank_knn
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_pagerank_stream,
+            stage_knn_edge_chunks,
+        )
+
+        full = stage_knn_edge_chunks(spark, sf_dir, n_chunks=3)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+
+        q = run_pagerank_stream(spark, str(incr), name="t_pr_rec", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_pagerank_stream(
+            spark, str(incr), name="t_pr_rec", checkpoint_dir=ckpt, fresh_tables=False
+        )
+        q2.processAllAvailable()
+        restarted = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        q2.stop()
+        q2.awaitTermination()
+        assert len(restarted) == 2  # offsets resumed: only the new chunks
+
+        spark.catalog.refreshTable("t_pr_rec_edges")
+        spark.catalog.refreshTable("t_pr_rec_ranks")
+        import pyarrow.parquet as pq
+
+        n_edges_staged = sum(
+            pq.read_metadata(os.path.join(full, f)).num_rows
+            for f in os.listdir(full)
+        )
+        assert spark.table("t_pr_rec_edges").count() == n_edges_staged
+
+        got = {
+            r.vertex_id: (r.out_deg, r.rank_units)
+            for r in spark.table("t_pr_rec_ranks").collect()
+        }
+        want = {
+            r.vertex_id: (r.out_deg, r.rank_units)
+            for r in pagerank_knn(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
