@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "boilerplate_scrub",
     "cluster_aware_split",
     "column_profile",
+    "spend_gini",
+    "tokenizer_fertility",
 ]
 
 

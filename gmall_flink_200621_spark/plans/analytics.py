@@ -620,6 +620,42 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase revenue — the single-number
+    inequality read-out beside revenue_pareto's decile curve (a training-
+    data budget skew / marketplace concentration metric). Rank formula
+    over spend ascending (ties broken by user_id — total order):
+
+        G = (2·Σ rank_i·x_i − (N+1)·Σ x_i) / (N·Σ x_i)
+
+    Ranks come from `global_rank_ntile` — distributed, no single-task
+    sort over the per-user aggregate. Σ rank·cents accumulates as
+    DECIMAL(38,0) (exact, partition-order independent; int64 would
+    overflow near ~10⁹ users × 10⁹ max-rank × cents — the
+    value_anomalies decimal posture); the final division converts the
+    exact integers to double identically in both engines."""
+    from ..operators.ranking import global_rank_ntile
+
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    )
+    ranked = global_rank_ntile(spend, [F.asc("cents"), F.asc("user_id")])
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("total_cents"),
+        (
+            (
+                2 * F.sum((F.col("global_rank") * F.col("cents")).cast("decimal(38,0)"))
+                - (F.count(F.lit(1)) + 1).cast("decimal(38,0)") * F.sum("cents")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("decimal(38,0)") * F.sum("cents")).cast("double")
+        ).alias("gini"),
+    )
+
+
 def join_blowup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality forecast for candidate keys, computed from the
     same per-key counts as skew_audit: a self-equi-join on key k produces
@@ -749,6 +785,7 @@ ANALYTICS_QUERIES = {
     "transition_matrix": transition_matrix,
     "ltv_cohorts": ltv_cohorts,
     "revenue_pareto": revenue_pareto,
+    "spend_gini": spend_gini,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -771,6 +808,20 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "spend_gini": """
+WITH spend AS (
+  SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents ASC, user_id ASC) AS rnk FROM spend
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(CAST(rnk AS DECIMAL(38,0)) * cents)
+            - (count(*) + 1) * SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+         / CAST(count(*) * SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS gini
+FROM ranked
+""",
     "revenue_pareto": """
 WITH spend AS (
   SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -378,6 +378,33 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility audit: how many subword tokens a
+    word costs in each (predicted) language — the number that drives
+    per-language token-budget and vocabulary-allocation decisions
+    (high-fertility languages burn budget). fertility = Σ bpe_est /
+    Σ ws_tokens and pieces_per_word = Σ pre-tok pieces / Σ ws_tokens,
+    aggregated from the pinned `token_counts` estimates grouped by the
+    pinned `lang_id` prediction.
+
+    Scale shape: two row-local per-doc frames (each one scan) joined on
+    doc_id — the join carries ~30-byte stat rows, never text — then a
+    |languages|-row aggregate. Integer sums; the two divisions convert
+    exact integers identically in both engines."""
+    docs = _docs(spark, sf_dir)
+    j = T.token_counts(docs).join(T.lang_id(docs), "doc_id")
+    return j.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("ws_tokens"),
+        F.sum("n_bpe_est").alias("bpe_tokens"),
+        F.sum(F.col("n_pieces").cast("long")).alias("pieces"),
+        (F.sum("n_bpe_est") / F.sum("n_ws_tokens")).alias("fertility"),
+        (F.sum(F.col("n_pieces").cast("long")) / F.sum("n_ws_tokens")).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation surface: the (true lang × predicted lang)
     confusion matrix for the marker-stopword lang_id, with each cell's
@@ -595,6 +622,7 @@ TRAINING_QUERIES = {
     "pagerank_knn": pagerank_knn,
     "perceptron_lang": perceptron_lang,
     "lang_confusion": lang_confusion,
+    "tokenizer_fertility": tokenizer_fertility,
     "embedding_norm_audit": embedding_norm_audit,
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,

@@ -375,6 +375,27 @@ SELECT doc_id,
 FROM documents
 """
 
+TOKENIZER_FERTILITY = f"""
+WITH {_LANG_ID_CTES},
+pred AS (SELECT doc_id, {_lang_case()} AS lang_pred FROM withbest),
+tc AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '), t -> (length(t) + 3) // 4)) AS BIGINT) AS n_bpe_est,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_pieces
+  FROM documents
+)
+SELECT lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe_est) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+       CAST(SUM(n_bpe_est) AS BIGINT) / CAST(SUM(n_ws_tokens) AS BIGINT) AS fertility,
+       CAST(SUM(n_pieces) AS BIGINT) / CAST(SUM(n_ws_tokens) AS BIGINT) AS pieces_per_word
+FROM tc JOIN pred USING (doc_id)
+GROUP BY 1
+"""
+
 _LANG_SCORED = ", ".join(
     f"len(list_intersect(list_distinct(string_split(text, ' ')), {list(m)})) AS s_{lang}"
     for lang, m in LANG_MARKERS.items()
@@ -1517,6 +1538,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
     "lang_confusion": LANG_CONFUSION,
+    "tokenizer_fertility": TOKENIZER_FERTILITY,
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT,
     "rolling_fingerprint": ROLLING_FINGERPRINT,
     "token_counts": TOKEN_COUNTS,

@@ -631,3 +631,55 @@ class TestDedupRateBySource:
         assert (a.n_docs, a.n_unique, a.n_dup_docs, a.n_shared_fps) == (3, 2, 1, 1)
         assert a.dup_rate == 1 / 3
         assert (b.n_docs, b.n_unique, b.n_dup_docs, b.n_shared_fps) == (2, 2, 0, 1)
+
+
+class TestSpendGini:
+    def test_known_distributions(self, spark, tmp_path):
+        """Planted spends with hand-computable Gini: perfectly equal
+        spenders → G = 0; and the 4-user case [1,1,1,7] cents →
+        G = (2*(1+2+3+28) - 5*10) / (4*10) = 18/40 = 0.45."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.plans.analytics import spend_gini
+
+        def stage(cents_list):
+            d = str(tmp_path / f"sf_{len(cents_list)}_{sum(cents_list)}")
+            import os
+
+            os.makedirs(d, exist_ok=True)
+            pd.DataFrame(
+                {
+                    "event_id": range(len(cents_list)),
+                    "user_id": range(len(cents_list)),
+                    "event_type": ["purchase"] * len(cents_list),
+                    "value": [c / 100.0 for c in cents_list],
+                    "ts": pd.to_datetime("2024-01-01"),
+                }
+            ).to_parquet(f"{d}/events.parquet", index=False)
+            return d
+
+        r = spend_gini(spark, stage([5, 5, 5, 5])).first()
+        assert r.n_users == 4 and abs(r.gini) < 1e-12
+
+        r = spend_gini(spark, stage([1, 1, 1, 7])).first()
+        assert abs(r.gini - 0.45) < 1e-12
+
+
+class TestTokenizerFertility:
+    def test_invariants_on_corpus(self, spark, sf_dir):
+        """Every language bucket: fertility ≥ 1 (a word is ≥1 subword),
+        totals consistent with the per-doc token_counts sums."""
+        from gmall_flink_200621_spark.plans.training import (
+            token_counts,
+            tokenizer_fertility,
+        )
+
+        rows = tokenizer_fertility(spark, sf_dir).collect()
+        assert rows
+        assert all(r.fertility >= 1.0 for r in rows)
+        assert all(abs(r.fertility - r.bpe_tokens / r.ws_tokens) < 1e-12 for r in rows)
+        tc = token_counts(spark, sf_dir).agg(
+            {"n_ws_tokens": "sum", "n_bpe_est": "sum"}
+        ).first()
+        assert sum(r.ws_tokens for r in rows) == tc["sum(n_ws_tokens)"]
+        assert sum(r.bpe_tokens for r in rows) == tc["sum(n_bpe_est)"]
