@@ -232,13 +232,24 @@ def _capped_buckets(
 
     Work bound: stage-2 groups have expected size ≤ cap under the hash
     uniformity of vec_id — so per-group matmul cost is O(cap²·d)
-    regardless of corpus pathology."""
+    regardless of corpus pathology.
+
+    Short-circuit: one tiny count-aggregate job (map-side-combined
+    (bi, bv) pairs → a 1-row max, the driver-sees-a-scalar discipline)
+    decides whether ANY bucket overflows; the common no-overflow case
+    then keeps the original plan — without this, the overflow branch's
+    empty-input stages still scheduled (+~2 s per graph query at sf0.1)
+    and its subtrees bloated every consumer's plan."""
     bucketed = stacked.join(e, "vec_id")
+    if bucket_cap is not None:
+        sizes = stacked.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("bcnt"))
+        mx = sizes.agg(F.max("bcnt")).first()[0]
+        if mx is None or mx <= bucket_cap:
+            bucket_cap = None
     if bucket_cap is None:
         return bucketed.withColumn("sub", F.lit(0).cast("long")).withColumn(
             "sub2", F.lit(0).cast("long")
         )
-    sizes = stacked.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("bcnt"))
     bucketed = bucketed.join(
         sizes.filter(F.col("bcnt") > bucket_cap), ["bi", "bv"], "left"
     )
