@@ -555,3 +555,83 @@ def run_pagerank_stream(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def run_dedup_clusters_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    name: str = "cluster_ingest",
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    reset_tables: bool = True,
+):
+    """Incremental duplicate CLUSTERING: the near-dup ingest
+    (`_neardup_epoch` — same state tables, same protocol) plus a
+    per-epoch connected-components refresh of a `<name>_clusters` table:
+    every ingested doc's canonical_id, maintained as data arrives — the
+    MV discipline applied to `dedup_clusters`, exactly as
+    `run_pagerank_stream` applies it to pagerank. A corpus build that
+    dedups incrementally needs the CLUSTER view incrementally too (the
+    canonical assignment changes when a new doc bridges two existing
+    clusters — only a refresh over the accumulated pair graph gets that
+    transitive merge right).
+
+    Tables: the three near-dup state tables, plus `<name>_docs`
+    (doc_id, epoch — the full ingested universe, so shingle-less docs
+    still appear as singletons) and `<name>_clusters`
+    (doc_id, canonical_id — full overwrite per epoch; a deterministic
+    pure function of the accumulated state, so crash replays overwrite
+    identical content).
+
+    Refresh cost is the CC loop over the accumulated DUP-GRAPH vertices
+    (dedup_clusters' data-minimal iteration space — percent-scale of the
+    corpus), not the corpus; the full doc table joins back once. Final
+    table after the last chunk == batch `dedup_clusters` (pinned; holds
+    under the same df_cap-free condition the near-dup twin documents)."""
+    from ..operators.dedup import dedup_clusters
+
+    bands_t, shs_t, pairs_t = f"{name}_bands", f"{name}_shsets", f"{name}_pairs"
+    docs_t, clusters_t = f"{name}_docs", f"{name}_clusters"
+    if reset_tables:
+        for t in (bands_t, shs_t, pairs_t, docs_t, clusters_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {bands_t} (doc_id BIGINT, bi INT, bv STRING, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {shs_t} (doc_id BIGINT, shs ARRAY<BIGINT>, n_sh INT, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {pairs_t} (id_a BIGINT, id_b BIGINT, jaccard DOUBLE, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {docs_t} (doc_id BIGINT, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+
+    stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def cluster_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _neardup_epoch(batch_df, epoch_id, bands_t, shs_t, pairs_t)
+        s = batch_df.sparkSession
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.select(
+                "doc_id", F.lit(epoch_id).cast("long").alias("epoch")
+            ).write.mode("overwrite").insertInto(docs_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        clusters = dedup_clusters(
+            s.table(docs_t).select("doc_id"),
+            pairs=s.table(pairs_t).select("id_a", "id_b"),
+        )
+        clusters.write.mode("overwrite").saveAsTable(clusters_t)
+        s.catalog.refreshTable(clusters_t)
+
+    w = docs.writeStream.foreachBatch(cluster_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

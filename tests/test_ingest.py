@@ -410,3 +410,30 @@ class TestPagerankStream:
             for r in pagerank_knn(spark, sf_dir).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestDedupClustersStream:
+    def test_final_clusters_equal_batch(self, spark, sf_dir):
+        """The per-epoch CC refresh over the accumulated near-dup state:
+        after the last chunk, every doc's canonical_id equals the
+        one-shot batch dedup_clusters — including transitive merges
+        where a later chunk's doc bridges two earlier clusters."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_clusters
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import run_dedup_clusters_stream
+
+        q = run_dedup_clusters_stream(spark, sf_dir, n_chunks=4, name="t_cc")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = {
+            r.doc_id: r.canonical_id for r in spark.table("t_cc_clusters").collect()
+        }
+        batch = {
+            r.doc_id: r.canonical_id
+            for r in dedup_clusters(load_table(spark, sf_dir, "documents")).collect()
+        }
+        assert got == batch and len(got) > 0
+        # sanity: at least one non-trivial cluster was merged
+        assert any(d != c for d, c in got.items())
