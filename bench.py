@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_trained",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

@@ -222,6 +222,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ivf(_emb(spark, sf_dir))
 
 
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-trained quantizer — see
+    operators/similarity.knn_ivf_trained."""
+    return V.knn_ivf_trained(_emb(spark, sf_dir))
+
+
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
@@ -597,6 +603,7 @@ TRAINING_QUERIES = {
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "knn_ivf_trained": knn_ivf_trained,
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,

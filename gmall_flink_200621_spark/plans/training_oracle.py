@@ -980,6 +980,37 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(cosine, 6) AS cosine
 FROM assign{KM_ITERS}
 """
 
+# IVF probing over the TRAINED quantizer: the same kmeans CTE chain
+# (training replicated bit-for-bit), then knn_ivf's probe/rerank shape
+# with cents{KM_ITERS} as the centroid frame and assign{KM_ITERS} as the
+# inverted index
+KNN_IVF_TRAINED = f"""
+{_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
+probes AS (
+  SELECT query_id, cent_id AS list_id FROM (
+    SELECT qs.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY qs.vec_id
+                              ORDER BY {_cosine_sql("qs.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e qs, cents{KM_ITERS} c WHERE qs.vec_id % 100 = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cosine_sql("qv.q", "nv.q")} AS cosine
+  FROM probes p
+  JOIN assign{KM_ITERS} a ON p.list_id = a.cluster
+  JOIN e qv ON qv.vec_id = p.query_id
+  JOIN e nv ON nv.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
 SEMDEDUP = f"""
 {_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
 m AS (SELECT a.vec_id, a.cluster, e.q FROM assign{KM_ITERS} a JOIN e ON a.vec_id = e.vec_id),
@@ -1546,6 +1577,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_brute": KNN_BRUTE,
     "knn_lsh": KNN_LSH,
     "knn_ivf": KNN_IVF,
+    "knn_ivf_trained": KNN_IVF_TRAINED,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,

@@ -285,6 +285,28 @@ class TestSimilarity:
         else:
             assert recall >= 0.3, recall  # nprobe=4 of ~15 lists
 
+    def test_knn_ivf_trained_recall_pinned(self, spark, sf_dir):
+        """The trained-quantizer IVF is deterministic end-to-end (fixed-
+        point Lloyd's + fixed-point probing), so recall vs brute is a
+        CONSTANT per dataset — pinned exactly (0.56 / 0.60), with the
+        no-invented-scores check: any pair shared with brute carries the
+        identical cosine."""
+        from gmall_flink_200621_spark.operators.similarity import (
+            knn_brute,
+            knn_ivf_trained,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r.query_id, r.neighbor_id): r.cosine for r in knn_brute(emb).collect()}
+        approx = {
+            (r.query_id, r.neighbor_id): r.cosine for r in knn_ivf_trained(emb).collect()
+        }
+        assert approx
+        assert all(exact[p] == c for p, c in approx.items() if p in exact)
+        recall = len(set(exact) & set(approx)) / len(exact)
+        assert recall == (0.56 if sf_dir.endswith("sf0.001") else 0.60), recall
+
     def test_knn_lsh_recall_vs_brute(self, spark, sf_dir):
         """Recall guard for BANDED sign-LSH (4 bands × 4 planes,
         candidate on any band match). The single-bucket 8-plane form
@@ -684,7 +706,7 @@ class TestKmeansSemdedup:
         emb = load_table(spark, sf_dir, "embeddings")
         means = []
         for iters in (0, 2):
-            _, assign = _kmeans_state(emb, cent_mod=29, iters=iters)
+            _, assign, _c = _kmeans_state(emb, cent_mod=29, iters=iters)
             means.append(assign.agg(F.avg("cosine")).first()[0])
         assert means[1] >= means[0] - 1e-12
 
