@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_trained",
+    "knn_rp",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

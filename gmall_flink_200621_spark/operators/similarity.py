@@ -503,6 +503,110 @@ def knn_ivf(
     )
 
 
+RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality (64 → 16)
+RP_PLANE_OFFSET = 1000  # coeff stream offset — independent of the LSH planes
+RP_SHIFT = 4096  # power-of-two post-projection downscale (keeps dots < 2^63)
+
+
+def rp_project(e: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) dimensionality reduction
+    64 → `out_dim`, entirely in the fixed-point integer contract: the
+    projection matrix is the deterministic `_plane_coeff` stream (offset
+    so it shares nothing with the LSH planes), applied as the SAME
+    relational matmul as `sign_band_frame` (posexplode + broadcast coeff
+    join + combinable sum — whole-stage codegen, map-side combined,
+    vectors never shuffle whole). Projected components downscale by a
+    power of two via floor(x/4096) — exact on doubles below 2^53 and
+    identical in DuckDB — so 16-dim dots stay < 2^63
+    (|q_i| ≤ 0.53·2^24, |c| ≤ 500 ⇒ |proj| ≤ 2.8e11 ⇒ scaled ≤ 6.9e7 ⇒
+    dot ≤ 16·(6.9e7)² ≈ 7.6e16). Output: (vec_id, qp array<long>, n2p).
+
+    The JL use-case: any downstream distance computation (ANN probing,
+    clustering, dedup blocking) runs 4× fewer multiply-adds per pair at
+    a bounded cosine distortion — `knn_rp`'s pinned recall measures that
+    distortion on this corpus."""
+    spark = e.sparkSession
+    coef = spark.createDataFrame(
+        [
+            (p, d, _plane_coeff(RP_PLANE_OFFSET + p, d))
+            for p in range(out_dim)
+            for d in range(DIM)
+        ],
+        "p int, d int, c long",
+    )
+    qd = e.select("vec_id", F.posexplode("q").alias("d", "qx"))
+    return (
+        qd.join(F.broadcast(coef), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("proj"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "p",
+                            F.floor(F.col("proj") / F.lit(float(RP_SHIFT)))
+                            .cast("long")
+                            .alias("s"),
+                        )
+                    )
+                ),
+                lambda st: st.s,
+            ).alias("qp")
+        )
+        .withColumn("n2p", _idot(F.col("qp"), F.col("qp")))
+    )
+
+
+def knn_rp(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    out_dim: int = RP_DIM,
+) -> DataFrame:
+    """Exact top-k cosine in the RANDOM-PROJECTED space (`rp_project`) —
+    the JL speed/recall trade measured end-to-end: the scan and ranking
+    shape is knn_brute's (query subset broadcasts, corpus never
+    shuffles), but every pair costs out_dim multiply-adds instead of 64.
+    Projected cosine ≠ original cosine (that's the point — recall vs
+    brute IS the distortion metric, pinned exactly in tests: 0.04 /
+    0.08 at sf0.001/sf0.01). That near-floor recall is itself the
+    finding this audit exists to surface: the synthetic testdata is
+    isotropic noise, whose top-k gaps are smaller than JL's ε ≈
+    √(ln n / out_dim) distortion — a REAL embedding corpus concentrates
+    near a low-dimensional manifold and keeps most of its neighborhood
+    structure at 4× compression. Run knn_rp vs knn_brute on a corpus
+    sample BEFORE adopting projected distances anywhere downstream; a
+    recall this low says don't. Within the operator everything is
+    integer-exact, so the oracle hash-certifies it like the rest of the
+    family."""
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    p = rp_project(e, out_dim).persist()  # feeds both join sides
+    q = p.select(
+        F.col("vec_id").alias("query_id"), F.col("qp").alias("qq"), F.col("n2p").alias("qn2")
+    ).filter(F.col("query_id") % query_mod == 0)
+    c = p.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qp").alias("qc"), F.col("n2p").alias("cn2")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine_rp",
+        _idot(F.col("qq"), F.col("qc"))
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_rp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_rp", 6).alias("cosine_rp"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def knn_ivf_trained(
     embeddings: DataFrame,
     k: int = KNN_K,

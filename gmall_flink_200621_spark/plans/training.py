@@ -228,6 +228,12 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ivf_trained(_emb(spark, sf_dir))
 
 
+def knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine in the Johnson-Lindenstrauss random-projected space
+    (64 → 16 dims) — see operators/similarity.rp_project / knn_rp."""
+    return V.knn_rp(_emb(spark, sf_dir))
+
+
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
@@ -604,6 +610,7 @@ TRAINING_QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "knn_ivf_trained": knn_ivf_trained,
+    "knn_rp": knn_rp,
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,

@@ -517,6 +517,49 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _rp_proj_sql() -> str:
+    """The 16 projected-and-downscaled components as a SQL list literal —
+    coefficient lists generated from the SAME `_plane_coeff` stream
+    (offset RP_PLANE_OFFSET) the Spark side uses; floor(x/4096.0) is
+    exact (power-of-two division of ints < 2^53)."""
+    from ..operators.similarity import RP_DIM, RP_PLANE_OFFSET, RP_SHIFT
+
+    comps = []
+    for p in range(RP_DIM):
+        coeffs = ", ".join(str(_plane_coeff(RP_PLANE_OFFSET + p, d)) for d in range(DIM))
+        proj = f"list_sum(list_transform(generate_series(1, {DIM}), i -> q[i] * ([{coeffs}])[i]))"
+        comps.append(f"CAST(floor(({proj}) / {RP_SHIFT}.0) AS BIGINT)")
+    return "[" + ", ".join(comps) + "]"
+
+
+def _rp_dim() -> int:
+    from ..operators.similarity import RP_DIM
+
+    return RP_DIM
+
+
+KNN_RP = f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+proj AS (SELECT vec_id, {_rp_proj_sql()} AS qp FROM e),
+qs AS (SELECT vec_id AS query_id, qp AS qq FROM proj WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_IDOT.format(n=_rp_dim(), a="qq", b="c.qp")}
+           / (sqrt({_IDOT.format(n=_rp_dim(), a="qq", b="qq")})
+              * sqrt({_IDOT.format(n=_rp_dim(), a="c.qp", b="c.qp")})) AS cosine_rp
+  FROM qs, proj c
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_rp,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_rp DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine_rp, 6) AS cosine_rp, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def _band_bucket_sql(q: str, band: int, rows: int) -> str:
     """Mirror of the Spark band_col: sign bits of the band's `rows`
     hyperplanes (plane index band*rows + r, bit 1 << r)."""
@@ -1578,6 +1621,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_lsh": KNN_LSH,
     "knn_ivf": KNN_IVF,
     "knn_ivf_trained": KNN_IVF_TRAINED,
+    "knn_rp": KNN_RP,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,

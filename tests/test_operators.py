@@ -307,6 +307,38 @@ class TestSimilarity:
         recall = len(set(exact) & set(approx)) / len(exact)
         assert recall == (0.56 if sf_dir.endswith("sf0.001") else 0.60), recall
 
+    def test_knn_rp_distortion_pinned(self, spark, sf_dir):
+        """knn_rp is the JL distortion AUDIT: on this isotropic synthetic
+        corpus 64→16 projection destroys neighborhood order (recall
+        0.04/0.08 — deterministic, pinned exactly; the docstring's
+        'don't adopt projected distances here' verdict). Also pins the
+        projection arithmetic: every vector projects to exactly RP_DIM
+        bounded components (|scaled| ≤ ~6.9e7, the no-overflow bound)."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            RP_DIM,
+            knn_brute,
+            knn_rp,
+            quantize,
+            rp_project,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r.query_id, r.neighbor_id) for r in knn_brute(emb).collect()}
+        rp = {(r.query_id, r.neighbor_id) for r in knn_rp(emb).collect()}
+        recall = len(exact & rp) / len(exact)
+        assert recall == (0.04 if sf_dir.endswith("sf0.001") else 0.08), recall
+
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        p = rp_project(e)
+        bad = p.filter(
+            (F.size("qp") != RP_DIM)
+            | F.exists("qp", lambda x: F.abs(x) > F.lit(70_000_000))
+        ).count()
+        assert bad == 0
+
     def test_knn_lsh_recall_vs_brute(self, spark, sf_dir):
         """Recall guard for BANDED sign-LSH (4 bands × 4 planes,
         candidate on any band match). The single-bucket 8-plane form
