@@ -324,3 +324,67 @@ class TestPageRankProperty:
         )
         got = {x.vertex_id: x.rank_units for x in pagerank(edf, vdf, iters=3).collect()}
         assert got == r
+
+
+class TestGlobalRankNtileProperty:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+        ),
+        n=st.integers(min_value=1, max_value=12),
+        nparts=st.integers(min_value=1, max_value=5),
+    )
+    def test_matches_window_for_any_n_and_partitioning(self, spark, vals, n, nparts):
+        """global_rank_ntile == partition-less row_number/ntile window for
+        arbitrary values (ties included — id tiebreak makes the order
+        total), any bucket count, any range-partition count."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        rows = [(v, i) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "v long, id long")
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r.id: (r.global_rank, r.ntile)
+            for r in global_rank_ntile(df, order, n=n, npartitions=nparts).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r.id: (r.rn, r.nt)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(n).over(w).alias("nt"),
+            ).collect()
+        }
+        assert got == want
+
+
+class TestBpeProperty:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=15
+        ),
+        k=st.integers(min_value=1, max_value=5),
+    )
+    def test_incremental_counts_match_python_reference(self, spark, words, k):
+        """The delta-maintained pair counts must agree with the full
+        recount the Python reference performs, for arbitrary tiny
+        corpora — overlap runs ('aaa'), repeated words, and early
+        exhaustion (fewer than k merges possible) included."""
+        from collections import Counter
+
+        from gmall_flink_200621_spark.operators.bpe import bpe_merges
+        from tests.test_operators import TestBpe
+
+        docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        got = [
+            (r.rank, r.left, r.right, r.pair_count)
+            for r in bpe_merges(docs, n_merges=k).collect()
+        ]
+        expected = TestBpe._py_bpe(dict(Counter(words)), k)
+        assert got == expected
