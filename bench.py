@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_search_rrf",
     "dedup_rate_by_source",
+    "source_minhash_setops",
     "bigram_lm_score",
     "sparse_cosine_pairs",
     "embedding_quantize",

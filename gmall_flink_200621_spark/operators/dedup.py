@@ -338,6 +338,70 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def source_minhash_setops(
+    docs: DataFrame, perms: int = MINHASH_PERMS, df_cap: int | None = DF_CAP
+) -> DataFrame:
+    """Sketch-based SET OPERATIONS between corpus sources: each source's
+    shingle set is summarized by one MinHash signature (elementwise MIN
+    over every member hash — the merge that makes MinHash a distributed
+    sketch: per-partition partial mins combine associatively, so a
+    source's signature costs one combinable aggregation no matter how
+    many documents or executors), then every source pair reports the
+    signature-estimated Jaccard NEXT TO the exact one — the
+    estimate-error audit that tells you whether the 16-perm sketch is
+    trustworthy before you rely on it where the exact computation is
+    unaffordable.
+
+    Scale shape: the exact path shuffles distinct (source, h60) longs
+    (never text) once for the per-source sizes and once self-joined on h
+    for intersections — Σ per-hash source-pair work, bounded by shingle
+    sharing; the SKETCH path is O(sources · perms) after one combinable
+    agg — the 100 TB survivor when sources × shingles explodes. Pairs
+    with no shared shingles still emit (exact_jaccard 0). Integer counts
+    + dyadic est division ⇒ oracle-exact."""
+    src_h = (
+        _doc_shingles(docs, df_cap)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", h60(F.col("shingle")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    sigs = src_h.groupBy("source").agg(
+        F.array(*[F.min(minhash_sig(F.col("h"), i)) for i in range(perms)]).alias("sig"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    a = sigs.select(
+        F.col("source").alias("source_a"), F.col("sig").alias("sig_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"), F.col("sig").alias("sig_b"), F.col("n_sh").alias("n_b")
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    inter = (
+        src_h.alias("x")
+        .join(src_h.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"),
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+                "exact_jaccard"
+            ),
+            (est / F.lit(perms)).alias("est_jaccard"),
+        )
+    )
+
+
 def stacked_band_frame(sigs: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
     """(doc_id, bi, bv): LSH band values in STACKED long form, so the
     bucket join is ONE self-join keyed on (band_idx, value) — `bands`

