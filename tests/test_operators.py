@@ -466,6 +466,54 @@ class TestKnnGraphBucketCap:
         # every duplicate keeps a full fan-out of ~identical neighbors
         assert (dup.groupby("src_id").size() == 3).all()
         assert (dup.cosine > 0.999999).all()
+
+    def test_diverse_hot_bucket_splits_via_deeper_signs(self, spark):
+        """Stage-1 path: DIVERSE vectors overflowing a bucket (random
+        corpus, tiny cap) have differing deeper-plane signs, so the
+        re-band fans each over-cap (bi, bv) bucket into multiple
+        sub-buckets (depth = ceil(log2(bcnt/cap)) leaves expected sub
+        size in (cap/2, cap], so stage 2 legitimately mops up the
+        minority of subs that fluctuate over cap); every final group
+        stays <= 2*cap and no (vec, band) row is lost."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            DIM,
+            LSH_PLANES,
+            LSH_SIGN_BANDS,
+            _capped_buckets,
+            _idot,
+            quantize,
+            sign_band_frame,
+        )
+
+        rng = np.random.RandomState(11)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.uniform(-0.5, 0.5, DIM)]) for i in range(600)],
+            "vec_id long, embedding array<float>",
+        )
+        cap, bands, rows = 16, LSH_SIGN_BANDS, LSH_PLANES // 2
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+        stacked = sign_band_frame(e, bands, rows)
+        capped = _capped_buckets(e, stacked, bands, rows, cap).persist()
+        groups = capped.groupBy("bi", "bv", "sub", "sub2").count().toPandas()
+        assert groups["count"].max() <= 2 * cap
+        # stage 1 did the bulk of the splitting: most rows keep sub2 == 0
+        n_stage2 = capped.filter("sub2 != 0").count()
+        assert 0 < n_stage2 < 600 * bands / 2
+        # at E[B] ~ 37 per (band, bucket), most buckets overflowed: the
+        # re-band must have produced real fan-out, not a single sub each
+        per_bucket = groups.groupby(["bi", "bv"]).size()
+        assert (per_bucket > 1).sum() >= 10
+        # and distinct deeper-sign subs actually appeared (not one sub
+        # hash-split later): multiple sub values per overflowed bucket
+        multi_sub = groups.groupby(["bi", "bv"])["sub"].nunique()
+        assert (multi_sub > 1).sum() >= 10
+        # conservation: every (vec, band) row survives the split
+        assert groups["count"].sum() == 600 * bands
     def test_extract_features_shape(self, spark):
         from gmall_flink_200621_spark.operators.multimodal import (
             FEATURE_DIM,
