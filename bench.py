@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "cluster_aware_split",
     "column_profile",
     "spend_gini",
+    "cdc_compaction",
     "tokenizer_fertility",
 ]
 

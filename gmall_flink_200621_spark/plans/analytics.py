@@ -620,6 +620,45 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_DELETE_TYPE = "error"  # changelog op mapping: 'error' rows are deletes
+
+
+def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction: interpret the event stream as a
+    changelog on user_id ('{CDC_DELETE_TYPE}' = DELETE, everything else
+    = UPSERT of `value`), and emit the CURRENT table — each key's latest
+    surviving row — the merge primitive every lakehouse ingest
+    (Hudi/Delta MERGE, Kafka compacted topics) is built on.
+
+    Latest = max (ts, event_id) per key (a total order — deterministic
+    under ties); keys whose latest op is a delete are absent. Shape: one
+    hash shuffle on user_id + a per-key window — no global sort; at
+    100 TB this is the standard merge-on-read compaction shape. The
+    streaming twin (`run_cdc_compaction_stream`) maintains the same
+    table incrementally with hash-bucketed dynamic partition overwrite
+    and TOMBSTONE retention (latest-wins is an idempotent semilattice —
+    replays and redeliveries converge, pinned in tests)."""
+    e = load_table(spark, sf_dir, "events")
+    latest = (
+        e.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(F.col("event_type") != CDC_DELETE_TYPE).select(
+        "user_id",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_op"),
+        F.col("v_cents").alias("last_v_cents"),
+    )
+
+
 def spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user purchase revenue — the single-number
     inequality read-out beside revenue_pareto's decile curve (a training-
@@ -786,6 +825,7 @@ ANALYTICS_QUERIES = {
     "ltv_cohorts": ltv_cohorts,
     "revenue_pareto": revenue_pareto,
     "spend_gini": spend_gini,
+    "cdc_compaction": cdc_compaction,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -808,6 +848,23 @@ e AS (
 )"""
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "cdc_compaction": f"""
+WITH latest AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS ts_us,
+         event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       ts_us AS last_ts_us,
+       event_id AS last_event_id,
+       event_type AS last_op,
+       v_cents AS last_v_cents
+FROM latest WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+""",
     "spend_gini": """
 WITH spend AS (
   SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

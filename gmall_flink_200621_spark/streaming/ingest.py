@@ -36,7 +36,7 @@ import re
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUALITY_MIN = 0.5  # same gates as plans/training.corpus_prep
@@ -635,3 +635,110 @@ def run_dedup_clusters_stream(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+CDC_BUCKETS = 64  # hash buckets partitioning the compacted state table
+
+
+def run_cdc_compaction_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    name: str = "cdc_stream",
+    n_buckets: int = CDC_BUCKETS,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+):
+    """Incremental CDC latest-wins MERGE: the streaming twin of
+    plans/analytics.cdc_compaction, maintaining the compacted current
+    table as events arrive — the poor-man's `MERGE INTO` on plain
+    parquet: the state table is hash-bucketed on pmod(user_id, 64), and
+    each micro-batch rewrites ONLY the buckets containing batch keys via
+    dynamic partition overwrite — per-epoch IO is O(touched buckets),
+    not O(table) (on a transactional format the same body becomes a real
+    MERGE commit).
+
+    Correctness properties, all pinned in tests:
+    - latest-wins over the total (ts_us, event_id) order is an
+      idempotent, commutative, associative merge (a join-semilattice
+      max), so crash-replayed batches and at-least-once redeliveries
+      CONVERGE — a replay merges the same rows into state that already
+      absorbed them and rewrites byte-identical buckets;
+    - DELETE rows are retained as TOMBSTONES in state (filtered from the
+      read view), so a late-arriving upsert older than the delete cannot
+      resurrect the key — dropping tombstones physically is a compaction
+      policy decision (safe once the watermark passes), not part of the
+      merge;
+    - the final view equals the one-shot batch compaction."""
+    state_t = f"{name}_state"
+    if fresh_tables:
+        _drop_table(spark, state_t)
+        spark.sql(
+            f"CREATE TABLE {state_t} (user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+            f" op STRING, v_cents BIGINT, kb INT) USING parquet PARTITIONED BY (kb)"
+        )
+
+    from ..sources.loaders import events_parquet_stream
+
+    events = events_parquet_stream(spark, stage_dir, maxFilesPerTrigger=1)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = batch_df.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.col("event_type").alias("op"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+            F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int").alias("kb"),
+        ).persist()
+        touched = [r.kb for r in rows.select("kb").distinct().collect()]
+        if not touched:
+            rows.unpersist()
+            return
+        state = s.table(state_t).filter(F.col("kb").isin(touched))
+        merged = (
+            state.unionByName(rows)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("ts_us"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.select("user_id", "ts_us", "event_id", "op", "v_cents", "kb").write.mode(
+                "overwrite"
+            ).insertInto(state_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.catalog.refreshTable(state_t)
+        rows.unpersist()
+
+    w = events.writeStream.foreachBatch(merge_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def cdc_current_view(spark: SparkSession, name: str = "cdc_stream") -> DataFrame:
+    """The compacted CURRENT table the stream maintains: tombstones
+    filtered, same schema as the batch cdc_compaction."""
+    from ..plans.analytics import CDC_DELETE_TYPE
+
+    return (
+        spark.table(f"{name}_state")
+        .filter(F.col("op") != CDC_DELETE_TYPE)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("op").alias("last_op"),
+            F.col("v_cents").alias("last_v_cents"),
+        )
+    )

@@ -437,3 +437,125 @@ class TestDedupClustersStream:
         assert got == batch and len(got) > 0
         # sanity: at least one non-trivial cluster was merged
         assert any(d != c for d, c in got.items())
+
+
+class TestCdcCompactionStream:
+    @staticmethod
+    def _stage(sf_dir, tmp_path, n_chunks=3):
+        import os
+
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        n = len(pdf)
+        base = None
+        for i in range(n_chunks):
+            lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+            p = stage / f"part-{i}.parquet"
+            pdf.iloc[lo:hi].to_parquet(p, index=False)
+            if base is None:
+                base = os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+        return stage
+
+    def test_final_view_equals_batch_compaction(self, spark, sf_dir, tmp_path):
+        from gmall_flink_200621_spark.plans.analytics import cdc_compaction
+        from gmall_flink_200621_spark.streaming.ingest import (
+            cdc_current_view,
+            run_cdc_compaction_stream,
+        )
+
+        stage = self._stage(sf_dir, tmp_path)
+        q = run_cdc_compaction_stream(spark, str(stage), name="t_cdc")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = sorted(map(tuple, cdc_current_view(spark, "t_cdc").collect()))
+        want = sorted(map(tuple, cdc_compaction(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0
+
+    def test_redelivered_chunk_converges(self, spark, sf_dir, tmp_path):
+        """Latest-wins is an idempotent semilattice: replaying chunk 0
+        after everything else must leave the state byte-identical —
+        including tombstones (a re-sent old upsert cannot resurrect a
+        deleted key)."""
+        import shutil
+
+        from gmall_flink_200621_spark.plans.analytics import cdc_compaction
+        from gmall_flink_200621_spark.streaming.ingest import (
+            cdc_current_view,
+            run_cdc_compaction_stream,
+        )
+
+        stage = self._stage(sf_dir, tmp_path)
+        shutil.copyfile(stage / "part-0.parquet", stage / "part-9redeliver.parquet")
+        q = run_cdc_compaction_stream(spark, str(stage), name="t_cdc2")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = sorted(map(tuple, cdc_current_view(spark, "t_cdc2").collect()))
+        want = sorted(map(tuple, cdc_compaction(spark, sf_dir).collect()))
+        assert got == want
+
+    def test_tombstone_blocks_late_upsert_and_buckets_are_partial(self, spark, tmp_path):
+        """Planted changelog: key 1 upserted then deleted; a LATER chunk
+        redelivers the OLD upsert — the tombstone must win. Key 2 only
+        ever lives in chunk 0's bucket; the epoch processing chunk 1
+        must not rewrite key 2's bucket (partition mtime unchanged —
+        the O(touched buckets) claim observed, not assumed)."""
+        import os
+        import time
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            cdc_current_view,
+            run_cdc_compaction_stream,
+        )
+
+        def chunk(path, rows, mt):
+            pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": [pd.Timestamp(r[1], unit="s") for r in rows],
+                    "user_id": [r[2] for r in rows],
+                    "event_type": [r[3] for r in rows],
+                    "value": [float(r[4]) for r in rows],
+                    "props": ["{}"] * len(rows),
+                }
+            ).to_parquet(path, index=False)
+            os.utime(path, (mt, mt))
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        t0 = time.time()
+        # chunk 0: key 1 upsert @10 then delete @20; key 2 upsert @10
+        chunk(stage / "part-0.parquet",
+              [(1, 10, 1, "view", 5.0), (2, 20, 1, "error", 0.0), (3, 10, 2, "view", 7.0)], t0)
+        q = run_cdc_compaction_stream(spark, str(stage), name="t_cdc3", n_buckets=64)
+        q.processAllAvailable()
+        # key 2's bucket dir mtime after epoch 0
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        b2 = os.path.join(wh, "t_cdc3_state", "kb=2")
+        mt_before = os.path.getmtime(b2)
+        # chunk 1: redeliver key 1's OLD upsert (ts 10) — tombstone at 20 must win;
+        # also a fresh key 65 (bucket 1, != key 2's bucket)
+        chunk(stage / "part-1.parquet", [(1, 10, 1, "view", 5.0), (4, 30, 65, "click", 9.0)], t0 + 1)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        view = {r.user_id: (r.last_op, r.last_v_cents) for r in cdc_current_view(spark, "t_cdc3").collect()}
+        assert 1 not in view  # tombstone blocked the late upsert
+        assert view[2] == ("view", 700)
+        assert view[65] == ("click", 900)
+        state_ops = {
+            (r.user_id): r.op for r in spark.table("t_cdc3_state").collect()
+        }
+        assert state_ops[1] == "error"  # tombstone retained in state
+        assert os.path.getmtime(b2) == mt_before  # untouched bucket not rewritten
