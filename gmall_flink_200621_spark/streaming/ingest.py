@@ -742,3 +742,106 @@ def cdc_current_view(spark: SparkSession, name: str = "cdc_stream") -> DataFrame
             F.col("v_cents").alias("last_v_cents"),
         )
     )
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    name: str = "scd2_stream",
+    n_buckets: int = CDC_BUCKETS,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+):
+    """Incremental SCD2 dimension maintenance: the streaming twin of
+    plans/analytics.scd2_snapshot — per-user validity intervals
+    maintained as events arrive, the warehouse dimension-build loop run
+    continuously instead of as a nightly batch.
+
+    State = the versions table itself, hash-bucketed on
+    pmod(user_id, {CDC_BUCKETS}) like the CDC merge. Per micro-batch,
+    touched keys' VERSION STARTS (user, state, valid_from, src event) —
+    which are precisely the collapsed representation of their event
+    history — union with the batch's new events and re-collapse under
+    the same (t, event_id) window the batch operator uses; version
+    ordinals and valid_to recompute inside the touched keys' windows,
+    and only touched buckets rewrite (dynamic overwrite).
+
+    Exactness contract: equals the one-shot batch SCD2 under in-order
+    arrival (the staged-replay guarantee every keyed twin documents —
+    out-of-order events would need the late-data engine's buffering in
+    front). LAST-epoch crash replay is idempotent: a replayed event
+    either duplicates an existing version start (identical (t, event_id,
+    state) row — the lag-collapse drops it) or extends a same-state run
+    (collapsed), so the rewritten buckets are byte-identical."""
+    state_t = f"{name}_state"
+    if fresh_tables:
+        _drop_table(spark, state_t)
+        spark.sql(
+            f"CREATE TABLE {state_t} (user_id BIGINT, state STRING, valid_from_us BIGINT,"
+            f" src_event_id BIGINT, valid_to_us BIGINT, version BIGINT, kb INT)"
+            f" USING parquet PARTITIONED BY (kb)"
+        )
+
+    from ..sources.loaders import events_parquet_stream
+
+    events = events_parquet_stream(spark, stage_dir, maxFilesPerTrigger=1)
+
+    def scd2_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        newe = batch_df.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int").alias("kb"),
+        ).persist()
+        touched = [r.kb for r in newe.select("kb").distinct().collect()]
+        if not touched:
+            newe.unpersist()
+            return
+        hist = (
+            s.table(state_t)
+            .filter(F.col("kb").isin(touched))
+            .select(
+                "user_id",
+                "state",
+                F.col("valid_from_us").alias("t"),
+                F.col("src_event_id").alias("event_id"),
+                "kb",
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        merged = (
+            hist.unionByName(newe)
+            .withColumn("prev", F.lag("state").over(w))
+            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+            .select(
+                "user_id",
+                "state",
+                F.col("t").alias("valid_from_us"),
+                F.col("event_id").alias("src_event_id"),
+                F.lead("t").over(w).alias("valid_to_us"),
+                F.row_number().over(w).cast("long").alias("version"),
+                "kb",
+            )
+        )
+        prev_mode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").insertInto(state_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        s.catalog.refreshTable(state_t)
+        newe.unpersist()
+
+    w = events.writeStream.foreachBatch(scd2_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def scd2_current_view(spark: SparkSession, name: str = "scd2_stream") -> DataFrame:
+    """Batch-shaped read of the maintained SCD2 table."""
+    return spark.table(f"{name}_state").select(
+        "user_id", "state", "valid_from_us", "valid_to_us", "version"
+    )

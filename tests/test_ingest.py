@@ -559,3 +559,70 @@ class TestCdcCompactionStream:
         }
         assert state_ops[1] == "error"  # tombstone retained in state
         assert os.path.getmtime(b2) == mt_before  # untouched bucket not rewritten
+
+
+class TestScd2Stream:
+    def test_final_versions_equal_batch_scd2(self, spark, sf_dir, tmp_path):
+        """Chunked in-order replay: the maintained versions table equals
+        the one-shot batch SCD2 — version ordinals, validity bounds, and
+        open (NULL valid_to) rows included, with cross-chunk transitions
+        (a version opened in chunk 1 closed by chunk 2's first event)
+        handled by the re-collapse."""
+        from gmall_flink_200621_spark.plans.analytics import scd2_snapshot
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_scd2_stream,
+            scd2_current_view,
+        )
+
+        stage = TestCdcCompactionStream._stage(sf_dir, tmp_path)
+        q = run_scd2_stream(spark, str(stage), name="t_scd2")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = sorted(map(tuple, scd2_current_view(spark, "t_scd2").collect()))
+        want = sorted(
+            (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.version)
+            for r in scd2_snapshot(spark, sf_dir).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_checkpoint_recovery(self, spark, sf_dir, tmp_path):
+        """Kill after chunk 0, restart on the checkpoint with the rest
+        staged: only new chunks read, final table still equals batch."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.plans.analytics import scd2_snapshot
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_scd2_stream,
+            scd2_current_view,
+        )
+
+        full = TestCdcCompactionStream._stage(sf_dir, tmp_path)
+        incr = tmp_path / "incr"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+        q = run_scd2_stream(spark, str(incr), name="t_scd2r", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_scd2_stream(
+            spark, str(incr), name="t_scd2r", checkpoint_dir=ckpt, fresh_tables=False
+        )
+        q2.processAllAvailable()
+        restarted = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        q2.stop()
+        q2.awaitTermination()
+        assert len(restarted) == 2
+
+        spark.catalog.refreshTable("t_scd2r_state")
+        got = sorted(map(tuple, scd2_current_view(spark, "t_scd2r").collect()))
+        want = sorted(
+            (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.version)
+            for r in scd2_snapshot(spark, sf_dir).collect()
+        )
+        assert got == want and len(got) > 0
