@@ -1932,3 +1932,25 @@ class TestSourceMinhashSetops:
         assert ab.est_jaccard > 0.2  # high-overlap pair clearly nonzero
         for pair in (("A", "C"), ("B", "C")):
             assert out[pair].n_common == 0 and out[pair].exact_jaccard == 0.0
+
+
+class TestRound6PartitionInvariance:
+    def test_new_ops_identical_under_repartition(self, spark, sf_dir):
+        """The round-6 additions hold the engine's partition-invariance
+        contract: results are bit-identical when the input arrives
+        arbitrarily repartitioned (the property that makes hashes stable
+        under AQE/task-retry reduction orders at cluster scale)."""
+        from gmall_flink_200621_spark.operators.dedup import source_minhash_setops
+        from gmall_flink_200621_spark.operators.similarity import knn_ivf_trained, knn_rp
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        for op, frame in (
+            (source_minhash_setops, docs),
+            (knn_ivf_trained, emb),
+            (knn_rp, emb),
+        ):
+            a = sorted(map(tuple, op(frame).collect()))
+            b = sorted(map(tuple, op(frame.repartition(13)).collect()))
+            assert a == b and len(a) > 0, op.__name__
