@@ -83,8 +83,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     ]},
     # ---- round 5 (CORRECTNESS_r05.json, 49/50 + bpe rows-only) ----
     # Overrides any earlier entry by merge order; the r06 window is then the
-    # 2 never-driver-certified names (ltv_cohorts, revenue_pareto — added to
-    # the registry after the r05 window ran) + the 48 stalest r01 names.
+    # never-driver-certified names (ltv_cohorts/revenue_pareto from late r05
+    # plus the six queries added in r06) + the stalest r01/r02 names.
     **{n: 5 for n in [
         "quality_gopher", "importance_weights", "hard_negatives",
         "perplexity_buckets", "tfidf_terms", "embedding_quantize",
