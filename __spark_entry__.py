@@ -104,6 +104,24 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "point_in_time_join", "skew_audit", "attribution_position",
         "join_blowup_audit", "transition_matrix",
     ]},
+    # ---- round 6 (CORRECTNESS_r06.json, 50/50) — freshest, sorts last ----
+    # The r07 window is then any never-driver-certified additions plus the
+    # stalest r02/r03/r04 names (minhash_signatures .. the r04 head).
+    **{n: 6 for n in [
+        "knn_ivf_trained", "knn_rp", "tokenizer_fertility",
+        "source_minhash_setops", "ltv_cohorts", "revenue_pareto", "spend_gini",
+        "cdc_compaction", "hot_items", "hot_items_sql", "hot_urls", "page_view",
+        "page_view_salted", "uv_exact", "uv_approx", "market_by_channel",
+        "ad_click_by_province", "ad_click_blacklist", "ad_clicks_filtered",
+        "login_fail", "login_fail_n3", "login_fail_run", "order_timeout",
+        "order_receipt_join", "order_receipt_reconcile",
+        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q15", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+        "customer_running_spend", "revenue_by_nation", "top_customers",
+        "sales_rollup", "promo_revenue_share", "order_priority_by_segment",
+        "doc_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
+    ]},
 }
 
 

@@ -686,11 +686,18 @@ def spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").alias("total_cents"),
         (
+            # cast an OPERAND to decimal before multiplying: rank*cents in
+            # int64 silently wraps (non-ANSI) past 2^63 — exactly the scale
+            # the decimal posture exists for; the oracle multiplies
+            # CAST(rnk AS DECIMAL(38,0)) * cents and sums decimal cents too.
             (
-                2 * F.sum((F.col("global_rank") * F.col("cents")).cast("decimal(38,0)"))
-                - (F.count(F.lit(1)) + 1).cast("decimal(38,0)") * F.sum("cents")
+                2 * F.sum(F.col("global_rank").cast("decimal(38,0)") * F.col("cents"))
+                - (F.count(F.lit(1)) + 1)
+                * F.sum(F.col("cents").cast("decimal(38,0)"))
             ).cast("double")
-            / (F.count(F.lit(1)).cast("decimal(38,0)") * F.sum("cents")).cast("double")
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("cents").cast("decimal(38,0)"))
+            ).cast("double")
         ).alias("gini"),
     )
 
@@ -851,7 +858,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "cdc_compaction": f"""
 WITH latest AS (
   SELECT user_id,
-         CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS ts_us,
+         epoch_us(ts) AS ts_us,
          event_id, event_type,
          CAST(round(value * 100) AS BIGINT) AS v_cents,
          row_number() OVER (PARTITION BY user_id
