@@ -148,38 +148,130 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     return spark.createDataFrame(merges, "rank int, left string, right string, pair_count long")
 
 
-def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+# above this merge count, bpe_encode switches from the single chained
+# Catalyst expression to the dict-driven Arrow path: each extra merge
+# nests another fold inside the expression tree, and analysis/codegen
+# time grows superlinearly long before data cost matters (a 32k–50k
+# production vocabulary would be a ~50k-deep expression — Catalyst
+# chokes in analysis; measured unusable past a few hundred)
+BPE_ENCODE_EXPR_MAX = 64
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    expr_max: int = BPE_ENCODE_EXPR_MAX,
+) -> DataFrame:
     """Apply a trained merge table: the ENCODE side of BPE, and the part
-    that actually runs at corpus scale — a pure map. All merges compile
-    into ONE chained column expression (merge k's fold consumes merge
-    k-1's output array), so the whole vocabulary applies in a single
-    scan-bound pass with zero shuffles and zero driver round-trips, token
-    arrays never leaving the executor. Output: (doc_id, n_words,
-    n_bpe_tokens, compression) — corpus token-budget accounting under the
-    learned vocabulary.
+    that actually runs at corpus scale — a pure map, zero shuffles, zero
+    driver round-trips, token arrays never leaving the executor. Output:
+    (doc_id, n_words, n_bpe_tokens, chars_per_token) — corpus
+    token-budget accounting under the learned vocabulary.
 
     `merges` is the (left, right) list from `bpe_merges` in rank order —
-    apply order IS rank order, as in the canonical encoder."""
-    words = F.split(F.col("text"), " ")
-    # per word: chars → fold each merge in rank order
-    def encode_word(w):
-        syms = F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1)))
-        for a, b in merges:
-            syms = _apply_merge(syms, a, b)
-        return F.size(syms)
+    apply order IS rank order (one greedy left-to-right pass per merge),
+    identical in both execution paths:
 
-    n_bpe = F.aggregate(
-        F.transform(words, encode_word), F.lit(0).cast("long"), lambda acc, n: acc + n
-    )
-    return docs.select(
-        "doc_id",
-        F.size(words).cast("int").alias("n_words"),
-        n_bpe.alias("n_bpe_tokens"),
-        F.round(
-            F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast(
-                "double"
+    - ≤ `expr_max` merges: all merges compile into ONE chained column
+      expression (merge k's fold consumes merge k-1's output array) —
+      plan-inert, whole-stage-codegen friendly, the right shape for the
+      small vocabularies the training loop certifies;
+    - beyond `expr_max`: a dict-driven Arrow `mapInPandas` encoder — the
+      documented-exception Python path (like simhash): a 32k–50k-merge
+      expression tree would blow up Catalyst analysis long before data
+      cost matters. Per Arrow batch, each DISTINCT word encodes once
+      (corpus word frequency is Zipfian — the memo hit rate is the same
+      collapse the trainer's word-frequency table exploits), and a
+      symbol-membership set skips the merges whose pieces can't occur in
+      the word, so cost per new word is O(applicable merges · |word|),
+      not O(vocab · |word|). Both paths agree bit-for-bit (pytest-pinned
+      at the switch boundary and at n=256)."""
+    if len(merges) <= expr_max:
+        words = F.split(F.col("text"), " ")
+        # per word: chars → fold each merge in rank order
+        def encode_word(w):
+            syms = F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
             )
-            / n_bpe,
-            6,
-        ).alias("chars_per_token"),
+            for a, b in merges:
+                syms = _apply_merge(syms, a, b)
+            return F.size(syms)
+
+        n_bpe = F.aggregate(
+            F.transform(words, encode_word), F.lit(0).cast("long"), lambda acc, n: acc + n
+        )
+        return docs.select(
+            "doc_id",
+            F.size(words).cast("int").alias("n_words"),
+            n_bpe.alias("n_bpe_tokens"),
+            F.round(
+                F.aggregate(
+                    words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+                ).cast("double")
+                / n_bpe,
+                6,
+            ).alias("chars_per_token"),
+        )
+
+    merge_list = [(a, b, a + b) for a, b in merges]
+
+    def encode_batches(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round6(x: float) -> float:
+            # Spark's round(double, 6) is HALF_UP over the shortest decimal
+            # repr (BigDecimal.valueOf); Python's round() is half-even —
+            # they disagree on exact .xxxxxx5 ties (e.g. 305/128), so
+            # mirror Spark here to keep the two paths bit-identical
+            return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+        memo: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            # mirror the expression path's empty-word edge exactly:
+            # sequence(1, 0) yields [1, 0] → two empty substrings
+            syms = list(word) if word else ["", ""]
+            present = set(syms)
+            for a, b, ab in merge_list:
+                if a not in present or b not in present:
+                    continue
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if len(out) < n:
+                    syms = out
+                    present.add(ab)  # grow-only: stale members only cost a scan
+            memo[word] = len(syms)
+            return memo[word]
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                n_bpe = sum(n_tokens(w) for w in ws)
+                rows.append(
+                    (
+                        doc_id,
+                        len(ws),
+                        n_bpe,
+                        round6(sum(len(w) for w in ws) / n_bpe),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_bpe_tokens", "chars_per_token"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches,
+        "doc_id long, n_words int, n_bpe_tokens long, chars_per_token double",
     )

@@ -810,6 +810,41 @@ def column_profile(
     )
 
 
+def cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED CDC current table, under the oracle gate:
+    replay the events table through `run_cdc_compaction_stream` as an
+    in-order chunked stream (3 micro-batches), then read the compacted
+    state the stream maintained — same schema and oracle as the batch
+    `cdc_compaction`, so the driver's hash check certifies the
+    maintenance loop itself (touched-bucket MERGE, tombstones, replay
+    convergence), not just the batch twin it mirrors."""
+    from ..streaming.ingest import cdc_current_view, run_cdc_compaction_stream, stage_event_chunks
+
+    stage = stage_event_chunks(sf_dir, n_chunks=3)
+    q = run_cdc_compaction_stream(spark, stage, name="q_cdcview")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable("q_cdcview_state")
+    return cdc_current_view(spark, "q_cdcview")
+
+
+def scd2_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED SCD2 versions table, under the oracle gate:
+    replay events in order through `run_scd2_stream` (3 micro-batches,
+    watermark-enforced), then read the maintained dimension — same
+    schema and oracle as the batch `scd2_snapshot`."""
+    from ..streaming.ingest import run_scd2_stream, scd2_current_view, stage_event_chunks
+
+    stage = stage_event_chunks(sf_dir, n_chunks=3)
+    q = run_scd2_stream(spark, stage, name="q_scd2view")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable("q_scd2view_state")
+    return scd2_current_view(spark, "q_scd2view")
+
+
 ANALYTICS_QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_snapshot": scd2_snapshot,
@@ -833,6 +868,8 @@ ANALYTICS_QUERIES = {
     "revenue_pareto": revenue_pareto,
     "spend_gini": spend_gini,
     "cdc_compaction": cdc_compaction,
+    "cdc_stream_view": cdc_stream_view,
+    "scd2_stream_view": scd2_stream_view,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -1223,3 +1260,10 @@ SELECT o_custkey, recency_day, frequency, monetary, r, f, m,
 FROM scored
 """,
 }
+
+# The stream-maintained views are contract-equal to their batch twins,
+# so they share the twin's oracle verbatim — the driver's hash check then
+# certifies the MAINTENANCE loop (chunked replay → state table → read
+# view) against the same ANSI-SQL ground truth.
+ANALYTICS_ORACLES["cdc_stream_view"] = ANALYTICS_ORACLES["cdc_compaction"]
+ANALYTICS_ORACLES["scd2_stream_view"] = ANALYTICS_ORACLES["scd2_snapshot"]

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 QUALITY_MIN = 0.5  # same gates as plans/training.corpus_prep
 LANG_KEEP = "en"
+CDC_BUCKETS = 64  # hash buckets partitioning the maintained state tables
 
 
 def _drop_table(spark: SparkSession, name: str) -> None:
@@ -341,6 +342,28 @@ def stage_embedding_chunks(sf_dir: str, n_chunks: int = 4) -> str:
     return stage
 
 
+def stage_event_chunks(sf_dir: str, n_chunks: int = 3) -> str:
+    """events.parquet split into n_chunks files in (ts, event_id) order —
+    the in-order chunked-arrival source for the CDC/SCD2 maintenance
+    streams (same mtime-pinning as stage_document_chunks, so arrival
+    order IS event-time order)."""
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_eventingest_")
+    pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    base = None
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
 def run_kmeans_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -482,6 +505,45 @@ def stage_knn_edge_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -
     return stage
 
 
+def _overwrite_changed_buckets(
+    new_rows: DataFrame, table: str, key_cols: list[str], n_buckets: int
+) -> None:
+    """Write `new_rows` (which must carry a kb hash-bucket column and be
+    the COMPLETE desired content of `table`) by dynamic-overwriting ONLY
+    the buckets whose content changed — the MV-refresh write discipline
+    shared by the pagerank and dedup-cluster maintenance streams:
+
+    - changed = new_rows LEFT ANTI old_table on ALL columns — a row is
+      "changed" if it is new or any field differs (rows are never
+      removed from these tables: vertex/doc universes only grow);
+    - touched buckets = the distinct kb of changed rows (≤ n_buckets
+      scalars to the driver — the driver-sees-a-scalar discipline);
+    - dynamic partition overwrite of new_rows restricted to touched kb.
+
+    Per-epoch write IO is O(changed buckets' rows), not O(table) — the
+    compute is still the caller's full refresh, but the warehouse churn
+    (and downstream cache/file invalidation) tracks the delta. Crash
+    replay CONVERGES: a replayed refresh diffs against state that
+    already absorbed it (changed = ∅ ⇒ no write), and a refresh that
+    crashed mid-write re-finds exactly the not-yet-written buckets."""
+    s = new_rows.sparkSession
+    cols = [c for c in new_rows.columns]
+    new_rows = new_rows.persist()
+    changed = new_rows.join(s.table(table), on=cols, how="left_anti")
+    touched = [r.kb for r in changed.select("kb").distinct().collect()]
+    if touched:
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            new_rows.filter(F.col("kb").isin(touched)).write.mode(
+                "overwrite"
+            ).insertInto(table, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.catalog.refreshTable(table)
+    new_rows.unpersist()
+
+
 def run_pagerank_stream(
     spark: SparkSession,
     stage_dir: str,
@@ -489,30 +551,44 @@ def run_pagerank_stream(
     iters: int | None = None,
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
+    refresh_every: int = 1,
+    final_epoch: int | None = None,
+    n_buckets: int = CDC_BUCKETS,
 ):
     """Incremental PageRank over an edge-ingest stream — the MV
     discipline applied to the graph family (its only batch-only member
     until now): edges arrive in micro-batches, accumulate in an
-    epoch-partitioned warehouse table, and every epoch refreshes a ranks
-    table by re-running the fixed-point batch `pagerank` on the
-    accumulated edges. The refreshed table after the last chunk is
-    BIT-IDENTICAL to batch `pagerank_knn` (integer fixed-point ranks —
-    no float drift between refresh cadences), pinned in pytest.
+    epoch-partitioned warehouse table, and the ranks table refreshes by
+    re-running the fixed-point batch `pagerank` on the accumulated
+    edges. The refreshed table after the last chunk is BIT-IDENTICAL to
+    batch `pagerank_knn` (integer fixed-point ranks — no float drift
+    between refresh cadences), pinned in pytest.
+
+    Refresh cadence (`refresh_every`): the fixed-point run is the honest
+    O(graph) cost of exactness (rank mass is global — a delta-bounded
+    incremental PageRank needs approximation budgets this engine's
+    exactness contract excludes), so it runs only on every
+    `refresh_every`-th epoch (and on `final_epoch`, when the caller
+    knows it — a staged replay of n chunks ends at epoch n-1);
+    intermediate epochs ONLY append their edge partition. At 100 TB this
+    is the knob that amortizes the refresh over ingest volume.
+
+    Ranks write (`n_buckets`): `<name>_ranks` is hash-bucketed on
+    pmod(vertex_id, n_buckets) and each refresh dynamic-overwrites ONLY
+    the buckets holding a vertex whose (out_deg, rank) row changed —
+    per-refresh write IO is O(changed), not O(|V|): integer fixed-point
+    ranks make "unchanged" exact (no float jitter forcing full
+    rewrites), so edges that touch one component leave other
+    components' buckets physically untouched (mtime-pinned in pytest).
 
     Exactly-once/crash-replay: the edge sink is epoch-partitioned and
     dynamic-OVERWRITTEN (a replayed batch rewrites its own partition
     byte-identically — the `_ingest_epoch` discipline), and the ranks
-    table is a deterministic pure function of the accumulated edges, so
-    a replayed refresh overwrites identical content. With a checkpoint,
-    kill-and-restart resumes from the committed offset (pinned).
+    refresh is a deterministic pure function of the accumulated edges
+    diffed against state — a replayed refresh finds nothing changed and
+    writes nothing. With a checkpoint, kill-and-restart resumes from the
+    committed offset (pinned).
 
-    Scale shape per epoch: the refresh is the batch operator unchanged —
-    |V|-row rank frame joined to the degree-annotated edge table per
-    iteration, localCheckpoint lineage bound. Refresh cost is a full
-    fixed-point run, NOT proportional to the delta: the honest cadence
-    trade (rank mass is global — a delta-bounded incremental PageRank
-    needs approximation budgets this engine's exactness contract
-    excludes; run the refresh per N epochs or on a timer at 100 TB).
     Vertices derive from the accumulated edges (src ∪ nbr) — on k-NN
     graphs every vector is a src, so this equals the embedding universe.
     """
@@ -525,6 +601,10 @@ def run_pagerank_stream(
         _drop_table(spark, ranks_t)
         spark.sql(
             f"CREATE TABLE {edges_t} (src_id BIGINT, nbr_id BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {ranks_t} (vertex_id BIGINT, out_deg BIGINT,"
+            f" rank_units BIGINT, rank DOUBLE, kb INT) USING parquet PARTITIONED BY (kb)"
         )
 
     edges = (
@@ -543,18 +623,39 @@ def run_pagerank_stream(
             ).write.mode("overwrite").insertInto(edges_t, overwrite=True)
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        acc = s.table(edges_t).select("src_id", "nbr_id")
-        verts = acc.select(F.col("src_id").alias("vertex_id")).unionByName(
-            acc.select(F.col("nbr_id").alias("vertex_id"))
+        due = (epoch_id + 1) % refresh_every == 0 or (
+            final_epoch is not None and epoch_id >= final_epoch
         )
-        ranks = pagerank(acc, verts, iters=iters)
-        ranks.write.mode("overwrite").saveAsTable(ranks_t)
-        s.catalog.refreshTable(ranks_t)
+        if not due:
+            return
+        refresh_pagerank_ranks(s, name, iters=iters, n_buckets=n_buckets)
 
     w = edges.writeStream.foreachBatch(pr_epoch).queryName(f"{name}_q")
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def refresh_pagerank_ranks(
+    spark: SparkSession,
+    name: str = "pr_stream",
+    iters: int | None = None,
+    n_buckets: int = CDC_BUCKETS,
+) -> None:
+    """Refresh `<name>_ranks` from the accumulated `<name>_edges` — the
+    standalone form of the stream's refresh, for callers running a
+    coarse `refresh_every` cadence who need ranks current NOW (e.g.
+    after the stream drains, when no `final_epoch` was known up front)."""
+    from ..operators.graph import PR_ITERS, pagerank
+
+    acc = spark.table(f"{name}_edges").select("src_id", "nbr_id")
+    verts = acc.select(F.col("src_id").alias("vertex_id")).unionByName(
+        acc.select(F.col("nbr_id").alias("vertex_id"))
+    )
+    ranks = pagerank(acc, verts, iters=iters or PR_ITERS).withColumn(
+        "kb", F.pmod(F.col("vertex_id"), F.lit(n_buckets)).cast("int")
+    )
+    _overwrite_changed_buckets(ranks, f"{name}_ranks", ["vertex_id"], n_buckets)
 
 
 def run_dedup_clusters_stream(
@@ -565,6 +666,7 @@ def run_dedup_clusters_stream(
     stage_dir: str | None = None,
     checkpoint_dir: str | None = None,
     reset_tables: bool = True,
+    n_buckets: int = CDC_BUCKETS,
 ):
     """Incremental duplicate CLUSTERING: the near-dup ingest
     (`_neardup_epoch` — same state tables, same protocol) plus a
@@ -580,9 +682,13 @@ def run_dedup_clusters_stream(
     Tables: the three near-dup state tables, plus `<name>_docs`
     (doc_id, epoch — the full ingested universe, so shingle-less docs
     still appear as singletons) and `<name>_clusters`
-    (doc_id, canonical_id — full overwrite per epoch; a deterministic
-    pure function of the accumulated state, so crash replays overwrite
-    identical content).
+    (doc_id, canonical_id, kb — hash-bucketed on pmod(doc_id, n_buckets);
+    each refresh dynamic-overwrites ONLY buckets holding a doc whose
+    canonical changed or that is new this epoch, so per-epoch write IO
+    is O(changed buckets' rows), not O(corpus) — a batch whose docs and
+    transitive merges confine to few buckets leaves the others
+    physically untouched, mtime-pinned in pytest. Crash replays diff
+    against already-absorbed state and write nothing).
 
     Refresh cost is the CC loop over the accumulated DUP-GRAPH vertices
     (dedup_clusters' data-minimal iteration space — percent-scale of the
@@ -608,6 +714,10 @@ def run_dedup_clusters_stream(
         spark.sql(
             f"CREATE TABLE {docs_t} (doc_id BIGINT, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
         )
+        spark.sql(
+            f"CREATE TABLE {clusters_t} (doc_id BIGINT, canonical_id BIGINT, kb INT)"
+            f" USING parquet PARTITIONED BY (kb)"
+        )
 
     stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
@@ -627,17 +737,13 @@ def run_dedup_clusters_stream(
         clusters = dedup_clusters(
             s.table(docs_t).select("doc_id"),
             pairs=s.table(pairs_t).select("id_a", "id_b"),
-        )
-        clusters.write.mode("overwrite").saveAsTable(clusters_t)
-        s.catalog.refreshTable(clusters_t)
+        ).withColumn("kb", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
+        _overwrite_changed_buckets(clusters, clusters_t, ["doc_id"], n_buckets)
 
     w = docs.writeStream.foreachBatch(cluster_batch).queryName(f"{name}_q")
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
-
-
-CDC_BUCKETS = 64  # hash buckets partitioning the compacted state table
 
 
 def run_cdc_compaction_stream(
@@ -751,6 +857,7 @@ def run_scd2_stream(
     n_buckets: int = CDC_BUCKETS,
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
+    on_late: str = "error",
 ):
     """Incremental SCD2 dimension maintenance: the streaming twin of
     plans/analytics.scd2_snapshot — per-user validity intervals
@@ -766,20 +873,53 @@ def run_scd2_stream(
     ordinals and valid_to recompute inside the touched keys' windows,
     and only touched buckets rewrite (dynamic overwrite).
 
-    Exactness contract: equals the one-shot batch SCD2 under in-order
-    arrival (the staged-replay guarantee every keyed twin documents —
-    out-of-order events would need the late-data engine's buffering in
-    front). LAST-epoch crash replay is idempotent: a replayed event
-    either duplicates an existing version start (identical (t, event_id,
+    In-order contract — ENFORCED, not assumed (`on_late`): the collapse
+    is exact only when events arrive in event-time order across batches
+    (a late event older than an already-collapsed run would need
+    history the state no longer holds). A per-stream high-watermark
+    (max event time over all PRIOR epochs, kept in the epoch-partitioned
+    `<name>_wm` table so crash replays probe pre-batch state — the
+    `_ingest_epoch` fps discipline) guards every batch:
+
+    - on_late='error' (default): a batch whose min event time precedes
+      the watermark raises, failing the stream — silent wrong versions
+      become an explicit failure;
+    - on_late='quarantine': the offending rows route to the
+      epoch-partitioned `<name>_quarantine` table (replay-idempotent
+      dynamic overwrite) and the in-order remainder processes normally —
+      the versions table stays exact over what it ingested, and the
+      quarantine is the retry/inspection queue (feed it back through
+      the late-data engine's buffering for full out-of-order support).
+
+    Boundary ties (batch min == watermark) pass: the collapse re-sorts
+    touched keys' version starts with the batch under the same total
+    (t, event_id) order, which is exact as long as no same-timestamp
+    run of one key was ALREADY collapsed across the tie — arrange chunk
+    boundaries on distinct timestamps where possible.
+
+    LAST-epoch crash replay is idempotent: a replayed event either
+    duplicates an existing version start (identical (t, event_id,
     state) row — the lag-collapse drops it) or extends a same-state run
-    (collapsed), so the rewritten buckets are byte-identical."""
-    state_t = f"{name}_state"
+    (collapsed), so the rewritten buckets are byte-identical; the wm
+    probe excludes the replayed epoch's own row, and the quarantine
+    rewrite is a dynamic overwrite of its own epoch partition."""
+    if on_late not in ("error", "quarantine"):
+        raise ValueError(f"on_late must be 'error' or 'quarantine', got {on_late!r}")
+    state_t, wm_t, quar_t = f"{name}_state", f"{name}_wm", f"{name}_quarantine"
     if fresh_tables:
-        _drop_table(spark, state_t)
+        for t in (state_t, wm_t, quar_t):
+            _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {state_t} (user_id BIGINT, state STRING, valid_from_us BIGINT,"
             f" src_event_id BIGINT, valid_to_us BIGINT, version BIGINT, kb INT)"
             f" USING parquet PARTITIONED BY (kb)"
+        )
+        spark.sql(
+            f"CREATE TABLE {wm_t} (max_t BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {quar_t} (user_id BIGINT, state STRING, t BIGINT,"
+            f" event_id BIGINT, kb INT) USING parquet PARTITIONED BY (epoch BIGINT)"
         )
 
     from ..sources.loaders import events_parquet_stream
@@ -795,9 +935,41 @@ def run_scd2_stream(
             "event_id",
             F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int").alias("kb"),
         ).persist()
+        newe_all = newe
+        # in-order guard: batch bounds vs the prior-epoch high-watermark
+        # (one 1-row agg — the driver-sees-a-scalar discipline)
+        bounds = newe.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
+        if bounds.lo is None:
+            newe_all.unpersist()
+            return
+        wm = (
+            s.table(wm_t)
+            .filter(F.col("epoch") != epoch_id)
+            .agg(F.max("max_t"))
+            .first()[0]
+        )
+        if wm is not None and bounds.lo < wm:
+            if on_late == "error":
+                newe_all.unpersist()
+                raise ValueError(
+                    f"run_scd2_stream[{name}] epoch {epoch_id}: out-of-order batch "
+                    f"(min event time {bounds.lo} < high-watermark {wm}); the SCD2 "
+                    "collapse would silently produce wrong versions — front the "
+                    "stream with the late-data engine or use on_late='quarantine'"
+                )
+            prev_mode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                newe.filter(F.col("t") < wm).select(
+                    "user_id", "state", "t", "event_id", "kb",
+                    F.lit(epoch_id).cast("long").alias("epoch"),
+                ).write.mode("overwrite").insertInto(quar_t, overwrite=True)
+            finally:
+                s.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            newe = newe.filter(F.col("t") >= wm)
         touched = [r.kb for r in newe.select("kb").distinct().collect()]
         if not touched:
-            newe.unpersist()
+            newe_all.unpersist()
             return
         hist = (
             s.table(state_t)
@@ -829,10 +1001,16 @@ def run_scd2_stream(
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").insertInto(state_t, overwrite=True)
+            # advance the high-watermark: max event time of the PROCESSED
+            # rows (any in-order row ≥ wm > every quarantined row, so the
+            # batch max always comes from a processed row)
+            s.createDataFrame(
+                [(int(bounds.hi), int(epoch_id))], "max_t long, epoch long"
+            ).write.mode("overwrite").insertInto(wm_t, overwrite=True)
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         s.catalog.refreshTable(state_t)
-        newe.unpersist()
+        newe_all.unpersist()
 
     w = events.writeStream.foreachBatch(scd2_batch).queryName(f"{name}_q")
     if checkpoint_dir:

@@ -412,6 +412,123 @@ class TestPagerankStream:
         assert got == want and len(got) > 0
 
 
+class TestPagerankStreamCadence:
+    def test_refresh_every_skips_intermediate_epochs(self, spark, sf_dir, tmp_path):
+        """refresh_every=2: epoch 0 must ONLY append edges (ranks table
+        stays empty — no fixed-point run), the explicit refresh helper
+        brings ranks current, and a restart carrying final_epoch ends
+        bit-identical to batch pagerank_knn."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.plans.training import pagerank_knn
+        from gmall_flink_200621_spark.streaming.ingest import (
+            refresh_pagerank_ranks,
+            run_pagerank_stream,
+            stage_knn_edge_chunks,
+        )
+
+        full = stage_knn_edge_chunks(spark, sf_dir, n_chunks=3)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+
+        q = run_pagerank_stream(
+            spark, str(incr), name="t_pr_cad", checkpoint_dir=ckpt, refresh_every=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        # epoch 0 is not a refresh epoch: edges landed, no ranks ran
+        spark.catalog.refreshTable("t_pr_cad_edges")
+        assert spark.table("t_pr_cad_edges").count() > 0
+        assert spark.table("t_pr_cad_ranks").count() == 0
+
+        # the standalone refresh catches ranks up to the accumulated edges
+        refresh_pagerank_ranks(spark, "t_pr_cad")
+        assert spark.table("t_pr_cad_ranks").count() > 0
+
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_pagerank_stream(
+            spark,
+            str(incr),
+            name="t_pr_cad",
+            checkpoint_dir=ckpt,
+            fresh_tables=False,
+            refresh_every=2,
+            final_epoch=2,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        spark.catalog.refreshTable("t_pr_cad_ranks")
+        got = {
+            r.vertex_id: (r.out_deg, r.rank_units)
+            for r in spark.table("t_pr_cad_ranks").collect()
+        }
+        want = {
+            r.vertex_id: (r.out_deg, r.rank_units)
+            for r in pagerank_knn(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_untouched_component_buckets_not_rewritten(self, spark, tmp_path):
+        """Two disconnected components, the second epoch adding edges to
+        one only: the other component's ranks are unchanged integers, so
+        its hash bucket must not be rewritten (partition mtime pinned —
+        the O(changed) write claim observed, not assumed)."""
+        import os
+        import time
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.graph import pagerank
+        from gmall_flink_200621_spark.streaming.ingest import run_pagerank_stream
+
+        def chunk(path, edges, mt):
+            pd.DataFrame(
+                {"src_id": [e[0] for e in edges], "nbr_id": [e[1] for e in edges]}
+            ).to_parquet(path, index=False)
+            os.utime(path, (mt, mt))
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        t0 = time.time()
+        # component A: 10 ↔ 74 (both ≡ 10 mod 64); component B: 5 → 69 (≡ 5)
+        chunk(stage / "part-0.parquet", [(10, 74), (74, 10), (5, 69)], t0)
+        q = run_pagerank_stream(spark, str(stage), name="t_pr_mt", n_buckets=64)
+        q.processAllAvailable()
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        bA = os.path.join(wh, "t_pr_mt_ranks", "kb=10")
+        mt_before = os.path.getmtime(bA)
+        # epoch 1: close component B's cycle — A's ranks cannot change
+        chunk(stage / "part-1.parquet", [(69, 5)], t0 + 1)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        assert os.path.getmtime(bA) == mt_before  # A's bucket untouched
+        spark.catalog.refreshTable("t_pr_mt_ranks")
+        got = {
+            r.vertex_id: (r.out_deg, r.rank_units)
+            for r in spark.table("t_pr_mt_ranks").collect()
+        }
+        edges = spark.createDataFrame(
+            [(10, 74), (74, 10), (5, 69), (69, 5)], "src_id long, nbr_id long"
+        )
+        verts = edges.selectExpr("src_id AS vertex_id").unionByName(
+            edges.selectExpr("nbr_id AS vertex_id")
+        )
+        want = {
+            r.vertex_id: (r.out_deg, r.rank_units)
+            for r in pagerank(edges, verts).collect()
+        }
+        assert got == want and len(got) == 4
+
+
 class TestDedupClustersStream:
     def test_final_clusters_equal_batch(self, spark, sf_dir):
         """The per-epoch CC refresh over the accumulated near-dup state:
@@ -437,6 +554,61 @@ class TestDedupClustersStream:
         assert got == batch and len(got) > 0
         # sanity: at least one non-trivial cluster was merged
         assert any(d != c for d, c in got.items())
+
+
+class TestDedupClustersStreamBuckets:
+    def test_untouched_cluster_buckets_not_rewritten(self, spark, tmp_path):
+        """A second epoch whose docs neither join nor bridge the first
+        epoch's clusters must rewrite only its own docs' hash buckets —
+        the first epoch's cluster rows are unchanged, so their bucket
+        partitions stay physically untouched (mtime pinned)."""
+        import os
+        import time
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.streaming.ingest import run_dedup_clusters_stream
+
+        dup_text = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))
+        other_text = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(8))
+
+        def chunk(path, rows, mt):
+            pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": ["t"] * len(rows),
+                    "n_chars": [len(r[1]) for r in rows],
+                }
+            ).to_parquet(path, index=False)
+            os.utime(path, (mt, mt))
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        t0 = time.time()
+        # epoch 0: docs 1 and 2 are exact near-dups (buckets 1 and 2)
+        chunk(stage / "part-0.parquet", [(1, dup_text), (2, dup_text)], t0)
+        q = run_dedup_clusters_stream(
+            spark, sf_dir="", stage_dir=str(stage), name="t_ccb", n_buckets=64
+        )
+        q.processAllAvailable()
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        b1 = os.path.join(wh, "t_ccb_clusters", "kb=1")
+        b2 = os.path.join(wh, "t_ccb_clusters", "kb=2")
+        mt1, mt2 = os.path.getmtime(b1), os.path.getmtime(b2)
+        # epoch 1: doc 67 (bucket 3), unrelated text — a singleton
+        chunk(stage / "part-1.parquet", [(67, other_text)], t0 + 1)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        assert os.path.getmtime(b1) == mt1 and os.path.getmtime(b2) == mt2
+        spark.catalog.refreshTable("t_ccb_clusters")
+        got = {
+            r.doc_id: r.canonical_id for r in spark.table("t_ccb_clusters").collect()
+        }
+        assert got == {1: 1, 2: 1, 67: 67}
 
 
 class TestCdcCompactionStream:
@@ -626,3 +798,105 @@ class TestScd2Stream:
             for r in scd2_snapshot(spark, sf_dir).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestScd2StreamWatermark:
+    @staticmethod
+    def _chunk(path, rows, mt):
+        import os
+
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1], unit="s") for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path, index=False)
+        os.utime(path, (mt, mt))
+
+    def test_out_of_order_batch_fails_fast_by_default(self, spark, tmp_path):
+        """The in-order contract is enforced, not assumed: a batch whose
+        min event time precedes the prior-epoch high-watermark raises
+        (terminating the stream) instead of silently writing wrong
+        versions."""
+        import time
+
+        import pytest
+
+        from gmall_flink_200621_spark.streaming.ingest import run_scd2_stream
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        t0 = time.time()
+        self._chunk(stage / "part-0.parquet", [(1, 10, 1, "view"), (2, 20, 1, "click")], t0)
+        self._chunk(stage / "part-1.parquet", [(3, 15, 1, "error")], t0 + 1)  # late!
+        q = run_scd2_stream(spark, str(stage), name="t_scd2_oo")
+        with pytest.raises(Exception, match="out-of-order"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+        q.stop()
+
+    def test_quarantine_routes_late_rows_and_keeps_versions_exact(self, spark, tmp_path):
+        """on_late='quarantine': late rows land in the quarantine table
+        (with their epoch), the in-order remainder processes, and the
+        versions table equals the batch SCD2 over exactly the processed
+        events."""
+        import time
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_scd2_stream,
+            scd2_current_view,
+        )
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        t0 = time.time()
+        self._chunk(stage / "part-0.parquet", [(1, 10, 1, "view"), (2, 20, 1, "click")], t0)
+        # chunk 1 mixes a late row (ts 15 < wm 20) with in-order rows
+        self._chunk(
+            stage / "part-1.parquet", [(3, 15, 1, "error"), (4, 30, 1, "view")], t0 + 1
+        )
+        q = run_scd2_stream(spark, str(stage), name="t_scd2_qr", on_late="quarantine")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        spark.catalog.refreshTable("t_scd2_qr_quarantine")
+        quar = [
+            (r.event_id, r.t, r.epoch)
+            for r in spark.table("t_scd2_qr_quarantine").collect()
+        ]
+        assert quar == [(3, 15_000_000, 1)]
+
+        spark.catalog.refreshTable("t_scd2_qr_state")
+        got = sorted(map(tuple, scd2_current_view(spark, "t_scd2_qr").collect()))
+        # batch SCD2 over the PROCESSED events (1, 2, 4)
+        e = spark.createDataFrame(
+            [(1, 10_000_000, "view"), (2, 20_000_000, "click"), (4, 30_000_000, "view")],
+            "event_id long, t long, state string",
+        ).withColumn("user_id", F.lit(1).cast("long"))
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        want = sorted(
+            map(
+                tuple,
+                e.withColumn("prev", F.lag("state").over(w))
+                .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+                .select(
+                    "user_id",
+                    "state",
+                    F.col("t").alias("valid_from_us"),
+                    F.lead("t").over(w).alias("valid_to_us"),
+                    F.row_number().over(w).cast("long").alias("version"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) == 3

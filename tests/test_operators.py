@@ -1514,6 +1514,78 @@ class TestBpeEncode:
             text = pdf.loc[doc_id, "text"]
             assert got[doc_id] == sum(py_encode(w) for w in text.split(" ")), doc_id
 
+    @staticmethod
+    def _ref_merges(sf_dir, k):
+        """A rank-ordered merge table from the pure-Python trainer (the
+        same reference `bpe_merges` is pinned against) — the encode
+        contract needs only a valid rank-order list, so tests can build
+        deep vocabularies without re-running the Spark trainer."""
+        from collections import Counter
+
+        import pandas as pd
+
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        wf = Counter(w for t in pdf["text"] for w in t.split(" ") if w)
+        return [(a, b) for _, a, b, _ in TestBpe._py_bpe(dict(wf), k)]
+
+    def test_arrow_path_matches_expression_path_at_boundary(self, spark, sf_dir):
+        """Both encode paths must agree bit-for-bit at the switchover
+        size (n=64): same token counts, same word counts, same ratio."""
+        from gmall_flink_200621_spark.operators.bpe import bpe_encode
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        merges = self._ref_merges(sf_dir, 64)
+        assert len(merges) == 64
+        docs = load_table(spark, sf_dir, "documents")
+        expr = {r.doc_id: r for r in bpe_encode(docs, merges, expr_max=64).collect()}
+        arrow = {r.doc_id: r for r in bpe_encode(docs, merges, expr_max=0).collect()}
+        assert set(expr) == set(arrow) and len(expr) > 0
+        for d in expr:
+            assert (expr[d].n_words, expr[d].n_bpe_tokens) == (
+                arrow[d].n_words,
+                arrow[d].n_bpe_tokens,
+            ), d
+            # exact: the Arrow path mirrors Spark's HALF_UP decimal rounding
+            assert expr[d].chars_per_token == arrow[d].chars_per_token, d
+
+    def test_large_vocab_encodes_without_catalyst_blowup(self, spark, sf_dir):
+        """n=256 merges — far past the expression path's practical depth —
+        must auto-route to the Arrow encoder, run, and match the Python
+        reference encoder word-for-word (spot-checked)."""
+        from gmall_flink_200621_spark.operators.bpe import BPE_ENCODE_EXPR_MAX, bpe_encode
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        import pandas as pd
+
+        # the small-SF corpus exhausts its trainable pairs well before 256
+        # rounds — pad to depth 256 with merges whose pieces never occur
+        # (real vocabularies carry plenty of those for any one document;
+        # they exercise the Arrow path's symbol-membership skip)
+        merges = self._ref_merges(sf_dir, 256)
+        merges = merges + [(f"§{i}§", f"¤{i}¤") for i in range(256 - len(merges))]
+        assert len(merges) == 256 > BPE_ENCODE_EXPR_MAX
+        docs = load_table(spark, sf_dir, "documents")
+        out = bpe_encode(docs, merges)  # auto-selects the Arrow path
+        got = {r.doc_id: r.n_bpe_tokens for r in out.collect()}
+
+        def py_encode(word):
+            syms = list(word) if word else ["", ""]
+            for a, b in merges:
+                ns = []
+                for c in syms:
+                    if ns and ns[-1] == a and c == b:
+                        ns[-1] = a + b
+                    else:
+                        ns.append(c)
+                syms = ns
+            return len(syms)
+
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+        assert len(got) == len(pdf)
+        for doc_id in list(got)[:25]:
+            text = pdf.loc[doc_id, "text"]
+            assert got[doc_id] == sum(py_encode(w) for w in text.split(" ")), doc_id
+
 
 class TestEntropyDivergence:
     def test_entropy_bounds_and_hand_check(self, spark):
