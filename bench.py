@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "knn_ivf_trained",
     "knn_rp",
+    "knn_pq",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

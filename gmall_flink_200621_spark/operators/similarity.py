@@ -959,3 +959,180 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
             F.aggregate("err", F.lit(0.0), lambda acc, x: acc + x * x) / F.size("v"), 6
         ).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+PQ_M = 16  # subspaces (64 dims → 16 × 4)
+PQ_CODE_MOD = 16  # codewords per subspace = 4-bit codes (production: 256/1 byte)
+PQ_SUBDIM = DIM // PQ_M
+PQ_ITERS = 1  # Lloyd refinements of the per-subspace codebooks
+
+
+def _pq_subvectors(e: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sv): each quantized vector split into its PQ_M contiguous
+    subspace blocks, one row per block — the long form every PQ stage
+    (training, encoding, LUT build) consumes."""
+    subs = F.array(*[F.slice("q", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+    return e.select(F.col(id_col), F.posexplode(subs).alias("m", "sv"))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vec, subspace), as ONE hash
+    aggregation (min over (dist, code) structs == L2 asc, code asc — the
+    `_assign_to_cents` shape, argmin instead of argmax). L2 ranking only
+    needs `cn2 − 2·⟨sv, cv⟩` (the ‖sv‖² term is constant per row), all
+    int64: |2·⟨sv,cv⟩| ≤ 2·PQ_SUBDIM·(0.53·2²⁴)² ≈ 6e14 ≪ 2⁶³ (and the
+    ADC sum over all PQ_M subspaces stays ≤ DIM·(0.53·2²⁴)² ≈ 5e15). The codebook
+    (PQ_M·PQ_CODE_MOD rows) broadcasts; the corpus never shuffles —
+    the min-struct agg collapses the ×codewords fan-out map-side."""
+    d = F.col("cn2") - 2 * _idot(F.col("sv"), F.col("cv"))
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d", d)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.col("d").alias("d"), F.col("code").alias("c"), F.col("cn2").alias("n"))
+            ).alias("mn"),
+            F.first("sv").alias("sv"),
+        )
+        .select("vec_id", "m", F.col("mn.c").alias("code"), F.col("mn.n").alias("cn2"), "sv")
+    )
+
+
+def _pq_codebook(assigned: DataFrame) -> DataFrame:
+    """Codebook from an assignment: per (m, code, pos) exact-int rounded
+    mean of member subvector components (the `_kmeans_state` update shape
+    — the only shuffle carries (m, code, pos, partial-sum) triples,
+    map-side combined; vectors never shuffle). localCheckpoint keeps the
+    Lloyd loop's plan constant-size. Codes that lose all members drop
+    out — identically in the DuckDB oracle."""
+    upd = (
+        assigned.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("cv_el", F.round(F.col("s") / F.col("n")).cast("long"))
+    )
+    return (
+        upd.groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv_el"))), lambda s: s.cv_el
+            ).alias("cv")
+        )
+        .withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    code_mod: int = PQ_CODE_MOD,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    the memory-side member of the ANN family (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): brute/LSH/IVF
+    cut CANDIDATES; PQ cuts BYTES-PER-CANDIDATE. Each vector is stored
+    as PQ_M codebook indices (16 × 4-bit = 8 bytes here vs 256 float
+    bytes — 32×; production uses 8-bit codes) instead of 64 floats;
+    queries scan those codes with per-subspace lookup tables. Subspace
+    geometry chosen by measured recall on this corpus: 4 × 16-dim
+    subspaces gave recall@5 of 0.04-0.2, 16 × 4-dim gives 0.32 / 0.40
+    (sf0.001 / sf0.01, pinned in tests) — on ISOTROPIC synthetic data,
+    PQ's worst case (no correlated coordinate blocks to exploit).
+
+    Stages, all in the family's fixed-point integer contract so the
+    DuckDB oracle reproduces every step bit-for-bit:
+    1. train: per-subspace codebooks, hash-bucket init (code₀ =
+       vec_id % code_mod — one aggregation, no sampling pass) + `iters`
+       Lloyd refinements; codebook training is fully distributed and
+       map-side combined, never materializing more than
+       PQ_M·code_mod·PQ_SUBDIM longs on the driver side of a broadcast.
+    2. encode: nearest-codeword argmin per (vec, subspace) against the
+       broadcast codebook; the corpus compresses to (vec_id, codes[4],
+       recon_n2) where recon_n2 = Σₘ ‖cvₘ‖² is the EXACT squared norm of
+       the reconstruction (subspaces are disjoint coordinate blocks, so
+       cross terms vanish).
+    3. search: each query precomputes dot(query_subₘ, cv) for every
+       codeword — a (PQ_M × code_mod) table, built per query and
+       broadcast as an array of maps. Scoring is then a pure scan of the
+       code frame: adot = Σₘ LUTₘ[codeₘ] — PQ_M map lookups per
+       candidate, no vector arithmetic, no corpus shuffle; only (query,
+       neighbor, score) triples enter the top-k ranking shuffle
+       (knn_brute's shape at a fraction of the per-pair cost and ~64×
+       smaller candidate payload — the piece that lets a 100 TB corpus's
+       index live in cluster RAM).
+
+    approx cosine = adot / (‖q‖·‖x̂‖) — asymmetric: exact query vs
+    reconstructed candidate. Recall vs knn_brute is deterministic and
+    pinned in tests (the honest-audit discipline knn_rp set: report the
+    measured trade, don't claim superiority). Compose with knn_ivf's
+    inverted lists for IVF-PQ when the scan itself must shrink."""
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    sub = _pq_subvectors(e).persist()  # feeds init + every assign pass
+
+    # train: hash-bucket init, then Lloyd
+    cb = _pq_codebook(sub.withColumn("code", F.pmod(F.col("vec_id"), F.lit(code_mod))))
+    for _ in range(iters):
+        cb = _pq_codebook(_pq_assign(sub, cb))
+
+    # encode: (vec_id, codes array in subspace order, exact recon norm)
+    enc = _pq_assign(sub, cb)
+    codes = enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s.code
+        ).alias("codes"),
+        F.sum("cn2").alias("rn2"),
+    )
+
+    # per-query ADC lookup tables: array (by m) of code→dot maps
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    lut = (
+        _pq_subvectors(qs)
+        .join(F.broadcast(cb), "m")
+        .withColumn("dot", _idot(F.col("sv"), F.col("cv")))
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("code", "dot"))).alias("ent"))
+        .groupBy("query_id")
+        .agg(
+            # maps aren't orderable, so sort struct(m, entries-array) first
+            # and build each code→dot map from the sorted entry arrays
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "ent"))),
+                lambda s: F.map_from_entries(s.ent),
+            ).alias("luts")
+        )
+        .join(
+            qs.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("qn2")), "query_id"
+        )
+    )
+
+    adot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(F.element_at("luts", m + 1), F.element_at("codes", m + 1)),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cosine_pq",
+            adot / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_pq", 6).alias("cosine_pq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -234,6 +234,12 @@ def knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_rp(_emb(spark, sf_dir))
 
 
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) lookup-
+    table scoring over 8-byte codes — see operators/similarity.knn_pq."""
+    return V.knn_pq(_emb(spark, sf_dir))
+
+
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
@@ -619,6 +625,7 @@ TRAINING_QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_ivf_trained": knn_ivf_trained,
     "knn_rp": knn_rp,
+    "knn_pq": knn_pq,
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,

@@ -1085,6 +1085,76 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
+def _knn_pq_sql() -> str:
+    """Product-quantization ADC oracle, generated from the SAME constants
+    as operators/similarity.knn_pq: per-subspace codebooks (hash-bucket
+    init + PQ_ITERS Lloyd refinements, the `_kmeans_ctes` unrolling
+    pattern at subspace granularity), nearest-code encoding (L2 asc,
+    code asc — only cn2 − 2·⟨sv,cv⟩ enters the ordering, as in Spark),
+    then lookup-table scoring: adot = Σₘ dot(query_subₘ, cv[codeₘ]) and
+    the reconstruction norm Σₘ cn2 — all int64 sums < 2⁵³, so both the
+    HUGEINT→DOUBLE widening here and Spark's long→double division are
+    exact and the hashes match."""
+    from ..operators.similarity import PQ_CODE_MOD, PQ_ITERS, PQ_M, PQ_SUBDIM
+
+    def sdot(a: str, b: str) -> str:
+        return _IDOT.format(n=PQ_SUBDIM, a=a, b=b)
+
+    parts = [
+        f"e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings)",
+        f"sub AS (SELECT vec_id, gm.m AS m,"
+        f" list_slice(q, gm.m*{PQ_SUBDIM}+1, gm.m*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv"
+        f" FROM e CROSS JOIN generate_series(0, {PQ_M - 1}) AS gm(m))",
+        f"asg0 AS (SELECT vec_id, m, vec_id % {PQ_CODE_MOD} AS code, sv FROM sub)",
+    ]
+    for it in range(PQ_ITERS + 1):
+        parts.append(
+            f"""cbu{it} AS (
+  SELECT m, code, gs.i AS pos, CAST(round(sum(sv[gs.i]) / count(*)) AS BIGINT) AS cv_el
+  FROM asg{it} CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS gs(i)
+  GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"cb{it} AS (SELECT m, code, cv, {sdot('cv', 'cv')} AS cn2 FROM"
+            f" (SELECT m, code, list(cv_el ORDER BY pos) AS cv FROM cbu{it} GROUP BY 1, 2))"
+        )
+        parts.append(
+            f"""asg{it + 1} AS (
+  SELECT vec_id, m, code, cn2, sv FROM (
+    SELECT s.vec_id, s.m, c.code, c.cn2, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY c.cn2 - 2 * ({sdot('s.sv', 'c.cv')}) ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb{it} c ON s.m = c.m) WHERE rn = 1)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+codes AS (SELECT vec_id, m, code, cn2 FROM asg{PQ_ITERS + 1}),
+qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id % 100 = 0),
+lut AS (
+  SELECT q0.query_id, c.m, c.code, {sdot("q0.sv", "c.cv")} AS dot
+  FROM qsub q0 JOIN cb{PQ_ITERS} c ON q0.m = c.m),
+qn AS (SELECT vec_id AS query_id, {_IDOT.format(n=DIM, a="q", b="q")} AS qn2
+       FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_pq,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_pq DESC, neighbor_id ASC) AS INT) AS rank
+  FROM (SELECT s.query_id, s.neighbor_id,
+               s.adot / (sqrt(qn.qn2::DOUBLE) * sqrt(s.rn2::DOUBLE)) AS cosine_pq
+        FROM scored s JOIN qn ON s.query_id = qn.query_id))
+SELECT query_id, neighbor_id, round(cosine_pq, 6) AS cosine_pq, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+KNN_PQ = _knn_pq_sql()
+
 SEMDEDUP = f"""
 {_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
 m AS (SELECT a.vec_id, a.cluster, e.q FROM assign{KM_ITERS} a JOIN e ON a.vec_id = e.vec_id),
@@ -1653,6 +1723,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivf": KNN_IVF,
     "knn_ivf_trained": KNN_IVF_TRAINED,
     "knn_rp": KNN_RP,
+    "knn_pq": KNN_PQ,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,

@@ -339,6 +339,58 @@ class TestSimilarity:
         ).count()
         assert bad == 0
 
+    def test_knn_pq_recall_pinned_and_no_invented_exacts(self, spark, sf_dir):
+        """knn_pq is deterministic end-to-end (fixed-point codebooks +
+        integer ADC), so recall vs brute is a constant per dataset —
+        pinned exactly (0.32 / 0.40 at sf0.001/sf0.01; the 16×4-dim
+        geometry chosen by this number — 4×16-dim measured 0.04-0.2).
+        The ADC score is an approximation, so unlike IVF no shared-pair
+        score equality holds; instead pin the compression contract:
+        every corpus vector encodes to exactly PQ_M codes in
+        [0, PQ_CODE_MOD) with a positive reconstruction norm."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            PQ_CODE_MOD,
+            PQ_ITERS,
+            PQ_M,
+            _pq_assign,
+            _pq_codebook,
+            _pq_subvectors,
+            _idot,
+            knn_brute,
+            knn_pq,
+            quantize,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r.query_id, r.neighbor_id) for r in knn_brute(emb).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in knn_pq(emb).collect()}
+        assert approx
+        recall = len(exact & approx) / len(exact)
+        assert recall == (0.32 if sf_dir.endswith("sf0.001") else 0.40), recall
+
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        sub = _pq_subvectors(e)
+        cb = _pq_codebook(sub.withColumn("code", F.pmod(F.col("vec_id"), F.lit(PQ_CODE_MOD))))
+        for _ in range(PQ_ITERS):
+            cb = _pq_codebook(_pq_assign(sub, cb))
+        enc = (
+            _pq_assign(sub, cb)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_codes"), F.sum("cn2").alias("rn2"),
+                 F.max("code").alias("max_code"), F.min("code").alias("min_code"))
+        )
+        bad = enc.filter(
+            (F.col("n_codes") != PQ_M)
+            | (F.col("rn2") <= 0)
+            | (F.col("max_code") >= PQ_CODE_MOD)
+            | (F.col("min_code") < 0)
+        ).count()
+        assert bad == 0
+        assert enc.count() == emb.count()
+
     def test_knn_lsh_recall_vs_brute(self, spark, sf_dir):
         """Recall guard for BANDED sign-LSH (4 bands × 4 planes,
         candidate on any band match). The single-bucket 8-plane form
