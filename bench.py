@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "spend_gini",
     "cdc_compaction",
     "tokenizer_fertility",
+    "zorder_layout_audit",
 ]
 
 

@@ -810,6 +810,46 @@ def column_profile(
     )
 
 
+ZB_SHIFT = 12  # 22-bit zval >> 12 → 1024 Z-buckets in the audit query
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order CLUSTERING KEY under the oracle gate: interleave
+    (user bucket, minute-of-day) bits into the Z-value
+    `operators/layout.write_zordered` clusters files by, then aggregate
+    per Z-bucket the min/max extent of BOTH source dimensions. The
+    output certifies cross-engine that the interleave arithmetic is
+    exact AND exhibits the property the layout exists for: every
+    Z-bucket bounds every interleaved dimension at once (a 12-bit
+    Z-range confines each dim to ≤ 2⁶ of its 2¹¹ cells), which is
+    precisely why per-file parquet min/max stats prune multi-dimensional
+    predicates after `write_zordered`. The physical file-level proof
+    (footer stats vs a 1-D sort strawman) is pinned in
+    tests/test_layout.py; this query is the deterministic, driver-
+    certifiable arithmetic core. Zero shuffles beyond one map-side-
+    combined aggregation on the bucket key."""
+    from ..operators.layout import ZORDER_BITS, zorder_value
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(2048))
+    # integer DIV, not floor(double /): exact at minute boundaries in
+    # both engines (the retention_cohorts day-bucket idiom)
+    y = F.pmod(F.expr("unix_micros(ts) DIV 60000000"), F.lit(1440))
+    t = ev.select(x.alias("x"), y.alias("y"))
+    z = zorder_value([F.col("x"), F.col("y")], ZORDER_BITS)
+    return (
+        t.select(F.shiftrightunsigned(z, ZB_SHIFT).alias("zbucket"), "x", "y")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
 def cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-MAINTAINED CDC current table, under the oracle gate:
     replay the events table through `run_cdc_compaction_stream` as an
@@ -870,6 +910,7 @@ ANALYTICS_QUERIES = {
     "cdc_compaction": cdc_compaction,
     "cdc_stream_view": cdc_stream_view,
     "scd2_stream_view": scd2_stream_view,
+    "zorder_layout_audit": zorder_layout_audit,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -1267,3 +1308,34 @@ FROM scored
 # view) against the same ANSI-SQL ground truth.
 ANALYTICS_ORACLES["cdc_stream_view"] = ANALYTICS_ORACLES["cdc_compaction"]
 ANALYTICS_ORACLES["scd2_stream_view"] = ANALYTICS_ORACLES["scd2_snapshot"]
+
+
+def _zval_sql(x: str, y: str, bits: int) -> str:
+    """Unrolled bit-interleave — the same flat shift/mask sum
+    operators/layout.zorder_value compiles on the Spark side, generated
+    from the same bit width."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_audit_sql() -> str:
+    from ..operators.layout import ZORDER_BITS
+
+    return f"""
+WITH t AS (
+  SELECT user_id % 2048 AS x,
+         ((epoch_us(ts) // 60000000) % 1440) AS y
+  FROM events
+)
+SELECT (({_zval_sql("x", "y", ZORDER_BITS)}) >> {ZB_SHIFT}) AS zbucket,
+       count(*) AS n_events,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM t GROUP BY 1
+"""
+
+
+ANALYTICS_ORACLES["zorder_layout_audit"] = _zorder_audit_sql()

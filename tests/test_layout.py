@@ -1,0 +1,206 @@
+"""Physical-layout operators: Z-order clustering (file-stat evidence of
+multi-dimensional skipping) and partition-selective small-file
+compaction (content identity + untouched-partition proof)."""
+
+from __future__ import annotations
+
+import os
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _file_stats(path: str, cols: list[str]) -> list[dict[str, tuple[int, int]]]:
+    """Per-parquet-file (min, max) of each named column, straight from
+    the footers — exactly the statistics a scan's row-group/file pruning
+    consults."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.read_metadata(f)
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name in cols and c.statistics is not None:
+                    st = c.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+class TestZorder:
+    def test_zorder_value_bit_exact(self, spark):
+        """Hand-checked interleave: x=0b101, y=0b011 → z bits
+        x→even positions, y→odd: z = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32
+        = 27."""
+        from gmall_flink_200621_spark.operators.layout import zorder_value
+
+        df = spark.createDataFrame([(5, 3)], "x long, y long")
+        z = df.select(zorder_value([F.col("x"), F.col("y")], 3).alias("z")).first().z
+        assert z == 27
+
+    def test_zordered_files_bound_both_dimensions(self, spark, sf_dir, tmp_path):
+        """The reason the operator exists, observed at the file level.
+        Any 1-D sort and a Z-order both split the plane into ~1/n_files
+        regions — the difference is SHAPE: sorted-by-x files are thin
+        stripes with FULL y extent (a y-only predicate prunes nothing),
+        Z-files are blocks bounded in BOTH dimensions (a predicate on
+        either dimension prunes most files). Asserted three ways on real
+        footer stats: per-dimension extents, a simulated band-predicate
+        file-prune count, and round-trip content identity. Dimensions:
+        hash-spread user key × minute-of-day — the canonical
+        point-lookup + time-range clustering pair."""
+        from gmall_flink_200621_spark.operators.layout import (
+            ZORDER_BITS,
+            write_zordered,
+            zorder_value,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2048)).alias("x"),
+            F.pmod(F.expr("unix_micros(ts) DIV 60000000"), F.lit(1440)).alias("y"),
+        )
+        n_files = 16
+
+        zdir = str(tmp_path / "zord")
+        write_zordered(
+            ev, zdir, zorder_value([F.col("x"), F.col("y")], ZORDER_BITS), n_files
+        )
+        xdir = str(tmp_path / "xsort")
+        ev.repartitionByRange(n_files, F.col("x")).sortWithinPartitions(
+            "x", "y"
+        ).write.mode("overwrite").parquet(xdir)
+
+        zs = _file_stats(zdir, ["x", "y"])
+        xs = _file_stats(xdir, ["x", "y"])
+        assert len(zs) > 4 and len(xs) > 4
+
+        y_dom = max(s["y"][1] for s in xs) - min(s["y"][0] for s in xs) + 1
+
+        def y_extents(stats):
+            return [(s["y"][1] - s["y"][0] + 1) / y_dom for s in stats]
+
+        # stripes: most x-sorted files span ~the whole y domain
+        assert sorted(y_extents(xs))[len(xs) // 2] > 0.8
+        # blocks: the typical Z-file bounds y tightly (a file whose
+        # z-range straddles a quadrant seam can still span more — the
+        # z-curve's known discontinuity; median is the honest statistic),
+        # and a y-band predicate shows the effect: far fewer Z-files
+        # intersect a 1/8-domain band than stripes do
+        assert sorted(y_extents(zs))[len(zs) // 2] < 0.5, y_extents(zs)
+        band_lo, band_hi = 600, 600 + y_dom // 8
+
+        def touched(stats):
+            return sum(
+                1 for s in stats if s["y"][0] <= band_hi and s["y"][1] >= band_lo
+            ) / len(stats)
+
+        assert touched(zs) <= 0.5 * touched(xs), (touched(zs), touched(xs))
+
+        # content identity
+        got = sorted(map(tuple, spark.read.parquet(zdir).collect()))
+        want = sorted(map(tuple, ev.collect()))
+        assert got == want and len(got) > 0
+
+
+class TestCompaction:
+    def test_fragmented_partition_compacts_others_untouched(self, spark, tmp_path):
+        from gmall_flink_200621_spark.operators.layout import compact_small_files
+
+        spark.sql("DROP TABLE IF EXISTS t_compact")
+        spark.sql(
+            "CREATE TABLE t_compact (k BIGINT, v STRING) USING parquet PARTITIONED BY (kb INT)"
+        )
+        # kb=0: six 1-row appends → six files; kb=1: one file
+        for i in range(6):
+            spark.createDataFrame([(i, f"v{i}", 0)], "k long, v string, kb int").coalesce(
+                1
+            ).write.mode("append").insertInto("t_compact")
+        spark.createDataFrame([(100, "w", 1)], "k long, v string, kb int").coalesce(
+            1
+        ).write.mode("append").insertInto("t_compact")
+
+        before = sorted(map(tuple, spark.table("t_compact").collect()))
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        p0 = os.path.join(wh, "t_compact", "kb=0")
+        p1 = os.path.join(wh, "t_compact", "kb=1")
+        files0 = lambda: [f for f in os.listdir(p0) if f.endswith(".parquet")]
+        assert len(files0()) == 6
+        mt1 = os.path.getmtime(p1)
+
+        done = compact_small_files(spark, "t_compact", target_bytes=1 << 30, tolerance=1)
+        assert done == {"kb=0": (6, 1)}
+        assert len(files0()) == 1
+        assert os.path.getmtime(p1) == mt1  # healthy partition untouched
+        spark.catalog.refreshTable("t_compact")
+        assert sorted(map(tuple, spark.table("t_compact").collect())) == before
+
+        # idempotent: a second pass finds nothing fragmented
+        assert compact_small_files(spark, "t_compact", target_bytes=1 << 30) == {}
+        spark.sql("DROP TABLE IF EXISTS t_compact")
+
+    def test_compacts_streaming_mv_state_table(self, spark, tmp_path):
+        """End-to-end with the machinery it was built for: the CDC
+        stream's hash-bucketed state table, after its bucket fragments
+        (each touched-bucket overwrite writes one file per non-empty
+        shuffle task, so a hot bucket accretes small files), compacts
+        back to one file and `cdc_current_view` reads identically."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.layout import compact_small_files
+        from gmall_flink_200621_spark.streaming.ingest import (
+            cdc_current_view,
+            run_cdc_compaction_stream,
+        )
+
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        t0 = __import__("time").time()
+        path = stage / "part-0.parquet"
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime([10, 20], unit="s"),
+                "user_id": [0, 64],  # both → kb=0 under 64 buckets
+                "event_type": ["view", "click"],
+                "value": [1.0, 2.0],
+                "props": ["{}", "{}"],
+            }
+        ).to_parquet(path, index=False)
+        os.utime(path, (t0, t0))
+        q = run_cdc_compaction_stream(spark, str(stage), name="t_cmv")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        # fragment kb=0 the way a busy maintenance loop does: several
+        # task-sized files landing in one bucket partition
+        for i, uid in enumerate((128, 192, 256)):
+            spark.createDataFrame(
+                [(uid, 30_000_000 + i, 100 + i, "view", 100, 0)],
+                "user_id long, ts_us long, event_id long, op string, v_cents long, kb int",
+            ).coalesce(1).write.mode("append").insertInto("t_cmv_state")
+
+        spark.catalog.refreshTable("t_cmv_state")
+        before = sorted(map(tuple, cdc_current_view(spark, "t_cmv").collect()))
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        p0 = os.path.join(wh, "t_cmv_state", "kb=0")
+        n_before = len([f for f in os.listdir(p0) if f.endswith(".parquet")])
+        assert n_before >= 4
+
+        done = compact_small_files(spark, "t_cmv_state", target_bytes=1 << 30)
+        assert "kb=0" in done and done["kb=0"][1] == 1
+        n_after = len([f for f in os.listdir(p0) if f.endswith(".parquet")])
+        assert n_after == 1
+        spark.catalog.refreshTable("t_cmv_state")
+        assert sorted(map(tuple, cdc_current_view(spark, "t_cmv").collect())) == before
+        assert len(before) == 5  # 2 streamed + 3 appended users survive
