@@ -176,6 +176,23 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_stats_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED corpus profile under the oracle gate:
+    replay documents through `run_corpus_stats_stream` (3 micro-batches
+    of per-epoch partial aggregates) and fold the partials — same
+    schema, same integer arithmetic, same DuckDB oracle as the batch
+    `corpus_profile`, so the driver's hash check certifies the
+    incremental-aggregate maintenance loop itself."""
+    from ..streaming.ingest import corpus_stats_view, run_corpus_stats_stream
+
+    q = run_corpus_stats_stream(spark, sf_dir, name="q_cstats")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable("q_cstats_partials")
+    return corpus_stats_view(spark, "q_cstats")
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible mixture sampling: English docs kept at 30%, everything
     else at 10% — the data-mixture knob, deterministic in (seed, doc_id)
@@ -620,6 +637,7 @@ TRAINING_QUERIES = {
     "doc_repetition": doc_repetition,
     "dedup_containment": dedup_containment,
     "corpus_profile": corpus_profile,
+    "corpus_stats_stream_view": corpus_stats_stream_view,
     "corpus_sample": corpus_sample,
     "corpus_split": corpus_split,
     "decontaminate": decontaminate,

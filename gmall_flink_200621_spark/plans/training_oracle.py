@@ -1729,6 +1729,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "doc_repetition": DOC_REPETITION,
     "dedup_containment": DEDUP_CONTAINMENT,
     "corpus_profile": CORPUS_PROFILE,
+    # the stream-maintained profile is contract-equal to its batch twin
+    "corpus_stats_stream_view": CORPUS_PROFILE,
     "doc_fingerprint": DOC_FINGERPRINT,
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,

@@ -1023,3 +1023,104 @@ def scd2_current_view(spark: SparkSession, name: str = "scd2_stream") -> DataFra
     return spark.table(f"{name}_state").select(
         "user_id", "state", "valid_from_us", "valid_to_us", "version"
     )
+
+
+def run_corpus_stats_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "cstats",
+    n_chunks: int = 3,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+):
+    """Incrementally-maintained corpus profile — the SELF-MAINTAINABLE
+    AGGREGATE member of the MV family: unlike the pagerank/cluster twins
+    (whose refresh is an honest O(accumulated) fixed point), every
+    column of `corpus_profile` is a decomposable sum/count, so each
+    micro-batch contributes a per-(source, lang) PARTIAL aggregate and
+    the maintenance cost is O(batch) + O(groups) — never a corpus
+    re-scan, at any scale.
+
+    Exactly-once without read-modify-write: partials land in the
+    epoch-partitioned `<name>_partials` table via dynamic overwrite (a
+    replayed batch rewrites its own partition byte-identically — the
+    `_ingest_epoch` discipline; no state is ever read during the write,
+    so there is no increment to double-apply). `corpus_stats_view` then
+    folds the partials: integer sums re-associate exactly, and the final
+    avg_quality is ONE double division of exact ints — the view is
+    BIT-IDENTICAL to batch `corpus_profile` over the ingested docs at
+    every epoch boundary (pinned; the registry's
+    corpus_stats_stream_view runs it under corpus_profile's own DuckDB
+    oracle). With a checkpoint, kill-and-restart resumes from the
+    committed offset."""
+    from ..functions.text import tokens
+
+    parts_t = f"{name}_partials"
+    if fresh_tables:
+        _drop_table(spark, parts_t)
+        spark.sql(
+            f"CREATE TABLE {parts_t} (source STRING, lang STRING, n_docs BIGINT,"
+            f" total_tokens BIGINT, total_chars BIGINT, sum_scaled_q BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def stats_batch(df, epoch_id: int) -> None:
+        s = df.sparkSession
+        t = df.select(
+            "source", "lang", F.length("text").alias("nc"), tokens("text").alias("toks")
+        ).select(
+            "source",
+            "lang",
+            "nc",
+            F.size("toks").alias("nt"),
+            F.size(F.array_distinct("toks")).alias("nu"),
+        )
+        # the corpus_profile integer quality scaling, verbatim (shared
+        # semantics → the stream view shares its oracle)
+        scaled = (
+            5000 * F.least(F.lit(100), F.col("nt"))
+            + F.expr("(500000 * CAST(nu AS BIGINT)) DIV nt")
+        ).cast("long")
+        part = t.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nc").alias("total_chars"),
+            F.sum(scaled).alias("sum_scaled_q"),
+        )
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            part.withColumn("epoch", F.lit(epoch_id).cast("long")).write.mode(
+                "overwrite"
+            ).insertInto(parts_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.catalog.refreshTable(parts_t)
+
+    w = docs.writeStream.foreachBatch(stats_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def corpus_stats_view(spark: SparkSession, name: str = "cstats") -> DataFrame:
+    """Fold the epoch partials to the current corpus profile — integer
+    sums plus corpus_profile's single terminal double division, so the
+    result is bit-identical to the batch operator over the same docs."""
+    return (
+        spark.table(f"{name}_partials")
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("total_chars").alias("total_chars"),
+            (F.sum("sum_scaled_q") / (F.sum("n_docs") * F.lit(1e6))).alias(
+                "avg_quality"
+            ),
+        )
+    )

@@ -900,3 +900,76 @@ class TestScd2StreamWatermark:
             )
         )
         assert got == want and len(got) == 3
+
+
+class TestCorpusStatsStream:
+    def test_view_equals_batch_profile(self, spark, sf_dir):
+        """After full replay the folded partials are bit-identical to
+        batch corpus_profile (integer partials + one terminal division)."""
+        from gmall_flink_200621_spark.plans.training import corpus_profile
+        from gmall_flink_200621_spark.streaming.ingest import (
+            corpus_stats_view,
+            run_corpus_stats_stream,
+        )
+
+        q = run_corpus_stats_stream(spark, sf_dir, name="t_cst", n_chunks=3)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_cst_partials")
+        got = sorted(map(tuple, corpus_stats_view(spark, "t_cst").collect()))
+        want = sorted(map(tuple, corpus_profile(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0
+
+    def test_incremental_o_batch_maintenance(self, spark, sf_dir, tmp_path):
+        """The self-maintainable-aggregate claim observed: each epoch
+        writes ONLY its own partial partition (earlier epochs' partitions
+        physically untouched), and a kill-and-restart resumes from the
+        committed offset without double-counting any partial."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.plans.training import corpus_profile
+        from gmall_flink_200621_spark.streaming.ingest import (
+            corpus_stats_view,
+            run_corpus_stats_stream,
+            stage_document_chunks,
+        )
+
+        full = stage_document_chunks(sf_dir, n_chunks=3)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+        q = run_corpus_stats_stream(
+            spark, sf_dir="", stage_dir=str(incr), name="t_csr", checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        e0 = os.path.join(wh, "t_csr_partials", "epoch=0")
+        mt0 = os.path.getmtime(e0)
+        n0 = corpus_stats_view(spark, "t_csr").agg({"n_docs": "sum"}).first()[0]
+
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_corpus_stats_stream(
+            spark,
+            sf_dir="",
+            stage_dir=str(incr),
+            name="t_csr",
+            checkpoint_dir=ckpt,
+            fresh_tables=False,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        assert os.path.getmtime(e0) == mt0  # epoch-0 partial never rewritten
+        spark.catalog.refreshTable("t_csr_partials")
+        got = sorted(map(tuple, corpus_stats_view(spark, "t_csr").collect()))
+        want = sorted(map(tuple, corpus_profile(spark, sf_dir).collect()))
+        assert got == want
+        assert corpus_stats_view(spark, "t_csr").agg({"n_docs": "sum"}).first()[0] > n0
