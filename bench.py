@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "knn_ivf_trained",
     "knn_rp",
     "knn_pq",
+    "knn_ivfpq",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

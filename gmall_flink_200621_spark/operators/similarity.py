@@ -1074,25 +1074,38 @@ def knn_pq(
     inverted lists for IVF-PQ when the scan itself must shrink."""
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
-    sub = _pq_subvectors(e).persist()  # feeds init + every assign pass
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    codes, cb = _pq_train_encode(e, code_mod, iters)
+    lut = _pq_query_luts(qs, cb)
+    scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+    return _pq_rank(scored, k)
 
-    # train: hash-bucket init, then Lloyd
+
+def _pq_train_encode(e: DataFrame, code_mod: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Train the per-subspace codebooks and encode the corpus: returns
+    (codes — (vec_id, codes array in subspace order, exact recon norm
+    rn2), codebook — (m, code, cv, cn2))."""
+    sub = _pq_subvectors(e).persist()  # feeds init + every assign pass
     cb = _pq_codebook(sub.withColumn("code", F.pmod(F.col("vec_id"), F.lit(code_mod))))
     for _ in range(iters):
         cb = _pq_codebook(_pq_assign(sub, cb))
-
-    # encode: (vec_id, codes array in subspace order, exact recon norm)
-    enc = _pq_assign(sub, cb)
-    codes = enc.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s.code
-        ).alias("codes"),
-        F.sum("cn2").alias("rn2"),
+    codes = (
+        _pq_assign(sub, cb)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s.code
+            ).alias("codes"),
+            F.sum("cn2").alias("rn2"),
+        )
     )
+    return codes, cb
 
-    # per-query ADC lookup tables: array (by m) of code→dot maps
-    qs = e.filter(F.col("vec_id") % query_mod == 0)
-    lut = (
+
+def _pq_query_luts(qs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup tables: (query_id, luts — array (by m) of
+    code→dot maps, qn2). `qs` must carry (vec_id, q, n2)."""
+    return (
         _pq_subvectors(qs)
         .join(F.broadcast(cb), "m")
         .withColumn("dot", _idot(F.col("sv"), F.col("cv")))
@@ -1108,22 +1121,24 @@ def knn_pq(
             ).alias("luts")
         )
         .join(
-            qs.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("qn2")), "query_id"
+            qs.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("qn2")),
+            "query_id",
         )
     )
 
+
+def _pq_rank(scored: DataFrame, k: int) -> DataFrame:
+    """ADC score + top-k: `scored` rows carry (query_id, vec_id, codes,
+    rn2, luts, qn2)."""
     adot = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0).cast("long"),
         lambda acc, m: acc
         + F.element_at(F.element_at("luts", m + 1), F.element_at("codes", m + 1)),
     )
-    scored = (
-        codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
-        .withColumn(
-            "cosine_pq",
-            adot / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
-        )
+    scored = scored.withColumn(
+        "cosine_pq",
+        adot / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
     return (
@@ -1136,3 +1151,69 @@ def knn_pq(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    nprobe: int = IVF_NPROBE,
+    code_mod: int = PQ_CODE_MOD,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ — the production ANN shape (FAISS's IVFPQ index; Jégou et
+    al. 2011 §V): knn_ivf's inverted lists cut CANDIDATES to the nprobe
+    nearest lists, knn_pq's 8-byte codes + ADC lookup tables cut
+    BYTES-PER-CANDIDATE — composed, a 100 TB corpus is searched by
+    touching nprobe/nlists of an index that is ~32× smaller than the
+    vectors. Both component quantizers are the family's fixed-point
+    constructions (seed-vector coarse lists; hash-init + Lloyd PQ
+    codebooks), so the whole composite stays hash-exact under the DuckDB
+    oracle.
+
+    Plan shape: the coarse assignment is one corpus scan against
+    broadcast centroids (struct-max agg, no window); the code frame
+    joins it once (vec_id-keyed — the inverted index WITH codes);
+    probing fans each query to nprobe lists and the candidate join moves
+    (query, codes[16], rn2) triples — never vectors; ADC scoring is
+    PQ_M map lookups per candidate against the broadcast per-query LUTs.
+    Recall vs brute is pinned in tests; it is bounded above by knn_ivf's
+    recall (same candidates, approximate scores) — the measured price of
+    scanning codes instead of vectors."""
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+
+    # coarse quantizer: seed-vector lists, knn_ivf's argmax-cosine agg
+    cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2c")
+    )
+    ccos = _idot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2c").cast("double"))
+    )
+    lists = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("list_id"))
+    )
+    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("pr", F.row_number().over(probes_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
+    )
+
+    codes, cb = _pq_train_encode(e, code_mod, iters)
+    ix = lists.join(codes, "vec_id")  # inverted index rows WITH codes
+    lut = _pq_query_luts(qs, cb)
+    scored = (
+        probes.join(ix, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), "query_id")
+    )
+    return _pq_rank(scored, k)

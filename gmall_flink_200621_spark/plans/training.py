@@ -257,6 +257,12 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_pq(_emb(spark, sf_dir))
 
 
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: inverted-list candidate pruning + ADC scoring over 8-byte
+    codes — see operators/similarity.knn_ivfpq."""
+    return V.knn_ivfpq(_emb(spark, sf_dir))
+
+
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
@@ -650,6 +656,7 @@ TRAINING_QUERIES = {
     "knn_ivf_trained": knn_ivf_trained,
     "knn_rp": knn_rp,
     "knn_pq": knn_pq,
+    "knn_ivfpq": knn_ivfpq,
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,

@@ -1126,21 +1126,25 @@ def _knn_pq_sql() -> str:
              ORDER BY c.cn2 - 2 * ({sdot('s.sv', 'c.cv')}) ASC, c.code ASC) AS rn
     FROM sub s JOIN cb{it} c ON s.m = c.m) WHERE rn = 1)"""
         )
-    ctes = ",\n".join(parts)
-    return f"""
-WITH {ctes},
-codes AS (SELECT vec_id, m, code, cn2 FROM asg{PQ_ITERS + 1}),
-qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id % 100 = 0),
-lut AS (
+    # shared tail pieces (codes / LUT / norms / ADC ranking) — reused
+    # verbatim by the IVF-PQ composite below
+    parts.append(f"codes AS (SELECT vec_id, m, code, cn2 FROM asg{PQ_ITERS + 1})")
+    parts.append(
+        "qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id % 100 = 0)"
+    )
+    parts.append(
+        f"""lut AS (
   SELECT q0.query_id, c.m, c.code, {sdot("q0.sv", "c.cv")} AS dot
-  FROM qsub q0 JOIN cb{PQ_ITERS} c ON q0.m = c.m),
-qn AS (SELECT vec_id AS query_id, {_IDOT.format(n=DIM, a="q", b="q")} AS qn2
-       FROM e WHERE vec_id % 100 = 0),
-scored AS (
-  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
-  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
-  WHERE l.query_id <> k.vec_id
-  GROUP BY 1, 2),
+  FROM qsub q0 JOIN cb{PQ_ITERS} c ON q0.m = c.m)"""
+    )
+    parts.append(
+        f"qn AS (SELECT vec_id AS query_id, {_IDOT.format(n=DIM, a='q', b='q')} AS qn2"
+        f" FROM e WHERE vec_id % 100 = 0)"
+    )
+    return ",\n".join(parts)
+
+
+_PQ_RANK_TAIL = f"""
 ranked AS (
   SELECT query_id, neighbor_id, cosine_pq,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1152,8 +1156,45 @@ SELECT query_id, neighbor_id, round(cosine_pq, 6) AS cosine_pq, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
+KNN_PQ = f"""
+WITH {_knn_pq_sql()},
+scored AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
 
-KNN_PQ = _knn_pq_sql()
+# IVF-PQ: knn_ivf's seed-vector coarse lists select candidates, the PQ
+# tail above scores them by ADC — the same composition as the Spark side
+# (operators/similarity.knn_ivfpq), cell for cell.
+KNN_IVFPQ = f"""
+WITH {_knn_pq_sql()},
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
+lists AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT e2.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e2.vec_id
+             ORDER BY {_cosine_sql("e2.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e e2, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cent_id AS list_id FROM (
+    SELECT q0.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {_cosine_sql("q0.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e q0, cents c WHERE q0.vec_id % 100 = 0) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, l.vec_id FROM probes p JOIN lists l ON p.list_id = l.list_id
+  WHERE p.query_id <> l.vec_id),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
 
 SEMDEDUP = f"""
 {_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
@@ -1756,6 +1797,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivf_trained": KNN_IVF_TRAINED,
     "knn_rp": KNN_RP,
     "knn_pq": KNN_PQ,
+    "knn_ivfpq": KNN_IVFPQ,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,

@@ -1309,6 +1309,39 @@ class TestWeightedSample:
         assert [r.doc_id for r in out] == [0]
 
 
+class TestKnnIvfPq:
+    def test_recall_pinned_and_candidates_subset_of_ivf(self, spark, sf_dir):
+        """IVF-PQ is deterministic end-to-end; recall vs brute pinned
+        (0.32 / 0.40 — equal to plain knn_pq here because the seed-list
+        IVF at this scale recalls 1.0, so the PQ distortion is the whole
+        loss). Structural pin: every IVF-PQ result pair was generated
+        from a probed list, so the pair set must be a subset of the
+        candidate pairs knn_ivf scores — PQ changes SCORES, never the
+        candidate set."""
+        from gmall_flink_200621_spark.operators.similarity import (
+            knn_brute,
+            knn_ivf,
+            knn_ivfpq,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r.query_id, r.neighbor_id) for r in knn_brute(emb).collect()}
+        got = {(r.query_id, r.neighbor_id) for r in knn_ivfpq(emb).collect()}
+        assert got
+        recall = len(exact & got) / len(exact)
+        assert recall == (0.32 if sf_dir.endswith("sf0.001") else 0.40), recall
+        # same coarse lists as knn_ivf ⇒ at k=5 with ivf recall 1.0 the
+        # ADC ranking can only permute within the candidate pool; check
+        # every returned neighbor shares the query's probed lists by
+        # re-deriving the pool from knn_ivf at a large k
+        pool = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_ivf(emb, k=10_000_000).collect()
+        }
+        assert got <= pool
+
+
 class TestMixtureTemperature:
     def test_flattening_and_budget(self, spark):
         """The τ=2 law, hand-checkable: sources with token masses
@@ -2107,6 +2140,36 @@ class TestSourceMinhashSetops:
         assert ab.est_jaccard > 0.2  # high-overlap pair clearly nonzero
         for pair in (("A", "C"), ("B", "C")):
             assert out[pair].n_common == 0 and out[pair].exact_jaccard == 0.0
+
+
+class TestRound7PartitionInvariance:
+    def test_new_ops_identical_under_repartition(self, spark, sf_dir):
+        """The round-7 additions hold the engine's partition-invariance
+        contract: bit-identical results when the input arrives
+        arbitrarily repartitioned (stable hashes under AQE/task-retry
+        reduction orders at cluster scale)."""
+        from gmall_flink_200621_spark.operators.similarity import knn_ivfpq, knn_pq
+        from gmall_flink_200621_spark.operators.textops import mixture_temperature
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        for op, frame in (
+            (knn_pq, emb),
+            (knn_ivfpq, emb),
+            (mixture_temperature, docs),
+        ):
+            a = sorted(map(tuple, op(frame).collect()))
+            b = sorted(map(tuple, op(frame.repartition(13)).collect()))
+            assert a == b and len(a) > 0, op.__name__
+
+    def test_zorder_audit_invariant_under_repartition(self, spark, sf_dir):
+        from gmall_flink_200621_spark.plans.analytics import zorder_layout_audit
+
+        a = sorted(map(tuple, zorder_layout_audit(spark, sf_dir).collect()))
+        assert len(a) > 0
+        b = sorted(map(tuple, zorder_layout_audit(spark, sf_dir).collect()))
+        assert a == b
 
 
 class TestRound6PartitionInvariance:
