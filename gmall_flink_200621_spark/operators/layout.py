@@ -97,7 +97,9 @@ def compact_small_files(
     (streaming/ingest.py): their touched-bucket overwrites keep write IO
     O(delta) per epoch, at the price of each bucket accreting one small
     file per epoch that touches it; a periodic compaction pass restores
-    scan efficiency without rewriting the table. Correctness is
+    scan efficiency without rewriting the table. (Flat un-partitioned
+    parquet directories use `sources/sinks.compact_table` instead — same
+    bin-packing policy, whole-directory staging swap.) Correctness is
     content-identity: rewrite is `INSERT OVERWRITE` of the partition's
     own rows (replay-idempotent — a crashed pass re-finds the same
     fragmented partitions; a replayed one finds them compact and writes

@@ -136,7 +136,14 @@ def compact_table(spark, path: str, target_file_bytes: int = TARGET_FILE_BYTES) 
     the policy (size-triggered, target-block-sized output) is the same.
 
     Returns {files_before, files_after, bytes}. No-ops (and reports) when
-    the directory is already at or below the target file count."""
+    the directory is already at or below the target file count.
+
+    Scope split with `operators/layout.compact_small_files`: this one
+    rewrites a FLAT parquet directory wholesale (local-FS staging swap);
+    that one is partition-SELECTIVE over a partitioned catalog table
+    (Hadoop FileSystem metadata, dynamic overwrite of only fragmented
+    partitions) — the right tool for the streaming MV state tables whose
+    healthy buckets must stay physically untouched."""
     import glob
     import os
     import shutil
@@ -185,53 +192,48 @@ ZORDER_BITS = 16  # bits per dimension in the interleaved key
 
 
 def zorder_key(a, b, a_min: int, a_max: int, b_min: int, b_max: int):
-    """Two-dimensional Z-order (Morton) key as a pure codegen expression:
-    each column is linearly scaled to ZORDER_BITS bits over its observed
-    [min, max], then the bits are interleaved (a even positions, b odd).
-    Locality in z-value ⇒ locality in BOTH dimensions, which is what
-    makes multi-column min/max pruning work where a lexicographic sort
-    only ever prunes on its leading column.
+    """Two-dimensional Z-order (Morton) key: each column is linearly
+    scaled to ZORDER_BITS bits over its observed [min, max], then
+    bit-interleaved by the canonical `operators/layout.zorder_value`
+    (a even positions, b odd). Locality in z-value ⇒ locality in BOTH
+    dimensions, which is what makes multi-column min/max pruning work
+    where a lexicographic sort only ever prunes on its leading column.
 
     Linear scaling is the simple variant — fine for roughly uniform
     domains; for heavy skew, production systems (Delta OPTIMIZE ZORDER)
-    use sampled range boundaries per dimension instead. Swapping the
-    scaler leaves the interleave untouched."""
+    use sampled range boundaries per dimension instead. Callers with
+    ALREADY-bounded integer dimensions (hash buckets, minute-of-day)
+    skip the scaler and use `operators/layout.zorder_value` directly —
+    that raw form is what the oracle-gated `zorder_layout_audit` query
+    certifies cross-engine."""
+    from ..operators.layout import zorder_value
+
     span_a = max(a_max - a_min, 1)
     span_b = max(b_max - b_min, 1)
     top = (1 << ZORDER_BITS) - 1
     qa = ((a - F.lit(a_min)) * top / F.lit(span_a)).cast("long")
     qb = ((b - F.lit(b_min)) * top / F.lit(span_b)).cast("long")
-    z = F.lit(0).cast("long")
-    for i in range(ZORDER_BITS):
-        z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-        )
-    return z
+    return zorder_value([qa, qb], ZORDER_BITS)
 
 
 def layout_by_zorder(
     df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 8
 ) -> None:
     """Z-order-clustered layout over two integer columns: compute the
-    Morton key, range-partition + sort on it, write. Each output file
-    then owns a compact 2-D tile, so min/max footer stats are tight on
-    BOTH columns — a predicate on EITHER dimension skips most files,
-    where `layout_by_range` only ever prunes its leading column. The
-    min/max scan for the scaler is one cheap columnar aggregate; the
-    key itself is whole-stage-codegen bit math, no UDF."""
+    scaled Morton key, then `operators/layout.write_zordered` (range-
+    partition + in-partition sort on it). Each output file then owns a
+    compact 2-D tile, so min/max footer stats are tight on BOTH columns
+    — a predicate on EITHER dimension skips most files, where
+    `layout_by_range` only ever prunes its leading column. The min/max
+    scan for the scaler is one cheap columnar aggregate; the key itself
+    is whole-stage-codegen bit math, no UDF."""
+    from ..operators.layout import write_zordered
+
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
-    z = zorder_key(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b).alias("__z")
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    z = zorder_key(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b)
+    write_zordered(df, path, z, n_files)
 
 
 def publish_with_audit(df: DataFrame, path: str, checks) -> dict:
