@@ -697,3 +697,49 @@ TRAINING_QUERIES = {
     "bigram_lm_score": bigram_lm_score,
     "sparse_cosine_pairs": sparse_cosine_pairs,
 }
+
+
+def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated ANN audit — one row per approximate method with its
+    recall@5 against knn_brute, driver-hash-certified (the dedup_eval
+    discipline applied to the whole vector family): the honest numbers a
+    user needs BEFORE picking an index for their corpus, as a query
+    instead of a docstring claim. Columns: method, n_exact, n_method,
+    n_common, recall. Each method frame reuses the certified operator
+    verbatim; the brute pair set is computed once and semi-joined per
+    method — only (query, neighbor) pairs move, never vectors."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    exact = V.knn_brute(emb).select("query_id", "neighbor_id").persist()
+    n_exact = exact.count()  # one bounded scalar; reused in every row
+    methods = {
+        "ivf": V.knn_ivf,
+        "ivf_trained": V.knn_ivf_trained,
+        "ivfpq": V.knn_ivfpq,
+        "lsh": V.knn_lsh,
+        "pq": V.knn_pq,
+        "rp": V.knn_rp,
+    }
+    rows = []
+    for name, op in sorted(methods.items()):
+        m = op(emb).select("query_id", "neighbor_id")
+        rows.append(
+            m.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .crossJoin(m.agg(F.count(F.lit(1)).alias("n_method")))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(n_exact).cast("long").alias("n_exact"),
+                F.col("n_method").cast("long"),
+                F.col("n_common").cast("long"),
+                F.round(F.col("n_common") / F.lit(n_exact), 6).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+TRAINING_QUERIES["ann_eval"] = ann_eval

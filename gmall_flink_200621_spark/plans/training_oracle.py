@@ -1754,6 +1754,39 @@ JOIN splits sb ON p.id_b = sb.doc_id
 GROUP BY 1, 2
 """
 
+
+
+# Consolidated ANN audit: each method's certified oracle embedded as a
+# derived table against the brute pair set (the DEDUP_EVAL pattern) —
+# recall per method, hash-certified.
+def _ann_eval_sql() -> str:
+    methods = {
+        "ivf": KNN_IVF,
+        "ivf_trained": KNN_IVF_TRAINED,
+        "ivfpq": KNN_IVFPQ,
+        "lsh": KNN_LSH,
+        "pq": KNN_PQ,
+        "rp": KNN_RP,
+    }
+    arms = []
+    for name in sorted(methods):
+        arms.append(f"""
+SELECT '{name}' AS method,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ({methods[name]}) m) AS n_method,
+       (SELECT count(*) FROM ({methods[name]}) m
+        JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id) AS n_common,
+       round((SELECT count(*) FROM ({methods[name]}) m
+              JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id)
+             / (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall"""
+        )
+    u = "\nUNION ALL\n".join(arms)
+    return f"WITH ex AS ({KNN_BRUTE})\n{u}"
+
+
+ANN_EVAL = _ann_eval_sql()
+
+
 TRAINING_ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
@@ -1798,6 +1831,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_rp": KNN_RP,
     "knn_pq": KNN_PQ,
     "knn_ivfpq": KNN_IVFPQ,
+    "ann_eval": ANN_EVAL,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,

@@ -1309,6 +1309,24 @@ class TestWeightedSample:
         assert [r.doc_id for r in out] == [0]
 
 
+class TestAnnEval:
+    def test_consolidated_recalls_match_pinned_values(self, spark, sf_dir):
+        """ann_eval's rows must agree with every individually-pinned
+        recall (ivf 1.0, ivf_trained 0.56/0.60, pq == ivfpq, rp floor) —
+        one query, the whole family's honest audit."""
+        from gmall_flink_200621_spark.plans.training import ann_eval
+
+        rows = {r.method: r for r in ann_eval(spark, sf_dir).collect()}
+        assert set(rows) == {"ivf", "ivf_trained", "ivfpq", "lsh", "pq", "rp"}
+        small = sf_dir.endswith("sf0.001")
+        assert rows["ivf"].recall == 1.0
+        assert rows["ivf_trained"].recall == (0.56 if small else 0.60)
+        assert rows["pq"].recall == (0.32 if small else 0.40)
+        assert rows["ivfpq"].recall == rows["pq"].recall  # IVF recalls 1.0 here
+        assert rows["rp"].recall == (0.04 if small else 0.08)
+        assert all(r.n_method > 0 and r.n_common <= r.n_exact for r in rows.values())
+
+
 class TestKnnIvfPq:
     def test_recall_pinned_and_candidates_subset_of_ivf(self, spark, sf_dir):
         """IVF-PQ is deterministic end-to-end; recall vs brute pinned
