@@ -1081,15 +1081,22 @@ def knn_pq(
     return _pq_rank(scored, k)
 
 
-def _pq_train_encode(e: DataFrame, code_mod: int, iters: int) -> tuple[DataFrame, DataFrame]:
-    """Train the per-subspace codebooks and encode the corpus: returns
-    (codes — (vec_id, codes array in subspace order, exact recon norm
-    rn2), codebook — (m, code, cv, cn2))."""
-    sub = _pq_subvectors(e).persist()  # feeds init + every assign pass
+PQ_INDEX_CHUNKS = 3  # arrival chunks for the stream-maintained PQ index
+
+
+def _pq_train(sub: DataFrame, code_mod: int, iters: int) -> DataFrame:
+    """Codebooks from a (vec_id, m, sv) training frame: hash-bucket init
+    + `iters` Lloyd refinements. Returns (m, code, cv, cn2)."""
     cb = _pq_codebook(sub.withColumn("code", F.pmod(F.col("vec_id"), F.lit(code_mod))))
     for _ in range(iters):
         cb = _pq_codebook(_pq_assign(sub, cb))
-    codes = (
+    return cb
+
+
+def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode a (vec_id, m, sv) frame against a codebook: (vec_id, codes
+    array in subspace order, exact reconstruction norm rn2)."""
+    return (
         _pq_assign(sub, cb)
         .groupBy("vec_id")
         .agg(
@@ -1099,7 +1106,15 @@ def _pq_train_encode(e: DataFrame, code_mod: int, iters: int) -> tuple[DataFrame
             F.sum("cn2").alias("rn2"),
         )
     )
-    return codes, cb
+
+
+def _pq_train_encode(e: DataFrame, code_mod: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Train the per-subspace codebooks and encode the corpus: returns
+    (codes — (vec_id, codes array in subspace order, exact recon norm
+    rn2), codebook — (m, code, cv, cn2))."""
+    sub = _pq_subvectors(e).persist()  # feeds init + every assign pass
+    cb = _pq_train(sub, code_mod, iters)
+    return _pq_encode(sub, cb), cb
 
 
 def _pq_query_luts(qs: DataFrame, cb: DataFrame) -> DataFrame:

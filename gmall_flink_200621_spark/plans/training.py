@@ -742,4 +742,28 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED PQ index under the oracle gate: replay the
+    embeddings through `run_pq_index_stream` (first chunk trains the
+    frozen codebook; every chunk appends its codes), then ADC-search the
+    maintained index — the driver's hash check certifies the
+    freeze/incremental-encode maintenance loop end-to-end."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..streaming.ingest import pq_index_search, run_pq_index_stream
+
+    q = run_pq_index_stream(spark, sf_dir, name="q_pqidx")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable("q_pqidx_codes")
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+        F.col("vec_id") % 100 == 0
+    )
+    return pq_index_search(spark, qs, "q_pqidx")
+
+
 TRAINING_QUERIES["ann_eval"] = ann_eval
+TRAINING_QUERIES["knn_pq_index_view"] = knn_pq_index_view

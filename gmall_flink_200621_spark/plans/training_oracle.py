@@ -1085,7 +1085,7 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
-def _knn_pq_sql() -> str:
+def _knn_pq_sql(train_src: str = "sub", extra: list[str] | None = None) -> str:
     """Product-quantization ADC oracle, generated from the SAME constants
     as operators/similarity.knn_pq: per-subspace codebooks (hash-bucket
     init + PQ_ITERS Lloyd refinements, the `_kmeans_ctes` unrolling
@@ -1105,8 +1105,9 @@ def _knn_pq_sql() -> str:
         f"sub AS (SELECT vec_id, gm.m AS m,"
         f" list_slice(q, gm.m*{PQ_SUBDIM}+1, gm.m*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv"
         f" FROM e CROSS JOIN generate_series(0, {PQ_M - 1}) AS gm(m))",
-        f"asg0 AS (SELECT vec_id, m, vec_id % {PQ_CODE_MOD} AS code, sv FROM sub)",
+        f"asg0 AS (SELECT vec_id, m, vec_id % {PQ_CODE_MOD} AS code, sv FROM {train_src})",
     ]
+    parts[2:2] = extra or []
     for it in range(PQ_ITERS + 1):
         parts.append(
             f"""cbu{it} AS (
@@ -1124,7 +1125,7 @@ def _knn_pq_sql() -> str:
     SELECT s.vec_id, s.m, c.code, c.cn2, s.sv,
            row_number() OVER (PARTITION BY s.vec_id, s.m
              ORDER BY c.cn2 - 2 * ({sdot('s.sv', 'c.cv')}) ASC, c.code ASC) AS rn
-    FROM sub s JOIN cb{it} c ON s.m = c.m) WHERE rn = 1)"""
+    FROM {"sub" if it == PQ_ITERS else train_src} s JOIN cb{it} c ON s.m = c.m) WHERE rn = 1)"""
         )
     # shared tail pieces (codes / LUT / norms / ADC ranking) — reused
     # verbatim by the IVF-PQ composite below
@@ -1195,6 +1196,34 @@ scored AS (
   GROUP BY 1, 2),
 {_PQ_RANK_TAIL}
 """
+
+
+def _knn_pq_index_sql() -> str:
+    """Stream-maintained-PQ-index oracle: identical to KNN_PQ except the
+    codebooks train ONLY on the first arrival chunk (the smallest
+    floor(n / PQ_INDEX_CHUNKS) vec_ids — stage_embedding_chunks splits
+    in vec_id order), mirroring run_pq_index_stream's train-on-first-
+    batch-then-freeze contract; encoding still covers the full corpus
+    (every batch appends its codes against the frozen codebook)."""
+    from ..operators.similarity import PQ_INDEX_CHUNKS
+
+    extra = [
+        f"trained AS (SELECT vec_id FROM e QUALIFY"
+        f" row_number() OVER (ORDER BY vec_id) <= count(*) OVER () // {PQ_INDEX_CHUNKS})",
+        "sub_t AS (SELECT s.vec_id, s.m, s.sv FROM sub s JOIN trained t ON s.vec_id = t.vec_id)",
+    ]
+    return f"""
+WITH {_knn_pq_sql("sub_t", extra)},
+scored AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+
+KNN_PQ_INDEX = _knn_pq_index_sql()
 
 SEMDEDUP = f"""
 {_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
@@ -1832,6 +1861,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq": KNN_PQ,
     "knn_ivfpq": KNN_IVFPQ,
     "ann_eval": ANN_EVAL,
+    "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,

@@ -1124,3 +1124,108 @@ def corpus_stats_view(spark: SparkSession, name: str = "cstats") -> DataFrame:
             ),
         )
     )
+
+
+def run_pq_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "pqidx",
+    n_chunks: int | None = None,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+):
+    """Stream-maintained PQ vector index — the FAISS `index.add()`
+    lifecycle as an MV: the FIRST batch trains the per-subspace
+    codebooks (stored in `<name>_codebook`, then FROZEN — the production
+    contract: an index's codebooks never retrain on add, or every
+    stored code silently re-means); every batch, including the first,
+    only ENCODES its own vectors against the frozen codebooks and
+    appends them to the epoch-partitioned `<name>_codes` table. Per-epoch
+    maintenance is O(batch · codebook) — no corpus re-scan, no
+    re-encode, ever; at 100 TB the index grows by appending 8-byte codes.
+
+    Exactly-once: the codebook is a deterministic pure function of the
+    first batch (a replay rewrites identical content behind an
+    idempotent overwrite), and each epoch's codes land by dynamic
+    overwrite of their own partition (the `_ingest_epoch` discipline).
+    Search (`knn_pq_index_view`) runs knn_pq's ADC scan — per-query
+    lookup tables against the STORED codebook, scored over the STORED
+    codes — and is oracle-certified end-to-end: the DuckDB twin
+    re-derives the same first-chunk-trained codebooks and full-corpus
+    encoding, so the driver's hash gate certifies the maintenance loop
+    (freeze + incremental encode + replay) against ANSI-SQL ground
+    truth."""
+    from ..operators.similarity import (
+        PQ_CODE_MOD,
+        PQ_INDEX_CHUNKS,
+        PQ_ITERS,
+        _pq_encode,
+        _pq_subvectors,
+        _pq_train,
+        quantize,
+    )
+
+    n_chunks = n_chunks or PQ_INDEX_CHUNKS
+    cb_t, codes_t = f"{name}_codebook", f"{name}_codes"
+    if fresh_tables:
+        for t in (cb_t, codes_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {cb_t} (m INT, code BIGINT, cv ARRAY<BIGINT>, cn2 BIGINT)"
+            f" USING parquet"
+        )
+        spark.sql(
+            f"CREATE TABLE {codes_t} (vec_id BIGINT, codes ARRAY<BIGINT>, rn2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_chunks(sf_dir, n_chunks)
+    emb = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def index_batch(df, epoch_id: int) -> None:
+        s = df.sparkSession
+        e = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        sub = _pq_subvectors(e).persist()
+        if not s.table(cb_t).head(1):
+            # first batch: train + freeze (deterministic ⇒ a crash replay
+            # that re-enters here rewrites identical content)
+            _pq_train(sub, PQ_CODE_MOD, PQ_ITERS).select(
+                "m", "code", "cv", "cn2"
+            ).write.mode("overwrite").insertInto(cb_t, overwrite=True)
+            s.catalog.refreshTable(cb_t)
+        codes = _pq_encode(sub, s.table(cb_t)).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
+        )
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            codes.write.mode("overwrite").insertInto(codes_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.catalog.refreshTable(codes_t)
+        sub.unpersist()
+
+    w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def pq_index_search(
+    spark: SparkSession, queries_e, name: str = "pqidx", k: int | None = None
+) -> DataFrame:
+    """ADC top-k over the stream-maintained index: per-query lookup
+    tables against the stored codebook, scored as a pure scan of the
+    stored codes (knn_pq's search path, reading state tables instead of
+    retraining). `queries_e` must carry (vec_id, q, n2)."""
+    from ..operators.similarity import KNN_K, _pq_query_luts, _pq_rank
+
+    lut = _pq_query_luts(queries_e, spark.table(f"{name}_codebook"))
+    codes = spark.table(f"{name}_codes").select("vec_id", "codes", "rn2")
+    scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+    return _pq_rank(scored, k or KNN_K)

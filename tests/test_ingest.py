@@ -973,3 +973,103 @@ class TestCorpusStatsStream:
         want = sorted(map(tuple, corpus_profile(spark, sf_dir).collect()))
         assert got == want
         assert corpus_stats_view(spark, "t_csr").agg({"n_docs": "sum"}).first()[0] > n0
+
+
+class TestPqIndexStream:
+    def test_frozen_codebook_and_incremental_encode(self, spark, sf_dir, tmp_path):
+        """The index lifecycle observed: the first chunk trains the
+        codebook, later chunks ONLY append codes (codebook table mtime
+        pinned across epochs 1-2 — frozen, the O(batch) claim), every
+        ingested vector is encoded exactly once, and a kill-and-restart
+        resumes without retraining or re-encoding."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_pq_index_stream,
+            stage_embedding_chunks,
+        )
+
+        full = stage_embedding_chunks(sf_dir, n_chunks=3)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+        q = run_pq_index_stream(
+            spark, sf_dir="", stage_dir=str(incr), name="t_pqi", checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        cb_dir = os.path.join(wh, "t_pqi_codebook")
+        cb_mt = max(
+            os.path.getmtime(os.path.join(cb_dir, f)) for f in os.listdir(cb_dir)
+        )
+        n0 = spark.table("t_pqi_codes").count()
+        assert n0 > 0 and spark.table("t_pqi_codebook").count() > 0
+
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_pq_index_stream(
+            spark,
+            sf_dir="",
+            stage_dir=str(incr),
+            name="t_pqi",
+            checkpoint_dir=ckpt,
+            fresh_tables=False,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        cb_mt2 = max(
+            os.path.getmtime(os.path.join(cb_dir, f)) for f in os.listdir(cb_dir)
+        )
+        assert cb_mt2 == cb_mt  # frozen: epochs 1-2 never touched the codebook
+        spark.catalog.refreshTable("t_pqi_codes")
+        import pyarrow.parquet as pq
+
+        n_all = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        codes = spark.table("t_pqi_codes")
+        assert codes.count() == n_all  # every vector encoded...
+        assert codes.select("vec_id").distinct().count() == n_all  # ...once
+
+    def test_search_view_matches_oracle_twin_recompute(self, spark, sf_dir):
+        """The maintained index's search equals a from-scratch recompute
+        with the same train-on-first-third contract: frozen-codebook
+        encode of the full corpus, ADC top-k."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            PQ_CODE_MOD,
+            PQ_ITERS,
+            _idot,
+            _pq_encode,
+            _pq_query_luts,
+            _pq_rank,
+            _pq_subvectors,
+            _pq_train,
+            quantize,
+        )
+        from gmall_flink_200621_spark.plans.training import knn_pq_index_view
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        got = sorted(map(tuple, knn_pq_index_view(spark, sf_dir).collect()))
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        first = (
+            e.orderBy("vec_id").limit(n // 3).select("vec_id")
+        )  # stage chunk 0 = smallest third by vec_id
+        sub = _pq_subvectors(e).persist()
+        cb = _pq_train(sub.join(first, "vec_id"), PQ_CODE_MOD, PQ_ITERS)
+        codes = _pq_encode(sub, cb)
+        qs = e.filter(F.col("vec_id") % 100 == 0)
+        lut = _pq_query_luts(qs, cb)
+        scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+        want = sorted(map(tuple, _pq_rank(scored, 5).collect()))
+        assert got == want and len(got) > 0
