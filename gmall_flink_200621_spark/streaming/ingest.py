@@ -505,9 +505,7 @@ def stage_knn_edge_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -
     return stage
 
 
-def _overwrite_changed_buckets(
-    new_rows: DataFrame, table: str, key_cols: list[str], n_buckets: int
-) -> None:
+def _overwrite_changed_buckets(new_rows: DataFrame, table: str) -> None:
     """Write `new_rows` (which must carry a kb hash-bucket column and be
     the COMPLETE desired content of `table`) by dynamic-overwriting ONLY
     the buckets whose content changed — the MV-refresh write discipline
@@ -516,8 +514,9 @@ def _overwrite_changed_buckets(
     - changed = new_rows LEFT ANTI old_table on ALL columns — a row is
       "changed" if it is new or any field differs (rows are never
       removed from these tables: vertex/doc universes only grow);
-    - touched buckets = the distinct kb of changed rows (≤ n_buckets
-      scalars to the driver — the driver-sees-a-scalar discipline);
+    - touched buckets = the distinct kb of changed rows (at most the
+      bucket count in scalars to the driver — the driver-sees-a-scalar
+      discipline);
     - dynamic partition overwrite of new_rows restricted to touched kb.
 
     Per-epoch write IO is O(changed buckets' rows), not O(table) — the
@@ -655,7 +654,7 @@ def refresh_pagerank_ranks(
     ranks = pagerank(acc, verts, iters=iters or PR_ITERS).withColumn(
         "kb", F.pmod(F.col("vertex_id"), F.lit(n_buckets)).cast("int")
     )
-    _overwrite_changed_buckets(ranks, f"{name}_ranks", ["vertex_id"], n_buckets)
+    _overwrite_changed_buckets(ranks, f"{name}_ranks")
 
 
 def run_dedup_clusters_stream(
@@ -738,7 +737,7 @@ def run_dedup_clusters_stream(
             s.table(docs_t).select("doc_id"),
             pairs=s.table(pairs_t).select("id_a", "id_b"),
         ).withColumn("kb", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
-        _overwrite_changed_buckets(clusters, clusters_t, ["doc_id"], n_buckets)
+        _overwrite_changed_buckets(clusters, clusters_t)
 
     w = docs.writeStream.foreachBatch(cluster_batch).queryName(f"{name}_q")
     if checkpoint_dir:
