@@ -752,6 +752,7 @@ def run_cdc_compaction_stream(
     n_buckets: int = CDC_BUCKETS,
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
+    compact_every: int | None = None,
 ):
     """Incremental CDC latest-wins MERGE: the streaming twin of
     plans/analytics.cdc_compaction, maintaining the compacted current
@@ -773,7 +774,15 @@ def run_cdc_compaction_stream(
       resurrect the key — dropping tombstones physically is a compaction
       policy decision (safe once the watermark passes), not part of the
       merge;
-    - the final view equals the one-shot batch compaction."""
+    - the final view equals the one-shot batch compaction.
+
+    `compact_every=N`: every Nth epoch, after the merge commits, run
+    `operators/layout.compact_small_files` over the state table — the
+    in-loop form of the maintenance the touched-bucket write discipline
+    creates a need for (a hot bucket accretes one file per epoch that
+    touches it). Compaction is content-preserving and idempotent, so it
+    composes with crash replay: a replayed epoch merges into (possibly
+    compacted) state and rewrites the same logical content."""
     state_t = f"{name}_state"
     if fresh_tables:
         _drop_table(spark, state_t)
@@ -824,6 +833,10 @@ def run_cdc_compaction_stream(
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(state_t)
         rows.unpersist()
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            from ..operators.layout import compact_small_files
+
+            compact_small_files(s, state_t)
 
     w = events.writeStream.foreachBatch(merge_batch).queryName(f"{name}_q")
     if checkpoint_dir:

@@ -1073,3 +1073,74 @@ class TestPqIndexStream:
         scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
         want = sorted(map(tuple, _pq_rank(scored, 5).collect()))
         assert got == want and len(got) > 0
+
+
+class TestCdcCompactEvery:
+    def test_in_loop_compaction_restores_one_file_per_bucket(self, spark, tmp_path):
+        """compact_every=1: the touched-bucket overwrite writes one file
+        per non-empty shuffle task (a hot bucket fragments WITHIN one
+        epoch), and the in-loop compaction pass restores one file —
+        content identical to an uncompacted replay of the same events."""
+        import os
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            cdc_current_view,
+            run_cdc_compaction_stream,
+        )
+
+        def stage_one_chunk(d):
+            d.mkdir()
+            users = [64 * i for i in range(8)]  # all kb=0 under 64 buckets
+            path = d / "part-0.parquet"
+            pd.DataFrame(
+                {
+                    "event_id": list(range(1, 9)),
+                    "ts": pd.to_datetime([10 * i for i in range(1, 9)], unit="s"),
+                    "user_id": users,
+                    "event_type": ["view"] * 8,
+                    "value": [1.0] * 8,
+                    "props": ["{}"] * 8,
+                }
+            ).to_parquet(path, index=False)
+            return str(d)
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+        def nfiles(name):
+            p = os.path.join(wh, f"{name}_state", "kb=0")
+            return len([f for f in os.listdir(p) if f.endswith(".parquet")])
+
+        # At toy scale AQE coalesces the merge shuffle to one task and no
+        # fragmentation occurs; at production bucket sizes AQE targets
+        # ~64 MB per task and a hot bucket genuinely receives several
+        # tasks' files. Disable coalescing here to reproduce that regime.
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
+        try:
+            # control: no in-loop compaction — the hot bucket holds >1 file
+            q = run_cdc_compaction_stream(
+                spark, stage_one_chunk(tmp_path / "s1"), name="t_cc0"
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            assert nfiles("t_cc0") > 1  # the fragmentation the cadence exists for
+
+            q = run_cdc_compaction_stream(
+                spark, stage_one_chunk(tmp_path / "s2"), name="t_cc1", compact_every=1
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            assert nfiles("t_cc1") == 1
+        finally:
+            spark.conf.set(coalesce_key, prev)
+
+        spark.catalog.refreshTable("t_cc0_state")
+        spark.catalog.refreshTable("t_cc1_state")
+        a = sorted(map(tuple, cdc_current_view(spark, "t_cc0").collect()))
+        b = sorted(map(tuple, cdc_current_view(spark, "t_cc1").collect()))
+        assert a == b and len(a) == 8
