@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "cdc_compaction",
     "tokenizer_fertility",
     "zorder_layout_audit",
+    "hilbert_layout_audit",
     "mixture_temperature",
 ]
 

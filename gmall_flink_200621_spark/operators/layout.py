@@ -146,3 +146,58 @@ def compact_small_files(
     if rewritten:
         spark.catalog.refreshTable(table)
     return rewritten
+
+
+def hilbert_index(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = ZORDER_BITS,
+    out: str = "hd",
+) -> DataFrame:
+    """Hilbert-curve index of two ALREADY-BOUNDED non-negative integer
+    columns — the seam-free alternative to `zorder_value`: the Z-curve
+    jumps across quadrant boundaries (a range-partitioned Z-file that
+    straddles a seam spans a wide extent in one dimension — observed and
+    documented in tests/test_layout.py), while consecutive Hilbert
+    indices are always grid-adjacent, so EVERY contiguous index range is
+    a compact blob and no file inherits a seam.
+
+    The canonical xy2d bit-walk (d += s²·((3·rx) ⊕ ry); reflect + swap
+    when ry = 0) is unrolled into `bits` chained projections — each
+    level's (x, y, d) update references the PREVIOUS level's columns by
+    name via one simultaneous withColumns, keeping the plan linear in
+    `bits` (folding the recurrence into a single expression would double
+    the tree per level: 2^bits nodes). Intermediate x/y go negative by
+    design; `&` on negatives is two's-complement int64 in Spark, DuckDB
+    and Python alike (verified), so the oracle replicates it exactly.
+    Pure integer arithmetic, no UDF, no shuffle."""
+    d = df.withColumns(
+        {
+            "__hx": F.col(xcol).cast("long"),
+            "__hy": F.col(ycol).cast("long"),
+            out: F.lit(0).cast("long"),
+        }
+    )
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    for i in reversed(range(bits)):
+        s = 1 << i
+        d = d.withColumns(
+            {
+                "__rx": F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, one).otherwise(zero),
+                "__ry": F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, one).otherwise(zero),
+            }
+        )
+        d = d.withColumns(
+            {
+                out: F.col(out)
+                + F.lit(s * s) * (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry")),
+                "__hx": F.when(F.col("__ry") == 1, F.col("__hx"))
+                .when(F.col("__rx") == 1, F.lit(s - 1) - F.col("__hy"))
+                .otherwise(F.col("__hy")),
+                "__hy": F.when(F.col("__ry") == 1, F.col("__hy"))
+                .when(F.col("__rx") == 1, F.lit(s - 1) - F.col("__hx"))
+                .otherwise(F.col("__hx")),
+            }
+        )
+    return d.drop("__hx", "__hy", "__rx", "__ry")

@@ -850,6 +850,35 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hilbert CLUSTERING KEY under the oracle gate — the seam-free
+    sibling of `zorder_layout_audit` over the same (user bucket,
+    minute-of-day) dimensions: per Hilbert-bucket extents of both
+    source dimensions, certifying the canonical xy2d bit-walk
+    (operators/layout.hilbert_index — reflect/swap recurrence with
+    two's-complement intermediates) cross-engine. Zero shuffles beyond
+    the final map-side-combined aggregation."""
+    from ..operators.layout import ZORDER_BITS, hilbert_index
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2048)).alias("x"),
+        F.pmod(F.expr("unix_micros(ts) DIV 60000000"), F.lit(1440)).alias("y"),
+    )
+    h = hilbert_index(t, "x", "y", ZORDER_BITS)
+    return (
+        h.select(F.shiftrightunsigned(F.col("hd"), ZB_SHIFT).alias("hbucket"), "x", "y")
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
 def cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-MAINTAINED CDC current table, under the oracle gate:
     replay the events table through `run_cdc_compaction_stream` as an
@@ -911,6 +940,7 @@ ANALYTICS_QUERIES = {
     "cdc_stream_view": cdc_stream_view,
     "scd2_stream_view": scd2_stream_view,
     "zorder_layout_audit": zorder_layout_audit,
+    "hilbert_layout_audit": hilbert_layout_audit,
 }
 
 # the sessionize lag+cumsum CTEs, shared by the session_error_overlap oracle
@@ -1339,3 +1369,42 @@ FROM t GROUP BY 1
 
 
 ANALYTICS_ORACLES["zorder_layout_audit"] = _zorder_audit_sql()
+
+
+def _hilbert_audit_sql() -> str:
+    """Unrolled xy2d CTE chain — one level per bit, mirroring
+    operators/layout.hilbert_index's chained projections; DuckDB's `&`
+    on negative BIGINTs is two's-complement like Spark/Java, and xor()
+    replaces `^` (power in DuckDB)."""
+    from ..operators.layout import ZORDER_BITS
+
+    b = ZORDER_BITS
+    parts = [
+        "t AS (SELECT user_id % 2048 AS x0,"
+        " ((epoch_us(ts) // 60000000) % 1440) AS y0 FROM events)",
+        f"lv{b} AS (SELECT x0, y0, x0 AS x, y0 AS y, 0::BIGINT AS hd FROM t)",
+    ]
+    for i in reversed(range(b)):
+        s_ = 1 << i
+        parts.append(
+            f"""lv{i} AS (
+  SELECT x0, y0,
+         CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN {s_ - 1} - y ELSE y END AS x,
+         CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN {s_ - 1} - x ELSE x END AS y,
+         hd + {s_ * s_} * xor(3 * rx, ry) AS hd
+  FROM (SELECT x0, y0, x, y, hd,
+          CASE WHEN (x & {s_}) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS rx,
+          CASE WHEN (y & {s_}) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS ry
+        FROM lv{i + 1}))"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT (hd >> {ZB_SHIFT}) AS hbucket, count(*) AS n_events,
+       min(x0) AS x_min, max(x0) AS x_max,
+       min(y0) AS y_min, max(y0) AS y_max
+FROM lv0 GROUP BY 1
+"""
+
+
+ANALYTICS_ORACLES["hilbert_layout_audit"] = _hilbert_audit_sql()
