@@ -122,6 +122,25 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "sales_rollup", "promo_revenue_share", "order_priority_by_segment",
         "doc_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
     ]},
+    # ---- round 7 (CORRECTNESS_r07.json, 50/50) — freshest, sorts last ----
+    # The r08 window is then any never-driver-certified additions plus the
+    # stalest r04/r05 names (heavy_users .. the r05 quality/graph block).
+    **{n: 7 for n in [
+        "corpus_stats_stream_view", "knn_pq", "knn_ivfpq", "mixture_temperature",
+        "ann_eval", "knn_pq_index_view", "cdc_stream_view", "scd2_stream_view",
+        "zorder_layout_audit", "hilbert_layout_audit", "dedup_minhash_lsh",
+        "minhash_signatures", "simhash_fingerprints", "dedup_simhash",
+        "dedup_clusters", "doc_stats", "lang_id", "rolling_fingerprint",
+        "corpus_sample_stratified", "embedding_centroids", "bigram_stats",
+        "late_arrival_audit", "user_churn_sets", "funnel_conversion",
+        "sales_cube", "spend_deciles", "retention_cohorts", "login_fail_relaxed",
+        "last_click_before_purchase", "browse_abandon",
+        "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q16", "tpch_q20",
+        "kmeans_embeddings", "semdedup", "sequence_pack", "dedup_substring",
+        "token_counts", "corpus_prep", "doc_repetition", "dedup_containment",
+        "corpus_profile", "corpus_sample", "corpus_split", "decontaminate",
+        "shingle_novelty", "top_terms",
+    ]},
 }
 
 

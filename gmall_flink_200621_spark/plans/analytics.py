@@ -887,15 +887,17 @@ def cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     `cdc_compaction`, so the driver's hash check certifies the
     maintenance loop itself (touched-bucket MERGE, tombstones, replay
     convergence), not just the batch twin it mirrors."""
+    from ..session import sf_namespace
     from ..streaming.ingest import cdc_current_view, run_cdc_compaction_stream, stage_event_chunks
 
+    name = f"q_cdcview_{sf_namespace(sf_dir)}"
     stage = stage_event_chunks(sf_dir, n_chunks=3)
-    q = run_cdc_compaction_stream(spark, stage, name="q_cdcview")
+    q = run_cdc_compaction_stream(spark, stage, name=name)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    spark.catalog.refreshTable("q_cdcview_state")
-    return cdc_current_view(spark, "q_cdcview")
+    spark.catalog.refreshTable(f"{name}_state")
+    return cdc_current_view(spark, name)
 
 
 def scd2_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,15 +905,17 @@ def scd2_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay events in order through `run_scd2_stream` (3 micro-batches,
     watermark-enforced), then read the maintained dimension — same
     schema and oracle as the batch `scd2_snapshot`."""
+    from ..session import sf_namespace
     from ..streaming.ingest import run_scd2_stream, scd2_current_view, stage_event_chunks
 
+    name = f"q_scd2view_{sf_namespace(sf_dir)}"
     stage = stage_event_chunks(sf_dir, n_chunks=3)
-    q = run_scd2_stream(spark, stage, name="q_scd2view")
+    q = run_scd2_stream(spark, stage, name=name)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    spark.catalog.refreshTable("q_scd2view_state")
-    return scd2_current_view(spark, "q_scd2view")
+    spark.catalog.refreshTable(f"{name}_state")
+    return scd2_current_view(spark, name)
 
 
 ANALYTICS_QUERIES = {

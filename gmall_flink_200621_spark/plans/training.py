@@ -183,14 +183,16 @@ def corpus_stats_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, same integer arithmetic, same DuckDB oracle as the batch
     `corpus_profile`, so the driver's hash check certifies the
     incremental-aggregate maintenance loop itself."""
+    from ..session import sf_namespace
     from ..streaming.ingest import corpus_stats_view, run_corpus_stats_stream
 
-    q = run_corpus_stats_stream(spark, sf_dir, name="q_cstats")
+    name = f"q_cstats_{sf_namespace(sf_dir)}"
+    q = run_corpus_stats_stream(spark, sf_dir, name=name)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    spark.catalog.refreshTable("q_cstats_partials")
-    return corpus_stats_view(spark, "q_cstats")
+    spark.catalog.refreshTable(f"{name}_partials")
+    return corpus_stats_view(spark, name)
 
 
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,18 +753,20 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
     from ..streaming.ingest import pq_index_search, run_pq_index_stream
 
-    q = run_pq_index_stream(spark, sf_dir, name="q_pqidx")
+    name = f"q_pqidx_{sf_namespace(sf_dir)}"
+    q = run_pq_index_stream(spark, sf_dir, name=name)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    spark.catalog.refreshTable("q_pqidx_codes")
+    spark.catalog.refreshTable(f"{name}_codes")
     e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
     qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
         F.col("vec_id") % 100 == 0
     )
-    return pq_index_search(spark, qs, "q_pqidx")
+    return pq_index_search(spark, qs, name)
 
 
 TRAINING_QUERIES["ann_eval"] = ann_eval

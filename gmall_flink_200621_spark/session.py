@@ -17,6 +17,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def sf_namespace(sf_dir: str) -> str:
+    """Deterministic warehouse-table namespace suffix for a data directory.
+
+    Stream-maintained registry queries materialize fixed-name catalog
+    tables; two harnesses sharing one warehouse (e.g. pytest at sf0.001
+    alongside verify_oracle at sf0.1) would cross-contaminate each other's
+    state. Suffixing every state-table name with a stable hash of the
+    input directory makes concurrent runs at different SFs collision-free
+    while keeping reruns at the same SF replay-idempotent (same name →
+    same dynamic-overwrite partitions). crc32, not ``hash()``: Python
+    salts str hashes per process, and the name must be stable so a replay
+    in a NEW process overwrites the same table rather than leaking one
+    orphan table per run.
+    """
+    import zlib
+
+    return f"{zlib.crc32(sf_dir.encode('utf-8')) % 10**8:08d}"
+
+
 def get_spark(
     app_name: str = "gmall_flink_200621_spark",
     master: str | None = None,
