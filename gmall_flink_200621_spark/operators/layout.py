@@ -79,6 +79,32 @@ def write_zordered(
     out.sortWithinPartitions(*order).drop("__z").write.mode("overwrite").parquet(path)
 
 
+def _partition_predicate(spark: SparkSession, table: str, p: str):
+    """Typed Column predicate for one SHOW PARTITIONS spec string.
+
+    SHOW PARTITIONS returns PATH-ESCAPED values (space → %20, '=' →
+    %3D, …) — formatting them back into an F.expr string breaks on any
+    value holding a quote or escape, so: unquote each value, then
+    compare with a TYPED literal (`lit(v).cast(col_type)` — a foldable
+    literal, so partition pruning still reaches the scan; casting the
+    COLUMN instead would defeat pruning). `__HIVE_DEFAULT_PARTITION__`
+    means the null partition."""
+    from functools import reduce
+    from operator import and_
+    from urllib.parse import unquote
+
+    types = {f.name: f.dataType for f in spark.table(table).schema.fields}
+    conds = []
+    for kv in p.split("/"):
+        k, v = kv.split("=", 1)
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            conds.append(F.col(k).isNull())
+        else:
+            conds.append(F.col(k) == F.lit(v).cast(types[k]))
+    return reduce(and_, conds)
+
+
 def compact_small_files(
     spark: SparkSession,
     table: str,
@@ -87,11 +113,29 @@ def compact_small_files(
 ) -> dict[str, tuple[int, int]]:
     """Bin-pack fragmented partitions of a partitioned parquet TABLE:
     any partition holding more than `ceil(bytes / target_bytes) +
-    tolerance` files is rewritten (coalesced to the ideal count) via
-    dynamic partition overwrite; every other partition is left
-    physically untouched. Returns {partition_spec: (files_before,
-    files_after)} for the rewritten partitions — ≤ n_partitions tiny
-    tuples to the driver, never rows.
+    tolerance` files is rewritten via ONE dynamic partition overwrite;
+    every other partition is left physically untouched. Returns
+    {partition_spec: (files_before, files_after)} for the rewritten
+    partitions — ≤ n_partitions tiny tuples to the driver, never rows.
+
+    Constant JOB count, not O(fragmented partitions) (the r07 serial
+    loop scheduled one checkpoint + one write per partition — a nightly
+    pass over 10k fragmented partitions was 20k sequential Spark jobs):
+    1. metadata sweep (listStatus per partition, no jobs) selects the
+       fragmented specs and assigns each a file-slot range
+       [offset, offset + ideal) in a global slot space of P slots;
+    2. ONE localCheckpoint job materializes the union of fragmented
+       partitions' rows (required: a write plan that still read the
+       table would be rejected as read-and-overwrite);
+    3. ONE write job: a broadcast join against the tiny spec→(offset,
+       ideal) map assigns every row gid = offset + xxhash64(row) %
+       ideal, and repartition(8·P, gid) routes slots to tasks — each
+       task writes one file per partition directory it holds, so a
+       partition gets ≤ ideal files (exactly ideal when no two of its
+       gids hash-collide into one task; the 8× headroom makes a merge
+       the exception, and a merge only means one file ~2× target —
+       never wrong data). files_after is re-listed from the filesystem
+       afterwards, so the returned map reports what actually landed.
 
     This is the maintenance companion of the streaming MV sinks
     (streaming/ingest.py): their touched-bucket overwrites keep write IO
@@ -100,10 +144,13 @@ def compact_small_files(
     scan efficiency without rewriting the table. (Flat un-partitioned
     parquet directories use `sources/sinks.compact_table` instead — same
     bin-packing policy, whole-directory staging swap.) Correctness is
-    content-identity: rewrite is `INSERT OVERWRITE` of the partition's
+    content-identity: rewrite is `INSERT OVERWRITE` of the partitions'
     own rows (replay-idempotent — a crashed pass re-finds the same
     fragmented partitions; a replayed one finds them compact and writes
     nothing)."""
+    from functools import reduce
+    from operator import or_
+
     parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
     loc = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
@@ -115,37 +162,67 @@ def compact_small_files(
     # zero data movement.
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    rewritten: dict[str, tuple[int, int]] = {}
+
+    def n_files(p: str) -> tuple[int, int]:
+        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(loc, p))
+        fs = jpath.getFileSystem(hconf)
+        sizes = [
+            st.getLen()
+            for st in fs.listStatus(jpath)
+            if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+        ]
+        return len(sizes), sum(sizes)
+
+    frags: list[tuple[str, int, int, int]] = []  # (spec, before, ideal, offset)
+    offset = 0
+    for p in parts:
+        n, total = n_files(p)
+        ideal = max(1, math.ceil(total / target_bytes))
+        if n <= ideal + tolerance:
+            continue
+        frags.append((p, n, ideal, offset))
+        offset += ideal
+    if not frags:
+        return {}
+
+    tbl = spark.table(table)
+    union_pred = reduce(or_, [_partition_predicate(spark, table, p) for p, *_ in frags])
+    rows = tbl.filter(union_pred).localCheckpoint(eager=True)
+
+    # tiny spec map: partition-key values (typed) → (slot offset, ideal)
+    from urllib.parse import unquote
+
+    pkeys = [kv.split("=", 1)[0] for kv in frags[0][0].split("/")]
+    types = {f.name: f.dataType for f in tbl.schema.fields}
+    map_rows = []
+    for p, _n, ideal, off in frags:
+        vals = [
+            None if (u := unquote(kv.split("=", 1)[1])) == "__HIVE_DEFAULT_PARTITION__" else u
+            for kv in p.split("/")
+        ]
+        map_rows.append((*vals, off, ideal))
+    mdf = spark.createDataFrame(
+        map_rows, ", ".join([f"`{k}` string" for k in pkeys] + ["__off long", "__ideal long"])
+    ).select(*[F.col(k).cast(types[k]).alias(k) for k in pkeys], "__off", "__ideal")
+    join_cond = reduce(lambda a, b: a & b, [rows[k].eqNullSafe(mdf[k]) for k in pkeys])
+    slots = sum(ideal for _p, _n, ideal, _o in frags)
+    out = (
+        rows.join(F.broadcast(mdf), join_cond)
+        .drop(*[mdf[k] for k in pkeys])
+        .withColumn(
+            "__gid", F.col("__off") + F.pmod(F.xxhash64(*[rows[c] for c in rows.columns]), F.col("__ideal"))
+        )
+        .repartition(8 * slots, F.col("__gid"))
+        .select(*rows.columns)
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        for p in parts:
-            jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(loc, p))
-            fs = jpath.getFileSystem(hconf)
-            sizes = [
-                st.getLen()
-                for st in fs.listStatus(jpath)
-                if st.isFile() and not st.getPath().getName().startswith(("_", "."))
-            ]
-            ideal = max(1, math.ceil(sum(sizes) / target_bytes))
-            if len(sizes) <= ideal + tolerance:
-                continue
-            spec = " AND ".join(
-                f"{k}='{v}'" for k, v in (kv.split("=", 1) for kv in p.split("/"))
-            )
-            # localCheckpoint materializes the partition's rows BEFORE the
-            # overwrite starts (a plan that still read the table would be
-            # rejected as read-and-overwrite; and without it the rewrite
-            # would race its own input). Bounded by one partition's data,
-            # spilled via the executor storage layer, released right after.
-            rows = spark.table(table).filter(F.expr(spec)).localCheckpoint(eager=True)
-            rows.coalesce(ideal).write.mode("overwrite").insertInto(table, overwrite=True)
-            rewritten[p] = (len(sizes), ideal)
+        out.write.mode("overwrite").insertInto(table, overwrite=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if rewritten:
-        spark.catalog.refreshTable(table)
-    return rewritten
+    spark.catalog.refreshTable(table)
+    return {p: (n, n_files(p)[0]) for p, n, _ideal, _off in frags}
 
 
 def hilbert_index(

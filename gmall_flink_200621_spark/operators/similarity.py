@@ -1053,7 +1053,7 @@ def knn_pq(
        map-side combined, never materializing more than
        PQ_M·code_mod·PQ_SUBDIM longs on the driver side of a broadcast.
     2. encode: nearest-codeword argmin per (vec, subspace) against the
-       broadcast codebook; the corpus compresses to (vec_id, codes[4],
+       broadcast codebook; the corpus compresses to (vec_id, codes[PQ_M],
        recon_n2) where recon_n2 = Σₘ ‖cvₘ‖² is the EXACT squared norm of
        the reconstruction (subspaces are disjoint coordinate blocks, so
        cross terms vanish).
@@ -1142,15 +1142,19 @@ def _pq_query_luts(qs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_rank(scored: DataFrame, k: int) -> DataFrame:
+def _pq_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFrame:
     """ADC score + top-k: `scored` rows carry (query_id, vec_id, codes,
-    rn2, luts, qn2)."""
+    rn2, luts, qn2). `base_col` names an optional per-row long added to
+    the LUT sum — the residual composite passes dot(query, coarse
+    centroid) here, since dot(q, x̂) = dot(q, c) + Σₘ dot(qₘ, cvₘ)."""
     adot = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0).cast("long"),
         lambda acc, m: acc
         + F.element_at(F.element_at("luts", m + 1), F.element_at("codes", m + 1)),
     )
+    if base_col is not None:
+        adot = adot + F.col(base_col)
     scored = scored.withColumn(
         "cosine_pq",
         adot / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
@@ -1232,3 +1236,107 @@ def knn_ivfpq(
         .join(F.broadcast(lut), "query_id")
     )
     return _pq_rank(scored, k)
+
+
+def knn_ivfpq_residual(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    coarse_iters: int = KM_ITERS,
+    nprobe: int = IVF_NPROBE,
+    code_mod: int = PQ_CODE_MOD,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the full FAISS IVFPQ construction
+    (Jégou et al. 2011 §V.A): the coarse quantizer is k-means-TRAINED
+    (`_kmeans_state`, same nlists as knn_ivfpq's seed quantizer) and the
+    PQ codebooks quantize r = x − c(list), the vector's offset from its
+    list MEAN, not the raw vector. Residuals vs means is the point:
+    E‖x − mean‖² ≤ E‖x‖², so the same 8-byte code budget quantizes a
+    smaller signal (against a raw SEED vector the residual has ~2× the
+    variance of x on isotropic data and recall REGRESSES — measured
+    0.16/0.24 vs the non-residual composite's 0.32/0.40 before the
+    trained coarse quantizer went in). Measured on THIS corpus
+    (isotropic synthetic noise, PQ's worst case — no cluster structure
+    for the residual step to exploit): recall@5 0.32/0.36 at
+    sf0.001/sf0.01 vs knn_ivfpq's 0.32/0.40 — parity, not a win, and
+    ann_eval keeps reporting the live number so a real (clustered)
+    corpus shows its own. No superiority over knn_ivfpq is claimed —
+    the operator's value is the faithful production shape.
+
+    Everything stays in the family's fixed-point contract: residuals of
+    longs are longs, codebook centroids are exact rounded means, and the
+    reconstruction x̂ = c + recon(r) decomposes over the disjoint
+    subspaces, so ‖x̂‖² = Σₘ ‖cₘ + cvₘ‖² is an exact int64 computed once
+    per (list, subspace, code) — a nlists·PQ_M·code_mod table, broadcast.
+    ADC scoring splits the same way: dot(q, x̂) = dot(q, c) (carried on
+    the probe row) + Σₘ LUTₘ[codeₘ] (the residual-codebook LUT lookups).
+
+    Plan shape matches knn_ivfpq — coarse training is `_kmeans_state`'s
+    (corpus scans against broadcast centroids, updates shuffle only
+    (cluster, pos, partial-sum) triples), codebook training likewise, the
+    candidate join moves (query, codes[PQ_M], rn2) never vectors — plus
+    one extra broadcast join against the residual frame (corpus joined
+    to its list centroid, no shuffle beyond the list assignment's)."""
+    e, assign, kcents = _kmeans_state(embeddings, cent_mod, coarse_iters)
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    cents = kcents.select("cent_id", "cq", F.col("cn2").alias("cn2c"))
+    ccos = _idot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2c").cast("double"))
+    )
+    lists = assign.select("vec_id", F.col("cluster").alias("list_id"))
+
+    # residual corpus: r = x − c(list); broadcast the centroid frame, so
+    # the only shuffle here is the vec_id-keyed join with the assignment
+    resid = (
+        e.join(lists, "vec_id")
+        .join(F.broadcast(cents.select(F.col("cent_id").alias("list_id"), "cq")), "list_id")
+        .select("vec_id", "list_id", F.zip_with("q", "cq", lambda a, b: a - b).alias("q"))
+    )
+    rsub = _pq_subvectors(resid).persist()
+    cb = _pq_train(rsub, code_mod, iters)
+    asg = _pq_assign(rsub, cb)  # (vec_id, m, code, cn2, sv)
+
+    # exact reconstruction norms per (list, subspace, code): ‖cₘ + cvₘ‖²
+    csub = _pq_subvectors(
+        cents.select(F.col("cent_id").alias("list_id"), F.col("cq").alias("q")),
+        id_col="list_id",
+    ).withColumnRenamed("sv", "csv")
+    cbx = (
+        cb.join(csub, "m")
+        .withColumn("xh", F.zip_with("csv", "cv", lambda a, b: a + b))
+        .select("list_id", "m", "code", _idot(F.col("xh"), F.col("xh")).alias("xn2"))
+    )
+    codes = (
+        asg.join(lists, "vec_id")
+        .join(F.broadcast(cbx), ["list_id", "m", "code"])
+        .groupBy("vec_id", "list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s.code
+            ).alias("codes"),
+            F.sum("xn2").alias("rn2"),
+        )
+    )
+
+    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("pr", F.row_number().over(probes_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("list_id"),
+            _idot(F.col("q"), F.col("cq")).alias("qcdot"),
+        )
+    )
+
+    lut = _pq_query_luts(qs, cb)
+    scored = (
+        probes.join(codes, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), "query_id")
+    )
+    return _pq_rank(scored, k, base_col="qcdot")

@@ -182,12 +182,15 @@ def corpus_stats_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-epoch partial aggregates) and fold the partials — same
     schema, same integer arithmetic, same DuckDB oracle as the batch
     `corpus_profile`, so the driver's hash check certifies the
-    incremental-aggregate maintenance loop itself."""
+    incremental-aggregate maintenance loop itself. fold_every=2 also
+    routes the replay through the partials FOLD (epochs 0-1 collapse
+    into a watermark base at epoch 2), putting the compaction path under
+    the same hash gate."""
     from ..session import sf_namespace
     from ..streaming.ingest import corpus_stats_view, run_corpus_stats_stream
 
     name = f"q_cstats_{sf_namespace(sf_dir)}"
-    q = run_corpus_stats_stream(spark, sf_dir, name=name)
+    q = run_corpus_stats_stream(spark, sf_dir, name=name, fold_every=2)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
@@ -257,6 +260,12 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) lookup-
     table scoring over 8-byte codes — see operators/similarity.knn_pq."""
     return V.knn_pq(_emb(spark, sf_dir))
+
+
+def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding (FAISS IVFPQ, Jégou 2011 §V.A):
+    codes quantize x − c(list) — see operators/similarity."""
+    return V.knn_ivfpq_residual(_emb(spark, sf_dir))
 
 
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,6 +668,7 @@ TRAINING_QUERIES = {
     "knn_rp": knn_rp,
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
+    "knn_ivfpq_residual": knn_ivfpq_residual,
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,
@@ -719,6 +729,7 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": V.knn_ivf,
         "ivf_trained": V.knn_ivf_trained,
         "ivfpq": V.knn_ivfpq,
+        "ivfpq_residual": V.knn_ivfpq_residual,
         "lsh": V.knn_lsh,
         "pq": V.knn_pq,
         "rp": V.knn_rp,

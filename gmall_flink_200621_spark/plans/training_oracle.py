@@ -1016,11 +1016,13 @@ JOIN verts v USING (vertex_id)
 LEFT JOIN deg d ON d.src_id = v.vertex_id
 """
 
-def _kmeans_ctes(cent_mod: int, iters: int) -> str:
-    """CTE chain replicating operators/similarity._kmeans_state iteration
+def _kmeans_parts(cent_mod: int, iters: int) -> list[str]:
+    """CTE list replicating operators/similarity._kmeans_state iteration
     by iteration: assign{i} from cents{i}; update re-quantizes centroid
     components as round(sum/count) — identical int/IEEE arithmetic to the
-    Spark side, so assignments match bit-for-bit."""
+    Spark side, so assignments match bit-for-bit. parts[0] is the shared
+    `e` CTE — callers composing with another chain that already defines
+    `e` (the residual IVF-PQ oracle) splice parts[1:]."""
     parts = [
         f"e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings)",
         f"cents0 AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {cent_mod} = 1)",
@@ -1045,7 +1047,11 @@ def _kmeans_ctes(cent_mod: int, iters: int) -> str:
             parts.append(
                 f"cents{it + 1} AS (SELECT cluster AS cent_id, list(cq_el ORDER BY pos) AS cq FROM upd{it} GROUP BY 1)"
             )
-    return "WITH " + ",\n".join(parts)
+    return parts
+
+
+def _kmeans_ctes(cent_mod: int, iters: int) -> str:
+    return "WITH " + ",\n".join(_kmeans_parts(cent_mod, iters))
 
 
 KMEANS_EMBEDDINGS = f"""
@@ -1085,7 +1091,9 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
-def _knn_pq_sql(train_src: str = "sub", extra: list[str] | None = None) -> str:
+def _knn_pq_sql(
+    train_src: str = "sub", extra: list[str] | None = None, encode_src: str = "sub"
+) -> str:
     """Product-quantization ADC oracle, generated from the SAME constants
     as operators/similarity.knn_pq: per-subspace codebooks (hash-bucket
     init + PQ_ITERS Lloyd refinements, the `_kmeans_ctes` unrolling
@@ -1125,7 +1133,7 @@ def _knn_pq_sql(train_src: str = "sub", extra: list[str] | None = None) -> str:
     SELECT s.vec_id, s.m, c.code, c.cn2, s.sv,
            row_number() OVER (PARTITION BY s.vec_id, s.m
              ORDER BY c.cn2 - 2 * ({sdot('s.sv', 'c.cv')}) ASC, c.code ASC) AS rn
-    FROM {"sub" if it == PQ_ITERS else train_src} s JOIN cb{it} c ON s.m = c.m) WHERE rn = 1)"""
+    FROM {encode_src if it == PQ_ITERS else train_src} s JOIN cb{it} c ON s.m = c.m) WHERE rn = 1)"""
         )
     # shared tail pieces (codes / LUT / norms / ADC ranking) — reused
     # verbatim by the IVF-PQ composite below
@@ -1196,6 +1204,67 @@ scored AS (
   GROUP BY 1, 2),
 {_PQ_RANK_TAIL}
 """
+
+
+def _knn_ivfpq_residual_sql() -> str:
+    """Residual IVF-PQ oracle (operators/similarity.knn_ivfpq_residual,
+    cell for cell): k-means-trained coarse lists (the `_kmeans_parts`
+    chain at IVF nlists), then the PQ codebooks train AND encode on
+    residuals r = x − c(list); the reconstruction norm is the exact
+    per-(list, m, code) int ‖cₘ + cvₘ‖² and the ADC score adds the probe
+    row's dot(q, c) to the residual-LUT sum."""
+    from ..operators.similarity import KM_ITERS, PQ_ITERS, PQ_M, PQ_SUBDIM
+
+    def sdot_plus(a: str, b: str) -> str:
+        # Σᵢ (a[i]+b[i])² over one subspace
+        return (
+            f"list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),"
+            f" i -> ({a}[i] + {b}[i]) * ({a}[i] + {b}[i])))"
+        )
+
+    ki = KM_ITERS
+    extra = [
+        *_kmeans_parts(IVF_CENT_MOD, ki)[1:],  # [0] is `e`, already defined
+        f"cents AS (SELECT cent_id, cq FROM cents{ki})",
+        f"lists AS (SELECT vec_id, cluster AS list_id FROM assign{ki})",
+        f"""resid AS (
+  SELECT e3.vec_id, l.list_id,
+         list_transform(generate_series(1, {DIM}), i -> e3.q[i] - c.cq[i]) AS q
+  FROM e e3 JOIN lists l ON e3.vec_id = l.vec_id JOIN cents c ON l.list_id = c.cent_id)""",
+        f"rsub AS (SELECT vec_id, gm.m AS m,"
+        f" list_slice(q, gm.m*{PQ_SUBDIM}+1, gm.m*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv"
+        f" FROM resid CROSS JOIN generate_series(0, {PQ_M - 1}) AS gm(m))",
+    ]
+    return f"""
+WITH {_knn_pq_sql("rsub", extra, encode_src="rsub")},
+csub AS (
+  SELECT cent_id AS list_id, gm.m AS m,
+         list_slice(cq, gm.m*{PQ_SUBDIM}+1, gm.m*{PQ_SUBDIM}+{PQ_SUBDIM}) AS csv
+  FROM cents CROSS JOIN generate_series(0, {PQ_M - 1}) AS gm(m)),
+cbx AS (
+  SELECT s.list_id, c.m, c.code, {sdot_plus("s.csv", "c.cv")} AS xn2
+  FROM cb{PQ_ITERS} c JOIN csub s ON c.m = s.m),
+probes AS (
+  SELECT query_id, list_id, qcdot FROM (
+    SELECT q0.vec_id AS query_id, c.cent_id AS list_id,
+           {_IDOT.format(n=DIM, a="q0.q", b="c.cq")} AS qcdot,
+           row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {_cosine_sql("q0.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e q0, cents c WHERE q0.vec_id % 100 = 0) WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, k.vec_id AS neighbor_id,
+         min(p.qcdot) + sum(l.dot) AS adot, sum(x.xn2) AS rn2
+  FROM probes p
+  JOIN lists li ON li.list_id = p.list_id AND li.vec_id <> p.query_id
+  JOIN codes k ON k.vec_id = li.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = k.m AND l.code = k.code
+  JOIN cbx x ON x.list_id = p.list_id AND x.m = k.m AND x.code = k.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+
+KNN_IVFPQ_RESIDUAL = _knn_ivfpq_residual_sql()
 
 
 def _knn_pq_index_sql() -> str:
@@ -1793,6 +1862,7 @@ def _ann_eval_sql() -> str:
         "ivf": KNN_IVF,
         "ivf_trained": KNN_IVF_TRAINED,
         "ivfpq": KNN_IVFPQ,
+        "ivfpq_residual": KNN_IVFPQ_RESIDUAL,
         "lsh": KNN_LSH,
         "pq": KNN_PQ,
         "rp": KNN_RP,
@@ -1860,6 +1930,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_rp": KNN_RP,
     "knn_pq": KNN_PQ,
     "knn_ivfpq": KNN_IVFPQ,
+    "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
     "ann_eval": ANN_EVAL,
     "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_graph": KNN_GRAPH,

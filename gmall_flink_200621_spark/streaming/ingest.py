@@ -1037,6 +1037,58 @@ def scd2_current_view(spark: SparkSession, name: str = "scd2_stream") -> DataFra
     )
 
 
+def _fold_cstats_partials(spark: SparkSession, parts_t: str, w: int) -> None:
+    """Fold every partial partition with epoch ≤ w (plus any older fold
+    base) into ONE base partition, encoded as epoch = -(w + 1) — the
+    bound that keeps a minutes-cadence stream from accreting one parquet
+    partition per epoch forever (a year ≈ 500k partition footers).
+
+    Crash-safety comes from the encoding, not from atomicity: the view
+    reads the NEWEST base (largest watermark) plus only epochs > its
+    watermark, so between the base write and the partition GC below, the
+    already-folded epochs still on disk are simply ignored — never
+    double-counted. A replayed fold (foreachBatch re-runs its epoch
+    after a crash) recomputes the base from whatever sources survive —
+    if the previous run's base landed, that base alone — and rewrites
+    the same partition with identical content; the folding operation is
+    the same associative integer sum the view performs, so content
+    identity is exact, not approximate. GC of absorbed partitions is
+    metadata-only (ALTER TABLE DROP PARTITION on a bounded list)."""
+    eps = [
+        int(r[0].split("=")[1])
+        for r in spark.sql(f"SHOW PARTITIONS {parts_t}").collect()
+    ]
+    neg = [e for e in eps if e < 0]
+    wm_prev = max(-e - 1 for e in neg) if neg else None
+    srcs = [e for e in eps if 0 <= e <= w]
+    if wm_prev is not None:
+        srcs.append(-(wm_prev + 1))
+    if not srcs:
+        return
+    p = spark.table(parts_t)
+    merged = (
+        p.filter(F.col("epoch").isin(srcs))
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("total_chars").alias("total_chars"),
+            F.sum("sum_scaled_q").alias("sum_scaled_q"),
+        )
+        .withColumn("epoch", F.lit(-(w + 1)).cast("long"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").insertInto(parts_t, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for e in eps:
+        if (0 <= e <= w) or (e < 0 and -e - 1 < w):
+            spark.sql(f"ALTER TABLE {parts_t} DROP IF EXISTS PARTITION (epoch={e})")
+    spark.catalog.refreshTable(parts_t)
+
+
 def run_corpus_stats_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -1045,6 +1097,7 @@ def run_corpus_stats_stream(
     stage_dir: str | None = None,
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
+    fold_every: int | None = None,
 ):
     """Incrementally-maintained corpus profile — the SELF-MAINTAINABLE
     AGGREGATE member of the MV family: unlike the pagerank/cluster twins
@@ -1065,7 +1118,13 @@ def run_corpus_stats_stream(
     every epoch boundary (pinned; the registry's
     corpus_stats_stream_view runs it under corpus_profile's own DuckDB
     oracle). With a checkpoint, kill-and-restart resumes from the
-    committed offset."""
+    committed offset.
+
+    `fold_every=N` bounds the partials table: every Nth epoch, epochs
+    ≤ epoch−1 collapse into one watermark-encoded base partition (see
+    `_fold_cstats_partials`) — the view is bit-identical before and
+    after a fold (pinned in tests) and the partition count stays O(N)
+    instead of O(stream lifetime)."""
     from ..functions.text import tokens
 
     parts_t = f"{name}_partials"
@@ -1113,6 +1172,8 @@ def run_corpus_stats_stream(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(parts_t)
+        if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
+            _fold_cstats_partials(s, parts_t, epoch_id - 1)
 
     w = docs.writeStream.foreachBatch(stats_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1123,10 +1184,22 @@ def run_corpus_stats_stream(
 def corpus_stats_view(spark: SparkSession, name: str = "cstats") -> DataFrame:
     """Fold the epoch partials to the current corpus profile — integer
     sums plus corpus_profile's single terminal double division, so the
-    result is bit-identical to the batch operator over the same docs."""
+    result is bit-identical to the batch operator over the same docs.
+
+    Fold-aware: a base partition written by `_fold_cstats_partials` is
+    encoded as epoch = -(w + 1); the view takes the NEWEST base plus
+    only epochs > its watermark, so partially-GC'd folds (crash between
+    base write and partition drop) never double-count."""
+    p = spark.table(f"{name}_partials")
+    wm = p.filter(F.col("epoch") < 0).agg(
+        F.max(-F.col("epoch") - 1).alias("wm")
+    )  # 1-row frame; null when no fold has run
+    live = p.crossJoin(F.broadcast(wm)).filter(
+        (F.col("epoch") > F.coalesce(F.col("wm"), F.lit(-1)))
+        | (F.col("epoch") == -(F.col("wm") + 1))
+    )
     return (
-        spark.table(f"{name}_partials")
-        .groupBy("source", "lang")
+        live.groupBy("source", "lang")
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("total_tokens").alias("total_tokens"),

@@ -1317,12 +1317,17 @@ class TestAnnEval:
         from gmall_flink_200621_spark.plans.training import ann_eval
 
         rows = {r.method: r for r in ann_eval(spark, sf_dir).collect()}
-        assert set(rows) == {"ivf", "ivf_trained", "ivfpq", "lsh", "pq", "rp"}
+        assert set(rows) == {
+            "ivf", "ivf_trained", "ivfpq", "ivfpq_residual", "lsh", "pq", "rp",
+        }
         small = sf_dir.endswith("sf0.001")
         assert rows["ivf"].recall == 1.0
         assert rows["ivf_trained"].recall == (0.56 if small else 0.60)
         assert rows["pq"].recall == (0.32 if small else 0.40)
         assert rows["ivfpq"].recall == rows["pq"].recall  # IVF recalls 1.0 here
+        # residual encoding: parity at sf0.001, slightly below at sf0.01 —
+        # the honest isotropic-corpus result (no clusters ⇒ no residual gain)
+        assert rows["ivfpq_residual"].recall == (0.32 if small else 0.36)
         assert rows["rp"].recall == (0.04 if small else 0.08)
         assert all(r.n_method > 0 and r.n_common <= r.n_exact for r in rows.values())
 
