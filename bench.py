@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "knn_rp",
     "knn_pq",
     "knn_ivfpq",
+    "knn_ivfpq_residual",
     "token_counts",
     "corpus_prep",
     "sessionize_native",
