@@ -755,6 +755,53 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def pagerank_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED PageRank ranks table under the oracle gate:
+    stage the knn edge graph as 3 arrival chunks, replay them through
+    `run_pagerank_stream` with refresh_every=2 + final_epoch=2 — so the
+    replay exercises an edge-append-only epoch, an intermediate
+    touched-bucket refresh AND the final-epoch refresh — then read the
+    maintained ranks. Same columns and oracle as batch `pagerank_knn`,
+    so the driver's hash check certifies the MV maintenance loop
+    (epoch-partitioned edge accumulation, cadence, changed-bucket ranks
+    writes), not just the batch twin it mirrors."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_pagerank_stream, stage_knn_edge_chunks
+
+    name = f"q_prview_{sf_namespace(sf_dir)}"
+    stage = stage_knn_edge_chunks(spark, sf_dir, n_chunks=3)
+    q = run_pagerank_stream(spark, stage, name=name, refresh_every=2, final_epoch=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_ranks")
+    return spark.table(f"{name}_ranks").select(
+        "vertex_id", "out_deg", "rank_units", "rank"
+    )
+
+
+def dedup_clusters_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED duplicate-cluster table under the oracle
+    gate: replay documents in 3 chunks through
+    `run_dedup_clusters_stream` (incremental near-dup ingest — new docs
+    compare only against colliding LSH buckets — plus the per-epoch
+    connected-components refresh over the accumulated pair graph), then
+    read the maintained canonical assignment. Same columns and oracle as
+    batch `dedup_clusters`, so the transitive-merge maintenance (a new
+    doc bridging two existing clusters re-canonicalizes both) is itself
+    hash-certified."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_dedup_clusters_stream
+
+    name = f"q_dcview_{sf_namespace(sf_dir)}"
+    q = run_dedup_clusters_stream(spark, sf_dir, n_chunks=3, name=name)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_clusters")
+    return spark.table(f"{name}_clusters").select("doc_id", "canonical_id")
+
+
 def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-MAINTAINED PQ index under the oracle gate: replay the
     embeddings through `run_pq_index_stream` (first chunk trains the
@@ -782,3 +829,5 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAINING_QUERIES["ann_eval"] = ann_eval
 TRAINING_QUERIES["knn_pq_index_view"] = knn_pq_index_view
+TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
+TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view

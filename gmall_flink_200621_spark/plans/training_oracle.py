@@ -1914,6 +1914,9 @@ TRAINING_ORACLES: dict[str, str] = {
     "simhash_fingerprints": SIMHASH_FINGERPRINTS,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_clusters": DEDUP_CLUSTERS,
+    # stream-maintained twin reads the replayed MV state; same oracle —
+    # the hash gate certifies the maintenance loop converges to batch
+    "dedup_clusters_stream_view": DEDUP_CLUSTERS,
     "dedup_substring": DEDUP_SUBSTRING,
     "doc_stats": DOC_STATS,
     "lang_id": LANG_ID,
@@ -1935,6 +1938,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
+    "pagerank_stream_view": PAGERANK_KNN,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,
