@@ -79,7 +79,7 @@ def write_zordered(
     out.sortWithinPartitions(*order).drop("__z").write.mode("overwrite").parquet(path)
 
 
-def _partition_predicate(spark: SparkSession, table: str, p: str):
+def _partition_predicate(types: dict, p: str):
     """Typed Column predicate for one SHOW PARTITIONS spec string.
 
     SHOW PARTITIONS returns PATH-ESCAPED values (space → %20, '=' →
@@ -88,12 +88,13 @@ def _partition_predicate(spark: SparkSession, table: str, p: str):
     compare with a TYPED literal (`lit(v).cast(col_type)` — a foldable
     literal, so partition pruning still reaches the scan; casting the
     COLUMN instead would defeat pruning). `__HIVE_DEFAULT_PARTITION__`
-    means the null partition."""
+    means the null partition. `types` is the table's {name: dataType}
+    map, resolved ONCE by the caller — not per spec (a 10k-partition
+    sweep must not do 10k catalog round-trips)."""
     from functools import reduce
     from operator import and_
     from urllib.parse import unquote
 
-    types = {f.name: f.dataType for f in spark.table(table).schema.fields}
     conds = []
     for kv in p.split("/"):
         k, v = kv.split("=", 1)
@@ -105,31 +106,59 @@ def _partition_predicate(spark: SparkSession, table: str, p: str):
     return reduce(and_, conds)
 
 
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns whose type tree contains no MapType — Spark's hash
+    expressions reject maps (non-deterministic entry order). Used to
+    pick the row-hash inputs for file-slot binning; the bin only spreads
+    rows across a partition's files, so dropping unhashable columns
+    costs nothing but bin uniformity in the (rare) all-else-equal case."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in df.schema.fields if ok(f.dataType)]
+
+
 def compact_small_files(
     spark: SparkSession,
     table: str,
     target_bytes: int = 128 * 1024 * 1024,
     tolerance: int = 1,
+    batch_partitions: int = 256,
 ) -> dict[str, tuple[int, int]]:
     """Bin-pack fragmented partitions of a partitioned parquet TABLE:
     any partition holding more than `ceil(bytes / target_bytes) +
-    tolerance` files is rewritten via ONE dynamic partition overwrite;
-    every other partition is left physically untouched. Returns
-    {partition_spec: (files_before, files_after)} for the rewritten
-    partitions — ≤ n_partitions tiny tuples to the driver, never rows.
+    tolerance` files is rewritten via dynamic partition overwrite in
+    BATCHES of `batch_partitions`; every other partition is left
+    physically untouched. Returns {partition_spec: (files_before,
+    files_after)} for the rewritten partitions — ≤ n_partitions tiny
+    tuples to the driver, never rows.
 
-    Constant JOB count, not O(fragmented partitions) (the r07 serial
-    loop scheduled one checkpoint + one write per partition — a nightly
-    pass over 10k fragmented partitions was 20k sequential Spark jobs):
+    O(fragmented / batch_partitions) jobs with BOUNDED storage, not one
+    job pair per partition (the r07 serial loop scheduled one checkpoint
+    + one write per partition — a nightly pass over 10k fragmented
+    partitions was 20k sequential Spark jobs) and not one unbounded
+    all-partitions materialization either (checkpointing every
+    fragmented partition at once would pin ~batch-count × target_bytes
+    × ideal of executor storage; the chunking caps it at
+    ~batch_partitions × partition size). Per batch:
     1. metadata sweep (listStatus per partition, no jobs) selects the
        fragmented specs and assigns each a file-slot range
-       [offset, offset + ideal) in a global slot space of P slots;
-    2. ONE localCheckpoint job materializes the union of fragmented
+       [offset, offset + ideal) in a slot space of P slots;
+    2. ONE localCheckpoint job materializes the union of the batch's
        partitions' rows (required: a write plan that still read the
        table would be rejected as read-and-overwrite);
     3. ONE write job: a broadcast join against the tiny spec→(offset,
        ideal) map assigns every row gid = offset + xxhash64(row) %
-       ideal, and repartition(8·P, gid) routes slots to tasks — each
+       ideal (map-typed columns excluded — hash expressions reject
+       them), and repartition(8·P, gid) routes slots to tasks — each
        task writes one file per partition directory it holds, so a
        partition gets ≤ ideal files (exactly ideal when no two of its
        gids hash-collide into one task; the 8× headroom makes a merge
@@ -147,9 +176,11 @@ def compact_small_files(
     content-identity: rewrite is `INSERT OVERWRITE` of the partitions'
     own rows (replay-idempotent — a crashed pass re-finds the same
     fragmented partitions; a replayed one finds them compact and writes
-    nothing)."""
+    nothing; each batch commits independently, so a crash mid-sweep
+    loses at most one batch's worth of compaction, never data)."""
     from functools import reduce
     from operator import or_
+    from urllib.parse import unquote
 
     parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
     loc = (
@@ -173,56 +204,61 @@ def compact_small_files(
         ]
         return len(sizes), sum(sizes)
 
-    frags: list[tuple[str, int, int, int]] = []  # (spec, before, ideal, offset)
-    offset = 0
+    frags: list[tuple[str, int, int]] = []  # (spec, before, ideal)
     for p in parts:
         n, total = n_files(p)
         ideal = max(1, math.ceil(total / target_bytes))
         if n <= ideal + tolerance:
             continue
-        frags.append((p, n, ideal, offset))
-        offset += ideal
+        frags.append((p, n, ideal))
     if not frags:
         return {}
 
     tbl = spark.table(table)
-    union_pred = reduce(or_, [_partition_predicate(spark, table, p) for p, *_ in frags])
-    rows = tbl.filter(union_pred).localCheckpoint(eager=True)
-
-    # tiny spec map: partition-key values (typed) → (slot offset, ideal)
-    from urllib.parse import unquote
-
-    pkeys = [kv.split("=", 1)[0] for kv in frags[0][0].split("/")]
     types = {f.name: f.dataType for f in tbl.schema.fields}
-    map_rows = []
-    for p, _n, ideal, off in frags:
-        vals = [
-            None if (u := unquote(kv.split("=", 1)[1])) == "__HIVE_DEFAULT_PARTITION__" else u
-            for kv in p.split("/")
-        ]
-        map_rows.append((*vals, off, ideal))
-    mdf = spark.createDataFrame(
-        map_rows, ", ".join([f"`{k}` string" for k in pkeys] + ["__off long", "__ideal long"])
-    ).select(*[F.col(k).cast(types[k]).alias(k) for k in pkeys], "__off", "__ideal")
-    join_cond = reduce(lambda a, b: a & b, [rows[k].eqNullSafe(mdf[k]) for k in pkeys])
-    slots = sum(ideal for _p, _n, ideal, _o in frags)
-    out = (
-        rows.join(F.broadcast(mdf), join_cond)
-        .drop(*[mdf[k] for k in pkeys])
-        .withColumn(
-            "__gid", F.col("__off") + F.pmod(F.xxhash64(*[rows[c] for c in rows.columns]), F.col("__ideal"))
-        )
-        .repartition(8 * slots, F.col("__gid"))
-        .select(*rows.columns)
-    )
+    pkeys = [kv.split("=", 1)[0] for kv in frags[0][0].split("/")]
+    hash_cols = _hashable_cols(tbl)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out.write.mode("overwrite").insertInto(table, overwrite=True)
+        for i in range(0, len(frags), batch_partitions):
+            chunk = frags[i : i + batch_partitions]
+            union_pred = reduce(or_, [_partition_predicate(types, p) for p, *_ in chunk])
+            rows = tbl.filter(union_pred).localCheckpoint(eager=True)
+
+            # tiny spec map: partition-key values (typed) → (offset, ideal)
+            map_rows, off = [], 0
+            for p, _n, ideal in chunk:
+                vals = [
+                    None
+                    if (u := unquote(kv.split("=", 1)[1])) == "__HIVE_DEFAULT_PARTITION__"
+                    else u
+                    for kv in p.split("/")
+                ]
+                map_rows.append((*vals, off, ideal))
+                off += ideal
+            mdf = spark.createDataFrame(
+                map_rows,
+                ", ".join([f"`{k}` string" for k in pkeys] + ["__off long", "__ideal long"]),
+            ).select(*[F.col(k).cast(types[k]).alias(k) for k in pkeys], "__off", "__ideal")
+            join_cond = reduce(
+                lambda a, b: a & b, [rows[k].eqNullSafe(mdf[k]) for k in pkeys]
+            )
+            rhash = (
+                F.xxhash64(*[rows[c] for c in hash_cols]) if hash_cols else F.lit(0)
+            )
+            out = (
+                rows.join(F.broadcast(mdf), join_cond)
+                .drop(*[mdf[k] for k in pkeys])
+                .withColumn("__gid", F.col("__off") + F.pmod(rhash, F.col("__ideal")))
+                .repartition(8 * off, F.col("__gid"))
+                .select(*rows.columns)
+            )
+            out.write.mode("overwrite").insertInto(table, overwrite=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshTable(table)
-    return {p: (n, n_files(p)[0]) for p, n, _ideal, _off in frags}
+    return {p: (n, n_files(p)[0]) for p, n, _ideal in frags}
 
 
 def hilbert_index(

@@ -761,10 +761,15 @@ def pagerank_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     `run_pagerank_stream` with refresh_every=2 + final_epoch=2 — so the
     replay exercises an edge-append-only epoch, an intermediate
     touched-bucket refresh AND the final-epoch refresh — then read the
-    maintained ranks. Same columns and oracle as batch `pagerank_knn`,
-    so the driver's hash check certifies the MV maintenance loop
+    maintained ranks. Same columns as batch `pagerank_knn`; the oracle
+    (`PAGERANK_STREAM_VIEW`) derives its vertex universe from the edges
+    — src ∪ nbr, the stream's own contract, since its only input IS the
+    edge stream. On k-NN graphs every vector is a src, so this equals
+    pagerank_knn's all-embeddings universe; on a corpus with isolated
+    vectors the two differ by exactly those teleport-only rows. The
+    driver's hash check thus certifies the MV maintenance loop
     (epoch-partitioned edge accumulation, cadence, changed-bucket ranks
-    writes), not just the batch twin it mirrors."""
+    writes), not an assumption about the corpus."""
     from ..session import sf_namespace
     from ..streaming.ingest import run_pagerank_stream, stage_knn_edge_chunks
 

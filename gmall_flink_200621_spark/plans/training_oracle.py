@@ -976,15 +976,31 @@ FROM feats f, w{PERC_ITERS} p
 """
 
 
-def _pagerank_ctes(iters: int) -> str:
+def _pagerank_ctes(iters: int, verts_from_edges: bool = False) -> str:
     """Unrolled PageRank iteration chain (the _kmeans_ctes pattern):
     pr{i} from pr{i-1} with integer floor-division contrib splitting and
     integer damping — bit-identical to operators/graph.pagerank because
     both sides compute only int64 sums/divisions from the same Python
-    constants (PR_SCALE, PR_DAMP_PCT)."""
+    constants (PR_SCALE, PR_DAMP_PCT).
+
+    `verts_from_edges=False` (batch pagerank_knn): the vertex universe is
+    every embedding — isolated vectors appear with the bare teleport
+    rank. `verts_from_edges=True` (the streaming MV's oracle): vertices
+    are src ∪ nbr of the edges, matching run_pagerank_stream, whose
+    only input IS the edge stream. The two differ exactly on isolated
+    vertices (per-vertex constant teleport — no 1/N coupling), which
+    the k-NN graphs here never produce, but the stream view's oracle
+    must certify the stream's own contract, not an assumption about
+    the corpus."""
+    verts = (
+        "verts AS (SELECT DISTINCT v AS vertex_id FROM"
+        " (SELECT src_id AS v FROM edges UNION ALL SELECT nbr_id FROM edges))"
+        if verts_from_edges
+        else "verts AS (SELECT DISTINCT vec_id AS vertex_id FROM embeddings)"
+    )
     parts = [
-        f"verts AS (SELECT DISTINCT vec_id AS vertex_id FROM embeddings)",
         f"edges AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K})",
+        verts,
         "deg AS (SELECT src_id, COUNT(*) AS deg FROM edges GROUP BY src_id)",
         f"pr0 AS (SELECT vertex_id, CAST({PR_SCALE} AS BIGINT) AS r FROM verts)",
     ]
@@ -1007,6 +1023,21 @@ def _pagerank_ctes(iters: int) -> str:
 PAGERANK_KNN = f"""
 WITH {_KNN_GRAPH_CTES},
 {_pagerank_ctes(PR_ITERS)}
+SELECT v.vertex_id,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
+       p.r AS rank_units,
+       p.r / {PR_SCALE} AS rank
+FROM pr{PR_ITERS} p
+JOIN verts v USING (vertex_id)
+LEFT JOIN deg d ON d.src_id = v.vertex_id
+"""
+
+# the streaming MV's oracle: identical iteration chain, but the vertex
+# universe is src ∪ nbr of the edges — the stream's own contract (its
+# only input is the edge stream); see _pagerank_ctes
+PAGERANK_STREAM_VIEW = f"""
+WITH {_KNN_GRAPH_CTES},
+{_pagerank_ctes(PR_ITERS, verts_from_edges=True)}
 SELECT v.vertex_id,
        CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
        p.r AS rank_units,
@@ -1938,7 +1969,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
-    "pagerank_stream_view": PAGERANK_KNN,
+    "pagerank_stream_view": PAGERANK_STREAM_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,

@@ -29,11 +29,13 @@ def sf_namespace(sf_dir: str) -> str:
     same dynamic-overwrite partitions). crc32, not ``hash()``: Python
     salts str hashes per process, and the name must be stable so a replay
     in a NEW process overwrites the same table rather than leaking one
-    orphan table per run.
+    orphan table per run. The path is realpath-normalized first, so
+    'data/sf0.01', 'data/sf0.01/' and an absolute spelling of the same
+    directory all map to the same namespace.
     """
     import zlib
 
-    return f"{zlib.crc32(sf_dir.encode('utf-8')) % 10**8:08d}"
+    return f"{zlib.crc32(os.path.realpath(sf_dir).encode('utf-8')) % 10**8:08d}"
 
 
 def get_spark(

@@ -1060,7 +1060,14 @@ def _fold_cstats_partials(spark: SparkSession, parts_t: str, w: int) -> None:
     ]
     neg = [e for e in eps if e < 0]
     wm_prev = max(-e - 1 for e in neg) if neg else None
-    srcs = [e for e in eps if 0 <= e <= w]
+    # ONLY epochs above the previous watermark: any on-disk epoch ≤
+    # wm_prev is an already-absorbed copy (a crash between the previous
+    # fold's base write and its partition GC, or a replayed old batch
+    # rewriting its partition) — including it would double-count it into
+    # the new base. The view ignores those partitions for the same
+    # reason; the fold must too.
+    floor = wm_prev if wm_prev is not None else -1
+    srcs = [e for e in eps if floor < e <= w]
     if wm_prev is not None:
         srcs.append(-(wm_prev + 1))
     if not srcs:

@@ -1017,9 +1017,35 @@ class TestCorpusStatsStream:
         assert eps2 == eps
         assert sorted(map(tuple, corpus_stats_view(spark, "t_csf").collect())) == want
 
-        # terminal fold absorbing every epoch: view still exact
+        # crash-before-GC path: a fold that wrote its base but died before
+        # dropping the absorbed partitions leaves stale epochs ≤ watermark
+        # on disk. Simulate by resurrecting an absorbed epoch with GARBAGE
+        # partials: both the view AND the next fold must ignore it (the
+        # r08 review found the fold double-counting exactly this state).
+        from pyspark.sql import functions as F
+
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.createDataFrame(
+                [("zz", "zz", 10**6, 10**6, 10**6, 10**6, 0)],
+                "source string, lang string, n_docs long, total_tokens long,"
+                " total_chars long, sum_scaled_q long, epoch long",
+            ).write.mode("overwrite").insertInto("t_csf_partials", overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        spark.catalog.refreshTable("t_csf_partials")
+        assert sorted(map(tuple, corpus_stats_view(spark, "t_csf").collect())) == want
+
+        # terminal fold absorbing every live epoch: the stale copy is
+        # ignored AND garbage-collected; view still exact
         _fold_cstats_partials(spark, "t_csf_partials", max(eps))
         assert sorted(map(tuple, corpus_stats_view(spark, "t_csf").collect())) == want
+        eps3 = [
+            int(r[0].split("=")[1])
+            for r in spark.sql("SHOW PARTITIONS t_csf_partials").collect()
+        ]
+        assert 0 not in eps3  # resurrected epoch GC'd by the fold
 
 
 class TestPqIndexStream:

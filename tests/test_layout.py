@@ -187,6 +187,33 @@ class TestCompaction:
         assert sorted(map(tuple, spark.table("t_cjob").collect())) == before
         spark.sql("DROP TABLE IF EXISTS t_cjob")
 
+    def test_map_typed_column_compacts(self, spark):
+        """r08 review: hash expressions reject MapType, so the file-slot
+        bin must exclude map columns instead of throwing at plan time —
+        a table with a map column is squarely in 'generic maintenance'
+        territory (event props, feature maps)."""
+        import shutil
+
+        from gmall_flink_200621_spark.operators.layout import compact_small_files
+
+        spark.sql("DROP TABLE IF EXISTS t_cmap")
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        shutil.rmtree(os.path.join(wh, "t_cmap"), ignore_errors=True)
+        spark.sql(
+            "CREATE TABLE t_cmap (k BIGINT, props MAP<STRING, STRING>) USING parquet"
+            " PARTITIONED BY (kb INT)"
+        )
+        for i in range(3):
+            spark.sql(
+                f"INSERT INTO t_cmap PARTITION (kb=0) SELECT {i}L, map('a', '{i}')"
+            )
+        before = sorted((r.k, dict(r.props)) for r in spark.table("t_cmap").collect())
+        done = compact_small_files(spark, "t_cmap", target_bytes=1 << 30, tolerance=0)
+        assert done == {"kb=0": (3, 1)}
+        spark.catalog.refreshTable("t_cmap")
+        assert sorted((r.k, dict(r.props)) for r in spark.table("t_cmap").collect()) == before
+        spark.sql("DROP TABLE IF EXISTS t_cmap")
+
     def test_string_partition_values_roundtrip_escaping(self, spark):
         """ADVICE r07: SHOW PARTITIONS returns PATH-ESCAPED values, so a
         string partition holding spaces / '=' / quotes must round-trip
