@@ -812,7 +812,10 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings through `run_pq_index_stream` (first chunk trains the
     frozen codebook; every chunk appends its codes), then ADC-search the
     maintained index — the driver's hash check certifies the
-    freeze/incremental-encode maintenance loop end-to-end."""
+    freeze/incremental-encode maintenance loop end-to-end. fold_every=2
+    also routes the replay through the codes-partition fold (epochs 0-1
+    coalesce into a watermark base at epoch 2), so the identity-fold +
+    live_epochs read path sits under the same gate."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import _idot, quantize
@@ -820,7 +823,7 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import pq_index_search, run_pq_index_stream
 
     name = f"q_pqidx_{sf_namespace(sf_dir)}"
-    q = run_pq_index_stream(spark, sf_dir, name=name)
+    q = run_pq_index_stream(spark, sf_dir, name=name, fold_every=2)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()

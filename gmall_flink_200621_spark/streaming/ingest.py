@@ -1037,63 +1037,82 @@ def scd2_current_view(spark: SparkSession, name: str = "scd2_stream") -> DataFra
     )
 
 
-def _fold_cstats_partials(spark: SparkSession, parts_t: str, w: int) -> None:
-    """Fold every partial partition with epoch ≤ w (plus any older fold
+def live_epochs(p: DataFrame) -> DataFrame:
+    """Filter an epoch-partitioned MV state frame to its LIVE rows under
+    the fold-watermark encoding: the newest fold base (epoch = -(w + 1)
+    with the largest w) plus only epochs > w. Stale partitions — an
+    absorbed epoch left on disk by a crash between a fold's base write
+    and its partition GC, or a replayed old batch rewriting its
+    partition — are ignored, never double-read. With no base present
+    (fold never ran), every epoch ≥ 0 is live."""
+    wm = p.filter(F.col("epoch") < 0).agg(
+        F.max(-F.col("epoch") - 1).alias("wm")
+    )  # 1-row frame; null when no fold has run
+    return p.crossJoin(F.broadcast(wm)).filter(
+        (F.col("epoch") > F.coalesce(F.col("wm"), F.lit(-1)))
+        | (F.col("epoch") == -(F.col("wm") + 1))
+    )
+
+
+def _fold_epoch_partitions(spark: SparkSession, table: str, w: int, merge) -> None:
+    """Fold every live partition with epoch ≤ w (plus any older fold
     base) into ONE base partition, encoded as epoch = -(w + 1) — the
     bound that keeps a minutes-cadence stream from accreting one parquet
     partition per epoch forever (a year ≈ 500k partition footers).
+    `merge(df)` maps the selected source rows (epoch column excluded)
+    to the base's content — an associative re-aggregation for partial
+    aggregates (corpus stats), identity for append-only row stores
+    (PQ codes, edge logs); either way the result must be a pure function
+    of the source ROWS so a replayed fold is content-identical.
 
-    Crash-safety comes from the encoding, not from atomicity: the view
-    reads the NEWEST base (largest watermark) plus only epochs > its
-    watermark, so between the base write and the partition GC below, the
-    already-folded epochs still on disk are simply ignored — never
-    double-counted. A replayed fold (foreachBatch re-runs its epoch
-    after a crash) recomputes the base from whatever sources survive —
-    if the previous run's base landed, that base alone — and rewrites
-    the same partition with identical content; the folding operation is
-    the same associative integer sum the view performs, so content
-    identity is exact, not approximate. GC of absorbed partitions is
-    metadata-only (ALTER TABLE DROP PARTITION on a bounded list)."""
+    Crash-safety comes from the encoding, not from atomicity: readers go
+    through `live_epochs`, so between the base write and the partition
+    GC below, the already-folded epochs still on disk are simply
+    ignored. Only epochs ABOVE the previous watermark feed the new base:
+    any on-disk epoch ≤ wm_prev is an already-absorbed copy — including
+    it would double-count it. GC of absorbed partitions is metadata-only
+    (ALTER TABLE DROP PARTITION on a bounded list)."""
     eps = [
         int(r[0].split("=")[1])
-        for r in spark.sql(f"SHOW PARTITIONS {parts_t}").collect()
+        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
     ]
     neg = [e for e in eps if e < 0]
     wm_prev = max(-e - 1 for e in neg) if neg else None
-    # ONLY epochs above the previous watermark: any on-disk epoch ≤
-    # wm_prev is an already-absorbed copy (a crash between the previous
-    # fold's base write and its partition GC, or a replayed old batch
-    # rewriting its partition) — including it would double-count it into
-    # the new base. The view ignores those partitions for the same
-    # reason; the fold must too.
     floor = wm_prev if wm_prev is not None else -1
     srcs = [e for e in eps if floor < e <= w]
     if wm_prev is not None:
         srcs.append(-(wm_prev + 1))
     if not srcs:
         return
-    p = spark.table(parts_t)
-    merged = (
-        p.filter(F.col("epoch").isin(srcs))
-        .groupBy("source", "lang")
-        .agg(
+    p = spark.table(table)
+    merged = merge(
+        p.filter(F.col("epoch").isin(srcs)).drop("epoch")
+    ).withColumn("epoch", F.lit(-(w + 1)).cast("long"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for e in eps:
+        if (0 <= e <= w) or (e < 0 and -e - 1 < w):
+            spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (epoch={e})")
+    spark.catalog.refreshTable(table)
+
+
+def _fold_cstats_partials(spark: SparkSession, parts_t: str, w: int) -> None:
+    """Corpus-stats member of `_fold_epoch_partitions`: the merge is the
+    same associative integer sums the view performs."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("source", "lang").agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("total_tokens").alias("total_tokens"),
             F.sum("total_chars").alias("total_chars"),
             F.sum("sum_scaled_q").alias("sum_scaled_q"),
         )
-        .withColumn("epoch", F.lit(-(w + 1)).cast("long"))
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").insertInto(parts_t, overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for e in eps:
-        if (0 <= e <= w) or (e < 0 and -e - 1 < w):
-            spark.sql(f"ALTER TABLE {parts_t} DROP IF EXISTS PARTITION (epoch={e})")
-    spark.catalog.refreshTable(parts_t)
+
+    _fold_epoch_partitions(spark, parts_t, w, merge)
 
 
 def run_corpus_stats_stream(
@@ -1193,18 +1212,9 @@ def corpus_stats_view(spark: SparkSession, name: str = "cstats") -> DataFrame:
     sums plus corpus_profile's single terminal double division, so the
     result is bit-identical to the batch operator over the same docs.
 
-    Fold-aware: a base partition written by `_fold_cstats_partials` is
-    encoded as epoch = -(w + 1); the view takes the NEWEST base plus
-    only epochs > its watermark, so partially-GC'd folds (crash between
-    base write and partition drop) never double-count."""
-    p = spark.table(f"{name}_partials")
-    wm = p.filter(F.col("epoch") < 0).agg(
-        F.max(-F.col("epoch") - 1).alias("wm")
-    )  # 1-row frame; null when no fold has run
-    live = p.crossJoin(F.broadcast(wm)).filter(
-        (F.col("epoch") > F.coalesce(F.col("wm"), F.lit(-1)))
-        | (F.col("epoch") == -(F.col("wm") + 1))
-    )
+    Fold-aware: reads through `live_epochs`, so partially-GC'd folds
+    (crash between base write and partition drop) never double-count."""
+    live = live_epochs(spark.table(f"{name}_partials"))
     return (
         live.groupBy("source", "lang")
         .agg(
@@ -1226,6 +1236,7 @@ def run_pq_index_stream(
     stage_dir: str | None = None,
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
+    fold_every: int | None = None,
 ):
     """Stream-maintained PQ vector index — the FAISS `index.add()`
     lifecycle as an MV: the FIRST batch trains the per-subspace
@@ -1247,7 +1258,13 @@ def run_pq_index_stream(
     re-derives the same first-chunk-trained codebooks and full-corpus
     encoding, so the driver's hash gate certifies the maintenance loop
     (freeze + incremental encode + replay) against ANSI-SQL ground
-    truth."""
+    truth.
+
+    `fold_every=N`: every Nth epoch, code partitions ≤ epoch−1 coalesce
+    into one watermark base via `_fold_epoch_partitions` with the
+    IDENTITY merge — codes are immutable rows, so the fold is a pure
+    rewrite that bounds the partition count at O(N) without touching
+    the index's contents (search reads through `live_epochs`)."""
     from ..operators.similarity import (
         PQ_CODE_MOD,
         PQ_INDEX_CHUNKS,
@@ -1301,6 +1318,8 @@ def run_pq_index_stream(
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(codes_t)
         sub.unpersist()
+        if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
+            _fold_epoch_partitions(s, codes_t, epoch_id - 1, lambda df: df)
 
     w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1314,10 +1333,12 @@ def pq_index_search(
     """ADC top-k over the stream-maintained index: per-query lookup
     tables against the stored codebook, scored as a pure scan of the
     stored codes (knn_pq's search path, reading state tables instead of
-    retraining). `queries_e` must carry (vec_id, q, n2)."""
+    retraining). `queries_e` must carry (vec_id, q, n2). Codes read
+    through `live_epochs`, so a folded index (and a crash mid-fold)
+    searches identically."""
     from ..operators.similarity import KNN_K, _pq_query_luts, _pq_rank
 
     lut = _pq_query_luts(queries_e, spark.table(f"{name}_codebook"))
-    codes = spark.table(f"{name}_codes").select("vec_id", "codes", "rn2")
+    codes = live_epochs(spark.table(f"{name}_codes")).select("vec_id", "codes", "rn2")
     scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
     return _pq_rank(scored, k or KNN_K)

@@ -1147,6 +1147,66 @@ class TestPqIndexStream:
         want = sorted(map(tuple, _pq_rank(scored, 5).collect()))
         assert got == want and len(got) > 0
 
+    def test_codes_fold_bounds_partitions_search_unchanged(self, spark, sf_dir):
+        """Identity fold over the codes table: with fold_every=2 across
+        5 arrival chunks the partition count stays bounded, search
+        results are identical to the unfolded index (same codebook
+        contract), a resurrected stale epoch with garbage codes is
+        ignored by the search, and the next fold GCs it."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import _idot, quantize
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _fold_epoch_partitions,
+            pq_index_search,
+            run_pq_index_stream,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        def search(name: str):
+            emb = load_table(spark, sf_dir, "embeddings")
+            e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+            qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+                F.col("vec_id") % 100 == 0
+            )
+            return sorted(map(tuple, pq_index_search(spark, qs, name).collect()))
+
+        for name, fold in (("t_pqf", 2), ("t_pqnf", None)):
+            q = run_pq_index_stream(spark, sf_dir, name=name, n_chunks=5, fold_every=fold)
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            spark.catalog.refreshTable(f"{name}_codes")
+
+        eps = sorted(
+            int(r[0].split("=")[1])
+            for r in spark.sql("SHOW PARTITIONS t_pqf_codes").collect()
+        )
+        assert len(eps) <= 3 and eps[0] < 0  # 5 epochs → base + tail
+        want = search("t_pqnf")  # unfolded twin, same 5-chunk contract
+        assert search("t_pqf") == want and len(want) > 0
+
+        # crash-before-GC: resurrect a stale epoch with garbage codes
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.createDataFrame(
+                [(999_999_999, [0] * 16, 1, 0)],
+                "vec_id long, codes array<bigint>, rn2 long, epoch long",
+            ).write.mode("overwrite").insertInto("t_pqf_codes", overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        spark.catalog.refreshTable("t_pqf_codes")
+        assert search("t_pqf") == want  # stale epoch ignored by live_epochs
+
+        _fold_epoch_partitions(spark, "t_pqf_codes", max(eps), lambda df: df)
+        assert search("t_pqf") == want
+        eps2 = [
+            int(r[0].split("=")[1])
+            for r in spark.sql("SHOW PARTITIONS t_pqf_codes").collect()
+        ]
+        assert 0 not in eps2  # garbage epoch GC'd
+
 
 class TestCdcCompactEvery:
     def test_in_loop_compaction_restores_one_file_per_bucket(self, spark, tmp_path):

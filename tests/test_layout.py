@@ -187,6 +187,36 @@ class TestCompaction:
         assert sorted(map(tuple, spark.table("t_cjob").collect())) == before
         spark.sql("DROP TABLE IF EXISTS t_cjob")
 
+    def test_multi_batch_chunking(self, spark):
+        """batch_partitions bounds per-job storage by rewriting the
+        fragmented set in chunks; with batch_partitions=2 over 5
+        fragmented partitions the sweep takes 3 independent write
+        batches — every partition still compacts to one file with
+        content identity (each batch commits independently)."""
+        import shutil
+
+        from gmall_flink_200621_spark.operators.layout import compact_small_files
+
+        spark.sql("DROP TABLE IF EXISTS t_cchunk")
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        shutil.rmtree(os.path.join(wh, "t_cchunk"), ignore_errors=True)
+        spark.sql(
+            "CREATE TABLE t_cchunk (k BIGINT, v STRING) USING parquet PARTITIONED BY (kb INT)"
+        )
+        for kb in range(5):
+            for i in range(3):
+                spark.createDataFrame(
+                    [(i, f"v{kb}-{i}", kb)], "k long, v string, kb int"
+                ).coalesce(1).write.mode("append").insertInto("t_cchunk")
+        before = sorted(map(tuple, spark.table("t_cchunk").collect()))
+        done = compact_small_files(
+            spark, "t_cchunk", target_bytes=1 << 30, tolerance=0, batch_partitions=2
+        )
+        assert done == {f"kb={kb}": (3, 1) for kb in range(5)}
+        spark.catalog.refreshTable("t_cchunk")
+        assert sorted(map(tuple, spark.table("t_cchunk").collect())) == before
+        spark.sql("DROP TABLE IF EXISTS t_cchunk")
+
     def test_map_typed_column_compacts(self, spark):
         """r08 review: hash expressions reject MapType, so the file-slot
         bin must exclude map columns instead of throwing at plan time —
