@@ -775,7 +775,12 @@ def pagerank_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"q_prview_{sf_namespace(sf_dir)}"
     stage = stage_knn_edge_chunks(spark, sf_dir, n_chunks=3)
-    q = run_pagerank_stream(spark, stage, name=name, refresh_every=2, final_epoch=2)
+    # fold_every=2 also coalesces edge partitions 0-1 into a watermark
+    # base mid-replay, so the identity-fold + live_epochs edge read is
+    # under this gate too
+    q = run_pagerank_stream(
+        spark, stage, name=name, refresh_every=2, final_epoch=2, fold_every=2
+    )
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()

@@ -553,6 +553,7 @@ def run_pagerank_stream(
     refresh_every: int = 1,
     final_epoch: int | None = None,
     n_buckets: int = CDC_BUCKETS,
+    fold_every: int | None = None,
 ):
     """Incremental PageRank over an edge-ingest stream — the MV
     discipline applied to the graph family (its only batch-only member
@@ -622,6 +623,12 @@ def run_pagerank_stream(
             ).write.mode("overwrite").insertInto(edges_t, overwrite=True)
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # fold BEFORE the refresh so the refresh reads the bounded log
+        # (identity merge — edges are immutable rows; `fold_every=N`
+        # bounds the edge log's partition count at O(N), see
+        # `_fold_epoch_partitions`)
+        if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
+            _fold_epoch_partitions(s, edges_t, epoch_id - 1, lambda df: df)
         due = (epoch_id + 1) % refresh_every == 0 or (
             final_epoch is not None and epoch_id >= final_epoch
         )
@@ -644,10 +651,12 @@ def refresh_pagerank_ranks(
     """Refresh `<name>_ranks` from the accumulated `<name>_edges` — the
     standalone form of the stream's refresh, for callers running a
     coarse `refresh_every` cadence who need ranks current NOW (e.g.
-    after the stream drains, when no `final_epoch` was known up front)."""
+    after the stream drains, when no `final_epoch` was known up front).
+    Edges read through `live_epochs`, so a folded edge log (and a crash
+    mid-fold) refreshes identically."""
     from ..operators.graph import PR_ITERS, pagerank
 
-    acc = spark.table(f"{name}_edges").select("src_id", "nbr_id")
+    acc = live_epochs(spark.table(f"{name}_edges")).select("src_id", "nbr_id")
     verts = acc.select(F.col("src_id").alias("vertex_id")).unionByName(
         acc.select(F.col("nbr_id").alias("vertex_id"))
     )
