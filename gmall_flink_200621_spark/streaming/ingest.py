@@ -624,11 +624,8 @@ def run_pagerank_stream(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # fold BEFORE the refresh so the refresh reads the bounded log
-        # (identity merge — edges are immutable rows; `fold_every=N`
-        # bounds the edge log's partition count at O(N), see
-        # `_fold_epoch_partitions`)
-        if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
-            _fold_epoch_partitions(s, edges_t, epoch_id - 1, lambda df: df)
+        # (identity merge — edges are immutable rows)
+        _maybe_fold(s, edges_t, epoch_id, fold_every)
         due = (epoch_id + 1) % refresh_every == 0 or (
             final_epoch is not None and epoch_id >= final_epoch
         )
@@ -1048,39 +1045,57 @@ def scd2_current_view(spark: SparkSession, name: str = "scd2_stream") -> DataFra
 
 def live_epochs(p: DataFrame) -> DataFrame:
     """Filter an epoch-partitioned MV state frame to its LIVE rows under
-    the fold-watermark encoding: the newest fold base (epoch = -(w + 1)
-    with the largest w) plus only epochs > w. Stale partitions — an
-    absorbed epoch left on disk by a crash between a fold's base write
-    and its partition GC, or a replayed old batch rewriting its
-    partition — are ignored, never double-read. With no base present
-    (fold never ran), every epoch ≥ 0 is live."""
+    the TIERED fold-watermark encoding: every fold base (epoch =
+    -(w + 1), each covering the half-open epoch interval up to its w)
+    plus only positive epochs > the newest watermark. Stale positive
+    partitions — an absorbed epoch left on disk by a crash between a
+    fold's base write and its partition GC, or a replayed old batch
+    rewriting its partition — are ignored, never double-read. Bases
+    never overlap (each fold builds its base ONLY from positive epochs
+    above the then-newest watermark, and watermarks increase
+    monotonically), so reading all of them is exact. With no base
+    present (fold never ran), every epoch ≥ 0 is live."""
     wm = p.filter(F.col("epoch") < 0).agg(
         F.max(-F.col("epoch") - 1).alias("wm")
     )  # 1-row frame; null when no fold has run
     return p.crossJoin(F.broadcast(wm)).filter(
-        (F.col("epoch") > F.coalesce(F.col("wm"), F.lit(-1)))
-        | (F.col("epoch") == -(F.col("wm") + 1))
+        (F.col("epoch") > F.coalesce(F.col("wm"), F.lit(-1))) | (F.col("epoch") < 0)
     )
 
 
 def _fold_epoch_partitions(spark: SparkSession, table: str, w: int, merge) -> None:
-    """Fold every live partition with epoch ≤ w (plus any older fold
-    base) into ONE base partition, encoded as epoch = -(w + 1) — the
-    bound that keeps a minutes-cadence stream from accreting one parquet
-    partition per epoch forever (a year ≈ 500k partition footers).
-    `merge(df)` maps the selected source rows (epoch column excluded)
-    to the base's content — an associative re-aggregation for partial
-    aggregates (corpus stats), identity for append-only row stores
-    (PQ codes, edge logs); either way the result must be a pure function
-    of the source ROWS so a replayed fold is content-identical.
+    """TIERED fold: merge the positive epochs in (wm_prev, w] into ONE
+    new base partition encoded epoch = -(w + 1), leaving older bases
+    untouched — the bound that keeps a minutes-cadence stream from
+    accreting one parquet partition per epoch forever (a year ≈ 500k
+    partition footers becomes ≈ 500k/fold_every bases).
 
-    Crash-safety comes from the encoding, not from atomicity: readers go
+    Tiered, not absorbing, on purpose: an absorbing fold (new base =
+    old base + window) re-reads and re-writes the ENTIRE accumulated
+    state every fold — O(lifetime) IO per fold on the ingest hot path,
+    O(lifetime²/fold_every) cumulative (the r08 review's finding).
+    Tiered folds touch only the window: every row is written exactly twice
+    ever — once at ingest, once when its window folds — and per-fold IO
+    is O(fold_every batches), preserving the streams' O(batch)
+    maintenance contract. The trade is reader fan-in over O(#bases)
+    partitions instead of 1, which is the footer-count problem already
+    being solved, just divided by fold_every.
+
+    `merge(df)` maps the window's rows (epoch column excluded) to the
+    base's content — an associative re-aggregation for partial
+    aggregates (corpus stats), identity for append-only row stores
+    (PQ codes, edge logs); either way a pure function of the source
+    ROWS, so a replayed fold is content-identical or an early-return.
+
+    Crash-safety comes from the encoding, not atomicity: readers go
     through `live_epochs`, so between the base write and the partition
-    GC below, the already-folded epochs still on disk are simply
-    ignored. Only epochs ABOVE the previous watermark feed the new base:
-    any on-disk epoch ≤ wm_prev is an already-absorbed copy — including
-    it would double-count it. GC of absorbed partitions is metadata-only
-    (ALTER TABLE DROP PARTITION on a bounded list)."""
+    GC below, the already-folded positive epochs still on disk are
+    simply ignored. Only epochs ABOVE the previous watermark feed the
+    new base — any on-disk epoch ≤ wm_prev is an already-absorbed copy.
+    A replayed fold (its base already landed) takes the GC-only path:
+    no rewrite, just dropping stale positives ≤ the watermark. GC is
+    metadata-only (ALTER TABLE DROP PARTITION on a bounded list);
+    bases are never dropped."""
     eps = [
         int(r[0].split("=")[1])
         for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
@@ -1089,39 +1104,53 @@ def _fold_epoch_partitions(spark: SparkSession, table: str, w: int, merge) -> No
     wm_prev = max(-e - 1 for e in neg) if neg else None
     floor = wm_prev if wm_prev is not None else -1
     srcs = [e for e in eps if floor < e <= w]
-    if wm_prev is not None:
-        srcs.append(-(wm_prev + 1))
-    if not srcs:
-        return
-    p = spark.table(table)
-    merged = merge(
-        p.filter(F.col("epoch").isin(srcs)).drop("epoch")
-    ).withColumn("epoch", F.lit(-(w + 1)).cast("long"))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").insertInto(table, overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if srcs:
+        p = spark.table(table)
+        merged = merge(
+            p.filter(F.col("epoch").isin(srcs)).drop("epoch")
+        ).withColumn("epoch", F.lit(-(w + 1)).cast("long"))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").insertInto(table, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        wm_new = w
+    else:
+        # replay after a crash: the base for this window already landed
+        # (wm_prev ≥ w) — nothing to rewrite, only stale positives to GC
+        wm_new = floor
     for e in eps:
-        if (0 <= e <= w) or (e < 0 and -e - 1 < w):
+        if 0 <= e <= wm_new:
             spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (epoch={e})")
     spark.catalog.refreshTable(table)
 
 
+def _maybe_fold(
+    spark: SparkSession, table: str, epoch_id: int, fold_every: int | None, merge=None
+) -> None:
+    """Shared fold cadence gate for the foreachBatch loops: every
+    `fold_every`-th epoch, fold the strictly-older window (≤ epoch−1 —
+    never the in-flight epoch, whose replay semantics stay untouched).
+    `merge=None` means the identity merge (append-only row stores)."""
+    if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
+        _fold_epoch_partitions(spark, table, epoch_id - 1, merge or (lambda df: df))
+
+
+def _cstats_merge(df: DataFrame) -> DataFrame:
+    """Corpus-stats fold merge: the same associative integer sums the
+    view performs."""
+    return df.groupBy("source", "lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("sum_scaled_q").alias("sum_scaled_q"),
+    )
+
+
 def _fold_cstats_partials(spark: SparkSession, parts_t: str, w: int) -> None:
-    """Corpus-stats member of `_fold_epoch_partitions`: the merge is the
-    same associative integer sums the view performs."""
-
-    def merge(df: DataFrame) -> DataFrame:
-        return df.groupBy("source", "lang").agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_tokens").alias("total_tokens"),
-            F.sum("total_chars").alias("total_chars"),
-            F.sum("sum_scaled_q").alias("sum_scaled_q"),
-        )
-
-    _fold_epoch_partitions(spark, parts_t, w, merge)
+    """Corpus-stats member of `_fold_epoch_partitions`."""
+    _fold_epoch_partitions(spark, parts_t, w, _cstats_merge)
 
 
 def run_corpus_stats_stream(
@@ -1155,11 +1184,13 @@ def run_corpus_stats_stream(
     oracle). With a checkpoint, kill-and-restart resumes from the
     committed offset.
 
-    `fold_every=N` bounds the partials table: every Nth epoch, epochs
-    ≤ epoch−1 collapse into one watermark-encoded base partition (see
-    `_fold_cstats_partials`) — the view is bit-identical before and
-    after a fold (pinned in tests) and the partition count stays O(N)
-    instead of O(stream lifetime)."""
+    `fold_every=N` bounds the partials table: every Nth epoch, the
+    window of epochs since the last fold collapses into ONE
+    watermark-encoded base partition (tiered — see
+    `_fold_epoch_partitions`). The view is bit-identical before and
+    after a fold (pinned in tests); partition count drops from one per
+    epoch to one per N epochs at O(window) fold IO — each partial row
+    is written at most twice ever."""
     from ..functions.text import tokens
 
     parts_t = f"{name}_partials"
@@ -1207,8 +1238,7 @@ def run_corpus_stats_stream(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(parts_t)
-        if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
-            _fold_cstats_partials(s, parts_t, epoch_id - 1)
+        _maybe_fold(s, parts_t, epoch_id, fold_every, merge=_cstats_merge)
 
     w = docs.writeStream.foreachBatch(stats_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1269,11 +1299,13 @@ def run_pq_index_stream(
     (freeze + incremental encode + replay) against ANSI-SQL ground
     truth.
 
-    `fold_every=N`: every Nth epoch, code partitions ≤ epoch−1 coalesce
-    into one watermark base via `_fold_epoch_partitions` with the
-    IDENTITY merge — codes are immutable rows, so the fold is a pure
-    rewrite that bounds the partition count at O(N) without touching
-    the index's contents (search reads through `live_epochs`)."""
+    `fold_every=N`: every Nth epoch, the code partitions written since
+    the last fold coalesce into one watermark base via
+    `_fold_epoch_partitions` with the IDENTITY merge — codes are
+    immutable rows, so the fold is a pure rewrite of ONLY that window
+    (each code is written at most twice ever; the O(batch) add contract
+    survives) and partition count drops from one per epoch to one per N
+    epochs. Search reads through `live_epochs`."""
     from ..operators.similarity import (
         PQ_CODE_MOD,
         PQ_INDEX_CHUNKS,
@@ -1327,8 +1359,7 @@ def run_pq_index_stream(
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(codes_t)
         sub.unpersist()
-        if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
-            _fold_epoch_partitions(s, codes_t, epoch_id - 1, lambda df: df)
+        _maybe_fold(s, codes_t, epoch_id, fold_every)
 
     w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
     if checkpoint_dir:

@@ -1037,15 +1037,25 @@ class TestCorpusStatsStream:
         spark.catalog.refreshTable("t_csf_partials")
         assert sorted(map(tuple, corpus_stats_view(spark, "t_csf").collect())) == want
 
-        # terminal fold absorbing every live epoch: the stale copy is
-        # ignored AND garbage-collected; view still exact
+        # terminal fold over the live tail: the stale copy is ignored
+        # AND garbage-collected; view still exact; and the fold is
+        # TIERED — the oldest base is physically untouched (an absorbing
+        # fold would rewrite O(accumulated) state every fold, the r08
+        # review's scale finding)
+        import os as _os
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        oldest_base = _os.path.join(wh, "t_csf_partials", f"epoch={min(eps)}")
+        mt_base = _os.path.getmtime(oldest_base)
         _fold_cstats_partials(spark, "t_csf_partials", max(eps))
+        assert _os.path.getmtime(oldest_base) == mt_base  # tiered, not absorbing
         assert sorted(map(tuple, corpus_stats_view(spark, "t_csf").collect())) == want
         eps3 = [
             int(r[0].split("=")[1])
             for r in spark.sql("SHOW PARTITIONS t_csf_partials").collect()
         ]
         assert 0 not in eps3  # resurrected epoch GC'd by the fold
+        assert min(eps) in eps3  # older base still live (tiered encoding)
 
 
 class TestPqIndexStream:
