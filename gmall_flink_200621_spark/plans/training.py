@@ -804,7 +804,10 @@ def dedup_clusters_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import run_dedup_clusters_stream
 
     name = f"q_dcview_{sf_namespace(sf_dir)}"
-    q = run_dedup_clusters_stream(spark, sf_dir, n_chunks=3, name=name)
+    # fold_every=2 coalesces the four state tables' epoch partitions
+    # mid-replay, so the tiered identity fold + live_epochs probes sit
+    # under this gate too
+    q = run_dedup_clusters_stream(spark, sf_dir, n_chunks=3, name=name, fold_every=2)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()

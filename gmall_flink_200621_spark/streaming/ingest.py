@@ -206,7 +206,9 @@ def _neardup_epoch(
         .select("doc_id", "shs", F.size("shs").cast("int").alias("n_sh"))
         .persist()
     )
-    old_bands = s.read.table(bands_t).select("doc_id", "bi", "bv")
+    # live_epochs: fold-aware read (identical to a plain read when the
+    # owning stream never folds — no base partitions exist)
+    old_bands = live_epochs(s.read.table(bands_t)).select("doc_id", "bi", "bv")
     # candidates: within-batch self-join ∪ new-vs-state probe
     x = new_bands.select(F.col("doc_id").alias("id_x"), "bi", "bv")
     within = x.join(new_bands.select(F.col("doc_id").alias("id_y"), "bi", "bv"), ["bi", "bv"])
@@ -217,7 +219,9 @@ def _neardup_epoch(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    allsets = s.read.table(shs_t).select("doc_id", "shs", "n_sh").unionByName(new_shs)
+    allsets = (
+        live_epochs(s.read.table(shs_t)).select("doc_id", "shs", "n_sh").unionByName(new_shs)
+    )
     sa = allsets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"), F.col("n_sh").alias("n_a"))
     sb = allsets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"), F.col("n_sh").alias("n_b"))
     verified = (
@@ -672,6 +676,7 @@ def run_dedup_clusters_stream(
     checkpoint_dir: str | None = None,
     reset_tables: bool = True,
     n_buckets: int = CDC_BUCKETS,
+    fold_every: int | None = None,
 ):
     """Incremental duplicate CLUSTERING: the near-dup ingest
     (`_neardup_epoch` — same state tables, same protocol) plus a
@@ -699,7 +704,14 @@ def run_dedup_clusters_stream(
     (dedup_clusters' data-minimal iteration space — percent-scale of the
     corpus), not the corpus; the full doc table joins back once. Final
     table after the last chunk == batch `dedup_clusters` (pinned; holds
-    under the same df_cap-free condition the near-dup twin documents)."""
+    under the same df_cap-free condition the near-dup twin documents).
+
+    `fold_every=N`: every Nth epoch, each of the four epoch-partitioned
+    state tables coalesces its window into a tiered watermark base
+    (identity merge — see `_fold_epoch_partitions`); every reader
+    (the band/shingle probes in `_neardup_epoch`, the pairs/docs reads
+    here) routes through `live_epochs`, so detection and clustering are
+    bit-identical with folds on."""
     from ..operators.dedup import dedup_clusters
 
     bands_t, shs_t, pairs_t = f"{name}_bands", f"{name}_shsets", f"{name}_pairs"
@@ -740,10 +752,14 @@ def run_dedup_clusters_stream(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         clusters = dedup_clusters(
-            s.table(docs_t).select("doc_id"),
-            pairs=s.table(pairs_t).select("id_a", "id_b"),
+            live_epochs(s.table(docs_t)).select("doc_id"),
+            pairs=live_epochs(s.table(pairs_t)).select("id_a", "id_b"),
         ).withColumn("kb", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
         _overwrite_changed_buckets(clusters, clusters_t)
+        # tiered identity folds over all four epoch tables — rows are
+        # immutable per epoch, so each fold is a pure window coalesce
+        for t in (bands_t, shs_t, pairs_t, docs_t):
+            _maybe_fold(s, t, epoch_id, fold_every)
 
     w = docs.writeStream.foreachBatch(cluster_batch).queryName(f"{name}_q")
     if checkpoint_dir:

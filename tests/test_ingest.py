@@ -555,6 +555,42 @@ class TestDedupClustersStream:
         # sanity: at least one non-trivial cluster was merged
         assert any(d != c for d, c in got.items())
 
+    def test_folded_state_tables_clusters_unchanged(self, spark, sf_dir):
+        """fold_every=2 over 4 chunks: each of the four epoch-partitioned
+        state tables coalesces its window into tiered watermark bases,
+        every probe/read routes through live_epochs, and the final
+        canonical assignment is STILL bit-identical to batch — the fold
+        never changes what the detector sees, only how many parquet
+        partitions hold it."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_clusters
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import run_dedup_clusters_stream
+
+        q = run_dedup_clusters_stream(
+            spark, sf_dir, n_chunks=4, name="t_ccf", fold_every=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = {
+            r.doc_id: r.canonical_id for r in spark.table("t_ccf_clusters").collect()
+        }
+        batch = {
+            r.doc_id: r.canonical_id
+            for r in dedup_clusters(load_table(spark, sf_dir, "documents")).collect()
+        }
+        assert got == batch and len(got) > 0
+        # 4 epochs folded at epochs 2 (w=1): every state table holds a
+        # base plus the ≤ 2-epoch tail instead of 4 epoch partitions
+        for t in ("t_ccf_bands", "t_ccf_shsets", "t_ccf_pairs", "t_ccf_docs"):
+            eps = sorted(
+                int(r[0].split("=")[1])
+                for r in spark.sql(f"SHOW PARTITIONS {t}").collect()
+            )
+            assert eps and eps[0] < 0, (t, eps)  # a fold base exists
+            assert len([e for e in eps if e >= 0]) <= 2, (t, eps)
+
 
 class TestDedupClustersStreamBuckets:
     def test_untouched_cluster_buckets_not_rewritten(self, spark, tmp_path):
