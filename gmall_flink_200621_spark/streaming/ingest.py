@@ -84,6 +84,7 @@ def run_corpus_ingest_stream(
     stage_dir: str | None = None,
     checkpoint_dir: str | None = None,
     reset_tables: bool = True,
+    fold_every: int | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery. Results land in
     tables `<name>_kept` (accepted docs + stats) and `<name>_fps` (every
@@ -104,7 +105,13 @@ def run_corpus_ingest_stream(
     listings for these parquet catalog tables — a session that read
     `<name>_kept` before a restart must `spark.catalog.refreshTable` it
     (or reopen) to see post-restart appends. (A transactional table
-    format lifts this; the ingest logic is unchanged.)"""
+    format lifts this; the ingest logic is unchanged.)
+
+    `fold_every=N` (opt-in) bounds both tables' partition counts via the
+    tiered watermark fold; with folds on, read the tables through
+    `live_epochs` (as the fps probe does) — a raw `spark.table` read can
+    transiently see an absorbed epoch alongside its base in the
+    crash-before-GC window."""
     from ..operators.dedup import doc_fingerprints
     from ..operators.textops import doc_stats, lang_id, token_counts
 
@@ -124,6 +131,11 @@ def run_corpus_ingest_stream(
     docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # fold BEFORE the probe (window ≤ epoch−1): the fps probe's
+        # `epoch != epoch_id` composes with live_epochs — the base rows
+        # are negative epochs (kept), stale positives ≤ watermark drop
+        for t in (kept_t, fps_t):
+            _maybe_fold(batch_df.sparkSession, t, epoch_id, fold_every)
         _ingest_epoch(batch_df, epoch_id, kept_t, fps_t)
 
     w = docs.writeStream.outputMode("append").foreachBatch(ingest_batch).queryName(name + "_q")
@@ -149,8 +161,12 @@ def _ingest_epoch(batch_df: DataFrame, epoch_id: int, kept_t: str, fps_t: str) -
     # in-batch exact dedup: canonical (min) doc_id per fingerprint
     fps = doc_fingerprints(batch_df)
     canon = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    # cross-batch dedup vs PRIOR epochs only (replay-safe)
-    seen = s.table(fps_t).filter(F.col("epoch") != epoch_id).select("fp")
+    # cross-batch dedup vs PRIOR epochs only (replay-safe): live_epochs
+    # keeps fold bases + the positive tail; `!= epoch_id` then excludes
+    # this epoch's own crashed-attempt rows (folds never cover it)
+    seen = (
+        live_epochs(s.table(fps_t)).filter(F.col("epoch") != epoch_id).select("fp")
+    )
     fresh = canon.join(seen, "fp", "left_anti").persist()
     survivors = batch_df.join(fresh.select("doc_id"), "doc_id")
     gated = (
@@ -256,6 +272,7 @@ def run_neardup_ingest_stream(
     stage_dir: str | None = None,
     checkpoint_dir: str | None = None,
     reset_tables: bool = True,
+    fold_every: int | None = None,
 ):
     """Incremental NEAR-duplicate detection: the streaming form of
     `dedup_minhash_lsh`, where each arriving increment is checked against
@@ -317,6 +334,11 @@ def run_neardup_ingest_stream(
     docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def neardup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # fold BEFORE the probes (window ≤ epoch−1): tiered identity
+        # coalesce bounds the state tables' partition counts — the
+        # `fold_every` contract shared by every MV stream here
+        for t in (bands_t, shs_t, pairs_t):
+            _maybe_fold(batch_df.sparkSession, t, epoch_id, fold_every)
         _neardup_epoch(batch_df, epoch_id, bands_t, shs_t, pairs_t)
 
     w = docs.writeStream.foreachBatch(neardup_batch).queryName(f"{name}_q")
@@ -741,8 +763,15 @@ def run_dedup_clusters_stream(
     docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def cluster_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        _neardup_epoch(batch_df, epoch_id, bands_t, shs_t, pairs_t)
         s = batch_df.sparkSession
+        # fold BEFORE this epoch's probes/refresh (window ≤ epoch−1, so
+        # the in-flight batch is unaffected): the epoch's own reads then
+        # go through the bounded base — both cheaper (the CC refresh
+        # scans O(fold_every) partitions + bases, not O(epoch)) and what
+        # puts the fold-read path under the registry gate
+        for t in (bands_t, shs_t, pairs_t, docs_t):
+            _maybe_fold(s, t, epoch_id, fold_every)
+        _neardup_epoch(batch_df, epoch_id, bands_t, shs_t, pairs_t)
         prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -756,10 +785,6 @@ def run_dedup_clusters_stream(
             pairs=live_epochs(s.table(pairs_t)).select("id_a", "id_b"),
         ).withColumn("kb", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
         _overwrite_changed_buckets(clusters, clusters_t)
-        # tiered identity folds over all four epoch tables — rows are
-        # immutable per epoch, so each fold is a pure window coalesce
-        for t in (bands_t, shs_t, pairs_t, docs_t):
-            _maybe_fold(s, t, epoch_id, fold_every)
 
     w = docs.writeStream.foreachBatch(cluster_batch).queryName(f"{name}_q")
     if checkpoint_dir:

@@ -37,6 +37,41 @@ class TestCorpusIngest:
         )
         assert spark.table("t_ingest_fps").count() == n_distinct
 
+    def test_folded_ingest_equals_batch_prep(self, spark, sf_dir):
+        """fold_every=2 over 5 chunks: the kept/fps tables coalesce into
+        tiered watermark bases mid-stream, the fps probe (live_epochs +
+        epoch != epoch_id) still anti-joins exactly the prior state, and
+        the accepted set read through live_epochs is identical to batch
+        corpus_prep — with bounded partitions."""
+        from gmall_flink_200621_spark.plans.training import corpus_prep
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            run_corpus_ingest_stream,
+        )
+
+        q = run_corpus_ingest_stream(
+            spark, sf_dir, n_chunks=5, name="t_ingf", fold_every=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        kept = {
+            r.doc_id: (r.n_tokens, r.n_bpe_est, round(r.quality_score, 9))
+            for r in live_epochs(spark.table("t_ingf_kept")).collect()
+        }
+        batch = {
+            r.doc_id: (r.n_tokens, r.n_bpe_est, round(r.quality_score, 9))
+            for r in corpus_prep(spark, sf_dir).collect()
+        }
+        assert kept == batch
+        for t in ("t_ingf_kept", "t_ingf_fps"):
+            eps = sorted(
+                int(r[0].split("=")[1])
+                for r in spark.sql(f"SHOW PARTITIONS {t}").collect()
+            )
+            assert eps[0] < 0 and len([e for e in eps if e >= 0]) <= 2, (t, eps)
+
     def test_redelivered_chunk_is_idempotent(self, spark, sf_dir):
         """Replaying with a duplicated chunk (at-least-once file source)
         must not change the accepted set: every fp in the re-sent chunk is
@@ -157,6 +192,41 @@ class TestNearDupIngest:
         n = load_table(spark, sf_dir, "documents").count()
         chunk = n // 4
         assert any(a // chunk != min(b // chunk, 3) for (a, b) in got)
+
+    def test_folded_replay_equals_batch_lsh(self, spark, sf_dir):
+        """fold_every=2: the band/shingle state folds into tiered bases
+        mid-replay and the cross-batch probes read through live_epochs —
+        the pair set is STILL exactly the batch detector's, partitions
+        bounded."""
+        from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            run_neardup_ingest_stream,
+        )
+
+        q = run_neardup_ingest_stream(
+            spark, sf_dir, n_chunks=4, name="t_ndf", fold_every=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ndf_pairs")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in live_epochs(spark.table("t_ndf_pairs")).collect()
+        }
+        batch = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup_minhash_lsh(load_table(spark, sf_dir, "documents")).collect()
+        }
+        assert got == batch and got
+        for t in ("t_ndf_bands", "t_ndf_shsets", "t_ndf_pairs"):
+            eps = sorted(
+                int(r[0].split("=")[1])
+                for r in spark.sql(f"SHOW PARTITIONS {t}").collect()
+            )
+            assert eps[0] < 0 and len([e for e in eps if e >= 0]) <= 2, (t, eps)
 
     def test_checkpoint_recovery_resumes_neardup(self, spark, sf_dir, tmp_path):
         """Stop after two chunks, add the rest, restart from checkpoint:
