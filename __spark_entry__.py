@@ -141,6 +141,27 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "corpus_profile", "corpus_sample", "corpus_split", "decontaminate",
         "shingle_novelty", "top_terms",
     ]},
+    # ---- round 8 (CORRECTNESS_r08.json, 50/50) — freshest, sorts last ----
+    # The r09 window is then any never-driver-certified additions plus the
+    # stalest r05 names (the quality/graph/search block) and early-r06 rows.
+    **{n: 8 for n in [
+        "knn_ivfpq_residual", "pagerank_stream_view", "dedup_clusters_stream_view",
+        "knn_brute", "knn_lsh", "knn_ivf", "embedding_dedup", "doc_chunks",
+        "corpus_mixture", "pii_scrub", "ref_ad_click_by_province",
+        "ref_ad_click_blacklist", "ref_ad_clicks_filtered", "ref_login_fail",
+        "ref_order_timeout", "ref_order_receipt_join",
+        "ref_order_receipt_reconcile", "sessionize", "sessionize_native",
+        "event_type_pivot", "value_percentiles", "value_quantile_sketch",
+        "props_extract_stats", "uv_sketch_rollup", "heavy_users",
+        "scd2_snapshot", "session_error_overlap", "value_anomalies",
+        "value_histogram", "active_users_rolling7", "quality_gopher",
+        "importance_weights", "hard_negatives", "perplexity_buckets",
+        "tfidf_terms", "embedding_quantize", "contamination_matrix",
+        "weighted_sample", "dedup_eval", "term_counts_cms", "bpe_merges",
+        "split_leakage_audit", "duplicate_cluster_sizes", "token_entropy",
+        "source_divergence", "knn_graph", "pagerank_knn", "perceptron_lang",
+        "lang_confusion", "embedding_norm_audit",
+    ]},
 }
 
 
