@@ -78,7 +78,9 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_merges(
+    docs: DataFrame, n_merges: int = BPE_MERGES, word_partitions: int | None = None
+) -> DataFrame:
     """Train a BPE merge table on the corpus; returns
     (rank, left, right, pair_count) — rank 1 is the first (most frequent)
     merge. Deterministic: ties break on (left, right) ascending.
@@ -95,7 +97,15 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     pairs + |distinct pairs|) rows instead of every word's pairs; the
     merge application is a shuffle-free conditional projection over the
     word frame; the driver still sees exactly one 1-row argmax per round
-    (the driver-sees-a-scalar discipline)."""
+    (the driver-sees-a-scalar discipline).
+
+    `word_partitions`: optional coalesce target for the word-frequency and
+    pair-count frames. Per-round wall time on a SMALL word table (the
+    sampled-trainer case) is dominated by task scheduling — 32 shuffle
+    partitions × 3 jobs/round of near-empty tasks — so the sampled caller
+    coalesces to a handful of partitions sized to its word count.
+    Coalesce never changes values, only task count; the full-corpus
+    default (None) keeps the session's shuffle parallelism."""
     spark = docs.sparkSession
     wf = (
         docs.select(F.explode(tokens("text")).alias("w"))
@@ -103,9 +113,14 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", _chars(F.col("w")).alias("syms"))
-        .localCheckpoint(eager=True)
     )
-    pc = _pair_counts(wf).localCheckpoint(eager=True)
+    if word_partitions is not None:
+        wf = wf.coalesce(word_partitions)
+    wf = wf.localCheckpoint(eager=True)
+    pc = _pair_counts(wf)
+    if word_partitions is not None:
+        pc = pc.coalesce(word_partitions)
+    pc = pc.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
@@ -132,8 +147,10 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") > 0)
-            .localCheckpoint(eager=True)
         )
+        if word_partitions is not None:
+            pc = pc.coalesce(word_partitions)
+        pc = pc.localCheckpoint(eager=True)
         # SINGLE projection, not filter(~p) ∪ merged: a union concatenates
         # partition lists, so the word frame's partition count would DOUBLE
         # every round (2^rounds tasks — measured 5 s/round by round 12).
@@ -146,6 +163,53 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             .alias("syms"),
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "rank int, left string, right string, pair_count long")
+
+
+# sampled-trainer defaults: 250‰ = a 4× corpus reduction that keeps pair
+# statistics stable (prefix-agreement pinned in tests), and a word-table
+# partition count small enough that per-round task scheduling stops
+# dominating a sampled run
+BPE_SAMPLE_PER_MILLE = 250
+BPE_SAMPLE_PARTITIONS = 4
+
+
+def bpe_merges_sampled(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    rate_per_mille: int = BPE_SAMPLE_PER_MILLE,
+    seed: str = "bpe0",
+    word_partitions: int = BPE_SAMPLE_PARTITIONS,
+) -> DataFrame:
+    """Sampled BPE trainer — the production stance for 32k–50k-merge
+    vocabularies (SCALING.md §BPE): train the merge table on a
+    DETERMINISTIC hash-sample of the corpus, then encode the full corpus
+    with the trained table (`bpe_encode` — a pure map, corpus-scale-safe).
+
+    Why this is the right trade at 100 TB: merge ranks are a function of
+    corpus-level pair frequencies, which are Zipfian — a uniform document
+    sample preserves the frequency RANKING long before it pins the counts,
+    so the learned merge sequence converges to the full-corpus one at
+    modest rates (GPT-2/SentencePiece both train on corpus subsets for
+    exactly this reason). The trainer's per-round cost then scales with
+    the SAMPLE's distinct-word table, not the corpus: fewer/smaller tasks
+    per argmax round (word_partitions caps task count), while the
+    round-count × driver-latency floor is amortized by running rounds over
+    a frame that fits a handful of partitions. The sample is
+    `textops.deterministic_sample` (md5-bucket on seed||doc_id), so the
+    trained vocabulary is bit-reproducible on any engine or partitioning —
+    a training-data pipeline requirement, not a nicety.
+
+    Exactness contract: on the SAMPLE the loop is the same
+    merge-for-merge-exact trainer as `bpe_merges` (coalesce changes task
+    count, never values); representativeness (sampled merge table ==
+    full-corpus prefix) is pinned in tests/test_operators.py::TestBpe."""
+    from .textops import deterministic_sample
+
+    return bpe_merges(
+        deterministic_sample(docs, rate_per_mille, seed),
+        n_merges,
+        word_partitions=word_partitions,
+    )
 
 
 # above this merge count, bpe_encode switches from the single chained

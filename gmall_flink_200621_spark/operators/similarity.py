@@ -1279,6 +1279,25 @@ def knn_ivfpq_residual(
     candidate join moves (query, codes[PQ_M], rn2) never vectors — plus
     one extra broadcast join against the residual frame (corpus joined
     to its list centroid, no shuffle beyond the list assignment's)."""
+    _, scored = _ivfpq_residual_scored(
+        embeddings, query_mod, cent_mod, coarse_iters, nprobe, code_mod, iters
+    )
+    return _pq_rank(scored, k, base_col="qcdot")
+
+
+def _ivfpq_residual_scored(
+    embeddings: DataFrame,
+    query_mod: int,
+    cent_mod: int,
+    coarse_iters: int,
+    nprobe: int,
+    code_mod: int,
+    iters: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Residual-IVF-PQ candidate construction shared by
+    `knn_ivfpq_residual` (ADC rank = final answer) and
+    `knn_ivfpq_refine` (ADC rank = shortlist for exact re-rank): returns
+    (quantized corpus e, scored candidate frame ready for `_pq_rank`)."""
     e, assign, kcents = _kmeans_state(embeddings, cent_mod, coarse_iters)
     qs = e.filter(F.col("vec_id") % query_mod == 0)
     cents = kcents.select("cent_id", "cq", F.col("cn2").alias("cn2c"))
@@ -1339,4 +1358,71 @@ def knn_ivfpq_residual(
         .filter(F.col("query_id") != F.col("vec_id"))
         .join(F.broadcast(lut), "query_id")
     )
-    return _pq_rank(scored, k, base_col="qcdot")
+    return e, scored
+
+
+REFINE_C = 4 * KNN_K  # ADC shortlist size for the exact re-rank stage
+
+
+def knn_ivfpq_refine(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    coarse_iters: int = KM_ITERS,
+    nprobe: int = IVF_NPROBE,
+    code_mod: int = PQ_CODE_MOD,
+    iters: int = PQ_ITERS,
+    refine_c: int = REFINE_C,
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — FAISS's IndexRefineFlat stage on
+    top of the residual composite: ADC ranks the probed lists' codes as
+    usual, but instead of returning its top-k it returns a top-`refine_c`
+    SHORTLIST, which is re-scored EXACTLY (int64 dot of the stored full
+    vectors, `knn_brute`'s arithmetic) and re-ranked to the final top-k.
+    This converts PQ's lossy-score problem into a candidate-recall
+    problem: any true neighbor the ADC pass ranks within refine_c (4×k
+    here; FAISS ships k_factor the same way) is recovered with its exact
+    cosine, so recall is bounded below by the residual composite's and in
+    practice strictly above it (pinned in tests/test_ann_eval.py).
+
+    Scale shape: the shortlist is |queries|·refine_c (id, id) pairs —
+    tiny — so the exact stage BROADCASTS it against the corpus; full
+    vectors move only for shortlisted rows (≤ refine_c per query), never
+    for whole probed lists. Everything upstream is knn_ivfpq_residual's
+    plan unchanged; the refine stage adds one broadcast semi-join scan +
+    one broadcast query-vector join, no new shuffle of vector payloads."""
+    e, scored = _ivfpq_residual_scored(
+        embeddings, query_mod, cent_mod, coarse_iters, nprobe, code_mod, iters
+    )
+    shortlist = _pq_rank(scored, refine_c, base_col="qcdot").select(
+        "query_id", "neighbor_id"
+    )
+    qv = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("n2").alias("nn2"),
+    )
+    exact = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            _idot(F.col("qq"), F.col("nq"))
+            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -274,6 +274,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ivfpq(_emb(spark, sf_dir))
 
 
+def knn_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ + exact re-rank of the ADC top-C shortlist (FAISS
+    IndexRefineFlat) — see operators/similarity.knn_ivfpq_refine."""
+    return V.knn_ivfpq_refine(_emb(spark, sf_dir))
+
+
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_graph(_emb(spark, sf_dir))
 
@@ -633,6 +639,15 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe(_docs(spark, sf_dir))
 
 
+def bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only like bpe_merges (same non-SQL-expressible iterative class);
+    # exactness on the sample + prefix-agreement with the full-corpus
+    # trainer are pinned in tests/test_operators.py::TestBpe
+    from ..operators.bpe import bpe_merges_sampled as _bpe_s
+
+    return _bpe_s(_docs(spark, sf_dir), rate_per_mille=500)
+
+
 TRAINING_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup": semdedup,
@@ -669,6 +684,7 @@ TRAINING_QUERIES = {
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
     "knn_ivfpq_residual": knn_ivfpq_residual,
+    "knn_ivfpq_refine": knn_ivfpq_refine,
     "embedding_dedup": embedding_dedup,
     "embedding_centroids": embedding_centroids,
     "bigram_stats": bigram_stats,
@@ -687,6 +703,7 @@ TRAINING_QUERIES = {
     "dedup_eval": dedup_eval,
     "term_counts_cms": term_counts_cms,
     "bpe_merges": bpe_merges,
+    "bpe_merges_sampled": bpe_merges_sampled,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "token_entropy": token_entropy,
@@ -729,6 +746,7 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": V.knn_ivf,
         "ivf_trained": V.knn_ivf_trained,
         "ivfpq": V.knn_ivfpq,
+        "ivfpq_refine": V.knn_ivfpq_refine,
         "ivfpq_residual": V.knn_ivfpq_residual,
         "lsh": V.knn_lsh,
         "pq": V.knn_pq,

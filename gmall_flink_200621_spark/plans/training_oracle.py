@@ -1237,13 +1237,15 @@ scored AS (
 """
 
 
-def _knn_ivfpq_residual_sql() -> str:
+def _knn_ivfpq_residual_sql(tail: str = _PQ_RANK_TAIL) -> str:
     """Residual IVF-PQ oracle (operators/similarity.knn_ivfpq_residual,
     cell for cell): k-means-trained coarse lists (the `_kmeans_parts`
     chain at IVF nlists), then the PQ codebooks train AND encode on
     residuals r = x − c(list); the reconstruction norm is the exact
     per-(list, m, code) int ‖cₘ + cvₘ‖² and the ADC score adds the probe
-    row's dot(q, c) to the residual-LUT sum."""
+    row's dot(q, c) to the residual-LUT sum. `tail` swaps the final
+    ranking stage — the refine oracle replaces the ADC top-k with an
+    ADC top-C shortlist + exact re-rank."""
     from ..operators.similarity import KM_ITERS, PQ_ITERS, PQ_M, PQ_SUBDIM
 
     def sdot_plus(a: str, b: str) -> str:
@@ -1291,11 +1293,46 @@ scored AS (
   JOIN lut l ON l.query_id = p.query_id AND l.m = k.m AND l.code = k.code
   JOIN cbx x ON x.list_id = p.list_id AND x.m = k.m AND x.code = k.code
   GROUP BY 1, 2),
-{_PQ_RANK_TAIL}
+{tail}
 """
 
 
 KNN_IVFPQ_RESIDUAL = _knn_ivfpq_residual_sql()
+
+
+def _refine_tail() -> str:
+    """Refine tail (operators/similarity.knn_ivfpq_refine): ADC ranks a
+    top-REFINE_C shortlist, then the shortlist re-scores with the EXACT
+    int64 cosine of the stored full vectors (knn_brute's arithmetic) and
+    re-ranks to top-k."""
+    from ..operators.similarity import REFINE_C
+
+    return f"""
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine_pq DESC, neighbor_id ASC) AS rn
+    FROM (SELECT s.query_id, s.neighbor_id,
+                 s.adot / (sqrt(qn.qn2::DOUBLE) * sqrt(s.rn2::DOUBLE)) AS cosine_pq
+          FROM scored s JOIN qn ON s.query_id = qn.query_id))
+  WHERE rn <= {REFINE_C}),
+exact AS (
+  SELECT sl.query_id, sl.neighbor_id, {_cosine_sql("qv.q", "nv.q")} AS cosine
+  FROM shortlist sl
+  JOIN e qv ON qv.vec_id = sl.query_id
+  JOIN e nv ON nv.vec_id = sl.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM exact)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+KNN_IVFPQ_REFINE = _knn_ivfpq_residual_sql(tail=_refine_tail())
 
 
 def _knn_pq_index_sql() -> str:
@@ -1893,6 +1930,7 @@ def _ann_eval_sql() -> str:
         "ivf": KNN_IVF,
         "ivf_trained": KNN_IVF_TRAINED,
         "ivfpq": KNN_IVFPQ,
+        "ivfpq_refine": KNN_IVFPQ_REFINE,
         "ivfpq_residual": KNN_IVFPQ_RESIDUAL,
         "lsh": KNN_LSH,
         "pq": KNN_PQ,
@@ -1965,6 +2003,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq": KNN_PQ,
     "knn_ivfpq": KNN_IVFPQ,
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
+    "knn_ivfpq_refine": KNN_IVFPQ_REFINE,
     "ann_eval": ANN_EVAL,
     "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_graph": KNN_GRAPH,

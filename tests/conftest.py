@@ -12,10 +12,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import shutil
+
     from gmall_flink_200621_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # Process-unique warehouse: the suite's fixed-name catalog fixtures
+    # (t_compact, t_cdc, t_ingest, ...) collide when pytest and a verify
+    # harness share ./spark-warehouse (r08's only red was a stale
+    # t_compact dir from a concurrent run → LOCATION_ALREADY_EXISTS).
+    # A pid-suffixed warehouse makes every test table collision-free by
+    # construction — registry stream-view tables created during the suite
+    # land here too, so a concurrent verify's warehouse is never touched.
+    # Removed on teardown; the pid suffix means even a crashed run's
+    # leftovers can't collide with the next run.
+    wh = os.path.abspath(f"spark-warehouse/pytest-{os.getpid()}")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

@@ -21,6 +21,7 @@ EXPECTED = {
         "ivf": (25, 25, 25, 1.00),
         "ivf_trained": (25, 25, 14, 0.56),
         "ivfpq": (25, 25, 8, 0.32),
+        "ivfpq_refine": (25, 25, 17, 0.68),
         "ivfpq_residual": (25, 25, 8, 0.32),
         "lsh": (25, 25, 8, 0.32),
         "pq": (25, 25, 8, 0.32),
@@ -30,6 +31,7 @@ EXPECTED = {
         "ivf": (25, 25, 25, 1.00),
         "ivf_trained": (25, 25, 15, 0.60),
         "ivfpq": (25, 25, 10, 0.40),
+        "ivfpq_refine": (25, 25, 20, 0.80),
         "ivfpq_residual": (25, 25, 9, 0.36),
         "lsh": (25, 25, 10, 0.40),
         "pq": (25, 25, 10, 0.40),
@@ -54,6 +56,17 @@ def test_ann_eval_pinned(spark, sf_dir):
         for r in ann_eval(spark, sf_dir).collect()
     }
     assert rows == want
+
+
+def test_refine_strictly_beats_residual(sf_dir):
+    """VERDICT r08 item #5's done-bar: the exact re-rank stage must lift
+    recall strictly above the pure-ADC residual composite at every pinned
+    SF — if a change ever collapses the refine stage into a no-op (e.g.
+    shortlist == k), this fails even though both rows stay oracle-green."""
+    for sf, vals in EXPECTED.items():
+        assert vals["ivfpq_refine"][3] > vals["ivfpq_residual"][3], sf
+    want = _expected_for(sf_dir)
+    assert want["ivfpq_refine"][3] > want["ivfpq_residual"][3]
 
 
 def test_ann_eval_oracle_matches(duck, sf_dir):
