@@ -182,6 +182,43 @@ def main() -> None:
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist(False)
 
+    # Per-query shuffle/spill bytes (VERDICT r08 item #8): wall time at
+    # sf0.1 hides memory-scale regressions — a plan that doubles its
+    # shuffle volume but stays inside one machine's page cache times the
+    # same here and dies at 100×. Collected from the JVM AppStatusStore
+    # on pass 1 only (data volumes are deterministic across passes;
+    # timing passes stay instrumentation-free). Each query runs under a
+    # job group; its stages are the store's NEWEST entries, so the scan
+    # stops at the group's oldest stage id and eviction can't bite.
+    store = spark.sparkContext._jsc.sc().statusStore()
+    _stage_defaults = [
+        getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+    ]
+
+    def group_shuffle_metrics(group: str) -> dict[str, int]:
+        tracker = spark.sparkContext.statusTracker()
+        stage_ids: set[int] = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info:
+                stage_ids.update(info.stageIds)
+        out = {"shuffle_write": 0, "shuffle_read": 0, "spill_memory": 0, "spill_disk": 0}
+        if not stage_ids:
+            return out
+        lo = min(stage_ids)
+        sl = store.stageList(None, *_stage_defaults)  # newest-first
+        for i in range(sl.size()):
+            s = sl.apply(i)
+            sid = s.stageId()
+            if sid < lo:
+                break
+            if sid in stage_ids:
+                out["shuffle_write"] += s.shuffleWriteBytes()
+                out["shuffle_read"] += s.shuffleReadBytes()
+                out["spill_memory"] += s.memoryBytesSpilled()
+                out["spill_disk"] += s.diskBytesSpilled()
+        return out
+
     # INTERLEAVED passes: steady-state timing resilient to transient host
     # contention (observed 5-40x stalls that hit whatever queries run
     # during a burst; back-to-back repeats of one query land both runs
@@ -191,11 +228,18 @@ def main() -> None:
     # burst, so round-over-round deltas aren't methodology artifacts).
     N_PASSES = 3
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(N_PASSES):
+    shuffle_bytes: dict[str, dict[str, int]] = {}
+    for pass_i in range(N_PASSES):
         for name in names:
+            instrument = pass_i == 0
+            if instrument:
+                spark.sparkContext.setJobGroup(f"bench_{name}", f"bench pass-1 {name}")
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            if instrument:
+                spark.sparkContext.setJobGroup("", "")
+                shuffle_bytes[name] = group_shuffle_metrics(f"bench_{name}")
             release_caches()
     import statistics
 
@@ -229,6 +273,9 @@ def main() -> None:
         "queries": per_query,
         "value_median": round(sum(per_query_median.values()), 3),
         "queries_median": per_query_median,
+        # pass-1 per-query shuffle/spill byte totals (AppStatusStore) —
+        # the memory-scale signal bench_compare.py diffs round-over-round
+        "queries_shuffle_bytes": shuffle_bytes,
         "passes": N_PASSES,
         # the stream runs fewer passes (startup-dominated); its
         # 'median' is the mean of two samples — reported explicitly

@@ -224,6 +224,8 @@ def compact_small_files(
         for i in range(0, len(frags), batch_partitions):
             chunk = frags[i : i + batch_partitions]
             union_pred = reduce(or_, [_partition_predicate(types, p) for p, *_ in chunk])
+            jsc = spark.sparkContext._jsc
+            rdds_before = set(jsc.getPersistentRDDs().keys())
             rows = tbl.filter(union_pred).localCheckpoint(eager=True)
 
             # tiny spec map: partition-key values (typed) → (offset, ideal)
@@ -255,6 +257,16 @@ def compact_small_files(
                 .select(*rows.columns)
             )
             out.write.mode("overwrite").insertInto(table, overwrite=True)
+            # release this batch's checkpointed blocks before the next
+            # chunk starts — the bounded-storage claim (≤ one batch of
+            # partitions pinned at a time) must not depend on when the
+            # driver's ContextCleaner happens to run (r08 ADVICE #1).
+            # RDD-level unpersist, because Dataset.unpersist only touches
+            # CacheManager entries, not localCheckpoint blocks (probed)
+            pers = jsc.getPersistentRDDs()
+            for rid in list(pers.keys()):
+                if rid not in rdds_before:
+                    pers[rid].unpersist(False)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshTable(table)

@@ -167,6 +167,14 @@ def knn_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _exact_rerank(e, cands, query_mod, k)
+
+
+def _exact_rerank(e: DataFrame, cands: DataFrame, query_mod: int, k: int) -> DataFrame:
+    """Exact-cosine top-k over a (query_id, neighbor_id) candidate frame
+    against the quantized corpus `e` (vec_id, q, n2) — the shared rerank
+    tail of every candidate-generation ANN variant: query vectors
+    broadcast, corpus vectors join only for candidate rows."""
     qv = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
@@ -191,6 +199,94 @@ def knn_lsh(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+LSH_MULTIPROBE = 2  # extra single-bit-flip probe buckets per band
+
+
+def knn_lsh_multiprobe(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    bands: int = LSH_SIGN_BANDS,
+    rows: int = LSH_PLANES // 2,
+    probes: int = LSH_MULTIPROBE,
+) -> DataFrame:
+    """Multi-probe sign-LSH (Lv et al., VLDB 2007): recall lift at FIXED
+    memory. `knn_lsh` raises recall by adding hash tables (bands) — more
+    index storage per vector; multi-probe instead probes, per band, the
+    query's own bucket PLUS the `probes` buckets reached by flipping the
+    lowest-confidence sign bits — the planes whose projection magnitude
+    is smallest, i.e. where the query sits closest to the hyperplane and
+    a true neighbor most plausibly lands on the other side. The corpus
+    index is IDENTICAL to knn_lsh's (same bands × rows band frame, same
+    bytes); only the query's probe set grows, by bands·probes extra
+    bucket lookups per query. Deterministic: flip order is
+    (|proj| asc, plane asc), so the oracle replays it bit-for-bit.
+
+    Scale shape: probe generation touches only the query subset (the
+    per-plane projection frame is |queries|·bands·rows rows); the
+    expanded probe frame — (1+probes)× the single-probe one, still tiny —
+    broadcasts against the unchanged corpus band frame exactly as in
+    knn_lsh; the rerank moves vectors only for candidate rows. Recall at
+    equal bands is pinned strictly above knn_lsh's in
+    tests/test_ann_eval.py."""
+    spark = embeddings.sparkSession
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    stacked = sign_band_frame(e, bands, rows)
+
+    # query-side raw projections (the probe-confidence signal knn_lsh
+    # aggregates away): relational dot against the broadcast coefficient
+    # table, queries only
+    coef = spark.createDataFrame(
+        [(p, d, _plane_coeff(p, d)) for p in range(bands * rows) for d in range(DIM)],
+        "p int, d int, c long",
+    )
+    qd = e.filter(F.col("vec_id") % query_mod == 0).select(
+        "vec_id", F.posexplode("q").alias("d", "qx")
+    )
+    qprojs = (
+        qd.join(F.broadcast(coef), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("proj"))
+        .persist()
+    )
+    bi = F.expr(f"p DIV {rows}").cast("int").alias("bi")
+    qband = qprojs.groupBy("vec_id", bi).agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr(f"shiftleft(1, p % {rows})"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("bv")
+    )
+    flips_w = Window.partitionBy("vec_id", "bi").orderBy(
+        F.abs(F.col("proj")).asc(), F.col("p").asc()
+    )
+    flips = (
+        qprojs.select("vec_id", "proj", "p", bi, F.expr(f"p % {rows}").alias("bit"))
+        .withColumn("rn", F.row_number().over(flips_w))
+        .filter(F.col("rn") <= probes)
+        .join(qband, ["vec_id", "bi"])
+        .select(
+            "vec_id",
+            "bi",
+            F.col("bv").bitwiseXOR(F.expr("shiftleft(1, bit)").cast("long")).alias("bv"),
+        )
+    )
+    qprobe = (
+        qband.select("vec_id", "bi", "bv")
+        .unionByName(flips)
+        .select(F.col("vec_id").alias("query_id"), "bi", "bv")
+    )
+    cands = (
+        stacked.select(F.col("vec_id").alias("neighbor_id"), "bi", "bv")
+        .join(F.broadcast(qprobe), ["bi", "bv"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rerank(e, cands, query_mod, k)
 
 
 KNN_GRAPH_K = 3

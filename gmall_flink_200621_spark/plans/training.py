@@ -182,15 +182,19 @@ def corpus_stats_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-epoch partial aggregates) and fold the partials — same
     schema, same integer arithmetic, same DuckDB oracle as the batch
     `corpus_profile`, so the driver's hash check certifies the
-    incremental-aggregate maintenance loop itself. fold_every=2 also
-    routes the replay through the partials FOLD (epochs 0-1 collapse
-    into a watermark base at epoch 2), putting the compaction path under
-    the same hash gate."""
+    incremental-aggregate maintenance loop itself. fold_every=2 routes
+    the replay through the partials FOLD, and n_chunks=6 +
+    refold_width=2 pushes it through the SECOND-tier fold too (tier-1
+    bases at w=1 and w=3 merge into a tier-2 super-base mid-replay), so
+    the LSM base-compaction path — super-base write, absorbed-base GC,
+    mixed-tier live read — sits under the same hash gate."""
     from ..session import sf_namespace
     from ..streaming.ingest import corpus_stats_view, run_corpus_stats_stream
 
     name = f"q_cstats_{sf_namespace(sf_dir)}"
-    q = run_corpus_stats_stream(spark, sf_dir, name=name, fold_every=2)
+    q = run_corpus_stats_stream(
+        spark, sf_dir, name=name, n_chunks=6, fold_every=2, refold_width=2
+    )
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
@@ -272,6 +276,14 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: inverted-list candidate pruning + ADC scoring over 8-byte
     codes — see operators/similarity.knn_ivfpq."""
     return V.knn_ivfpq(_emb(spark, sf_dir))
+
+
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH (Lv et al. 2007): per band, also probe the
+    buckets reached by flipping the lowest-|projection| sign bits —
+    recall lift at fixed index memory. See
+    operators/similarity.knn_lsh_multiprobe."""
+    return V.knn_lsh_multiprobe(_emb(spark, sf_dir))
 
 
 def knn_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +690,7 @@ TRAINING_QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "knn_brute": knn_brute,
     "knn_lsh": knn_lsh,
+    "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,
     "knn_ivf_trained": knn_ivf_trained,
     "knn_rp": knn_rp,
@@ -749,6 +762,7 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_refine": V.knn_ivfpq_refine,
         "ivfpq_residual": V.knn_ivfpq_residual,
         "lsh": V.knn_lsh,
+        "lsh_multiprobe": V.knn_lsh_multiprobe,
         "pq": V.knn_pq,
         "rp": V.knn_rp,
     }

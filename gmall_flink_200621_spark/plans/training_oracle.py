@@ -636,6 +636,63 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
+def _knn_lsh_multiprobe_sql() -> str:
+    """Multi-probe sign-LSH oracle (operators/similarity.knn_lsh_multiprobe,
+    cell for cell): the corpus band frame is knn_lsh's; the query side
+    adds, per band, the `probes` buckets reached by xor-flipping the
+    lowest-|projection| sign bits (ties: plane asc)."""
+    from ..operators.similarity import LSH_MULTIPROBE
+
+    rows = _LSH_ROWS
+    coef_vals = ", ".join(
+        f"({p}, {d + 1}, {_plane_coeff(p, d)})"
+        for p in range(LSH_SIGN_BANDS * rows)
+        for d in range(DIM)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+eb AS (SELECT vec_id, q, {_LSH_BAND_COLS} FROM e),
+stacked AS ({_LSH_STACK}),
+coef AS (SELECT * FROM (VALUES {coef_vals}) AS t(p, d, c)),
+qproj AS (
+  SELECT e.vec_id, co.p, sum(e.q[co.d] * co.c) AS proj
+  FROM e JOIN coef co ON TRUE
+  WHERE e.vec_id % 100 = 0 GROUP BY 1, 2),
+qband AS (
+  SELECT vec_id, p // {rows} AS bi,
+         sum(CASE WHEN proj > 0 THEN (1 << (p % {rows}))::BIGINT ELSE 0::BIGINT END) AS bv
+  FROM qproj GROUP BY 1, 2),
+flips AS (
+  SELECT vec_id, bi, bit FROM (
+    SELECT vec_id, p // {rows} AS bi, p % {rows} AS bit,
+           row_number() OVER (PARTITION BY vec_id, p // {rows}
+                  ORDER BY abs(proj) ASC, p ASC) AS rn
+    FROM qproj) WHERE rn <= {LSH_MULTIPROBE}),
+qprobe AS (
+  SELECT vec_id AS query_id, bi, bv FROM qband
+  UNION ALL
+  SELECT f.vec_id AS query_id, f.bi, xor(b.bv, (1 << f.bit)::BIGINT) AS bv
+  FROM flips f JOIN qband b ON f.vec_id = b.vec_id AND f.bi = b.bi),
+cands AS (
+  SELECT DISTINCT qp.query_id, s.vec_id AS neighbor_id
+  FROM stacked s JOIN qprobe qp ON s.bi = qp.bi AND s.bv = qp.bv
+  WHERE qp.query_id <> s.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_cosine_sql("qs.q", "nb.q")} AS cosine
+  FROM cands c
+  JOIN e qs ON qs.vec_id = c.query_id
+  JOIN e nb ON nb.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+KNN_LSH_MULTIPROBE = _knn_lsh_multiprobe_sql()
+
 KNN_IVF = f"""
 WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
 cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
@@ -1933,6 +1990,7 @@ def _ann_eval_sql() -> str:
         "ivfpq_refine": KNN_IVFPQ_REFINE,
         "ivfpq_residual": KNN_IVFPQ_RESIDUAL,
         "lsh": KNN_LSH,
+        "lsh_multiprobe": KNN_LSH_MULTIPROBE,
         "pq": KNN_PQ,
         "rp": KNN_RP,
     }
@@ -1997,6 +2055,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "corpus_prep": _corpus_prep_sql(),
     "knn_brute": KNN_BRUTE,
     "knn_lsh": KNN_LSH,
+    "knn_lsh_multiprobe": KNN_LSH_MULTIPROBE,
     "knn_ivf": KNN_IVF,
     "knn_ivf_trained": KNN_IVF_TRAINED,
     "knn_rp": KNN_RP,

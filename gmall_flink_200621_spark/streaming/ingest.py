@@ -85,6 +85,7 @@ def run_corpus_ingest_stream(
     checkpoint_dir: str | None = None,
     reset_tables: bool = True,
     fold_every: int | None = None,
+    refold_width: int | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery. Results land in
     tables `<name>_kept` (accepted docs + stats) and `<name>_fps` (every
@@ -135,7 +136,7 @@ def run_corpus_ingest_stream(
         # `epoch != epoch_id` composes with live_epochs — the base rows
         # are negative epochs (kept), stale positives ≤ watermark drop
         for t in (kept_t, fps_t):
-            _maybe_fold(batch_df.sparkSession, t, epoch_id, fold_every)
+            _maybe_fold(batch_df.sparkSession, t, epoch_id, fold_every, refold_width=refold_width)
         _ingest_epoch(batch_df, epoch_id, kept_t, fps_t)
 
     w = docs.writeStream.outputMode("append").foreachBatch(ingest_batch).queryName(name + "_q")
@@ -165,7 +166,7 @@ def _ingest_epoch(batch_df: DataFrame, epoch_id: int, kept_t: str, fps_t: str) -
     # keeps fold bases + the positive tail; `!= epoch_id` then excludes
     # this epoch's own crashed-attempt rows (folds never cover it)
     seen = (
-        live_epochs(s.table(fps_t)).filter(F.col("epoch") != epoch_id).select("fp")
+        live_epochs(s.table(fps_t), s, fps_t).filter(F.col("epoch") != epoch_id).select("fp")
     )
     fresh = canon.join(seen, "fp", "left_anti").persist()
     survivors = batch_df.join(fresh.select("doc_id"), "doc_id")
@@ -224,7 +225,7 @@ def _neardup_epoch(
     )
     # live_epochs: fold-aware read (identical to a plain read when the
     # owning stream never folds — no base partitions exist)
-    old_bands = live_epochs(s.read.table(bands_t)).select("doc_id", "bi", "bv")
+    old_bands = live_epochs(s.read.table(bands_t), s, bands_t).select("doc_id", "bi", "bv")
     # candidates: within-batch self-join ∪ new-vs-state probe
     x = new_bands.select(F.col("doc_id").alias("id_x"), "bi", "bv")
     within = x.join(new_bands.select(F.col("doc_id").alias("id_y"), "bi", "bv"), ["bi", "bv"])
@@ -236,7 +237,7 @@ def _neardup_epoch(
         .distinct()
     )
     allsets = (
-        live_epochs(s.read.table(shs_t)).select("doc_id", "shs", "n_sh").unionByName(new_shs)
+        live_epochs(s.read.table(shs_t), s, shs_t).select("doc_id", "shs", "n_sh").unionByName(new_shs)
     )
     sa = allsets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"), F.col("n_sh").alias("n_a"))
     sb = allsets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"), F.col("n_sh").alias("n_b"))
@@ -273,6 +274,7 @@ def run_neardup_ingest_stream(
     checkpoint_dir: str | None = None,
     reset_tables: bool = True,
     fold_every: int | None = None,
+    refold_width: int | None = None,
 ):
     """Incremental NEAR-duplicate detection: the streaming form of
     `dedup_minhash_lsh`, where each arriving increment is checked against
@@ -338,7 +340,7 @@ def run_neardup_ingest_stream(
         # coalesce bounds the state tables' partition counts — the
         # `fold_every` contract shared by every MV stream here
         for t in (bands_t, shs_t, pairs_t):
-            _maybe_fold(batch_df.sparkSession, t, epoch_id, fold_every)
+            _maybe_fold(batch_df.sparkSession, t, epoch_id, fold_every, refold_width=refold_width)
         _neardup_epoch(batch_df, epoch_id, bands_t, shs_t, pairs_t)
 
     w = docs.writeStream.foreachBatch(neardup_batch).queryName(f"{name}_q")
@@ -580,6 +582,7 @@ def run_pagerank_stream(
     final_epoch: int | None = None,
     n_buckets: int = CDC_BUCKETS,
     fold_every: int | None = None,
+    refold_width: int | None = None,
 ):
     """Incremental PageRank over an edge-ingest stream — the MV
     discipline applied to the graph family (its only batch-only member
@@ -651,7 +654,7 @@ def run_pagerank_stream(
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # fold BEFORE the refresh so the refresh reads the bounded log
         # (identity merge — edges are immutable rows)
-        _maybe_fold(s, edges_t, epoch_id, fold_every)
+        _maybe_fold(s, edges_t, epoch_id, fold_every, refold_width=refold_width)
         due = (epoch_id + 1) % refresh_every == 0 or (
             final_epoch is not None and epoch_id >= final_epoch
         )
@@ -679,7 +682,7 @@ def refresh_pagerank_ranks(
     mid-fold) refreshes identically."""
     from ..operators.graph import PR_ITERS, pagerank
 
-    acc = live_epochs(spark.table(f"{name}_edges")).select("src_id", "nbr_id")
+    acc = live_epochs(spark.table(f"{name}_edges"), spark, f"{name}_edges").select("src_id", "nbr_id")
     verts = acc.select(F.col("src_id").alias("vertex_id")).unionByName(
         acc.select(F.col("nbr_id").alias("vertex_id"))
     )
@@ -699,6 +702,7 @@ def run_dedup_clusters_stream(
     reset_tables: bool = True,
     n_buckets: int = CDC_BUCKETS,
     fold_every: int | None = None,
+    refold_width: int | None = None,
 ):
     """Incremental duplicate CLUSTERING: the near-dup ingest
     (`_neardup_epoch` — same state tables, same protocol) plus a
@@ -770,7 +774,7 @@ def run_dedup_clusters_stream(
         # scans O(fold_every) partitions + bases, not O(epoch)) and what
         # puts the fold-read path under the registry gate
         for t in (bands_t, shs_t, pairs_t, docs_t):
-            _maybe_fold(s, t, epoch_id, fold_every)
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
         _neardup_epoch(batch_df, epoch_id, bands_t, shs_t, pairs_t)
         prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -781,8 +785,8 @@ def run_dedup_clusters_stream(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         clusters = dedup_clusters(
-            live_epochs(s.table(docs_t)).select("doc_id"),
-            pairs=live_epochs(s.table(pairs_t)).select("id_a", "id_b"),
+            live_epochs(s.table(docs_t), s, docs_t).select("doc_id"),
+            pairs=live_epochs(s.table(pairs_t), s, pairs_t).select("id_a", "id_b"),
         ).withColumn("kb", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
         _overwrite_changed_buckets(clusters, clusters_t)
 
@@ -1084,23 +1088,87 @@ def scd2_current_view(spark: SparkSession, name: str = "scd2_stream") -> DataFra
     )
 
 
-def live_epochs(p: DataFrame) -> DataFrame:
+# tier offset in the negative-epoch base encoding: a tier-t base over the
+# epoch window topped by w is stored at epoch = -(t·TIER_OFF + w + 1), so
+# tier-1 bases (t = 0) keep the original -(w + 1) encoding (existing
+# tables stay valid) and the tier is recoverable from the partition value
+# alone (epochs stay < TIER_OFF forever: at one epoch per second that is
+# ~31k years)
+TIER_OFF = 10**12
+
+
+def _base_tiers(eps: list[int]) -> list[tuple[int, int]]:
+    """Decode negative partition values to (tier, window-top) pairs."""
+    return [((-e - 1) // TIER_OFF, (-e - 1) % TIER_OFF) for e in eps if e < 0]
+
+
+def _partition_epochs(spark: SparkSession, table: str) -> list[int]:
+    """Partition values from catalog METADATA — no data scan."""
+    return [
+        int(r[0].split("=")[1]) for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+    ]
+
+
+def live_epochs(p: DataFrame, spark: SparkSession | None = None, table: str | None = None) -> DataFrame:
     """Filter an epoch-partitioned MV state frame to its LIVE rows under
-    the TIERED fold-watermark encoding: every fold base (epoch =
-    -(w + 1), each covering the half-open epoch interval up to its w)
-    plus only positive epochs > the newest watermark. Stale positive
-    partitions — an absorbed epoch left on disk by a crash between a
-    fold's base write and its partition GC, or a replayed old batch
-    rewriting its partition — are ignored, never double-read. Bases
-    never overlap (each fold builds its base ONLY from positive epochs
-    above the then-newest watermark, and watermarks increase
-    monotonically), so reading all of them is exact. With no base
-    present (fold never ran), every epoch ≥ 0 is live."""
-    wm = p.filter(F.col("epoch") < 0).agg(
-        F.max(-F.col("epoch") - 1).alias("wm")
-    )  # 1-row frame; null when no fold has run
-    return p.crossJoin(F.broadcast(wm)).filter(
-        (F.col("epoch") > F.coalesce(F.col("wm"), F.lit(-1))) | (F.col("epoch") < 0)
+    the TIERED fold-watermark encoding: bases at every tier (epoch =
+    -(t·TIER_OFF + w + 1), each covering the epoch interval up to its w)
+    plus only positive epochs > the newest window-top. Liveness per
+    level: a positive epoch is live iff above EVERY base's window-top; a
+    tier-t base is live iff its window-top is above every HIGHER-tier
+    base's (higher tiers absorb contiguous prefixes of lower ones, so
+    the comparison is total). Stale partitions — an absorbed epoch or
+    base left on disk by a crash between a fold's write and its GC, or
+    a replayed old batch rewriting its partition — are ignored, never
+    double-read. Windows at one level never overlap (each fold/refold
+    builds only from live entries above the then-newest watermark of
+    its target tier, and watermarks increase monotonically), so reading
+    all live rows is exact. With no base present, every epoch ≥ 0 is
+    live.
+
+    Pass (spark, table) to derive the watermarks from SHOW PARTITIONS —
+    metadata-only, no aggregate sub-scan + crossJoin per read (the
+    ingest probes run this several times per batch; r08 ADVICE #3). The
+    relational fallback (frame only) computes the same liveness from the
+    rows themselves."""
+    if spark is not None and table is not None:
+        tw = _base_tiers(_partition_epochs(spark, table))
+        wm = max((w for _, w in tw), default=-1)
+        live_neg = [
+            -(t * TIER_OFF + w + 1)
+            for t, w in tw
+            if w > max((w2 for t2, w2 in tw if t2 > t), default=-1)
+        ]
+        cond = F.col("epoch") > F.lit(wm)
+        if live_neg:
+            cond = cond | F.col("epoch").isin(live_neg)
+        return p.filter(cond)
+    # relational path: one tiny (≤ #tiers rows → 1 row) broadcast frame of
+    # per-tier max window-tops; each row's threshold folds over it
+    vt = F.expr(f"(-epoch - 1) DIV {TIER_OFF}")
+    vw = F.expr(f"pmod(-epoch - 1, {TIER_OFF})")
+    wms = (
+        p.filter(F.col("epoch") < 0)
+        .select(vt.alias("tier"), vw.alias("wtop"))
+        .groupBy("tier")
+        .agg(F.max("wtop").alias("mw"))
+        .agg(F.collect_list(F.struct("tier", "mw")).alias("tws"))
+    )
+    wm_all = F.aggregate(
+        "tws", F.lit(-1).cast("long"), lambda acc, s: F.greatest(acc, s.mw)
+    )
+    thr = F.aggregate(
+        "tws",
+        F.lit(-1).cast("long"),
+        lambda acc, s: F.when(s.tier > vt, F.greatest(acc, s.mw)).otherwise(acc),
+    )
+    return (
+        p.crossJoin(F.broadcast(wms))
+        .filter(
+            ((F.col("epoch") >= 0) & (F.col("epoch") > wm_all))
+            | ((F.col("epoch") < 0) & (vw > thr))
+        )
+        .drop("tws")
     )
 
 
@@ -1137,16 +1205,19 @@ def _fold_epoch_partitions(spark: SparkSession, table: str, w: int, merge) -> No
     no rewrite, just dropping stale positives ≤ the watermark. GC is
     metadata-only (ALTER TABLE DROP PARTITION on a bounded list);
     bases are never dropped."""
-    eps = [
-        int(r[0].split("=")[1])
-        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
-    ]
-    neg = [e for e in eps if e < 0]
-    wm_prev = max(-e - 1 for e in neg) if neg else None
-    floor = wm_prev if wm_prev is not None else -1
+    eps = _partition_epochs(spark, table)
+    tw = _base_tiers(eps)
+    floor = max((w2 for _, w2 in tw), default=-1)
     srcs = [e for e in eps if floor < e <= w]
     if srcs:
         p = spark.table(table)
+        # reads and dynamic-overwrites the same table in ONE plan with no
+        # checkpoint barrier — safe ONLY because the written base
+        # partition -(w+1) is disjoint from the read positive epochs
+        # (srcs > floor ≥ every base window-top) and dynamic overwrite
+        # touches written partitions only; any future merge fn that reads
+        # a BASE partition must localCheckpoint first (the
+        # compact_small_files discipline)
         merged = merge(
             p.filter(F.col("epoch").isin(srcs)).drop("epoch")
         ).withColumn("epoch", F.lit(-(w + 1)).cast("long"))
@@ -1167,15 +1238,86 @@ def _fold_epoch_partitions(spark: SparkSession, table: str, w: int, merge) -> No
     spark.catalog.refreshTable(table)
 
 
+def _refold_bases(spark: SparkSession, table: str, merge, width: int | None) -> None:
+    """SECOND-tier (LSM-style) fold — VERDICT r08 item #4: tier-1 bases
+    still accrete one per `fold_every` epochs forever; whenever a tier
+    accumulates `width` live bases, they merge into ONE base at the tier
+    above (same negative-epoch watermark encoding, window-top = the
+    merged bases' max), cascading upward like an LSM compaction. Live
+    partitions are then bounded by width · #tiers = O(width ·
+    log_width(lifetime)), and each row is written once per tier it
+    passes through — O(log) writes per row over the table's lifetime,
+    the same amortization argument as every LSM tree.
+
+    Crash-safety is the SAME argument as `_fold_epoch_partitions`, one
+    level up: the super-base is built ONLY from live tier-t bases above
+    the tier-(t+1) watermark; readers (`live_epochs`) ignore any tier-t
+    base at-or-below a higher tier's window-top, so a crash between the
+    super-base write and the GC below leaves ignored-not-double-read
+    stale bases that the next refold GCs; a replayed refold finds its
+    absorbed inputs no longer live and takes the GC-only path. The
+    read-then-overwrite is barrier-free for the same disjointness
+    reason: the written partition lives at tier t+1, the reads at tier
+    t."""
+    if not width:
+        return
+    changed = True
+    while changed:  # cascade: a refold may fill the tier above
+        changed = False
+        tw = _base_tiers(_partition_epochs(spark, table))
+        for t in sorted({t2 for t2, _ in tw}):
+            hi_wm = max((w2 for t2, w2 in tw if t2 > t), default=-1)
+            # GC bases this tier already absorbed above (crash leftovers)
+            for t2, w2 in tw:
+                if t2 == t and w2 <= hi_wm:
+                    spark.sql(
+                        f"ALTER TABLE {table} DROP IF EXISTS PARTITION"
+                        f" (epoch={-(t * TIER_OFF + w2 + 1)})"
+                    )
+            live = sorted(w2 for t2, w2 in tw if t2 == t and w2 > hi_wm)
+            if len(live) >= width:
+                w_max = live[-1]
+                srcs = [-(t * TIER_OFF + w2 + 1) for w2 in live]
+                p = spark.table(table)
+                merged = merge(
+                    p.filter(F.col("epoch").isin(srcs)).drop("epoch")
+                ).withColumn(
+                    "epoch", F.lit(-((t + 1) * TIER_OFF + w_max + 1)).cast("long")
+                )
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    merged.write.mode("overwrite").insertInto(table, overwrite=True)
+                finally:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                for e in srcs:
+                    spark.sql(
+                        f"ALTER TABLE {table} DROP IF EXISTS PARTITION (epoch={e})"
+                    )
+                changed = True
+                break  # partition set changed; re-list and cascade
+    spark.catalog.refreshTable(table)
+
+
 def _maybe_fold(
-    spark: SparkSession, table: str, epoch_id: int, fold_every: int | None, merge=None
+    spark: SparkSession,
+    table: str,
+    epoch_id: int,
+    fold_every: int | None,
+    merge=None,
+    refold_width: int | None = None,
 ) -> None:
     """Shared fold cadence gate for the foreachBatch loops: every
     `fold_every`-th epoch, fold the strictly-older window (≤ epoch−1 —
-    never the in-flight epoch, whose replay semantics stay untouched).
-    `merge=None` means the identity merge (append-only row stores)."""
+    never the in-flight epoch, whose replay semantics stay untouched),
+    then cascade any tier that reached `refold_width` live bases into
+    the tier above. `merge=None` means the identity merge (append-only
+    row stores)."""
     if fold_every and epoch_id > 0 and epoch_id % fold_every == 0:
         _fold_epoch_partitions(spark, table, epoch_id - 1, merge or (lambda df: df))
+        _refold_bases(spark, table, merge or (lambda df: df), refold_width)
 
 
 def _cstats_merge(df: DataFrame) -> DataFrame:
@@ -1203,6 +1345,7 @@ def run_corpus_stats_stream(
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
     fold_every: int | None = None,
+    refold_width: int | None = None,
 ):
     """Incrementally-maintained corpus profile — the SELF-MAINTAINABLE
     AGGREGATE member of the MV family: unlike the pagerank/cluster twins
@@ -1279,7 +1422,7 @@ def run_corpus_stats_stream(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(parts_t)
-        _maybe_fold(s, parts_t, epoch_id, fold_every, merge=_cstats_merge)
+        _maybe_fold(s, parts_t, epoch_id, fold_every, merge=_cstats_merge, refold_width=refold_width)
 
     w = docs.writeStream.foreachBatch(stats_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1294,7 +1437,7 @@ def corpus_stats_view(spark: SparkSession, name: str = "cstats") -> DataFrame:
 
     Fold-aware: reads through `live_epochs`, so partially-GC'd folds
     (crash between base write and partition drop) never double-count."""
-    live = live_epochs(spark.table(f"{name}_partials"))
+    live = live_epochs(spark.table(f"{name}_partials"), spark, f"{name}_partials")
     return (
         live.groupBy("source", "lang")
         .agg(
@@ -1317,6 +1460,7 @@ def run_pq_index_stream(
     checkpoint_dir: str | None = None,
     fresh_tables: bool = True,
     fold_every: int | None = None,
+    refold_width: int | None = None,
 ):
     """Stream-maintained PQ vector index — the FAISS `index.add()`
     lifecycle as an MV: the FIRST batch trains the per-subspace
@@ -1400,7 +1544,7 @@ def run_pq_index_stream(
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(codes_t)
         sub.unpersist()
-        _maybe_fold(s, codes_t, epoch_id, fold_every)
+        _maybe_fold(s, codes_t, epoch_id, fold_every, refold_width=refold_width)
 
     w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1420,6 +1564,6 @@ def pq_index_search(
     from ..operators.similarity import KNN_K, _pq_query_luts, _pq_rank
 
     lut = _pq_query_luts(queries_e, spark.table(f"{name}_codebook"))
-    codes = live_epochs(spark.table(f"{name}_codes")).select("vec_id", "codes", "rn2")
+    codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select("vec_id", "codes", "rn2")
     scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
     return _pq_rank(scored, k or KNN_K)

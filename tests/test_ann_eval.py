@@ -24,6 +24,7 @@ EXPECTED = {
         "ivfpq_refine": (25, 25, 17, 0.68),
         "ivfpq_residual": (25, 25, 8, 0.32),
         "lsh": (25, 25, 8, 0.32),
+        "lsh_multiprobe": (25, 25, 15, 0.60),
         "pq": (25, 25, 8, 0.32),
         "rp": (25, 25, 1, 0.04),
     },
@@ -34,6 +35,7 @@ EXPECTED = {
         "ivfpq_refine": (25, 25, 20, 0.80),
         "ivfpq_residual": (25, 25, 9, 0.36),
         "lsh": (25, 25, 10, 0.40),
+        "lsh_multiprobe": (25, 25, 16, 0.64),
         "pq": (25, 25, 10, 0.40),
         "rp": (25, 25, 2, 0.08),
     },
@@ -67,6 +69,16 @@ def test_refine_strictly_beats_residual(sf_dir):
         assert vals["ivfpq_refine"][3] > vals["ivfpq_residual"][3], sf
     want = _expected_for(sf_dir)
     assert want["ivfpq_refine"][3] > want["ivfpq_residual"][3]
+
+
+def test_multiprobe_strictly_beats_lsh(sf_dir):
+    """VERDICT r08 item #6's done-bar: multi-probe at EQUAL bands (same
+    index memory) must recall strictly more than single-probe knn_lsh at
+    every pinned SF."""
+    for sf, vals in EXPECTED.items():
+        assert vals["lsh_multiprobe"][3] > vals["lsh"][3], sf
+    want = _expected_for(sf_dir)
+    assert want["lsh_multiprobe"][3] > want["lsh"][3]
 
 
 def test_ann_eval_oracle_matches(duck, sf_dir):

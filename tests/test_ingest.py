@@ -1163,6 +1163,97 @@ class TestCorpusStatsStream:
         assert 0 not in eps3  # resurrected epoch GC'd by the fold
         assert min(eps) in eps3  # older base still live (tiered encoding)
 
+    def test_refold_bounds_bases_across_cycles(self, spark, sf_dir):
+        """VERDICT r08 item #4 (second-tier LSM fold): with fold_every=2
+        + refold_width=2, tier-1 bases cascade into super-bases, so the
+        LIVE partition count is O(log epochs) — doubling the replay from
+        8 to 16 epochs adds at most one partition — while the view stays
+        bit-identical to batch. Also pins: the 16-epoch end state holds
+        EXACTLY the expected LSM shape (tier-3 + tier-2 + tier-1 bases +
+        2 positives after 4 super-fold cycles); older super-bases are
+        never rewritten by later folds (mtime ordering); a crash-stale
+        absorbed base is ignored by BOTH live_epochs paths and GC'd by
+        the next refold; and the metadata and relational live_epochs
+        paths agree row-for-row on a multi-tier table."""
+        import os as _os
+
+        from gmall_flink_200621_spark.plans.training import corpus_profile
+        from gmall_flink_200621_spark.streaming.ingest import (
+            TIER_OFF,
+            _refold_bases,
+            _cstats_merge,
+            corpus_stats_view,
+            live_epochs,
+            run_corpus_stats_stream,
+        )
+
+        want = sorted(map(tuple, corpus_profile(spark, sf_dir).collect()))
+
+        def replay(name: str, n_chunks: int) -> list[int]:
+            q = run_corpus_stats_stream(
+                spark, sf_dir, name=name, n_chunks=n_chunks, fold_every=2, refold_width=2
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            spark.catalog.refreshTable(f"{name}_partials")
+            assert sorted(map(tuple, corpus_stats_view(spark, name).collect())) == want
+            return sorted(
+                int(r[0].split("=")[1])
+                for r in spark.sql(f"SHOW PARTITIONS {name}_partials").collect()
+            )
+
+        eps8 = replay("t_rf8", 8)
+        eps16 = replay("t_rf16", 16)
+        # O(log) growth: 2x the epochs, at most +1 live partition
+        assert len(eps8) <= 4 and len(eps16) <= 5
+
+        # exact 16-epoch LSM shape: folds at e=2..14 produced tier-1
+        # bases w=1..13; cascades absorbed them into tier-3 w7 (at e=8),
+        # tier-2 w11 (e=12), leaving tier-1 w13 + positives 14, 15
+        t3 = -(2 * TIER_OFF + 7 + 1)
+        t2 = -(1 * TIER_OFF + 11 + 1)
+        t1 = -(13 + 1)
+        assert eps16 == sorted([t3, t2, t1, 14, 15])
+
+        # later folds never rewrite older super-bases: strictly older
+        # mtimes down the tier ladder (tier-3 landed at e=8, tier-2 at
+        # e=12, tier-1 at e=14)
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        mt = lambda e: _os.path.getmtime(_os.path.join(wh, "t_rf16_partials", f"epoch={e}"))
+        assert mt(t3) < mt(t2) < mt(t1)
+
+        # metadata and relational live_epochs agree on the tiered table
+        p = spark.table("t_rf16_partials")
+        rel = sorted(map(tuple, live_epochs(p).collect()))
+        meta = sorted(map(tuple, live_epochs(p, spark, "t_rf16_partials").collect()))
+        assert rel == meta and rel
+
+        # crash-before-GC at the BASE level: resurrect an absorbed tier-1
+        # base (w=1, long since folded into tier-3) with garbage — both
+        # read paths must ignore it, and the next refold GCs it
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.createDataFrame(
+                [("zz", "zz", 10**6, 10**6, 10**6, 10**6, -(1 + 1))],
+                "source string, lang string, n_docs long, total_tokens long,"
+                " total_chars long, sum_scaled_q long, epoch long",
+            ).write.mode("overwrite").insertInto("t_rf16_partials", overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        spark.catalog.refreshTable("t_rf16_partials")
+        assert sorted(map(tuple, corpus_stats_view(spark, "t_rf16").collect())) == want
+        p = spark.table("t_rf16_partials")
+        assert sorted(map(tuple, live_epochs(p).collect())) == meta  # relational too
+        _refold_bases(spark, "t_rf16_partials", _cstats_merge, 2)
+        eps_after = sorted(
+            int(r[0].split("=")[1])
+            for r in spark.sql("SHOW PARTITIONS t_rf16_partials").collect()
+        )
+        assert -(1 + 1) not in eps_after  # stale base GC'd
+        assert sorted(map(tuple, corpus_stats_view(spark, "t_rf16").collect())) == want
+
 
 class TestPqIndexStream:
     def test_frozen_codebook_and_incremental_encode(self, spark, sf_dir, tmp_path):

@@ -150,42 +150,51 @@ class TestCompaction:
     def test_constant_job_count_across_partitions(self, spark):
         """VERDICT r07 item #5 pin: the rewrite is a BATCHED pass — one
         checkpoint job + one write job regardless of how many partitions
-        fragment (the r07 loop scheduled 2 jobs PER partition). 5
-        fragmented partitions must compact in ≤ 8 Spark jobs total
-        (SHOW/DESCRIBE metadata + checkpoint + broadcast collect + AQE
-        stage materializations + write — measured 6, all CONSTANT; the
-        r07 loop would schedule ≥ 12 here and grows by 2 per partition),
-        each to one file, with content identity."""
+        fragment (the r07 loop scheduled 2 jobs PER partition). The pin
+        is SCALE-based, not an absolute cap (r08 ADVICE #4: internal job
+        counts shift across Spark/AQE versions): compacting 10 fragmented
+        partitions must schedule exactly as many jobs as compacting 5 —
+        the r07 loop would add 2 jobs per extra partition — with each
+        partition compacted to one file and content identity. (Measured
+        6 jobs at both sizes on Spark 4.1: metadata + checkpoint +
+        broadcast collect + AQE materializations + write.)"""
         import shutil
 
         from gmall_flink_200621_spark.operators.layout import compact_small_files
 
-        spark.sql("DROP TABLE IF EXISTS t_cjob")
-        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-        shutil.rmtree(os.path.join(wh, "t_cjob"), ignore_errors=True)  # orphan from a crashed run
-        spark.sql(
-            "CREATE TABLE t_cjob (k BIGINT, v STRING) USING parquet PARTITIONED BY (kb INT)"
+        def jobs_for(n_parts: int) -> int:
+            t = f"t_cjob{n_parts}"
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)  # crashed-run orphan
+            spark.sql(
+                f"CREATE TABLE {t} (k BIGINT, v STRING) USING parquet PARTITIONED BY (kb INT)"
+            )
+            for kb in range(n_parts):
+                for i in range(4):  # 4 one-row files per partition
+                    spark.createDataFrame(
+                        [(i, f"v{kb}-{i}", kb)], "k long, v string, kb int"
+                    ).coalesce(1).write.mode("append").insertInto(t)
+            before = sorted(map(tuple, spark.table(t).collect()))
+
+            sc = spark.sparkContext
+            group = f"compact_jobs_pin_{n_parts}"
+            sc.setJobGroup(group, "compaction job-count pin")
+            try:
+                done = compact_small_files(spark, t, target_bytes=1 << 30)
+            finally:
+                sc.setJobGroup("", "")
+            assert done == {f"kb={kb}": (4, 1) for kb in range(n_parts)}
+            spark.catalog.refreshTable(t)
+            assert sorted(map(tuple, spark.table(t).collect())) == before
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        j5, j10 = jobs_for(5), jobs_for(10)
+        assert j10 == j5, (
+            f"{j5} jobs for 5 partitions but {j10} for 10 — job count scales"
+            " with partition count, batching regressed"
         )
-        for kb in range(5):
-            for i in range(4):  # 4 one-row files per partition
-                spark.createDataFrame(
-                    [(i, f"v{kb}-{i}", kb)], "k long, v string, kb int"
-                ).coalesce(1).write.mode("append").insertInto("t_cjob")
-        before = sorted(map(tuple, spark.table("t_cjob").collect()))
-
-        sc = spark.sparkContext
-        sc.setJobGroup("compact_jobs_pin", "compaction job-count pin")
-        try:
-            done = compact_small_files(spark, "t_cjob", target_bytes=1 << 30)
-        finally:
-            sc.setJobGroup("", "")
-        jobs = sc.statusTracker().getJobIdsForGroup("compact_jobs_pin")
-        assert len(jobs) <= 8, f"{len(jobs)} jobs for 5 partitions — batching regressed"
-
-        assert done == {f"kb={kb}": (4, 1) for kb in range(5)}
-        spark.catalog.refreshTable("t_cjob")
-        assert sorted(map(tuple, spark.table("t_cjob").collect())) == before
-        spark.sql("DROP TABLE IF EXISTS t_cjob")
 
     def test_multi_batch_chunking(self, spark):
         """batch_partitions bounds per-job storage by rewriting the

@@ -264,6 +264,72 @@ class TestStreamBatchEquivalence:
         assert got
         assert got == expected
 
+    def test_salted_join_hot_key_bounded_and_identical(self, spark, tmp_path):
+        """VERDICT r08 item #7: a planted hot user (200 pays + 4 receipts
+        in-band) must (a) produce the IDENTICAL join result through the
+        salted variant, (b) have its pays spread across all RECEIPT_SALTS
+        sub-keys with a bounded per-sub-key share — the state-partition
+        bound that keeps one task from owning the whole hot key — and
+        (c) carry the salt in the streaming join's equi-keys (plan pin)."""
+        import collections
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.streaming.jobs import (
+            RECEIPT_SALTS,
+            hot_join_keys,
+            order_receipt_join_stream,
+            order_receipt_join_stream_salted,
+        )
+
+        rows = []
+        eid = 0
+        # hot user 7: 200 purchases at t=1000+i, 4 signups in-band
+        for i in range(200):
+            rows.append((eid, 1_000_000 + i, 7, "purchase", 1.0, "{}")); eid += 1
+        for i in range(4):
+            rows.append((eid, 1_000_500 + i * 100, 7, "signup", 1.0, "{}")); eid += 1
+        # cold users 100..104: one pay + one in-band receipt each
+        for u in range(100, 105):
+            rows.append((eid, 2_000_000 + u, u, "purchase", 1.0, "{}")); eid += 1
+            rows.append((eid, 2_000_100 + u, u, "signup", 1.0, "{}")); eid += 1
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"ts": "datetime64[s]"}).to_parquet(tmp_path / "events.parquet", index=False)
+        sf = str(tmp_path)
+
+        def run(df, name):
+            q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+            q.processAllAvailable()
+            q.stop()
+            return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+        # hot detection from the planted history finds exactly user 7
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from pyspark.sql import functions as F
+
+        pays_hist = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+        assert hot_join_keys(pays_hist, "user_id", 100) == [7]
+
+        salted = order_receipt_join_stream_salted(spark, sf, hot_threshold=100)
+        plan = salted._jdf.queryExecution().analyzed().toString()
+        assert "salt" in plan  # (c) the salt is part of the join condition
+
+        got = run(salted, "orj_salted")
+        want = run(order_receipt_join_stream(spark, sf), "orj_plain")
+        assert got == want  # (a) row-identical output
+        assert len({t for t in got if t[0] == 7}) == 200 * 4  # hot pairs all present
+
+        # (b) per-sub-key bound: replicate the pay-side salt assignment
+        # and check the hot key's 200 pays split across every sub-key,
+        # none holding more than half the unsalted mass
+        pays = pays_hist.filter(F.col("user_id") == 7).select(
+            F.pmod(F.xxhash64("event_id"), F.lit(RECEIPT_SALTS)).cast("int").alias("salt")
+        )
+        per_salt = collections.Counter(r.salt for r in pays.collect())
+        assert len(per_salt) == RECEIPT_SALTS
+        assert max(per_salt.values()) <= 100  # ≤ half of the 200-row hot key
+
 
 @pytest.mark.parametrize("drop", [False])
 class TestStatefulProcessors:

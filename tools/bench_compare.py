@@ -90,6 +90,35 @@ def main() -> None:
     for d, k, a, b in rows[:15]:
         flag = "  <-- REGRESSION" if d > thr else ""
         print(f"{d:+8.1%}  {a:7.2f} {b:7.2f}  {k}{flag}")
+
+    # shuffle/spill byte deltas (r09+ detail files): the memory-scale
+    # signal — seconds at sf0.1 can hide a plan that doubled its shuffle
+    # volume. Compared on total bytes (write + read + both spills).
+    osb, nsb = old.get("queries_shuffle_bytes"), new.get("queries_shuffle_bytes")
+    if osb and nsb:
+        tot = lambda m: sum(m.values())
+        srows = sorted(
+            (
+                ((tot(nsb[k]) - tot(osb[k])) / tot(osb[k]) if tot(osb[k]) else 0.0),
+                k,
+                tot(osb[k]),
+                tot(nsb[k]),
+            )
+            for k in set(osb) & set(nsb)
+        )
+        print(f"\nshuffle+spill bytes: {sum(r[2] for r in srows)/2**20:.1f} MiB"
+              f" -> {sum(r[3] for r in srows)/2**20:.1f} MiB (common {len(srows)})")
+        print(f"{'delta':>8s}  {'old MiB':>9s} {'new MiB':>9s}  query")
+        for d, k, a, b in sorted(srows, reverse=True)[:10]:
+            flag = "  <-- SHUFFLE REGRESSION" if d > thr and b - a > 2**20 else ""
+            print(f"{d:+8.1%}  {a/2**20:9.2f} {b/2**20:9.2f}  {k}{flag}")
+    elif nsb:
+        biggest = sorted(nsb.items(), key=lambda kv: -sum(kv[1].values()))[:10]
+        print("\nshuffle+spill bytes (new run only; old run predates instrumentation):")
+        for k, m in biggest:
+            spill = m.get("spill_memory", 0) + m.get("spill_disk", 0)
+            print(f"  {sum(m.values())/2**20:9.2f} MiB  (spill {spill/2**20:.2f} MiB)  {k}")
+
     if bad:
         print(f"\n{len(bad)} queries regressed beyond {thr:.0%}")
         sys.exit(1)
