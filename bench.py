@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "knn_pq",
     "knn_ivfpq",
     "knn_ivfpq_residual",
+    "knn_ivfpq_refine",
+    "knn_lsh_multiprobe",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

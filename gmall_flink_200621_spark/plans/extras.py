@@ -298,6 +298,30 @@ def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uv_sketch_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED UV sketch under the oracle gate (the
+    SEVENTH gated MV stream, and the one whose fold merge is neither a
+    sum nor identity): replay events through `run_uv_sketch_stream` —
+    per-epoch per-day HLL partials + a first-seen exact-user probe —
+    with fold_every=1 + refold_width=2, so the replay itself exercises
+    the register-max sketch fold AND a second-tier super-fold, then read
+    the maintained state through `uv_sketch_view`. Same four columns and
+    the same bounded-error contract as batch `uv_sketch_rollup`, so the
+    driver's hash check certifies the sketch-MV maintenance loop under
+    the existing oracle."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_uv_sketch_stream, uv_sketch_view
+
+    name = f"q_uvsk_{sf_namespace(sf_dir)}"
+    q = run_uv_sketch_stream(spark, sf_dir, name=name, fold_every=1, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_sketches", f"{name}_users"):
+        spark.catalog.refreshTable(t)
+    return uv_sketch_view(spark, name)
+
+
 def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (segment, priority), two-level: first a plain groupBy to
     the full (segment, priority) grid — the only pass that touches fact
@@ -695,6 +719,7 @@ EXTRA_QUERIES = {
     "value_quantile_sketch": value_quantile_sketch,
     "props_extract_stats": props_extract_stats,
     "uv_sketch_rollup": uv_sketch_rollup,
+    "uv_sketch_stream_view": uv_sketch_stream_view,
     "time_to_purchase": time_to_purchase,
     "nation_spend_pct_rank": nation_spend_pct_rank,
     "props_variant_stats": props_variant_stats,
@@ -1027,6 +1052,15 @@ FROM events GROUP BY 1
 """,
     # uv_sketch_rollup: exact uv hash-checked; est_ok (sketch within 5%) must be TRUE
     "uv_sketch_rollup": """
+SELECT count(DISTINCT user_id) AS uv,
+       count(*) AS pv_total,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       TRUE AS est_ok
+FROM events WHERE event_type = 'view'
+""",
+    # the stream view shares the batch contract (exact uv from the
+    # first-seen probe, merged-sketch estimate inside the 5% bound)
+    "uv_sketch_stream_view": """
 SELECT count(DISTINCT user_id) AS uv,
        count(*) AS pv_total,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,

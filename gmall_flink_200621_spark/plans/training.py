@@ -852,10 +852,15 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings through `run_pq_index_stream` (first chunk trains the
     frozen codebook; every chunk appends its codes), then ADC-search the
     maintained index — the driver's hash check certifies the
-    freeze/incremental-encode maintenance loop end-to-end. fold_every=2
-    also routes the replay through the codes-partition fold (epochs 0-1
-    coalesce into a watermark base at epoch 2), so the identity-fold +
-    live_epochs read path sits under the same gate."""
+    freeze/incremental-encode maintenance loop end-to-end. fold_every=1
+    routes the replay through the codes-partition fold every epoch, and
+    refold_width=2 pushes the two resulting tier-1 bases (w=0, w=1)
+    through the SECOND-tier identity refold mid-replay, so the
+    LSM-compacted codes log + live_epochs read path sits under the same
+    gate (the aggregate-merge refold twin is gated by
+    corpus_stats_stream_view). n_chunks stays at the default 3: the
+    codebook trains on the FIRST chunk, so the chunking is part of the
+    oracle's contract — only the fold cadence varies here."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import _idot, quantize
@@ -863,7 +868,9 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import pq_index_search, run_pq_index_stream
 
     name = f"q_pqidx_{sf_namespace(sf_dir)}"
-    q = run_pq_index_stream(spark, sf_dir, name=name, fold_every=2)
+    q = run_pq_index_stream(
+        spark, sf_dir, name=name, fold_every=1, refold_width=2
+    )
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()

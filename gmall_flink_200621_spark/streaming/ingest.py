@@ -1451,6 +1451,125 @@ def corpus_stats_view(spark: SparkSession, name: str = "cstats") -> DataFrame:
     )
 
 
+def run_uv_sketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "uvsk",
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Stream-maintained UV: the MERGEABLE-SKETCH member of the MV family
+    (batch twin: `uv_sketch_rollup` — the A6 scale path). Two state
+    tables, both epoch-partitioned with the standard replay discipline:
+
+    - `<name>_sketches` (day, sk, pv): per-epoch per-day HLL sketches +
+      page-view counts — a pure function of the batch, so a crash replay
+      dynamic-overwrites byte-identical rows;
+    - `<name>_users` (user_id): FIRST-SEEN users, maintained with the
+      exact-dedup probe (anti-join live state excluding the replayed
+      epoch's own partition) — the exact-UV side of the batch twin's
+      est-vs-exact contract.
+
+    The sketch fold merge is the point: `_fold_epoch_partitions` gets a
+    REGISTER-MAX merge (groupBy day → hll_union_agg + sum pv), proving
+    the tiered fold generalizes beyond integer sums (corpus stats) and
+    identity (codes/edges) to any associative+commutative state. HLL
+    union is exactly mergeable — the union of per-epoch sketches has the
+    SAME registers as a one-shot sketch over all rows — so the view's
+    estimate is bit-identical to batch at every epoch boundary, folds
+    included, and the whole thing sits under `uv_sketch_rollup`'s
+    bounded-error DuckDB oracle. At 100 TB the maintained state is one
+    4 KB sketch per (epoch, day) folding toward one per day, plus the
+    first-seen user set; per-batch cost is O(batch) + O(days)."""
+    from .late_data import staged_replay_source
+
+    sk_t, users_t = f"{name}_sketches", f"{name}_users"
+    if fresh_tables:
+        for t in (sk_t, users_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {sk_t} (day DATE, sk BINARY, pv BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {users_t} (user_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    events = staged_replay_source(spark, sf_dir).filter(F.col("event_type") == "view")
+
+    def uv_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        # fold BEFORE the probe (window ≤ epoch−1), the ingest discipline
+        _maybe_fold(s, sk_t, epoch_id, fold_every, merge=_uvsk_merge, refold_width=refold_width)
+        _maybe_fold(s, users_t, epoch_id, fold_every, refold_width=refold_width)
+        v = batch_df.persist()
+        daily = v.groupBy(F.to_date("ts").alias("day")).agg(
+            F.hll_sketch_agg("user_id").alias("sk"), F.count(F.lit(1)).alias("pv")
+        )
+        seen = (
+            live_epochs(s.table(users_t), s, users_t)
+            .filter(F.col("epoch") != epoch_id)
+            .select("user_id")
+        )
+        newu = v.select("user_id").distinct().join(seen, "user_id", "left_anti")
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            daily.withColumn("epoch", F.lit(epoch_id).cast("long")).write.mode(
+                "overwrite"
+            ).insertInto(sk_t, overwrite=True)
+            newu.withColumn("epoch", F.lit(epoch_id).cast("long")).write.mode(
+                "overwrite"
+            ).insertInto(users_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for t in (sk_t, users_t):
+            s.catalog.refreshTable(t)
+        v.unpersist()
+
+    w = events.writeStream.foreachBatch(uv_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _uvsk_merge(df: DataFrame) -> DataFrame:
+    """UV-sketch fold merge: per-day HLL register-max union + pv sum —
+    associative and commutative, so folded state is register-identical
+    to unfolded."""
+    return df.groupBy("day").agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("pv").alias("pv")
+    )
+
+
+def uv_sketch_view(spark: SparkSession, name: str = "uvsk") -> DataFrame:
+    """Batch-shaped read of the maintained UV state — same four columns
+    and arithmetic as `uv_sketch_rollup`: exact uv from the first-seen
+    user set (rows are unique by the probe invariant; live_epochs drops
+    any crash-stale absorbed partition), merged-sketch estimate checked
+    against it at the 5% bound."""
+    sk = live_epochs(spark.table(f"{name}_sketches"), spark, f"{name}_sketches")
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+        F.sum("pv").alias("pv_total"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    users = live_epochs(spark.table(f"{name}_users"), spark, f"{name}_users")
+    exact = users.agg(F.count(F.lit(1)).alias("uv"))
+    return merged.crossJoin(exact).select(
+        "uv",
+        "pv_total",
+        "n_days",
+        (F.abs(F.col("__est") - F.col("uv")) <= F.col("uv") * F.lit(0.05)).alias(
+            "est_ok"
+        ),
+    )
+
+
 def run_pq_index_stream(
     spark: SparkSession,
     sf_dir: str,

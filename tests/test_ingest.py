@@ -1255,6 +1255,43 @@ class TestCorpusStatsStream:
         assert sorted(map(tuple, corpus_stats_view(spark, "t_rf16").collect())) == want
 
 
+class TestUvSketchStream:
+    def test_view_matches_batch_and_sketch_fold_is_register_exact(self, spark, sf_dir):
+        """The seventh MV stream: per-epoch HLL partials + first-seen
+        exact-user probe, replayed with fold_every=1 + refold_width=2 so
+        the REGISTER-MAX sketch merge runs in both the tier-1 fold and a
+        super-fold. The view must equal batch uv_sketch_rollup on all
+        four columns (HLL union is exactly mergeable, so folded partials
+        give the identical estimate), and the sketches table must end
+        LSM-shaped (a tier-2 base + the unfolded tail)."""
+        from gmall_flink_200621_spark.plans.extras import uv_sketch_rollup
+        from gmall_flink_200621_spark.streaming.ingest import (
+            TIER_OFF,
+            run_uv_sketch_stream,
+            uv_sketch_view,
+        )
+
+        q = run_uv_sketch_stream(
+            spark, sf_dir, name="t_uvsk", fold_every=1, refold_width=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_uvsk_sketches", "t_uvsk_users"):
+            spark.catalog.refreshTable(t)
+
+        got = [tuple(r) for r in uv_sketch_view(spark, "t_uvsk").collect()]
+        want = [tuple(r) for r in uv_sketch_rollup(spark, sf_dir).collect()]
+        assert got == want and got[0][3] is True  # est_ok
+
+        eps = sorted(
+            int(r[0].split("=")[1])
+            for r in spark.sql("SHOW PARTITIONS t_uvsk_sketches").collect()
+        )
+        # 3 epochs, folds at 1 (w0) and 2 (w1) → refold to tier-2 w1 + epoch 2
+        assert eps == [-(TIER_OFF + 1 + 1), 2]
+
+
 class TestPqIndexStream:
     def test_frozen_codebook_and_incremental_encode(self, spark, sf_dir, tmp_path):
         """The index lifecycle observed: the first chunk trains the

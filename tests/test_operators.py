@@ -1318,7 +1318,8 @@ class TestAnnEval:
 
         rows = {r.method: r for r in ann_eval(spark, sf_dir).collect()}
         assert set(rows) == {
-            "ivf", "ivf_trained", "ivfpq", "ivfpq_residual", "lsh", "pq", "rp",
+            "ivf", "ivf_trained", "ivfpq", "ivfpq_refine", "ivfpq_residual",
+            "lsh", "lsh_multiprobe", "pq", "rp",
         }
         small = sf_dir.endswith("sf0.001")
         assert rows["ivf"].recall == 1.0
@@ -1328,6 +1329,12 @@ class TestAnnEval:
         # residual encoding: parity at sf0.001, slightly below at sf0.01 —
         # the honest isotropic-corpus result (no clusters ⇒ no residual gain)
         assert rows["ivfpq_residual"].recall == (0.32 if small else 0.36)
+        # r09 recall lifts, strict by construction: exact re-rank of the
+        # ADC top-4k shortlist; extra bit-flip probe buckets at equal bands
+        assert rows["ivfpq_refine"].recall == (0.68 if small else 0.80)
+        assert rows["ivfpq_refine"].recall > rows["ivfpq_residual"].recall
+        assert rows["lsh_multiprobe"].recall == (0.60 if small else 0.64)
+        assert rows["lsh_multiprobe"].recall > rows["lsh"].recall
         assert rows["rp"].recall == (0.04 if small else 0.08)
         assert all(r.n_method > 0 and r.n_common <= r.n_exact for r in rows.values())
 
