@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "zorder_layout_audit",
     "hilbert_layout_audit",
     "mixture_temperature",
+    "unigram_lm_vocab",
 ]
 
 

@@ -651,6 +651,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe(_docs(spark, sf_dir))
 
 
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only like bpe_merges (EM: each round's fitted distribution
+    # weights the next round's lattice — the non-SQL-expressible
+    # iterative class); exactness pinned piece-for-piece against a pure-
+    # Python quantized-EM reference in tests TestUnigramLm
+    from ..operators.unigram import unigram_lm_vocab as _uni
+
+    return _uni(_docs(spark, sf_dir))
+
+
 def bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only like bpe_merges (same non-SQL-expressible iterative class);
     # exactness on the sample + prefix-agreement with the full-corpus
@@ -717,6 +727,7 @@ TRAINING_QUERIES = {
     "term_counts_cms": term_counts_cms,
     "bpe_merges": bpe_merges,
     "bpe_merges_sampled": bpe_merges_sampled,
+    "unigram_lm_vocab": unigram_lm_vocab,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "token_entropy": token_entropy,

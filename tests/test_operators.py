@@ -1664,6 +1664,100 @@ class TestBpe:
         assert prefix >= 6, (prefix, full, samp)
 
 
+class TestUnigramLm:
+    @staticmethod
+    def _py_train(pdf, em_iters, vocab_size, max_len, seed_keep):
+        """Pure-Python reference trainer: the same quantized EM — reuses
+        the SHARED per-word forward-backward (`_em_expected_counts`), so
+        what this pins is the DISTRIBUTED plumbing (substring seed
+        counts, Arrow pass, integer groupBy sums, M-step) against a
+        single-process run of the identical math."""
+        from collections import Counter
+
+        from gmall_flink_200621_spark.operators.unigram import (
+            UNI_SCALE,
+            _em_expected_counts,
+        )
+
+        wf = Counter(w for t in pdf["text"] for w in t.split(" ") if w)
+        subs = Counter()
+        for w, f in wf.items():
+            for i in range(len(w)):
+                for n in range(1, min(max_len, len(w) - i) + 1):
+                    subs[w[i : i + n]] += f
+        chars = sorted((p, c) for p, c in subs.items() if len(p) == 1)
+        multi = sorted(
+            ((p, c) for p, c in subs.items() if len(p) >= 2),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:seed_keep]
+        seed = chars + multi
+        tot = sum(c for _, c in seed)
+        probs = {p: c / tot for p, c in seed}
+        for _ in range(em_iters):
+            cmap = dict(_em_expected_counts(wf.items(), dict(probs), UNI_SCALE))
+            tot = sum(cmap.values())
+            probs = {p: c / tot for p, c in cmap.items() if c > 0}
+            for p, _ in seed:
+                if len(p) == 1 and p not in probs:
+                    probs[p] = 1.0 / tot
+        final = [(p, int(round(probs[p] * tot))) for p in probs]
+        chars = sorted([(p, c) for p, c in final if len(p) == 1])
+        multi = sorted(
+            [(p, c) for p, c in final if len(p) > 1], key=lambda pc: (-pc[1], pc[0])
+        )[: max(0, vocab_size - len(chars))]
+        ranked = sorted(chars + multi, key=lambda pc: (-pc[1], pc[0]))
+        return [(i + 1, p, c) for i, (p, c) in enumerate(ranked)]
+
+    def test_matches_python_reference_and_partition_invariant(self, spark, sf_dir):
+        """The fitted vocabulary equals the single-process reference
+        piece-for-piece (ranks AND quantized counts), and re-running on a
+        differently-partitioned corpus changes nothing — the quantized-
+        count contract makes EM order-independent."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.unigram import unigram_lm_vocab
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = [tuple(r) for r in unigram_lm_vocab(docs).collect()]
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        assert got == self._py_train(pdf, 3, 96, 4, 128)
+        got7 = [tuple(r) for r in unigram_lm_vocab(docs.repartition(7)).collect()]
+        assert got7 == got
+
+    def test_encode_matches_python_viterbi_and_is_pure_map(self, spark, sf_dir):
+        """Viterbi token counts equal the Python segmenter word-for-word
+        and the encode plan is shuffle-free (the bpe_encode contract)."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.unigram import (
+            unigram_encode,
+            unigram_lm_vocab,
+            viterbi_segment,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = [(r.piece, r.count_q) for r in unigram_lm_vocab(docs).collect()]
+        out = unigram_encode(docs, vocab)
+        s = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in s and "Join" not in s
+
+        tot = sum(c for _, c in vocab)
+        probs = {p: c / tot for p, c in vocab if c > 0}
+        for p, c in vocab:
+            if c <= 0:
+                probs.setdefault(p, 1.0 / max(tot, 1))
+        got = {r.doc_id: r.n_pieces for r in out.collect()}
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+        for doc_id in list(got)[:40]:
+            text = pdf.loc[doc_id, "text"]
+            want = sum(
+                len(viterbi_segment(w, probs)) for w in text.split(" ") if w
+            )
+            assert got[doc_id] == want, doc_id
+
+
 class TestDynamicGapSessions:
     def test_error_gap_splits_where_default_would_merge(self, spark, monkeypatch, tmp_path):
         """An error followed 400s later by a view: the error's 300s extent
