@@ -894,6 +894,38 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["ann_eval"] = ann_eval
+def knn_pq_index_refine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-maintained PQ index searched through the EXACT-REFINE
+    path (FAISS IndexRefineFlat composed with the MV): the replay runs
+    with store_vectors=True — the index keeps its quantized full vectors
+    next to the codes, both identity-folded — then the ADC top-C
+    shortlist re-ranks against the stored vectors. Under its own DuckDB
+    oracle (first-chunk-trained codebooks + refine tail), so the driver
+    hash-certifies the whole composition: freeze, incremental encode,
+    vector storage, fold, shortlist, exact re-rank."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import pq_index_search_refine, run_pq_index_stream
+
+    name = f"q_pqrf_{sf_namespace(sf_dir)}"
+    q = run_pq_index_stream(
+        spark, sf_dir, name=name, fold_every=1, refold_width=2, store_vectors=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_codes", f"{name}_vecs"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+        F.col("vec_id") % 100 == 0
+    )
+    return pq_index_search_refine(spark, qs, name)
+
+
 TRAINING_QUERIES["knn_pq_index_view"] = knn_pq_index_view
+TRAINING_QUERIES["knn_pq_index_refine_view"] = knn_pq_index_refine_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view

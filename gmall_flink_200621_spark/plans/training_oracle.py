@@ -1392,7 +1392,7 @@ FROM ranked WHERE rank <= {KNN_K}
 KNN_IVFPQ_REFINE = _knn_ivfpq_residual_sql(tail=_refine_tail())
 
 
-def _knn_pq_index_sql() -> str:
+def _knn_pq_index_sql(tail: str = _PQ_RANK_TAIL) -> str:
     """Stream-maintained-PQ-index oracle: identical to KNN_PQ except the
     codebooks train ONLY on the first arrival chunk (the smallest
     floor(n / PQ_INDEX_CHUNKS) vec_ids — stage_embedding_chunks splits
@@ -1413,11 +1413,16 @@ scored AS (
   FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
   WHERE l.query_id <> k.vec_id
   GROUP BY 1, 2),
-{_PQ_RANK_TAIL}
+{tail}
 """
 
 
 KNN_PQ_INDEX = _knn_pq_index_sql()
+
+# IndexRefineFlat over the maintained index: the same first-chunk-trained
+# codebook + full-corpus codes, ADC top-REFINE_C shortlist, exact re-rank
+# (the refine tail reuses e/qn from the shared PQ CTE block)
+KNN_PQ_INDEX_REFINE = _knn_pq_index_sql(tail=_refine_tail())
 
 SEMDEDUP = f"""
 {_kmeans_ctes(KM_CENT_MOD, KM_ITERS)},
@@ -2065,6 +2070,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivfpq_refine": KNN_IVFPQ_REFINE,
     "ann_eval": ANN_EVAL,
     "knn_pq_index_view": KNN_PQ_INDEX,
+    "knn_pq_index_refine_view": KNN_PQ_INDEX_REFINE,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "pagerank_stream_view": PAGERANK_STREAM_VIEW,

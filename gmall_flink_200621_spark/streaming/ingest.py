@@ -1580,6 +1580,7 @@ def run_pq_index_stream(
     fresh_tables: bool = True,
     fold_every: int | None = None,
     refold_width: int | None = None,
+    store_vectors: bool = False,
 ):
     """Stream-maintained PQ vector index — the FAISS `index.add()`
     lifecycle as an MV: the FIRST batch trains the per-subspace
@@ -1609,11 +1610,19 @@ def run_pq_index_stream(
     immutable rows, so the fold is a pure rewrite of ONLY that window
     (each code is written at most twice ever; the O(batch) add contract
     survives) and partition count drops from one per epoch to one per N
-    epochs. Search reads through `live_epochs`."""
+    epochs. Search reads through `live_epochs`.
+
+    `store_vectors=True` additionally appends each batch's quantized
+    full vectors to `<name>_vecs` (identity-folded like the codes) —
+    the storage FAISS's IndexRefineFlat keeps next to the code index,
+    enabling `pq_index_search_refine`'s exact re-rank. The trade is
+    explicit: vectors are ~32× the code bytes, so a deployment opts in
+    per index."""
     from ..operators.similarity import (
         PQ_CODE_MOD,
         PQ_INDEX_CHUNKS,
         PQ_ITERS,
+        _idot,
         _pq_encode,
         _pq_subvectors,
         _pq_train,
@@ -1621,10 +1630,15 @@ def run_pq_index_stream(
     )
 
     n_chunks = n_chunks or PQ_INDEX_CHUNKS
-    cb_t, codes_t = f"{name}_codebook", f"{name}_codes"
+    cb_t, codes_t, vecs_t = f"{name}_codebook", f"{name}_codes", f"{name}_vecs"
     if fresh_tables:
-        for t in (cb_t, codes_t):
+        for t in (cb_t, codes_t) + ((vecs_t,) if store_vectors else ()):
             _drop_table(spark, t)
+        if store_vectors:
+            spark.sql(
+                f"CREATE TABLE {vecs_t} (vec_id BIGINT, q ARRAY<BIGINT>, n2 BIGINT)"
+                f" USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
         spark.sql(
             f"CREATE TABLE {cb_t} (m INT, code BIGINT, cv ARRAY<BIGINT>, cn2 BIGINT)"
             f" USING parquet"
@@ -1659,11 +1673,19 @@ def run_pq_index_stream(
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             codes.write.mode("overwrite").insertInto(codes_t, overwrite=True)
+            if store_vectors:
+                e.withColumn("n2", _idot(F.col("q"), F.col("q"))).withColumn(
+                    "epoch", F.lit(epoch_id).cast("long")
+                ).write.mode("overwrite").insertInto(vecs_t, overwrite=True)
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         s.catalog.refreshTable(codes_t)
+        if store_vectors:
+            s.catalog.refreshTable(vecs_t)
         sub.unpersist()
         _maybe_fold(s, codes_t, epoch_id, fold_every, refold_width=refold_width)
+        if store_vectors:
+            _maybe_fold(s, vecs_t, epoch_id, fold_every, refold_width=refold_width)
 
     w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1686,3 +1708,57 @@ def pq_index_search(
     codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select("vec_id", "codes", "rn2")
     scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
     return _pq_rank(scored, k or KNN_K)
+
+
+def pq_index_search_refine(
+    spark: SparkSession,
+    queries_e,
+    name: str = "pqidx",
+    k: int | None = None,
+    refine_c: int | None = None,
+) -> DataFrame:
+    """Exact-refine search over the stream-maintained index — FAISS's
+    IndexRefineFlat composed with the MV: the ADC scan ranks a
+    top-`refine_c` shortlist from the stored codes, then the shortlist
+    re-scores with exact int64 cosines against the stream-stored full
+    vectors (`<name>_vecs`, requires the index to have run with
+    `store_vectors=True`) and re-ranks to top-k. Same scale shape as
+    `knn_ivfpq_refine`: the shortlist is |queries|·refine_c id pairs —
+    broadcast — so full vectors move only for shortlisted rows; the
+    vectors table reads through `live_epochs` like every MV state."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import KNN_K, REFINE_C, _idot
+
+    kk, cc = k or KNN_K, refine_c or REFINE_C
+    shortlist = pq_index_search(spark, queries_e, name, k=cc).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = live_epochs(spark.table(f"{name}_vecs"), spark, f"{name}_vecs").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("n2").alias("nn2"),
+    )
+    qv = queries_e.select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    exact = (
+        vecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            _idot(F.col("qq"), F.col("nq"))
+            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1255,6 +1255,57 @@ class TestCorpusStatsStream:
         assert sorted(map(tuple, corpus_stats_view(spark, "t_rf16").collect())) == want
 
 
+class TestPqIndexRefine:
+    def test_stored_vectors_refine_beats_adc_and_folds(self, spark, sf_dir):
+        """store_vectors=True keeps the quantized vectors next to the
+        codes (the IndexRefineFlat storage trade); the refine search must
+        strictly beat the plain ADC scan's brute-agreement on this
+        corpus, and the vecs table must fold to the same LSM shape as
+        the codes (identity merge, fold_every=1 + refold_width=2)."""
+        from gmall_flink_200621_spark.operators.similarity import _idot, knn_brute, quantize
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import (
+            TIER_OFF,
+            pq_index_search,
+            pq_index_search_refine,
+            run_pq_index_stream,
+        )
+        from pyspark.sql import functions as F
+
+        q = run_pq_index_stream(
+            spark, sf_dir, name="t_pqrf", fold_every=1, refold_width=2,
+            store_vectors=True,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_pqrf_codes", "t_pqrf_vecs"):
+            spark.catalog.refreshTable(t)
+
+        for t in ("t_pqrf_codes", "t_pqrf_vecs"):
+            eps = sorted(
+                int(r[0].split("=")[1])
+                for r in spark.sql(f"SHOW PARTITIONS {t}").collect()
+            )
+            assert eps == [-(TIER_OFF + 1 + 1), 2], t  # tier-2 base + tail
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+            F.col("vec_id") % 100 == 0
+        )
+        exact = {(r.query_id, r.neighbor_id) for r in knn_brute(emb).collect()}
+        plain = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_index_search(spark, qs, "t_pqrf").collect()
+        }
+        refined = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_index_search_refine(spark, qs, "t_pqrf").collect()
+        }
+        assert len(refined & exact) > len(plain & exact)
+
+
 class TestUvSketchStream:
     def test_view_matches_batch_and_sketch_fold_is_register_exact(self, spark, sf_dir):
         """The seventh MV stream: per-epoch HLL partials + first-seen
