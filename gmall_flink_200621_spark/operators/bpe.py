@@ -42,10 +42,13 @@ def _chars(word):
     return F.transform(F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1)))
 
 
-def _apply_merge(syms, a: str, b: str):
-    """Left-to-right non-overlapping merge of adjacent (a, b) → a+b —
-    the canonical greedy BPE application, as an array fold."""
-    merged = a + b
+def _apply_merge(syms, a: str, b: str, merged: str | None = None):
+    """Left-to-right non-overlapping merge of adjacent (a, b) → `merged`
+    (default a+b) — the canonical greedy BPE application, as an array
+    fold. `merged` is overridable for WordPiece, whose continuation
+    convention concatenates a + b-without-'##'."""
+    if merged is None:
+        merged = a + b
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),

@@ -1,0 +1,156 @@
+"""WordPiece vocabulary trainer — the third subword family next to BPE
+(`operators/bpe.py`) and unigram-LM (`operators/unigram.py`), completing
+the set a production tokenization pipeline chooses from (BERT-style
+models ship WordPiece; GPT-style ship BPE; T5/SentencePiece default to
+unigram).
+
+Reference behavior modeled: the original WordPiece objective (Schuster &
+Nakajima 2012, as popularized by BERT) — identical greedy merge loop to
+BPE but the pair picked each round maximizes the LIKELIHOOD score
+count(a,b) / (count(a) · count(b)) instead of raw pair count, i.e. the
+merge that most increases a unigram LM's corpus likelihood. Non-initial
+symbols carry the `##` continuation prefix, and merging (a, ##b) yields
+a+b without the marker (so vocabulary entries are real substrings).
+
+Spark decomposition — `bpe_merges`' incremental-delta machinery with one
+extra maintained aggregate: alongside the (a, b, cnt) pair frame the
+trainer keeps the (s, scnt) symbol-frequency frame, both updated by
+retract-and-add deltas over only the words containing the merged pair
+(a full recount of affected words, so greedy-overlap cases like
+'s s s' — 2 adjacencies but 1 applied merge — stay exact). The scoring
+join is pair-vocabulary-sized (never corpus-sized), the argmax is the
+house one-row-per-round driver scalar, and the merge application is a
+shuffle-free conditional projection. The score division is a per-row
+pure double over exact int64 counts (no cross-row float reduction), so
+training is bit-deterministic under any partitioning — pinned in tests
+against a pure-Python reference, `bpe_merges`' certification discipline
+(rows-only driver gate: the merge loop is iterative/stateful, outside
+ANSI-SQL's reach — same documented stance as bpe_merges/unigram_lm_vocab).
+
+At 100 TB the sample-then-train stance applies verbatim (the trainer
+composes with `textops.deterministic_sample` exactly as
+`bpe_merges_sampled` does); encoding with a trained WordPiece vocab is
+greedy longest-match-first, available through `bpe_encode`'s Arrow path
+once merges are re-expressed as (left, right) pairs in rank order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .bpe import _adj_pairs, _apply_merge, _pair_counts
+
+WP_MERGES = 12
+WP_CONT = "##"
+
+
+def _wp_syms(word):
+    """word → WordPiece initial symbols: first character bare, every
+    following character prefixed with the `##` continuation marker."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.when(i == 1, word.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit(WP_CONT), word.substr(i, F.lit(1)))
+        ),
+    )
+
+
+def _merged_token(a: str, b: str) -> str:
+    """Merged vocabulary entry: a + b without b's continuation marker
+    (a keeps its own marker iff word-internal)."""
+    return a + (b[len(WP_CONT) :] if b.startswith(WP_CONT) else b)
+
+
+def _sym_counts(wf: DataFrame) -> DataFrame:
+    """(s, scnt) frequency-weighted symbol counts over a (freq, syms)
+    word frame — the unigram denominator of the WordPiece score."""
+    return (
+        wf.select("freq", F.explode("syms").alias("s"))
+        .groupBy("s")
+        .agg(F.sum("freq").alias("scnt"))
+    )
+
+
+def wordpiece_vocab(
+    docs: DataFrame, n_merges: int = WP_MERGES, word_partitions: int | None = None
+) -> DataFrame:
+    """Train a WordPiece merge table; returns (rank, left, right, token,
+    pair_count, left_count, right_count, score) — rank 1 is the first
+    merge. Selection compares the RAW double score (ties break on
+    (left, right) ascending); the reported score column is rounded to 9
+    decimals for display only, after selection."""
+    spark = docs.sparkSession
+    wf = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", _wp_syms(F.col("w")).alias("syms"))
+    )
+    if word_partitions is not None:
+        wf = wf.coalesce(word_partitions)
+    wf = wf.localCheckpoint(eager=True)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (df.coalesce(word_partitions) if word_partitions is not None else df).localCheckpoint(
+            eager=True
+        )
+
+    pc = _ckpt(_pair_counts(wf))
+    sc = _ckpt(_sym_counts(wf))
+    rows: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        la = sc.select(F.col("s").alias("a"), F.col("scnt").alias("ca"))
+        lb = sc.select(F.col("s").alias("b"), F.col("scnt").alias("cb"))
+        top = (
+            pc.join(la, "a")
+            .join(lb, "b")
+            .withColumn("score", F.col("cnt") / (F.col("ca") * F.col("cb")))
+            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt, ca, cb = top[0].a, top[0].b, int(top[0].cnt), int(top[0].ca), int(top[0].cb)
+        tok = _merged_token(a, b)
+        rows.append((rank, a, b, tok, cnt, ca, cb, round(cnt / (ca * cb), 9)))
+        has_pair = F.exists(
+            _adj_pairs(F.col("syms")),
+            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+        )
+        affected = wf.filter(has_pair)
+        merged = affected.select("freq", _apply_merge(F.col("syms"), a, b, tok).alias("syms"))
+        pc = _ckpt(
+            pc.unionByName(
+                _pair_counts(merged).unionByName(
+                    _pair_counts(affected).withColumn("cnt", -F.col("cnt"))
+                )
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+        sc = _ckpt(
+            sc.unionByName(
+                _sym_counts(merged).unionByName(
+                    _sym_counts(affected).withColumn("scnt", -F.col("scnt"))
+                )
+            )
+            .groupBy("s")
+            .agg(F.sum("scnt").alias("scnt"))
+            .filter(F.col("scnt") > 0)
+        )
+        wf = wf.select(
+            "freq",
+            F.when(has_pair, _apply_merge(F.col("syms"), a, b, tok))
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, token string, "
+        "pair_count long, left_count long, right_count long, score double",
+    )

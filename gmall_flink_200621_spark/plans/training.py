@@ -260,6 +260,12 @@ def knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_rp(_emb(spark, sf_dir))
 
 
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (8-bit per-dim) ANN with asymmetric distance —
+    see operators/similarity.knn_sq8."""
+    return V.knn_sq8(_emb(spark, sf_dir))
+
+
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) lookup-
     table scoring over 8-byte codes — see operators/similarity.knn_pq."""
@@ -661,6 +667,16 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uni(_docs(spark, sf_dir))
 
 
+def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only like bpe_merges (same non-SQL-expressible iterative
+    # class: each round's likelihood argmax depends on the previous
+    # merges' recounts); exactness pinned merge-for-merge against a
+    # pure-Python reference in tests TestWordPiece
+    from ..operators.wordpiece import wordpiece_vocab as _wp
+
+    return _wp(_docs(spark, sf_dir))
+
+
 def bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only like bpe_merges (same non-SQL-expressible iterative class);
     # exactness on the sample + prefix-agreement with the full-corpus
@@ -705,6 +721,7 @@ TRAINING_QUERIES = {
     "knn_ivf_trained": knn_ivf_trained,
     "knn_rp": knn_rp,
     "knn_pq": knn_pq,
+    "knn_sq8": knn_sq8,
     "knn_ivfpq": knn_ivfpq,
     "knn_ivfpq_residual": knn_ivfpq_residual,
     "knn_ivfpq_refine": knn_ivfpq_refine,
@@ -728,6 +745,7 @@ TRAINING_QUERIES = {
     "bpe_merges": bpe_merges,
     "bpe_merges_sampled": bpe_merges_sampled,
     "unigram_lm_vocab": unigram_lm_vocab,
+    "wordpiece_vocab": wordpiece_vocab,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "token_entropy": token_entropy,
@@ -776,6 +794,7 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multiprobe": V.knn_lsh_multiprobe,
         "pq": V.knn_pq,
         "rp": V.knn_rp,
+        "sq8": V.knn_sq8,
     }
     rows = []
     for name, op in sorted(methods.items()):

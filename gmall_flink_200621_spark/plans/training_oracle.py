@@ -548,6 +548,49 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# SQ8 mirrors operators/similarity.knn_sq8: _rdiv(n, d) = floor((2n+d)/(2d))
+# round-half-up, code = _rdiv((q−mn)·255, step), x̂ = mn + _rdiv(code·step, 255).
+_SQ8_CODE = "CAST(floor(((q[i] - mn[i]) * 510 + step[i])::DOUBLE / (2 * step[i])) AS BIGINT)"
+_SQ8_XHAT = (
+    "mn[i] + CASE WHEN step[i] <= 0 THEN 0 "
+    f"ELSE CAST(floor((2 * {_SQ8_CODE} * step[i] + 255)::DOUBLE / 510) AS BIGINT) END"
+)
+
+KNN_SQ8 = f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+dims AS (
+  SELECT g.i AS pos, min(q[g.i]) AS mn, max(q[g.i]) - min(q[g.i]) AS st
+  FROM e, generate_series(1, {DIM}) AS g(i)
+  GROUP BY g.i
+),
+stats AS (SELECT list(mn ORDER BY pos) AS mn, list(st ORDER BY pos) AS step FROM dims),
+enc AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {DIM}), i -> {_SQ8_XHAT}) AS xh
+  FROM e, stats
+),
+recon AS (SELECT vec_id, xh, {_IDOT.format(n=DIM, a="xh", b="xh")} AS rn2 FROM enc),
+qs AS (
+  SELECT vec_id AS query_id, q AS qq, {_IDOT.format(n=DIM, a="q", b="q")} AS qn2
+  FROM e WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         ({_IDOT.format(n=DIM, a="qq", b="c.xh")})
+           / (sqrt(qn2::DOUBLE) * sqrt(c.rn2::DOUBLE)) AS cosine_sq8
+  FROM qs, recon c
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sq8,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sq8 DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine_sq8, 6) AS cosine_sq8, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def _rp_proj_sql() -> str:
     """The 16 projected-and-downscaled components as a SQL list literal —
     coefficient lists generated from the SAME `_plane_coeff` stream
@@ -1998,6 +2041,7 @@ def _ann_eval_sql() -> str:
         "lsh_multiprobe": KNN_LSH_MULTIPROBE,
         "pq": KNN_PQ,
         "rp": KNN_RP,
+        "sq8": KNN_SQ8,
     }
     arms = []
     for name in sorted(methods):
@@ -2065,6 +2109,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivf_trained": KNN_IVF_TRAINED,
     "knn_rp": KNN_RP,
     "knn_pq": KNN_PQ,
+    "knn_sq8": KNN_SQ8,
     "knn_ivfpq": KNN_IVFPQ,
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
     "knn_ivfpq_refine": KNN_IVFPQ_REFINE,

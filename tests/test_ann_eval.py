@@ -27,6 +27,7 @@ EXPECTED = {
         "lsh_multiprobe": (25, 25, 15, 0.60),
         "pq": (25, 25, 8, 0.32),
         "rp": (25, 25, 1, 0.04),
+        "sq8": (25, 25, 23, 0.92),
     },
     "sf0.01": {
         "ivf": (25, 25, 25, 1.00),
@@ -38,6 +39,7 @@ EXPECTED = {
         "lsh_multiprobe": (25, 25, 16, 0.64),
         "pq": (25, 25, 10, 0.40),
         "rp": (25, 25, 2, 0.08),
+        "sq8": (25, 25, 24, 0.96),
     },
 }
 
@@ -79,6 +81,19 @@ def test_multiprobe_strictly_beats_lsh(sf_dir):
         assert vals["lsh_multiprobe"][3] > vals["lsh"][3], sf
     want = _expected_for(sf_dir)
     assert want["lsh_multiprobe"][3] > want["lsh"][3]
+
+
+def test_sq8_tops_compressed_methods(sf_dir):
+    """knn_sq8's done-bar: 8-bit-per-dim keeps full dimensional resolution
+    (error ≈ 0.2% of each dim's range), so its recall must strictly beat
+    every coarser compressed index (pq / ivfpq / residual / refine) at
+    every pinned SF — the honest 4×-memory-vs-recall trade the docstring
+    claims, as a test."""
+    for sf, vals in EXPECTED.items():
+        for m in ("pq", "ivfpq", "ivfpq_residual", "ivfpq_refine"):
+            assert vals["sq8"][3] > vals[m][3], (sf, m)
+    want = _expected_for(sf_dir)
+    assert want["sq8"][3] > want["pq"][3]
 
 
 def test_ann_eval_oracle_matches(duck, sf_dir):

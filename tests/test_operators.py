@@ -391,6 +391,49 @@ class TestSimilarity:
         assert bad == 0
         assert enc.count() == emb.count()
 
+    def test_knn_sq8_invariance_and_error_bound(self, spark, sf_dir):
+        """knn_sq8's contracts: (1) the result frame is bit-identical
+        under an adversarial repartition (the trained quantizer is exact
+        int aggregates + _rdiv integer rounding — no float reduction
+        anywhere); (2) every dequantized component lies within its dim's
+        trained [mn, mn+step] range and within step/2/255 + 1 of its
+        source (half a quantization level, +1 for the two nested
+        round-half-ups) — the per-dim resolution claim behind the 0.92+
+        recall pin in test_ann_eval."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            SQ_LEVELS,
+            _sq8_stats,
+            knn_sq8,
+            quantize,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = knn_sq8(emb).collect()
+        shuffled = knn_sq8(emb.repartition(7)).collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted(base, key=key) == sorted(shuffled, key=key)
+
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        stats = _sq8_stats(e)
+        dims = stats.select(F.posexplode("step").alias("pos", "st"), "mn").select(
+            "pos", "st", F.expr("mn[pos]").alias("mn")  # Spark [] is 0-based
+        )
+        comps = e.select("vec_id", F.posexplode("q").alias("pos", "x")).join(dims, "pos")
+        code = F.floor((2 * (F.col("x") - F.col("mn")) * SQ_LEVELS + F.col("st")) / (2 * F.col("st"))).cast("long")
+        xhat = F.col("mn") + F.when(F.col("st") <= 0, F.lit(0)).otherwise(
+            F.floor((2 * code * F.col("st") + SQ_LEVELS) / (2 * SQ_LEVELS)).cast("long")
+        )
+        checked = comps.withColumn("xh", xhat).withColumn(
+            "bad",
+            (F.col("xh") < F.col("mn"))
+            | (F.col("xh") > F.col("mn") + F.col("st"))
+            | (F.abs(F.col("xh") - F.col("x")) > F.col("st") / (2 * SQ_LEVELS) + 1),
+        )
+        assert checked.filter("bad").count() == 0
+
     def test_knn_lsh_recall_vs_brute(self, spark, sf_dir):
         """Recall guard for BANDED sign-LSH (4 bands × 4 planes,
         candidate on any band match). The single-bucket 8-plane form
@@ -1803,6 +1846,97 @@ class TestDynamicGapSessions:
             .itertuples(index=False, name=None)
         )
         assert ora == out
+
+
+class TestWordPiece:
+    @staticmethod
+    def _py_wordpiece(word_freqs, k):
+        """Reference WordPiece: full pair + symbol recounts each round,
+        argmax of cnt/(ca·cb) with (score desc, pair asc) tie-break,
+        greedy left-to-right merge with '##'-stripping concatenation.
+        Recomputing from scratch every round makes this an independent
+        check of the trainer's incremental delta maintenance."""
+        words = [([w[0]] + ["##" + c for c in w[1:]], f) for w, f in word_freqs.items()]
+        rows = []
+        for rank in range(1, k + 1):
+            pc, sc = {}, {}
+            for syms, f in words:
+                for s in syms:
+                    sc[s] = sc.get(s, 0) + f
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + f
+            if not pc:
+                break
+            (a, b), cnt = min(
+                pc.items(), key=lambda kv: (-(kv[1] / (sc[kv[0][0]] * sc[kv[0][1]])), kv[0])
+            )
+            tok = a + (b[2:] if b.startswith("##") else b)
+            rows.append((rank, a, b, tok, cnt, sc[a], sc[b]))
+            out = []
+            for syms, f in words:
+                ns = []
+                for s in syms:
+                    if ns and ns[-1] == a and s == b:
+                        ns[-1] = tok
+                    else:
+                        ns.append(s)
+                out.append((ns, f))
+            words = out
+        return rows
+
+    def test_matches_python_reference_on_corpus(self, spark, sf_dir):
+        """Merge-for-merge equality with the from-scratch reference at 24
+        rounds — deep enough to exercise merged-symbol denominators,
+        neighbor-pair shifts and symbol counts decaying through the
+        incremental retract-and-add path many times."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.wordpiece import wordpiece_vocab
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = [
+            (r.rank, r.left, r.right, r.token, r.pair_count, r.left_count, r.right_count)
+            for r in wordpiece_vocab(docs, n_merges=24, word_partitions=4).collect()
+        ]
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        wf = Counter(w for t in pdf["text"] for w in t.split(" ") if w)
+        assert got == self._py_wordpiece(dict(wf), 24)
+        assert len(got) == 24
+
+    def test_likelihood_objective_differs_from_bpe(self, spark, sf_dir):
+        """The family exists because the objective differs: on this corpus
+        the first WordPiece merge must NOT be the raw-count argmax BPE
+        picks (if the corpora ever make them coincide at rank 1, compare
+        the full prefix instead — a fully identical 12-merge prefix would
+        mean the likelihood score is being ignored)."""
+        from gmall_flink_200621_spark.operators.bpe import bpe_merges
+        from gmall_flink_200621_spark.operators.wordpiece import wordpiece_vocab
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        wp = [(r.left, r.right) for r in wordpiece_vocab(docs, word_partitions=4).collect()]
+        bp = [(r.left, r.right) for r in bpe_merges(docs, word_partitions=4).collect()]
+        # strip the continuation marker for comparability
+        wp_cmp = [(a.replace("##", "", 1) if a.startswith("##") else a,
+                   b.replace("##", "", 1) if b.startswith("##") else b) for a, b in wp]
+        assert wp_cmp != bp
+
+    def test_continuation_convention(self, spark, sf_dir):
+        """Vocabulary-entry shape: left symbols never double the marker,
+        tokens are real substrings (no '##' survives concatenation), and
+        word-initial merges produce unmarked tokens."""
+        from gmall_flink_200621_spark.operators.wordpiece import wordpiece_vocab
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        for r in wordpiece_vocab(docs, word_partitions=4).collect():
+            assert "##" not in r.token.replace("##", "", 1) or not r.token.startswith("##")
+            assert "##" not in r.token[2:] if r.token.startswith("##") else "##" not in r.token
+            assert r.right.startswith("##")  # merges happen inside words
+            assert r.pair_count > 0 and r.left_count >= r.pair_count and r.right_count >= r.pair_count
 
 
 class TestBpeEncode:
