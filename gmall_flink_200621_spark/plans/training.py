@@ -948,3 +948,31 @@ TRAINING_QUERIES["knn_pq_index_view"] = knn_pq_index_view
 TRAINING_QUERIES["knn_pq_index_refine_view"] = knn_pq_index_refine_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
+
+
+def order_wide_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED orders ⋈ lineitem view under the oracle
+    gate — the delta-rule IVM member of the MV family: replay both
+    tables' inserts as 3 interleaved arrival chunks through
+    `run_join_ivm_stream` (ΔV = ΔO⋈(L∪ΔL) ∪ O⋈ΔL per epoch, delta sides
+    broadcast, state never shuffled or rescanned), then read the
+    maintained view. The oracle is the plain batch join, so the driver
+    hash-certifies that every join pair was emitted by exactly one delta
+    term in exactly one epoch. fold_every=2 + refold_width=2 route the
+    replay through the tiered identity fold on all THREE tables (both
+    state sides and the view itself) mid-replay."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import order_wide_view, run_join_ivm_stream
+
+    name = f"q_owview_{sf_namespace(sf_dir)}"
+    q = run_join_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_v")
+    return order_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_wide_stream_view"] = order_wide_stream_view

@@ -2030,6 +2030,15 @@ GROUP BY 1, 2
 # Consolidated ANN audit: each method's certified oracle embedded as a
 # derived table against the brute pair set (the DEDUP_EVAL pattern) —
 # recall per method, hash-certified.
+# the join-IVM stream view's oracle IS the batch join — certifying that
+# incremental delta-rule maintenance converged to the full recompute
+ORDER_WIDE_VIEW = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
 def _ann_eval_sql() -> str:
     methods = {
         "ivf": KNN_IVF,
@@ -2119,6 +2128,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,
     "pagerank_stream_view": PAGERANK_STREAM_VIEW,
+    "order_wide_stream_view": ORDER_WIDE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,

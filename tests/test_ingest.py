@@ -1572,3 +1572,175 @@ class TestCdcCompactEvery:
         a = sorted(map(tuple, cdc_current_view(spark, "t_cc0").collect()))
         b = sorted(map(tuple, cdc_current_view(spark, "t_cc1").collect()))
         assert a == b and len(a) == 8
+
+
+class TestJoinIvm:
+    def _batch_join(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        return o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "o_orderstatus",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+
+    def test_view_equals_batch_join_and_deltas_spread(self, spark, sf_dir):
+        """After full replay the maintained view equals the batch join as
+        a MULTISET (row-for-row — this is the exactly-once-per-pair proof:
+        any pair emitted by two delta terms would surplus the multiset;
+        note (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        lineitem, so a key-based uniqueness check would be wrong). Every
+        epoch's partition must be non-empty and strictly smaller than the
+        whole view — deltas, not per-epoch recomputes."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            order_wide_view,
+            run_join_ivm_stream,
+        )
+
+        q = run_join_ivm_stream(spark, sf_dir, name="t_ivm", n_chunks=3)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivm_v")
+        got = sorted(map(tuple, order_wide_view(spark, "t_ivm").collect()))
+        want = sorted(map(tuple, self._batch_join(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0
+        per_epoch = {
+            r["epoch"]: r["n"]
+            for r in live_epochs(spark.table("t_ivm_v"), spark, "t_ivm_v")
+            .groupBy("epoch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(per_epoch) == {0, 1, 2}
+        assert all(0 < n < len(got) for n in per_epoch.values())
+        assert sum(per_epoch.values()) == len(got)
+
+    def test_incremental_not_recompute_and_checkpoint_recovery(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The IVM claim observed physically: when later chunks arrive,
+        epoch-0's view partition is NEVER rewritten (maintenance touches
+        only the new epoch's partitions — no view recompute), and a
+        kill-and-restart on the checkpoint resumes without re-reading
+        committed chunks or double-emitting any pair."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_wide_view,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        full = stage_order_lineitem_chunks(sf_dir, n_chunks=3)
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy2(os.path.join(full, "part-0.parquet"), incr / "part-0.parquet")
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=str(incr), name="t_ivmr", checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        e0 = os.path.join(wh, "t_ivmr_v", "epoch=0")
+        mt0 = os.path.getmtime(e0)
+        n0 = order_wide_view(spark, "t_ivmr").count()
+
+        for f in ("part-1.parquet", "part-2.parquet"):
+            shutil.copy2(os.path.join(full, f), incr / f)
+        q2 = run_join_ivm_stream(
+            spark,
+            sf_dir="",
+            stage_dir=str(incr),
+            name="t_ivmr",
+            checkpoint_dir=ckpt,
+            fresh_tables=False,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        assert os.path.getmtime(e0) == mt0  # epoch-0 delta never rewritten
+        spark.catalog.refreshTable("t_ivmr_v")
+        got = sorted(map(tuple, order_wide_view(spark, "t_ivmr").collect()))
+        want = sorted(map(tuple, self._batch_join(spark, sf_dir).collect()))
+        assert got == want and len(got) > n0
+
+    def test_last_epoch_crash_replay_is_idempotent(self, spark, sf_dir):
+        """The crash case a checkpointed stream actually replays: the
+        final micro-batch re-runs after some or all of its three writes
+        landed. Re-invoking the epoch body with the same (chunk, epoch)
+        must leave view and both state tables byte-unchanged — the
+        `epoch != epoch_id` state reads recompute ΔV from identical
+        pre-epoch state."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _ivm_epoch,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(sf_dir, n_chunks=2)
+        q = run_join_ivm_stream(spark, sf_dir, name="t_ivmc", stage_dir=stage)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        def snap():
+            out = {}
+            for t in ("t_ivmc_o", "t_ivmc_l", "t_ivmc_v"):
+                spark.catalog.refreshTable(t)
+                out[t] = sorted(map(str, spark.table(t).collect()))
+            return out
+
+        before = snap()
+        last = spark.read.schema(
+            "side string, o_orderkey long, o_custkey long, o_orderstatus string,"
+            " l_orderkey long, l_linenumber int, l_quantity double,"
+            " l_extendedprice double, l_discount double"
+        ).parquet(stage + "/part-1.parquet")
+        _ivm_epoch(last, 1, "t_ivmc_o", "t_ivmc_l", "t_ivmc_v")
+        assert snap() == before
+
+    def test_fold_preserves_view_and_bounds_partitions(self, spark, sf_dir, tmp_path):
+        """With fold_every=2 over 6 epochs the view table's partitions
+        collapse to watermark bases + the tail, the folded view equals
+        the unfolded one, and the delta joins keep broadcasting the
+        micro-batch side (state side never broadcast)."""
+        import os
+        import shutil
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_wide_view,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        full = stage_order_lineitem_chunks(sf_dir, n_chunks=6)
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=full, name="t_ivmf", fold_every=2, refold_width=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivmf_v")
+        n_parts = spark.sql("SHOW PARTITIONS t_ivmf_v").count()
+        assert n_parts <= 5, n_parts  # bases + unfolded tail, not 6 epochs
+        got = sorted(map(tuple, order_wide_view(spark, "t_ivmf").collect()))
+        want = sorted(map(tuple, self._batch_join(spark, sf_dir).collect()))
+        assert got == want
