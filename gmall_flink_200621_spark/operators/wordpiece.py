@@ -29,9 +29,9 @@ ANSI-SQL's reach — same documented stance as bpe_merges/unigram_lm_vocab).
 
 At 100 TB the sample-then-train stance applies verbatim (the trainer
 composes with `textops.deterministic_sample` exactly as
-`bpe_merges_sampled` does); encoding with a trained WordPiece vocab is
-greedy longest-match-first, available through `bpe_encode`'s Arrow path
-once merges are re-expressed as (left, right) pairs in rank order.
+`bpe_merges_sampled` does); `wordpiece_encode` below is the
+corpus-facing inference side — greedy longest-match-first over the
+trained vocab, a pure Arrow map in bpe_encode's scale shape.
 """
 
 from __future__ import annotations
@@ -153,4 +153,97 @@ def wordpiece_vocab(
         rows,
         "rank int, left string, right string, token string, "
         "pair_count long, left_count long, right_count long, score double",
+    )
+
+
+def wordpiece_base_vocab(docs: DataFrame) -> list[str]:
+    """The trained vocabulary's BASE layer: every single-character symbol
+    (bare word-initial + '##'-marked continuation) occurring in the
+    corpus. Distributed distinct over the exploded symbol frame; the
+    collect is alphabet-bounded (≤ 2× distinct characters — the
+    centroid-table class of bounded driver read)."""
+    w = docs.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") > 0)
+    return [
+        r.s for r in w.select(F.explode(_wp_syms(F.col("w"))).alias("s")).distinct().collect()
+    ]
+
+
+def wordpiece_encode(docs: DataFrame, vocab: list[str]) -> DataFrame:
+    """Apply a trained WordPiece vocabulary: greedy LONGEST-MATCH-FIRST
+    tokenization (BERT's WordpieceTokenizer — inference is NOT merge
+    replay: each word is segmented by repeatedly taking the longest
+    vocab prefix, continuations matched with the '##' marker; a word
+    with no decomposition becomes one [UNK] token). Output per doc:
+    (doc_id, n_words, n_wp_tokens, n_unk_words, chars_per_token).
+
+    Scale shape — bpe_encode's Arrow path verbatim: a pure
+    `mapInPandas` map (zero shuffles, zero driver round-trips), the
+    vocab a broadcast-closure set, each DISTINCT word segmented once
+    per Arrow batch (Zipfian memo hit rate). Longest-match costs
+    O(|word|²) set probes per NEW word — bounded by word length, not
+    vocab size. Exactness is pinned against a pure-Python reference
+    (rows-only certification, same stance as the trainer: the vocab it
+    consumes is itself the product of the iterative trainer)."""
+    vset = frozenset(vocab)
+
+    def encode_batches(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def round6(x: float) -> float:
+            # mirror Spark round(double, 6) HALF_UP (bpe_encode's trick)
+            return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+        memo: dict[str, tuple[int, int]] = {}
+
+        def enc(word: str) -> tuple[int, int]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            pieces, i, n = 0, 0, len(word)
+            out = (1, 1)  # [UNK]: one token, one unk word
+            while i < n:
+                j = n
+                while j > i:
+                    cand = word[i:j] if i == 0 else WP_CONT + word[i:j]
+                    if cand in vset:
+                        break
+                    j -= 1
+                else:
+                    break  # no prefix matched → whole word is [UNK]
+                pieces += 1
+                i = j
+            else:
+                out = (pieces, 0)
+            memo[word] = out
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [w for w in text.split(" ") if w]
+                toks = unks = chars = 0
+                for w in ws:
+                    t, u = enc(w)
+                    toks += t
+                    unks += u
+                    chars += len(w)
+                rows.append(
+                    (doc_id, len(ws), toks, unks, round6(chars / toks) if toks else 0.0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_words",
+                    "n_wp_tokens",
+                    "n_unk_words",
+                    "chars_per_token",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches,
+        "doc_id long, n_words int, n_wp_tokens long, n_unk_words int, chars_per_token double",
     )

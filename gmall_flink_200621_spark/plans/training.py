@@ -677,6 +677,21 @@ def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp(_docs(spark, sf_dir))
 
 
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the consumed vocab is the iterative trainer's product;
+    # the encoder itself is a pure Arrow map, pinned token-for-token
+    # against a pure-Python longest-match reference in TestWordPiece
+    from ..operators.wordpiece import (
+        wordpiece_base_vocab,
+        wordpiece_encode as _wp_enc,
+        wordpiece_vocab as _wp_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = wordpiece_base_vocab(docs) + [r.token for r in _wp_train(docs).collect()]
+    return _wp_enc(docs, vocab)
+
+
 def bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only like bpe_merges (same non-SQL-expressible iterative class);
     # exactness on the sample + prefix-agreement with the full-corpus
@@ -746,6 +761,7 @@ TRAINING_QUERIES = {
     "bpe_merges_sampled": bpe_merges_sampled,
     "unigram_lm_vocab": unigram_lm_vocab,
     "wordpiece_vocab": wordpiece_vocab,
+    "wordpiece_encode": wordpiece_encode,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "token_entropy": token_entropy,

@@ -1939,6 +1939,81 @@ class TestWordPiece:
             assert r.pair_count > 0 and r.left_count >= r.pair_count and r.right_count >= r.pair_count
 
 
+class TestWordPieceEncode:
+    @staticmethod
+    def _py_encode(word, vset):
+        """Reference greedy longest-match-first segmentation."""
+        pieces, i, n = 0, 0, len(word)
+        while i < n:
+            j = n
+            while j > i:
+                cand = word[i:j] if i == 0 else "##" + word[i:j]
+                if cand in vset:
+                    break
+                j -= 1
+            else:
+                return 1, 1  # [UNK]
+            pieces += 1
+            i = j
+        return pieces, 0
+
+    def test_encode_matches_python_reference(self, spark, sf_dir):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.wordpiece import (
+            wordpiece_base_vocab,
+            wordpiece_encode,
+            wordpiece_vocab,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = wordpiece_base_vocab(docs) + [
+            r.token for r in wordpiece_vocab(docs, word_partitions=4).collect()
+        ]
+        got = {
+            r.doc_id: (r.n_words, r.n_wp_tokens, r.n_unk_words, r.chars_per_token)
+            for r in wordpiece_encode(docs, vocab).collect()
+        }
+        vset = frozenset(vocab)
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            ws = [w for w in text.split(" ") if w]
+            toks = unks = chars = 0
+            for w in ws:
+                t, u = self._py_encode(w, vset)
+                toks, unks, chars = toks + t, unks + u, chars + len(w)
+            cpt = (
+                float(Decimal(repr(chars / toks)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+                if toks
+                else 0.0
+            )
+            assert got[doc_id] == (len(ws), toks, unks, cpt), doc_id
+        assert len(got) == len(pdf)
+
+    def test_unk_and_longest_match_semantics(self, spark):
+        """A word containing a character outside the vocab is ONE [UNK]
+        token (BERT semantics — not partial pieces); longest match wins
+        over a shorter prefix chain; full-vocab words segment to one
+        piece per greedy match."""
+        from gmall_flink_200621_spark.operators.wordpiece import wordpiece_encode
+
+        docs = spark.createDataFrame(
+            [(1, "abc zq abcx"), (2, "")], "doc_id long, text string"
+        )
+        # vocab: 'abc' matches whole-word; 'zq' has no 'z' → UNK;
+        # 'abcx': abc + ##x needs ##x — absent → UNK
+        vocab = ["a", "##b", "##c", "ab", "abc", "z"]
+        rows = {r.doc_id: r for r in wordpiece_encode(docs, vocab).collect()}
+        assert rows[1].n_words == 3
+        # abc → 1 piece (longest match, not a+##b+##c); zq → UNK; abcx → UNK
+        assert rows[1].n_wp_tokens == 3 and rows[1].n_unk_words == 2
+        assert rows[2].n_words == 0 and rows[2].n_wp_tokens == 0
+        assert rows[2].chars_per_token == 0.0
+
+
 class TestBpeEncode:
     def test_encode_matches_python_and_is_single_stage(self, spark, sf_dir):
         """Token counts under the learned merges equal the Python encoder
