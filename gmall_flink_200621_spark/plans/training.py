@@ -992,3 +992,35 @@ def order_wide_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["order_wide_stream_view"] = order_wide_stream_view
+
+
+def order_wide_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-IVM stream WITH DELETIONS under the oracle gate: every
+    o_orderkey % 7 == 0 order gets an O_DEL tombstone event routed one
+    chunk AFTER its insert — except the last chunk's orders, whose
+    deletes arrive in chunk 0, BEFORE the insert (the out-of-order case).
+    The oracle is the batch join restricted to never-deleted orders, so
+    the driver hash-certifies tombstone semantics end-to-end: delete
+    wins at any arrival order, pre-delete view rows are anti-joined out,
+    post-delete lineitem arrivals never resurrect the key."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_wide_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_owdview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d"):
+        spark.catalog.refreshTable(t)
+    return order_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_wide_delete_stream_view"] = order_wide_delete_stream_view

@@ -2038,6 +2038,16 @@ SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 """
 
+# deletes twin: every % 7 == 0 order is tombstoned during the replay
+# (delete_mod=7 in the registry entry), so the converged view is the
+# batch join over never-deleted orders
+ORDER_WIDE_DELETE_VIEW = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+"""
+
 
 def _ann_eval_sql() -> str:
     methods = {
@@ -2129,6 +2139,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "pagerank_knn": PAGERANK_KNN,
     "pagerank_stream_view": PAGERANK_STREAM_VIEW,
     "order_wide_stream_view": ORDER_WIDE_VIEW,
+    "order_wide_delete_stream_view": ORDER_WIDE_DELETE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,

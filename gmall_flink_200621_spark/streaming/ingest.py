@@ -1767,13 +1767,21 @@ def pq_index_search_refine(
 # --------------------------------------------------- join-IVM (delta rule)
 
 
-def stage_order_lineitem_chunks(sf_dir: str, n_chunks: int = 3) -> str:
+def stage_order_lineitem_chunks(
+    sf_dir: str, n_chunks: int = 3, delete_mod: int | None = None
+) -> str:
     """Stage orders + lineitem as ONE interleaved chunked-arrival feed
     (the CDC-topic shape: both tables' inserts multiplexed through a
     single ordered stream, each row tagged with its `side`). Orders land
     in chunk o_orderkey % n; lineitems in (l_orderkey + l_linenumber) % n
     — an order's lines spread across chunks, so every delta-rule term is
-    exercised: ΔO⋈L_state, O_state⋈ΔL, and same-epoch ΔO⋈ΔL."""
+    exercised: ΔO⋈L_state, O_state⋈ΔL, and same-epoch ΔO⋈ΔL.
+
+    `delete_mod=m` adds an `O_DEL` event for every order with
+    o_orderkey % m == 0, routed to chunk (key % n + 1) % n — one rule
+    that covers delete-after-insert (keys inserted in chunks 0..n−2) AND
+    the out-of-order delete-BEFORE-insert case (keys inserted in the
+    last chunk get their delete in chunk 0)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1797,29 +1805,37 @@ def stage_order_lineitem_chunks(sf_dir: str, n_chunks: int = 3) -> str:
     for i in range(n_chunks):
         oc = o[o["o_orderkey"] % n_chunks == i]
         lc = li[(li["l_orderkey"] + li["l_linenumber"]) % n_chunks == i]
+        dk = []
+        if delete_mod:
+            d = o[(o["o_orderkey"] % delete_mod == 0) & ((o["o_orderkey"] % n_chunks + 1) % n_chunks == i)]
+            dk = list(d["o_orderkey"])
+        n_o, n_l, n_d = len(oc), len(lc), len(dk)
         cols = {
-            "side": ["O"] * len(oc) + ["L"] * len(lc),
+            "side": ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d,
             "o_orderkey": pa.array(
-                list(oc["o_orderkey"]) + [None] * len(lc), pa.int64()
+                list(oc["o_orderkey"]) + [None] * n_l + dk, pa.int64()
             ),
-            "o_custkey": pa.array(list(oc["o_custkey"]) + [None] * len(lc), pa.int64()),
+            "o_custkey": pa.array(
+                list(oc["o_custkey"]) + [None] * (n_l + n_d), pa.int64()
+            ),
             "o_orderstatus": pa.array(
-                list(oc["o_orderstatus"]) + [None] * len(lc), pa.string()
+                list(oc["o_orderstatus"]) + [None] * (n_l + n_d), pa.string()
             ),
             "l_orderkey": pa.array(
-                [None] * len(oc) + list(lc["l_orderkey"]), pa.int64()
+                [None] * n_o + list(lc["l_orderkey"]) + [None] * n_d, pa.int64()
             ),
             "l_linenumber": pa.array(
-                [None] * len(oc) + [int(x) for x in lc["l_linenumber"]], pa.int32()
+                [None] * n_o + [int(x) for x in lc["l_linenumber"]] + [None] * n_d,
+                pa.int32(),
             ),
             "l_quantity": pa.array(
-                [None] * len(oc) + list(lc["l_quantity"]), pa.float64()
+                [None] * n_o + list(lc["l_quantity"]) + [None] * n_d, pa.float64()
             ),
             "l_extendedprice": pa.array(
-                [None] * len(oc) + list(lc["l_extendedprice"]), pa.float64()
+                [None] * n_o + list(lc["l_extendedprice"]) + [None] * n_d, pa.float64()
             ),
             "l_discount": pa.array(
-                [None] * len(oc) + list(lc["l_discount"]), pa.float64()
+                [None] * n_o + list(lc["l_discount"]) + [None] * n_d, pa.float64()
             ),
         }
         path = os.path.join(stage, f"part-{i}.parquet")
@@ -1856,18 +1872,32 @@ def run_join_ivm_stream(
     maintainable by a minutes-cadence stream). State and view hold only
     the view's projected columns (ingest-time column pruning).
 
-    Exactly-once is the `_ingest_epoch` discipline: all three tables are
+    DELETIONS (`side='O_DEL'`, key only): the view's negative deltas are
+    TOMBSTONES, not partition rewrites — delete keys accumulate in the
+    epoch-partitioned `<name>_d` table, every ΔV term anti-joins the
+    delete set (historical ∪ this epoch's), and `order_wide_view`
+    anti-joins live tombstones at read. A delete is terminal (no
+    re-insert of a deleted key — the CDC-upsert stream is the family
+    member for keys that come back): deletes arriving BEFORE their
+    order's insert win too, because ΔO is anti-joined against ALL live
+    tombstones, so the late insert never enters state or the view.
+
+    Exactly-once is the `_ingest_epoch` discipline: all four tables are
     epoch-partitioned and dynamic-overwritten; the state reads exclude
     the in-flight epoch (`epoch != epoch_id`, composed with
     `live_epochs`), so a checkpointed last-epoch replay recomputes ΔV
     from identical state and rewrites byte-identical partitions. Readers
     (`order_wide_view`) go through `live_epochs`; `fold_every` bounds all
-    three partition counts via the tiered watermark fold (identity
-    merge — join rows are immutable)."""
-    o_t, l_t, v_t = f"{name}_o", f"{name}_l", f"{name}_v"
+    four partition counts via the tiered watermark fold (identity
+    merge — join rows and tombstones are immutable)."""
+    o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
     if fresh_tables:
-        for t in (o_t, l_t, v_t):
+        for t in (o_t, l_t, v_t, d_t):
             _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
             f" o_orderstatus STRING) USING parquet PARTITIONED BY (epoch BIGINT)"
@@ -1892,7 +1922,7 @@ def run_join_ivm_stream(
     feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def ivm_batch(df: DataFrame, epoch_id: int) -> None:
-        _ivm_epoch(df, epoch_id, o_t, l_t, v_t, fold_every, refold_width)
+        _ivm_epoch(df, epoch_id, o_t, l_t, v_t, d_t, fold_every, refold_width)
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1918,18 +1948,22 @@ def _ivm_epoch(
     o_t: str,
     l_t: str,
     v_t: str,
+    d_t: str | None = None,
     fold_every: int | None = None,
     refold_width: int | None = None,
 ) -> None:
     """One delta-rule micro-batch, idempotent under last-epoch replay:
     the state reads exclude the in-flight epoch (`epoch != epoch_id`
     composed with `live_epochs`), so a replay after a crash mid-writes
-    recomputes ΔV from identical state and dynamic-overwrites all three
-    epoch partitions byte-identically."""
+    recomputes ΔV from identical state and dynamic-overwrites every
+    epoch partition byte-identically. Deletes (side='O_DEL') tombstone:
+    every ΔV term and the ΔO state insert anti-join the delete set
+    (live historical ∪ this batch's), so a deleted key never re-enters
+    state — including the out-of-order delete-before-insert case."""
     s = df.sparkSession
     # fold BEFORE the state reads so the fold-read path is under the
     # same replay gate as the probes (window ≤ epoch−1 only)
-    for t in (o_t, l_t, v_t):
+    for t in (o_t, l_t, v_t) + ((d_t,) if d_t else ()):
         _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
     d_o = df.filter(F.col("side") == "O").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
@@ -1947,6 +1981,20 @@ def _ivm_epoch(
         .filter(F.col("epoch") != epoch_id)
         .drop("epoch")
     )
+    d_del = None
+    if d_t is not None:
+        d_del = df.filter(F.col("side") == "O_DEL").select("o_orderkey")
+        dead = (
+            live_epochs(s.table(d_t), s, d_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+            .unionByName(d_del)
+        )
+        # ΔO is cleansed BEFORE entering state (deletes win over inserts,
+        # any arrival order); o_state is cleansed per epoch because its
+        # rows may predate their key's tombstone
+        d_o = d_o.join(dead, "o_orderkey", "left_anti")
+        o_state = o_state.join(dead, "o_orderkey", "left_anti")
 
     def proj(j: DataFrame) -> DataFrame:
         return j.select(
@@ -1970,11 +2018,20 @@ def _ivm_epoch(
     _ivm_write_epoch(s, d_v, v_t, epoch_id)
     _ivm_write_epoch(s, d_o, o_t, epoch_id)
     _ivm_write_epoch(s, d_l, l_t, epoch_id)
+    if d_t is not None:
+        _ivm_write_epoch(s, d_del, d_t, epoch_id)
 
 
 def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
     """The maintained join view's live rows — equals the batch
-    orders ⋈ lineitem projection over every ingested row (each join pair
-    is emitted by exactly one delta term in exactly one epoch: the epoch
-    where its LATER side arrived). Fold-aware via `live_epochs`."""
-    return live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
+    orders ⋈ lineitem projection over every ingested row whose order was
+    never deleted (each join pair is emitted by exactly one delta term
+    in exactly one epoch: the epoch its LATER side arrived; view rows
+    written before their key's tombstone are anti-joined out at read).
+    Fold-aware via `live_epochs` on both tables."""
+    v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
+    try:
+        dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
+    except Exception:
+        return v  # pre-deletes table layout (no <name>_d): inserts only
+    return v.join(dead, "o_orderkey", "left_anti")

@@ -1703,7 +1703,7 @@ class TestJoinIvm:
 
         def snap():
             out = {}
-            for t in ("t_ivmc_o", "t_ivmc_l", "t_ivmc_v"):
+            for t in ("t_ivmc_o", "t_ivmc_l", "t_ivmc_v", "t_ivmc_d"):
                 spark.catalog.refreshTable(t)
                 out[t] = sorted(map(str, spark.table(t).collect()))
             return out
@@ -1714,8 +1714,57 @@ class TestJoinIvm:
             " l_orderkey long, l_linenumber int, l_quantity double,"
             " l_extendedprice double, l_discount double"
         ).parquet(stage + "/part-1.parquet")
-        _ivm_epoch(last, 1, "t_ivmc_o", "t_ivmc_l", "t_ivmc_v")
+        _ivm_epoch(last, 1, "t_ivmc_o", "t_ivmc_l", "t_ivmc_v", "t_ivmc_d")
         assert snap() == before
+
+    def test_deletes_tombstone_any_arrival_order(self, spark, sf_dir):
+        """With delete_mod=7 every %7==0 order is tombstoned: keys
+        inserted in chunks 0/1 get their delete one chunk later
+        (delete-after-insert), keys inserted in chunk 2 get it in chunk 0
+        (delete-BEFORE-insert). The converged view must equal the batch
+        join over never-deleted orders; the out-of-order case must have
+        actually occurred (epoch-0 tombstones exist); and lineitems of
+        deleted orders stay in their state table (deletes remove ORDERS —
+        the join rows vanish via the anti-join, not via lineitem loss)."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_wide_view,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+        q = run_join_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_ivmd")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmd_v", "t_ivmd_d", "t_ivmd_o", "t_ivmd_l"):
+            spark.catalog.refreshTable(t)
+        got = sorted(map(tuple, order_wide_view(spark, "t_ivmd").collect()))
+        want = sorted(
+            map(
+                tuple,
+                self._batch_join(spark, sf_dir)
+                .filter(F.col("o_orderkey") % 7 != 0)
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        # the out-of-order case occurred: chunk-2 orders' deletes landed in epoch 0
+        assert spark.table("t_ivmd_d").filter("epoch = 0").count() > 0
+        # a key whose delete PRECEDED its insert (chunk-2 inserts, chunk-0
+        # deletes) never entered order state — the cleansed-ΔO path; keys
+        # deleted AFTER insert legitimately remain as tombstoned state
+        assert (
+            spark.table("t_ivmd_o")
+            .filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 2))
+            .count()
+            == 0
+        )
+        assert spark.table("t_ivmd_o").filter(F.col("o_orderkey") % 7 == 0).count() > 0
+        # their lineitems are retained state (only the join rows vanish)
+        assert spark.table("t_ivmd_l").filter(F.col("l_orderkey") % 7 == 0).count() > 0
 
     def test_fold_preserves_view_and_bounds_partitions(self, spark, sf_dir, tmp_path):
         """With fold_every=2 over 6 epochs the view table's partitions
