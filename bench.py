@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "knn_ivf_trained",
     "knn_rp",
     "knn_pq",
+    "knn_sq8",
     "knn_ivfpq",
     "knn_ivfpq_residual",
     "knn_ivfpq_refine",

@@ -1024,3 +1024,34 @@ def order_wide_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 TRAINING_QUERIES["order_wide_delete_stream_view"] = order_wide_delete_stream_view
+
+
+def revenue_by_cust_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRACTABLE AGGREGATE MV under the oracle gate: the same
+    deletes-staged join-IVM replay additionally maintains per-customer
+    (net count, DECIMAL revenue) partials — +ΔV each epoch, minus the
+    retired rows' contribution at each tombstone's arrival epoch. The
+    oracle is the batch rollup over never-deleted orders, so the hash
+    gate certifies that every insert contributed exactly once, every
+    delete retracted exactly the rows it retired (at any arrival order),
+    and fully-deleted customers net out of the view entirely."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_by_cust_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_rbcview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_agg")
+    return revenue_by_cust_view(spark, name)
+
+
+TRAINING_QUERIES["revenue_by_cust_stream_view"] = revenue_by_cust_stream_view

@@ -2048,6 +2048,19 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey % 7 <> 0
 """
 
+# retractable-aggregate twin: batch rollup over never-deleted orders;
+# DECIMAL(18,6) sum (exact, associative) emitted as double — the money
+# discipline on both engines
+REVENUE_BY_CUST_VIEW = """
+SELECT o.o_custkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+GROUP BY o.o_custkey
+"""
+
 
 def _ann_eval_sql() -> str:
     methods = {
@@ -2140,6 +2153,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "pagerank_stream_view": PAGERANK_STREAM_VIEW,
     "order_wide_stream_view": ORDER_WIDE_VIEW,
     "order_wide_delete_stream_view": ORDER_WIDE_DELETE_VIEW,
+    "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,

@@ -1891,12 +1891,17 @@ def run_join_ivm_stream(
     four partition counts via the tiered watermark fold (identity
     merge — join rows and tombstones are immutable)."""
     o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
+    agg_t = f"{name}_agg"
     if fresh_tables:
-        for t in (o_t, l_t, v_t, d_t):
+        for t in (o_t, l_t, v_t, d_t, agg_t):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {agg_t} (o_custkey BIGINT, n BIGINT,"
+            f" rev DECIMAL(18,6)) USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
@@ -1922,7 +1927,7 @@ def run_join_ivm_stream(
     feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def ivm_batch(df: DataFrame, epoch_id: int) -> None:
-        _ivm_epoch(df, epoch_id, o_t, l_t, v_t, d_t, fold_every, refold_width)
+        _ivm_epoch(df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width)
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1949,6 +1954,7 @@ def _ivm_epoch(
     l_t: str,
     v_t: str,
     d_t: str | None = None,
+    agg_t: str | None = None,
     fold_every: int | None = None,
     refold_width: int | None = None,
 ) -> None:
@@ -1959,12 +1965,28 @@ def _ivm_epoch(
     epoch partition byte-identically. Deletes (side='O_DEL') tombstone:
     every ΔV term and the ΔO state insert anti-join the delete set
     (live historical ∪ this batch's), so a deleted key never re-enters
-    state — including the out-of-order delete-before-insert case."""
+    state — including the out-of-order delete-before-insert case.
+
+    `agg_t` (optional) additionally maintains a RETRACTABLE aggregate MV
+    on top of the join view — per-customer (net row count, DECIMAL
+    revenue) partials: +ΔV's contribution each epoch, MINUS the retired
+    view rows' contribution at the epoch a tombstone lands (scanned from
+    the live pre-delete view rows — O(matching rows), fired exactly once
+    per key because only the delete EVENT's batch triggers it). DECIMAL
+    sums re-associate exactly, so the read-side rollup is bit-identical
+    to a batch aggregate over never-deleted orders."""
     s = df.sparkSession
     # fold BEFORE the state reads so the fold-read path is under the
     # same replay gate as the probes (window ≤ epoch−1 only)
-    for t in (o_t, l_t, v_t) + ((d_t,) if d_t else ()):
-        _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, agg_t) if x):
+        _maybe_fold(
+            s,
+            t,
+            epoch_id,
+            fold_every,
+            merge=_ivm_agg_merge if t == agg_t else None,
+            refold_width=refold_width,
+        )
     d_o = df.filter(F.col("side") == "O").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
@@ -2015,11 +2037,66 @@ def _ivm_epoch(
     ).unionByName(
         proj(o_state.join(F.broadcast(d_l), F.col("o_orderkey") == F.col("l_orderkey")))
     )
+    if agg_t is not None:
+        # retractable aggregate partial: +ΔV, −(view rows retired by this
+        # batch's tombstones). The retire scan reads LIVE pre-epoch view
+        # rows only (replay-deterministic); a key's retraction fires in
+        # exactly one epoch — the one its delete event arrives in.
+        signed = d_v.select("o_custkey", "revenue", F.lit(1).alias("sign"))
+        if d_del is not None:
+            retired = (
+                live_epochs(s.table(v_t), s, v_t)
+                .filter(F.col("epoch") != epoch_id)
+                .join(F.broadcast(d_del), "o_orderkey")
+                .select("o_custkey", "revenue", F.lit(-1).alias("sign"))
+            )
+            signed = signed.unionByName(retired)
+        partial = signed.groupBy("o_custkey").agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(F.col("sign") * F.col("revenue").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("rev"),
+        )
+        # writes are strictly ordered: insertInto(agg_t) executes the
+        # retire scan of v_t to completion before v_t's own epoch write
+        # below starts, and the scan's epoch != epoch_id filter keeps a
+        # replay (where v_t's partition already exists) read-identical
+        _ivm_write_epoch(s, partial, agg_t, epoch_id)
     _ivm_write_epoch(s, d_v, v_t, epoch_id)
     _ivm_write_epoch(s, d_o, o_t, epoch_id)
     _ivm_write_epoch(s, d_l, l_t, epoch_id)
     if d_t is not None:
         _ivm_write_epoch(s, d_del, d_t, epoch_id)
+
+
+def _ivm_agg_merge(df: DataFrame) -> DataFrame:
+    """Join-IVM aggregate fold merge: the same associative (count,
+    DECIMAL) sums the view performs — negative retraction partials
+    cancel into the base exactly."""
+    return df.groupBy("o_custkey").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(18,6)").alias("rev"),
+    )
+
+
+def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
+    """The retractable aggregate MV's current state: per-customer net
+    item count + DECIMAL-exact revenue over the maintained join view.
+    Customers whose every order was deleted net to n = 0 and drop out —
+    identically to a batch aggregate that never saw them. Emits revenue
+    as double AFTER the exact decimal rollup (the money discipline)."""
+    live = live_epochs(spark.table(f"{name}_agg"), spark, f"{name}_agg")
+    return (
+        live.groupBy("o_custkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_items"),
+            F.sum("rev").cast("decimal(18,6)").alias("_rev"),
+        )
+        .filter(F.col("n_items") > 0)
+        .select(
+            "o_custkey", "n_items", F.col("_rev").cast("double").alias("revenue")
+        )
+    )
 
 
 def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:

@@ -1703,7 +1703,7 @@ class TestJoinIvm:
 
         def snap():
             out = {}
-            for t in ("t_ivmc_o", "t_ivmc_l", "t_ivmc_v", "t_ivmc_d"):
+            for t in ("t_ivmc_o", "t_ivmc_l", "t_ivmc_v", "t_ivmc_d", "t_ivmc_agg"):
                 spark.catalog.refreshTable(t)
                 out[t] = sorted(map(str, spark.table(t).collect()))
             return out
@@ -1714,7 +1714,7 @@ class TestJoinIvm:
             " l_orderkey long, l_linenumber int, l_quantity double,"
             " l_extendedprice double, l_discount double"
         ).parquet(stage + "/part-1.parquet")
-        _ivm_epoch(last, 1, "t_ivmc_o", "t_ivmc_l", "t_ivmc_v", "t_ivmc_d")
+        _ivm_epoch(last, 1, "t_ivmc_o", "t_ivmc_l", "t_ivmc_v", "t_ivmc_d", "t_ivmc_agg")
         assert snap() == before
 
     def test_deletes_tombstone_any_arrival_order(self, spark, sf_dir):
@@ -1765,6 +1765,51 @@ class TestJoinIvm:
         assert spark.table("t_ivmd_o").filter(F.col("o_orderkey") % 7 == 0).count() > 0
         # their lineitems are retained state (only the join rows vanish)
         assert spark.table("t_ivmd_l").filter(F.col("l_orderkey") % 7 == 0).count() > 0
+
+    def test_retractable_aggregate_equals_batch_rollup(self, spark, sf_dir):
+        """The aggregate MV maintained ON TOP of the join view, under
+        deletes: equals the batch per-customer rollup over never-deleted
+        orders (DECIMAL-exact), the partials table physically contains
+        NEGATIVE retraction rows (the delete epoch's −contribution), and
+        retractions fired exactly where tombstones landed — no partial
+        rewrites, no view rescans."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            revenue_by_cust_view,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+        q = run_join_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_ivma")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivma_agg")
+        got = sorted(map(tuple, revenue_by_cust_view(spark, "t_ivma").collect()))
+        want = sorted(
+            map(
+                tuple,
+                self._batch_join(spark, sf_dir)
+                .filter(F.col("o_orderkey") % 7 != 0)
+                .groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    F.sum(F.col("revenue").cast("decimal(18,6)"))
+                    .cast("decimal(18,6)")
+                    .cast("double")
+                    .alias("revenue"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        neg = spark.table("t_ivma_agg").filter(F.col("n") < 0)
+        assert neg.count() > 0  # physical retraction partials exist
+        # retractions only in epochs where a tombstone landed
+        del_epochs = {r.epoch for r in spark.table("t_ivma_d").select("epoch").distinct().collect()}
+        assert {r.epoch for r in neg.select("epoch").distinct().collect()} <= del_epochs
 
     def test_fold_preserves_view_and_bounds_partitions(self, spark, sf_dir, tmp_path):
         """With fold_every=2 over 6 epochs the view table's partitions
