@@ -982,7 +982,8 @@ def order_wide_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"q_owview_{sf_namespace(sf_dir)}"
     q = run_join_ivm_stream(
-        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2,
+        maintain_agg=False,  # this gate reads only the join view
     )
     q.processAllAvailable()
     q.stop()
@@ -1013,7 +1014,9 @@ def order_wide_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
     name = f"q_owdview_{sf_namespace(sf_dir)}"
     stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
     q = run_join_ivm_stream(
-        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,  # the aggregate twin gate (revenue_by_cust_
+        # stream_view) runs its own replay WITH the agg maintained
     )
     q.processAllAvailable()
     q.stop()

@@ -1856,6 +1856,7 @@ def run_join_ivm_stream(
     fresh_tables: bool = True,
     fold_every: int | None = None,
     refold_width: int | None = None,
+    maintain_agg: bool = True,
 ):
     """Incrementally-maintained JOIN view — the delta-rule member of the
     MV family (the others maintain aggregates, fixed points, or indexes;
@@ -1889,20 +1890,26 @@ def run_join_ivm_stream(
     from identical state and rewrites byte-identical partitions. Readers
     (`order_wide_view`) go through `live_epochs`; `fold_every` bounds all
     four partition counts via the tiered watermark fold (identity
-    merge — join rows and tombstones are immutable)."""
+    merge — join rows and tombstones are immutable).
+
+    `maintain_agg=False` skips the retractable aggregate MV (`<name>_agg`
+    partials + `revenue_by_cust_view`) for callers that only read the
+    join view — the partial computation and fifth table write are not
+    free on the ingest hot path."""
     o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
-    agg_t = f"{name}_agg"
+    agg_t = f"{name}_agg" if maintain_agg else None
     if fresh_tables:
-        for t in (o_t, l_t, v_t, d_t, agg_t):
+        for t in (o_t, l_t, v_t, d_t) + ((agg_t,) if agg_t else ()):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
-        spark.sql(
-            f"CREATE TABLE {agg_t} (o_custkey BIGINT, n BIGINT,"
-            f" rev DECIMAL(18,6)) USING parquet PARTITIONED BY (epoch BIGINT)"
-        )
+        if agg_t:
+            spark.sql(
+                f"CREATE TABLE {agg_t} (o_custkey BIGINT, n BIGINT,"
+                f" rev DECIMAL(18,6)) USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
             f" o_orderstatus STRING) USING parquet PARTITIONED BY (epoch BIGINT)"
@@ -2043,7 +2050,11 @@ def _ivm_epoch(
         # rows only (replay-deterministic); a key's retraction fires in
         # exactly one epoch — the one its delete event arrives in.
         signed = d_v.select("o_custkey", "revenue", F.lit(1).alias("sign"))
-        if d_del is not None:
+        # the retire term scans the accumulated view, so gate it on the
+        # micro-batch actually carrying deletes (one cheap batch-sized
+        # check) — delete-free epochs keep the documented O(|Δ|+matches)
+        # bound instead of paying an O(accumulated-view) scan
+        if d_del is not None and not d_del.isEmpty():
             retired = (
                 live_epochs(s.table(v_t), s, v_t)
                 .filter(F.col("epoch") != epoch_id)
@@ -2107,8 +2118,9 @@ def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
     written before their key's tombstone are anti-joined out at read).
     Fold-aware via `live_epochs` on both tables."""
     v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
-    try:
-        dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
-    except Exception:
-        return v  # pre-deletes table layout (no <name>_d): inserts only
+    # targeted existence probe — a bare try/except here would swallow real
+    # read errors and silently serve UNDELETED rows
+    if not spark.catalog.tableExists(f"{name}_d"):
+        return v  # pre-deletes table layout: inserts only
+    dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
     return v.join(dead, "o_orderkey", "left_anti")
