@@ -1058,3 +1058,35 @@ def revenue_by_cust_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["revenue_by_cust_stream_view"] = revenue_by_cust_stream_view
+
+
+def order_wide_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletes-staged join-IVM replay followed by the PHYSICAL purge
+    pass (`purge_tombstoned_rows` rewrites only partitions holding dead
+    rows, drops fully-dead positive epochs), then the served view — same
+    oracle as the tombstone-only twin, so the driver hash-certifies that
+    compaction changes bytes, never results."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_wide_view,
+        purge_tombstoned_rows,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_owpview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d"):
+        spark.catalog.refreshTable(t)
+    purge_tombstoned_rows(spark, name)
+    return order_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_wide_purged_stream_view"] = order_wide_purged_stream_view

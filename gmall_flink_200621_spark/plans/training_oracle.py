@@ -2154,6 +2154,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "order_wide_stream_view": ORDER_WIDE_VIEW,
     "order_wide_delete_stream_view": ORDER_WIDE_DELETE_VIEW,
     "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
+    "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,

@@ -2124,3 +2124,62 @@ def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
         return v  # pre-deletes table layout: inserts only
     dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
     return v.join(dead, "o_orderkey", "left_anti")
+
+
+def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
+    """Physically retire tombstoned join rows — the compaction pass the
+    tombstone design defers to: rewrite ONLY the live view partitions
+    that actually contain a deleted key's rows (dynamic overwrite, same
+    bytes discipline as `compact_small_files`), dropping those rows;
+    fully-dead POSITIVE epochs are dropped as partitions outright.
+    Returns the number of partitions touched.
+
+    Semantics are read-identical by construction: `order_wide_view`
+    anti-joins tombstones anyway, so purge changes bytes, not results
+    (pinned in tests, along with untouched-partition mtimes). Tombstones
+    are KEPT — future late arrivals for a deleted key must still be
+    cleansed at maintenance time. Two safety rails:
+    - partitions with no dead rows are never rewritten (the touched set
+      comes from a broadcast semi-join of dead keys against live rows);
+    - a fully-dead BASE partition (negative epoch) is skipped, never
+      dropped: base watermarks define `live_epochs` liveness, and
+      removing the newest base would resurrect any stale positives in
+      the crash-GC window. Bases shed their dead rows when rewritten
+      with ≥1 surviving row, like any touched partition."""
+    v_t, d_t = f"{name}_v", f"{name}_d"
+    if not spark.catalog.tableExists(d_t):
+        return 0
+    dead = live_epochs(spark.table(d_t), spark, d_t).drop("epoch")
+    live = live_epochs(spark.table(v_t), spark, v_t)
+    per_epoch = (
+        live.join(F.broadcast(dead), "o_orderkey")
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+        .join(
+            live.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch"
+        )
+        .collect()
+    )  # bounded: one row per live partition
+    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+    # fully-dead bases are SKIPPED (see docstring): a zero-row dynamic
+    # overwrite wouldn't touch them anyway, so they'd inflate the count
+    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+    for e in full_dead:
+        spark.sql(f"ALTER TABLE {v_t} DROP IF EXISTS PARTITION (epoch={e})")
+    kept_cols = [f.name for f in spark.table(v_t).schema.fields if f.name != "epoch"]
+    if rewrite:
+        keep = (
+            live.filter(F.col("epoch").isin(rewrite))
+            .join(dead, "o_orderkey", "left_anti")
+            .select(*kept_cols, "epoch")
+            # barrier: the overwrite reads the partitions it replaces
+            .localCheckpoint(eager=True)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").insertInto(v_t, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(v_t)
+    return len(full_dead) + len(rewrite)

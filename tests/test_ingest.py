@@ -1766,6 +1766,64 @@ class TestJoinIvm:
         # their lineitems are retained state (only the join rows vanish)
         assert spark.table("t_ivmd_l").filter(F.col("l_orderkey") % 7 == 0).count() > 0
 
+    def test_purge_physically_retires_tombstoned_rows(self, spark, sf_dir):
+        """purge_tombstoned_rows rewrites ONLY the view partitions that
+        contain a deleted key's rows: after purge the raw table holds no
+        dead rows in rewritten partitions, the served view is byte-
+        identical, untouched partitions' directories keep their mtimes,
+        and a second purge is a no-op (touched set drains to zero
+        rewrites)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            order_wide_view,
+            purge_tombstoned_rows,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+        q = run_join_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_ivmp")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmp_v", "t_ivmp_d"):
+            spark.catalog.refreshTable(t)
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        live = live_epochs(spark.table("t_ivmp_v"), spark, "t_ivmp_v")
+        dead_per_epoch = {
+            r.epoch: r.n
+            for r in live.filter(F.col("o_orderkey") % 7 == 0)
+            .groupBy("epoch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        all_epochs = {r.epoch for r in live.select("epoch").distinct().collect()}
+        untouched = all_epochs - set(dead_per_epoch)
+        assert dead_per_epoch, "staging must plant dead rows in the view"
+        mt_before = {
+            e: os.path.getmtime(os.path.join(wh, "t_ivmp_v", f"epoch={e}"))
+            for e in untouched
+        }
+        before = sorted(map(tuple, order_wide_view(spark, "t_ivmp").collect()))
+
+        n = purge_tombstoned_rows(spark, "t_ivmp")
+        assert n == len(dead_per_epoch)
+        # dead rows physically gone from the live partitions
+        live2 = live_epochs(spark.table("t_ivmp_v"), spark, "t_ivmp_v")
+        assert live2.filter(F.col("o_orderkey") % 7 == 0).count() == 0
+        # served view unchanged
+        assert sorted(map(tuple, order_wide_view(spark, "t_ivmp").collect())) == before
+        # untouched partitions not rewritten
+        for e, mt in mt_before.items():
+            assert os.path.getmtime(os.path.join(wh, "t_ivmp_v", f"epoch={e}")) == mt
+        # idempotent: nothing left to purge
+        assert purge_tombstoned_rows(spark, "t_ivmp") == 0
+
     def test_retractable_aggregate_equals_batch_rollup(self, spark, sf_dir):
         """The aggregate MV maintained ON TOP of the join view, under
         deletes: equals the batch per-customer rollup over never-deleted
