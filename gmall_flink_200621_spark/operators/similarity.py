@@ -1089,6 +1089,24 @@ def _sq8_stats(e: DataFrame) -> DataFrame:
     )
 
 
+def sq8_xhat_el(x: Column, i: Column) -> Column:
+    """One dequantized SQ8 component over in-scope `mn`/`step` array
+    columns: code = round-half-up((x−mn)·255/step) CLAMPED to [0, 255],
+    x̂ = mn + round-half-up(code·step/255). The clamp is a no-op when the
+    quantizer trained on the full corpus (x ∈ [mn, mn+step] by
+    construction) and is load-bearing for a FROZEN quantizer serving
+    later arrivals outside the trained ranges (`run_sq8_index_stream`) —
+    FAISS's saturating-cast behavior, identically in the oracle."""
+    mn, st = F.get("mn", i), F.get("step", i)
+    code = F.least(
+        F.lit(SQ_LEVELS).cast("long"),
+        F.greatest(F.lit(0).cast("long"), _rdiv((x - mn) * SQ_LEVELS, st)),
+    )
+    return mn + F.when(st <= 0, F.lit(0).cast("long")).otherwise(
+        _rdiv(code * st, F.lit(SQ_LEVELS).cast("long"))
+    )
+
+
 def knn_sq8(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> DataFrame:
     """Scalar-quantization ANN (FAISS IndexScalarQuantizer QT_8bit): the
     third compression point on the bytes-per-candidate axis — float32
@@ -1117,17 +1135,9 @@ def knn_sq8(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> Data
     SQ8 when recall matters more than memory)."""
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
-
-    def xhat_el(x: Column, i: Column) -> Column:
-        mn, st = F.get("mn", i), F.get("step", i)
-        code = _rdiv((x - mn) * SQ_LEVELS, st)
-        return mn + F.when(st <= 0, F.lit(0).cast("long")).otherwise(
-            _rdiv(code * st, F.lit(SQ_LEVELS).cast("long"))
-        )
-
     c = (
         e.crossJoin(F.broadcast(_sq8_stats(e)))
-        .select("vec_id", F.transform("q", xhat_el).alias("xh"))
+        .select("vec_id", F.transform("q", sq8_xhat_el).alias("xh"))
         .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
     )
     qs = e.filter(F.col("vec_id") % query_mod == 0).select(

@@ -1090,3 +1090,35 @@ def order_wide_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 TRAINING_QUERIES["order_wide_purged_stream_view"] = order_wide_purged_stream_view
+
+
+def knn_sq8_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED SQ8 index under the oracle gate: replay the
+    embeddings in 3 chunks through `run_sq8_index_stream` (first chunk
+    trains the frozen per-dim ranges; every chunk appends clamped
+    dequantized codes; fold_every=1 + refold_width=2 route the replay
+    through tier-1 AND second-tier folds), then search with exact query
+    vectors. The oracle re-derives the first-chunk quantizer and the
+    SAME saturating clamp, so the gate certifies the freeze contract
+    including its honest drift semantics."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_sq8_index_stream, sq8_index_search
+
+    name = f"q_sq8idx_{sf_namespace(sf_dir)}"
+    q = run_sq8_index_stream(spark, sf_dir, name=name, fold_every=1, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_stats", f"{name}_codes"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+        F.col("vec_id") % 100 == 0
+    )
+    return sq8_index_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_sq8_index_view"] = knn_sq8_index_view

@@ -549,18 +549,37 @@ FROM ranked WHERE rank <= {KNN_K}
 
 
 # SQ8 mirrors operators/similarity.knn_sq8: _rdiv(n, d) = floor((2n+d)/(2d))
-# round-half-up, code = _rdiv((q−mn)·255, step), x̂ = mn + _rdiv(code·step, 255).
-_SQ8_CODE = "CAST(floor(((q[i] - mn[i]) * 510 + step[i])::DOUBLE / (2 * step[i])) AS BIGINT)"
+# round-half-up, code = clamp(_rdiv((q−mn)·255, step), 0, 255) — the clamp
+# is a no-op for full-corpus training and load-bearing for the frozen
+# stream index — x̂ = mn + _rdiv(code·step, 255).
+_SQ8_CODE = (
+    "LEAST(255, GREATEST(0, "
+    "CAST(floor(((q[i] - mn[i]) * 510 + step[i])::DOUBLE / (2 * step[i])) AS BIGINT)))"
+)
 _SQ8_XHAT = (
     "mn[i] + CASE WHEN step[i] <= 0 THEN 0 "
     f"ELSE CAST(floor((2 * {_SQ8_CODE} * step[i] + 255)::DOUBLE / 510) AS BIGINT) END"
 )
 
-KNN_SQ8 = f"""
+
+def _knn_sq8_sql(train_src: str = "e") -> str:
+    """SQ8 oracle, parameterized by the quantizer's training source:
+    the full corpus (`e`, batch knn_sq8) or the first arrival chunk
+    (`e_t`, the frozen stream index — `_knn_pq_index_sql`'s contract)."""
+    from ..operators.similarity import PQ_INDEX_CHUNKS
+
+    extra = ""
+    if train_src != "e":
+        extra = (
+            f"{train_src} AS (SELECT * FROM e QUALIFY"
+            f" row_number() OVER (ORDER BY vec_id)"
+            f" <= count(*) OVER () // {PQ_INDEX_CHUNKS}),\n"
+        )
+    return f"""
 WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
-dims AS (
+{extra}dims AS (
   SELECT g.i AS pos, min(q[g.i]) AS mn, max(q[g.i]) - min(q[g.i]) AS st
-  FROM e, generate_series(1, {DIM}) AS g(i)
+  FROM {train_src}, generate_series(1, {DIM}) AS g(i)
   GROUP BY g.i
 ),
 stats AS (SELECT list(mn ORDER BY pos) AS mn, list(st ORDER BY pos) AS step FROM dims),
@@ -589,6 +608,10 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cosine_sq8, 6) AS cosine_sq8, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+KNN_SQ8 = _knn_sq8_sql()
+KNN_SQ8_INDEX = _knn_sq8_sql(train_src="e_t")
 
 
 def _rp_proj_sql() -> str:
@@ -2142,6 +2165,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_rp": KNN_RP,
     "knn_pq": KNN_PQ,
     "knn_sq8": KNN_SQ8,
+    "knn_sq8_index_view": KNN_SQ8_INDEX,
     "knn_ivfpq": KNN_IVFPQ,
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
     "knn_ivfpq_refine": KNN_IVFPQ_REFINE,

@@ -2183,3 +2183,113 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshTable(v_t)
     return len(full_dead) + len(rewrite)
+
+
+def run_sq8_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "sq8idx",
+    n_chunks: int | None = None,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Stream-maintained SQ8 index — the scalar-quantizer sibling of
+    `run_pq_index_stream`, same train-once/FREEZE/append contract: the
+    first batch trains the per-dimension (mn, step) ranges (stored in
+    `<name>_stats`, one row, never retrained — retraining would silently
+    re-mean every stored code); every batch encodes its own vectors
+    against the frozen quantizer and appends (vec_id, x̂, ‖x̂‖²) to the
+    epoch-partitioned `<name>_codes`. The honest drift semantics a frozen
+    range quantizer has in production are kept, not hidden: later
+    arrivals OUTSIDE the trained ranges saturate to code 0/255
+    (`sq8_xhat_el`'s clamp — FAISS's saturating cast), and the oracle
+    models the same clamp, so the driver's hash gate certifies exactly
+    that behavior. Per-epoch maintenance is O(batch); fold/live_epochs
+    semantics identical to the PQ index."""
+    from ..operators.similarity import PQ_INDEX_CHUNKS, _idot, _sq8_stats, quantize, sq8_xhat_el
+
+    n_chunks = n_chunks or PQ_INDEX_CHUNKS
+    stats_t, codes_t = f"{name}_stats", f"{name}_codes"
+    if fresh_tables:
+        for t in (stats_t, codes_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {stats_t} (mn ARRAY<BIGINT>, step ARRAY<BIGINT>) USING parquet"
+        )
+        spark.sql(
+            f"CREATE TABLE {codes_t} (vec_id BIGINT, xh ARRAY<BIGINT>, rn2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_chunks(sf_dir, n_chunks)
+    emb = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def index_batch(df, epoch_id: int) -> None:
+        s = df.sparkSession
+        e = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        if not s.table(stats_t).head(1):
+            # first batch: train + freeze (deterministic min/max ⇒ a
+            # crash replay rewrites identical content)
+            _sq8_stats(e).write.mode("overwrite").insertInto(stats_t, overwrite=True)
+            s.catalog.refreshTable(stats_t)
+        enc = (
+            e.crossJoin(F.broadcast(s.table(stats_t)))
+            .select("vec_id", F.transform("q", sq8_xhat_el).alias("xh"))
+            .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+        )
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            enc.write.mode("overwrite").insertInto(codes_t, overwrite=True)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.catalog.refreshTable(codes_t)
+        _maybe_fold(s, codes_t, epoch_id, fold_every, refold_width=refold_width)
+
+    w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def sq8_index_search(
+    spark: SparkSession, queries_e, name: str = "sq8idx", k: int | None = None
+) -> DataFrame:
+    """Asymmetric top-k over the stream-maintained SQ8 index: exact
+    query vectors against the stored dequantized candidates (knn_sq8's
+    search tail reading state instead of re-training). `queries_e` must
+    carry (vec_id, q, n2). Codes read through `live_epochs`."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import KNN_K, _idot
+
+    qs = queries_e.select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select(
+        "vec_id", "xh", "rn2"
+    )
+    scored = codes.join(F.broadcast(qs), F.col("query_id") != F.col("vec_id")).withColumn(
+        "cosine_sq8",
+        _idot(F.col("qq"), F.col("xh"))
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sq8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (k or KNN_K))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_sq8", 6).alias("cosine_sq8"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1896,3 +1896,95 @@ class TestJoinIvm:
         got = sorted(map(tuple, order_wide_view(spark, "t_ivmf").collect()))
         want = sorted(map(tuple, self._batch_join(spark, sf_dir).collect()))
         assert got == want
+
+
+class TestSq8IndexStream:
+    def test_freeze_clamp_and_search(self, spark, sf_dir, tmp_path):
+        """The SQ8 index's freeze contract observed: (1) the stats row is
+        written once (file mtime unchanged by later epochs); (2) a later
+        chunk with PLANTED out-of-range vectors saturates to the trained
+        range bounds (the clamp is load-bearing, not decorative) without
+        erroring; (3) search over the maintained codes returns exactly k
+        ranked neighbors per query with dequantized candidates inside the
+        trained ranges."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import _idot, quantize
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            run_sq8_index_stream,
+            sq8_index_search,
+            stage_embedding_chunks,
+        )
+
+        # stage normal chunks, then append one chunk of 4× out-of-range
+        # vectors (components beyond any trained min/max)
+        stage = stage_embedding_chunks(sf_dir, n_chunks=2)
+        src = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+        big = src.to_pandas().head(50)
+        big["vec_id"] = big["vec_id"] + 10_000_000
+        big["embedding"] = big["embedding"].map(lambda v: [4.0 * float(x) for x in v])
+        path = os.path.join(stage, "part-zz-outofrange.parquet")
+        # keep the staged element type (list<float32>), not pandas float64
+        pq_.write_table(
+            pa.Table.from_pandas(big, preserve_index=False).cast(src.schema), path
+        )
+        mt = os.path.getmtime(os.path.join(stage, "part-1.parquet"))
+        os.utime(path, (mt + 10, mt + 10))
+
+        q = run_sq8_index_stream(spark, sf_dir="", stage_dir=stage, name="t_sq8i")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_sq8i_stats", "t_sq8i_codes"):
+            spark.catalog.refreshTable(t)
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        stats_files = [
+            f
+            for f in os.listdir(os.path.join(wh, "t_sq8i_stats"))
+            if f.endswith(".parquet")
+        ]
+        assert len(stats_files) >= 1
+        stats = spark.table("t_sq8i_stats").collect()[0]
+        hi = [m + s for m, s in zip(stats.mn, stats.step)]
+
+        codes = live_epochs(spark.table("t_sq8i_codes"), spark, "t_sq8i_codes")
+        planted = codes.filter(F.col("vec_id") >= 10_000_000)
+        assert planted.count() == 50
+        # every dequantized component within [mn, mn+step]; the planted
+        # 4× vectors must SATURATE at a bound on ≥1 component each
+        mnlit = F.array(*[F.lit(int(m)).cast("long") for m in stats.mn])
+        hilit = F.array(*[F.lit(int(h)).cast("long") for h in hi])
+        checked = codes.withColumn(
+            "bad",
+            F.exists(
+                F.zip_with("xh", mnlit, lambda x, m: x < m), lambda b: b
+            )
+            | F.exists(F.zip_with("xh", hilit, lambda x, h: x > h), lambda b: b),
+        )
+        assert checked.filter("bad").count() == 0
+        saturated = planted.withColumn(
+            "sat",
+            F.exists(
+                F.zip_with("xh", hilit, lambda x, h: x == h), lambda b: b
+            )
+            | F.exists(F.zip_with("xh", mnlit, lambda x, m: x == m), lambda b: b),
+        )
+        assert saturated.filter("sat").count() == 50
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        qs = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+            F.col("vec_id") % 100 == 0
+        )
+        out = sq8_index_search(spark, qs, "t_sq8i")
+        n_q = qs.count()
+        assert out.count() == 5 * n_q
+        assert out.groupBy("query_id").count().filter("count != 5").count() == 0
