@@ -1899,7 +1899,10 @@ def run_join_ivm_stream(
     o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
     agg_t = f"{name}_agg" if maintain_agg else None
     if fresh_tables:
-        for t in (o_t, l_t, v_t, d_t) + ((agg_t,) if agg_t else ()):
+        # the agg table is dropped even when maintain_agg=False: a stale
+        # aggregate from an earlier same-name run must not survive a
+        # fresh rebuild of the view it claims to summarize
+        for t in (o_t, l_t, v_t, d_t, f"{name}_agg"):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
@@ -2149,10 +2152,15 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
     v_t, d_t = f"{name}_v", f"{name}_d"
     if not spark.catalog.tableExists(d_t):
         return 0
-    dead = live_epochs(spark.table(d_t), spark, d_t).drop("epoch")
+    # distinct: a redelivered O_DEL can tombstone one key twice, and an
+    # inner join against duplicates would double-count n_dead (and could
+    # misclassify a partition as fully dead — dropping LIVE rows). No
+    # forced broadcast: the tombstone set is kept forever by design, so
+    # it outgrows broadcast limits eventually; let the planner choose.
+    dead = live_epochs(spark.table(d_t), spark, d_t).drop("epoch").distinct()
     live = live_epochs(spark.table(v_t), spark, v_t)
     per_epoch = (
-        live.join(F.broadcast(dead), "o_orderkey")
+        live.join(dead, "o_orderkey", "left_semi")
         .groupBy("epoch")
         .agg(F.count(F.lit(1)).alias("n_dead"))
         .join(
@@ -2233,7 +2241,9 @@ def run_sq8_index_stream(
 
     def index_batch(df, epoch_id: int) -> None:
         s = df.sparkSession
-        e = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        # persist: the training epoch scans e twice (stats + encode) —
+        # the run_pq_index_stream `sub` discipline
+        e = df.select("vec_id", quantize(F.col("embedding")).alias("q")).persist()
         if not s.table(stats_t).head(1):
             # first batch: train + freeze (deterministic min/max ⇒ a
             # crash replay rewrites identical content)
@@ -2243,15 +2253,9 @@ def run_sq8_index_stream(
             e.crossJoin(F.broadcast(s.table(stats_t)))
             .select("vec_id", F.transform("q", sq8_xhat_el).alias("xh"))
             .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
-            .withColumn("epoch", F.lit(epoch_id).cast("long"))
         )
-        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            enc.write.mode("overwrite").insertInto(codes_t, overwrite=True)
-        finally:
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        s.catalog.refreshTable(codes_t)
+        _ivm_write_epoch(s, enc, codes_t, epoch_id)
+        e.unpersist()
         _maybe_fold(s, codes_t, epoch_id, fold_every, refold_width=refold_width)
 
     w = emb.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")

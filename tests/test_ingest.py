@@ -1938,20 +1938,50 @@ class TestSq8IndexStream:
         mt = os.path.getmtime(os.path.join(stage, "part-1.parquet"))
         os.utime(path, (mt + 10, mt + 10))
 
-        q = run_sq8_index_stream(spark, sf_dir="", stage_dir=stage, name="t_sq8i")
+        # run the FIRST chunk alone so the frozen stats' mtime can be
+        # captured before later epochs arrive (checkpointed resume)
+        import shutil
+
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        chunks = sorted(os.listdir(stage))
+        shutil.copy2(os.path.join(stage, chunks[0]), incr / chunks[0])
+        q = run_sq8_index_stream(
+            spark, sf_dir="", stage_dir=str(incr), name="t_sq8i", checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        stats_dir = os.path.join(wh, "t_sq8i_stats")
+        mt_stats = max(
+            os.path.getmtime(os.path.join(stats_dir, f)) for f in os.listdir(stats_dir)
+        )
+        for f in chunks[1:]:
+            shutil.copy2(os.path.join(stage, f), incr / f)
+        q = run_sq8_index_stream(
+            spark,
+            sf_dir="",
+            stage_dir=str(incr),
+            name="t_sq8i",
+            checkpoint_dir=ckpt,
+            fresh_tables=False,
+        )
         q.processAllAvailable()
         q.stop()
         q.awaitTermination()
         for t in ("t_sq8i_stats", "t_sq8i_codes"):
             spark.catalog.refreshTable(t)
 
-        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-        stats_files = [
-            f
-            for f in os.listdir(os.path.join(wh, "t_sq8i_stats"))
-            if f.endswith(".parquet")
-        ]
-        assert len(stats_files) >= 1
+        # FROZEN: later epochs never rewrote the quantizer
+        assert (
+            max(
+                os.path.getmtime(os.path.join(stats_dir, f))
+                for f in os.listdir(stats_dir)
+            )
+            == mt_stats
+        )
         stats = spark.table("t_sq8i_stats").collect()[0]
         hi = [m + s for m, s in zip(stats.mn, stats.step)]
 
