@@ -1161,6 +1161,90 @@ def knn_sq8(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> Data
     )
 
 
+def knn_ivfsq8(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-SQ8 composite ANN (FAISS IndexIVFScalarQuantizer): knn_ivf's
+    inverted lists cut CANDIDATES (each query scores only its nprobe
+    probed lists), knn_sq8's per-dim 8-bit codes cut BYTES-PER-CANDIDATE
+    (4×) — the high-recall sibling of knn_ivfpq for deployments where the
+    4× (not 32×) compression still fits memory: SQ8's per-dim resolution
+    keeps recall near the uncompressed IVF's instead of PQ's coarse-code
+    levels (measured in `ann_eval`, pinned in tests).
+
+    Composition is literal: the coarse quantizer, list assignment and
+    probe selection are knn_ivf's exactly (seed centroids, argmax-struct
+    assignment, corpus never shuffled); the candidate payload carried
+    through the assignment aggregation is the dequantized x̂/‖x̂‖² instead
+    of the exact vector; scoring is knn_sq8's asymmetric distance. All
+    integer fixed-point, so the DuckDB oracle composes the same two
+    certified CTE blocks."""
+    e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    ec = (
+        e.crossJoin(F.broadcast(_sq8_stats(e)))
+        .select("vec_id", "q", "n2", F.transform("q", sq8_xhat_el).alias("xh"))
+        .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
+    )
+    cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+    cent_cos = _idot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    assign = (
+        ec.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cent_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("xh").alias("xh"),
+            F.first("rn2").alias("rn2"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            (-F.col("m.nc")).alias("list_id"),
+            "xh",
+            "rn2",
+        )
+    )
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cent_cos)
+        .withColumn("pr", F.row_number().over(probes_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
+    )
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
+    scored = (
+        probes.join(assign, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine_sq8",
+            _idot(F.col("qq"), F.col("xh"))
+            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sq8"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sq8", 6).alias("cosine_sq8"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- PQ / ADC
 
 PQ_M = 16  # subspaces (64 dims → 16 × 4)

@@ -266,6 +266,12 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_sq8(_emb(spark, sf_dir))
 
 
+def knn_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composite (FAISS IndexIVFScalarQuantizer) — see
+    operators/similarity.knn_ivfsq8."""
+    return V.knn_ivfsq8(_emb(spark, sf_dir))
+
+
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) lookup-
     table scoring over 8-byte codes — see operators/similarity.knn_pq."""
@@ -737,6 +743,7 @@ TRAINING_QUERIES = {
     "knn_rp": knn_rp,
     "knn_pq": knn_pq,
     "knn_sq8": knn_sq8,
+    "knn_ivfsq8": knn_ivfsq8,
     "knn_ivfpq": knn_ivfpq,
     "knn_ivfpq_residual": knn_ivfpq_residual,
     "knn_ivfpq_refine": knn_ivfpq_refine,
@@ -808,6 +815,7 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_residual": V.knn_ivfpq_residual,
         "lsh": V.knn_lsh,
         "lsh_multiprobe": V.knn_lsh_multiprobe,
+        "ivfsq8": V.knn_ivfsq8,
         "pq": V.knn_pq,
         "rp": V.knn_rp,
         "sq8": V.knn_sq8,

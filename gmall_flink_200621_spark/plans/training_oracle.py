@@ -613,6 +613,63 @@ FROM ranked WHERE rank <= {KNN_K}
 KNN_SQ8 = _knn_sq8_sql()
 KNN_SQ8_INDEX = _knn_sq8_sql(train_src="e_t")
 
+# IVF-SQ8 composite: KNN_IVF's cents/assign/probes CTEs verbatim + the
+# SQ8 dims/stats/enc block; scoring joins the dequantized recon frame
+# instead of the exact vectors
+KNN_IVFSQ8 = f"""
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+dims AS (
+  SELECT g.i AS pos, min(q[g.i]) AS mn, max(q[g.i]) - min(q[g.i]) AS st
+  FROM e, generate_series(1, {DIM}) AS g(i)
+  GROUP BY g.i
+),
+stats AS (SELECT list(mn ORDER BY pos) AS mn, list(st ORDER BY pos) AS step FROM dims),
+recon AS (
+  SELECT vec_id, xh, {_IDOT.format(n=DIM, a="xh", b="xh")} AS rn2 FROM (
+    SELECT vec_id,
+           list_transform(generate_series(1, {DIM}), i -> {_SQ8_XHAT}) AS xh
+    FROM e, stats)
+),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
+assign AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id AS list_id FROM (
+    SELECT qs.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY qs.vec_id
+                              ORDER BY {_cosine_sql("qs.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e qs, cents c WHERE qs.vec_id % 100 = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+qs2 AS (
+  SELECT vec_id AS query_id, q AS qq, {_IDOT.format(n=DIM, a="q", b="q")} AS qn2
+  FROM e WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ({_IDOT.format(n=DIM, a="qv.qq", b="r.xh")})
+           / (sqrt(qv.qn2::DOUBLE) * sqrt(r.rn2::DOUBLE)) AS cosine_sq8
+  FROM probes p
+  JOIN assign a ON p.list_id = a.list_id
+  JOIN qs2 qv ON qv.query_id = p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sq8,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sq8 DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine_sq8, 6) AS cosine_sq8, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
 
 def _rp_proj_sql() -> str:
     """The 16 projected-and-downscaled components as a SQL list literal —
@@ -2092,6 +2149,7 @@ def _ann_eval_sql() -> str:
         "ivfpq": KNN_IVFPQ,
         "ivfpq_refine": KNN_IVFPQ_REFINE,
         "ivfpq_residual": KNN_IVFPQ_RESIDUAL,
+        "ivfsq8": KNN_IVFSQ8,
         "lsh": KNN_LSH,
         "lsh_multiprobe": KNN_LSH_MULTIPROBE,
         "pq": KNN_PQ,
@@ -2166,6 +2224,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq": KNN_PQ,
     "knn_sq8": KNN_SQ8,
     "knn_sq8_index_view": KNN_SQ8_INDEX,
+    "knn_ivfsq8": KNN_IVFSQ8,
     "knn_ivfpq": KNN_IVFPQ,
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
     "knn_ivfpq_refine": KNN_IVFPQ_REFINE,

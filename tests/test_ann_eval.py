@@ -23,6 +23,7 @@ EXPECTED = {
         "ivfpq": (25, 25, 8, 0.32),
         "ivfpq_refine": (25, 25, 17, 0.68),
         "ivfpq_residual": (25, 25, 8, 0.32),
+        "ivfsq8": (25, 25, 23, 0.92),
         "lsh": (25, 25, 8, 0.32),
         "lsh_multiprobe": (25, 25, 15, 0.60),
         "pq": (25, 25, 8, 0.32),
@@ -35,6 +36,7 @@ EXPECTED = {
         "ivfpq": (25, 25, 10, 0.40),
         "ivfpq_refine": (25, 25, 20, 0.80),
         "ivfpq_residual": (25, 25, 9, 0.36),
+        "ivfsq8": (25, 25, 24, 0.96),
         "lsh": (25, 25, 10, 0.40),
         "lsh_multiprobe": (25, 25, 16, 0.64),
         "pq": (25, 25, 10, 0.40),
@@ -92,6 +94,9 @@ def test_sq8_tops_compressed_methods(sf_dir):
     for sf, vals in EXPECTED.items():
         for m in ("pq", "ivfpq", "ivfpq_residual", "ivfpq_refine"):
             assert vals["sq8"][3] > vals[m][3], (sf, m)
+        # the IVF composite keeps SQ8's recall (seed-IVF recalls 1.0 at
+        # these SFs) while scanning only nprobe lists per query
+        assert vals["ivfsq8"][3] == vals["sq8"][3], sf
     want = _expected_for(sf_dir)
     assert want["sq8"][3] > want["pq"][3]
 

@@ -1362,7 +1362,7 @@ class TestAnnEval:
         rows = {r.method: r for r in ann_eval(spark, sf_dir).collect()}
         assert set(rows) == {
             "ivf", "ivf_trained", "ivfpq", "ivfpq_refine", "ivfpq_residual",
-            "lsh", "lsh_multiprobe", "pq", "rp", "sq8",
+            "ivfsq8", "lsh", "lsh_multiprobe", "pq", "rp", "sq8",
         }
         small = sf_dir.endswith("sf0.001")
         assert rows["ivf"].recall == 1.0
@@ -1380,8 +1380,10 @@ class TestAnnEval:
         assert rows["lsh_multiprobe"].recall > rows["lsh"].recall
         assert rows["rp"].recall == (0.04 if small else 0.08)
         # 8-bit-per-dim keeps full dimensional resolution: the highest
-        # recall of the compressed methods (r09)
+        # recall of the compressed methods (r09); the IVF composite keeps
+        # it while scanning only nprobe lists per query
         assert rows["sq8"].recall == (0.92 if small else 0.96)
+        assert rows["ivfsq8"].recall == rows["sq8"].recall
         assert rows["sq8"].recall > rows["pq"].recall
         assert all(r.n_method > 0 and r.n_common <= r.n_exact for r in rows.values())
 
