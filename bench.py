@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "knn_rp",
     "knn_pq",
     "knn_sq8",
+    "knn_ivfsq8",
     "knn_ivfpq",
     "knn_ivfpq_residual",
     "knn_ivfpq_refine",
