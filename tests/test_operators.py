@@ -2596,3 +2596,39 @@ class TestRound6PartitionInvariance:
             a = sorted(map(tuple, op(frame).collect()))
             b = sorted(map(tuple, op(frame.repartition(13)).collect()))
             assert a == b and len(a) > 0, op.__name__
+
+
+class TestRdivProperty:
+    def test_rdiv_matches_exact_rational_rounding(self, spark):
+        """Property pin for `_rdiv`, the rounding primitive under the
+        whole SQ8 family: floor((2n+d)/(2d)) computed through double
+        division must equal exact round-half-up of n/d (Fraction
+        arithmetic) across the full operand ranges the quantizer
+        produces — (x−mn)·255 up to ±2·0.53·2²⁴·255 ≈ ±4.6e9 and steps up
+        to 2·0.53·2²⁴ ≈ 3.6e7 — including exact-half ties, tiny steps,
+        and negative numerators (pre-clamp out-of-range inputs)."""
+        import random
+        from fractions import Fraction
+        from math import floor
+
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import _rdiv
+
+        rng = random.Random(20260815)
+        cases = []
+        for _ in range(400):
+            d = rng.choice([1, 2, 3, 255, 510, rng.randint(1, 36_000_000)])
+            n = rng.randint(-5_000_000_000, 5_000_000_000)
+            cases.append((n, d))
+        # planted exact .5 ties (n/d = k + 1/2) and boundaries
+        for k in (-3, -1, 0, 1, 7, 254, 255):
+            for d in (2, 4, 510, 1_000_000):
+                cases.append((k * d + d // 2, d))
+        df = spark.createDataFrame(cases, "n long, d long").withColumn(
+            "r", _rdiv(F.col("n"), F.col("d"))
+        )
+        got = {(r.n, r.d): r.r for r in df.collect()}
+        for n, d in cases:
+            want = floor(Fraction(2 * n + d, 2 * d))  # exact round-half-up
+            assert got[(n, d)] == want, (n, d, got[(n, d)], want)
