@@ -156,6 +156,37 @@ def wordpiece_vocab(
     )
 
 
+WP_SAMPLE_PER_MILLE = 250
+WP_SAMPLE_PARTITIONS = 4
+
+
+def wordpiece_vocab_sampled(
+    docs: DataFrame,
+    n_merges: int = WP_MERGES,
+    rate_per_mille: int = WP_SAMPLE_PER_MILLE,
+    seed: str = "wp0",
+    word_partitions: int = WP_SAMPLE_PARTITIONS,
+) -> DataFrame:
+    """Sampled WordPiece trainer — `bpe_merges_sampled`'s stance applied
+    to the likelihood objective: the score cnt/(ca·cb) is a RATIO of
+    corpus-level Zipfian frequencies, so a uniform document sample
+    preserves its ranking at modest rates just as it preserves raw pair
+    ranks (both numerator and denominators shrink proportionally; the
+    ~1/√n noise hits head pairs last). The sample is
+    `textops.deterministic_sample` (md5-bucket on seed||doc_id) — the
+    trained vocabulary is bit-reproducible on any engine/partitioning —
+    and the loop on the sample is the same merge-for-merge-exact trainer
+    (coalesce changes task count, never values). Prefix agreement with
+    the full-corpus trainer is pinned in TestWordPiece."""
+    from .textops import deterministic_sample
+
+    return wordpiece_vocab(
+        deterministic_sample(docs, rate_per_mille, seed),
+        n_merges,
+        word_partitions=word_partitions,
+    )
+
+
 def wordpiece_base_vocab(docs: DataFrame) -> list[str]:
     """The trained vocabulary's BASE layer: every single-character symbol
     (bare word-initial + '##'-marked continuation) occurring in the

@@ -698,6 +698,14 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp_enc(docs, vocab)
 
 
+def wordpiece_vocab_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only like wordpiece_vocab; sample exactness + prefix agreement
+    # with the full trainer pinned in TestWordPiece
+    from ..operators.wordpiece import wordpiece_vocab_sampled as _wp_s
+
+    return _wp_s(_docs(spark, sf_dir), rate_per_mille=500)
+
+
 def bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only like bpe_merges (same non-SQL-expressible iterative class);
     # exactness on the sample + prefix-agreement with the full-corpus
@@ -768,6 +776,7 @@ TRAINING_QUERIES = {
     "bpe_merges_sampled": bpe_merges_sampled,
     "unigram_lm_vocab": unigram_lm_vocab,
     "wordpiece_vocab": wordpiece_vocab,
+    "wordpiece_vocab_sampled": wordpiece_vocab_sampled,
     "wordpiece_encode": wordpiece_encode,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,

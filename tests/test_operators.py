@@ -1930,6 +1930,75 @@ class TestWordPiece:
                    b.replace("##", "", 1) if b.startswith("##") else b) for a, b in wp]
         assert wp_cmp != bp
 
+    def test_sampled_trainer_at_full_rate_is_exact(self, spark, sf_dir):
+        """rate=1000‰ keeps every document, so the sampled WordPiece
+        trainer must reproduce the full trainer merge-for-merge (the
+        coalesce path changes task count, never values)."""
+        from gmall_flink_200621_spark.operators.wordpiece import (
+            wordpiece_vocab,
+            wordpiece_vocab_sampled,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        full = [tuple(r) for r in wordpiece_vocab(docs, n_merges=8, word_partitions=4).collect()]
+        samp = [
+            tuple(r)
+            for r in wordpiece_vocab_sampled(docs, n_merges=8, rate_per_mille=1000).collect()
+        ]
+        assert samp == full
+
+    def test_sampled_trainer_matches_python_reference_on_sample(self, spark, sf_dir):
+        """On the hash-sample the sampled trainer is the same exact
+        likelihood loop — pinned against the from-scratch Python reference
+        run on the identically-selected documents."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from gmall_flink_200621_spark.operators.textops import deterministic_sample
+        from gmall_flink_200621_spark.operators.wordpiece import wordpiece_vocab_sampled
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = [
+            (r.rank, r.left, r.right, r.token, r.pair_count, r.left_count, r.right_count)
+            for r in wordpiece_vocab_sampled(
+                docs, n_merges=12, rate_per_mille=500, seed="wp0"
+            ).collect()
+        ]
+        keep = {
+            r.doc_id
+            for r in deterministic_sample(docs, 500, "wp0").select("doc_id").collect()
+        }
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        pdf = pdf[pdf["doc_id"].isin(keep)]
+        wf = Counter(w for t in pdf["text"] for w in t.split(" ") if w)
+        assert got == self._py_wordpiece(dict(wf), 12)
+
+    def test_sampled_trainer_merge_set_agrees_with_full(self, spark, sf_dir):
+        """Representativeness: unlike BPE's raw-count objective (whose
+        head ranks are Zipf-stable, so a PREFIX pin works), the WordPiece
+        likelihood ratio's top entries are near-TIES on this corpus
+        (0.000212 vs 0.000214 between ranks 1-3), so sampling legitimately
+        permutes their order — the meaningful pin is the merge SET: the
+        500‰-sampled table must learn (almost) the same vocabulary
+        entries as the full-corpus table (measured 12/12 at sf0.001;
+        pinned ≥9 for slack against testdata regeneration)."""
+        from gmall_flink_200621_spark.operators.wordpiece import (
+            wordpiece_vocab,
+            wordpiece_vocab_sampled,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        full = {(r.left, r.right) for r in wordpiece_vocab(docs, n_merges=12, word_partitions=4).collect()}
+        samp = {
+            (r.left, r.right)
+            for r in wordpiece_vocab_sampled(docs, n_merges=12, rate_per_mille=500).collect()
+        }
+        assert len(full & samp) >= 9, (sorted(full), sorted(samp))
+
     def test_continuation_convention(self, spark, sf_dir):
         """Vocabulary-entry shape: left symbols never double the marker,
         tokens are real substrings (no '##' survives concatenation), and
