@@ -162,6 +162,29 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "source_divergence", "knn_graph", "pagerank_knn", "perceptron_lang",
         "lang_confusion", "embedding_norm_audit",
     ]},
+    # ---- round 9 (CORRECTNESS_r09.json, 50/50) — freshest, sorts last ----
+    # The r10 window is then any never-driver-certified additions plus the
+    # stalest r05/r06 names (the r05 tail and the r06 head).
+    **{n: 9 for n in [
+        "knn_lsh_multiprobe", "knn_sq8", "knn_ivfsq8", "knn_ivfpq_refine",
+        "bpe_merges_sampled", "unigram_lm_vocab", "wordpiece_vocab",
+        "wordpiece_vocab_sampled", "wordpiece_encode",
+        "knn_pq_index_refine_view", "order_wide_stream_view",
+        "order_wide_delete_stream_view", "revenue_by_cust_stream_view",
+        "order_wide_purged_stream_view", "knn_sq8_index_view",
+        "uv_sketch_stream_view", "bm25_search", "hybrid_search_rrf",
+        "dedup_rate_by_source", "knn_triangles", "components_knn",
+        "label_propagation_knn", "cluster_aware_split", "boilerplate_scrub",
+        "bigram_lm_score", "sparse_cosine_pairs", "time_to_purchase",
+        "nation_spend_pct_rank", "props_variant_stats",
+        "sessionize_dynamic_gap", "tpch_expectations", "event_type_unpivot",
+        "fuzzy_part_matches", "time_grid_fill", "corpus_expectations",
+        "first_touch_attribution", "sales_grouping_sets", "value_by_weekday",
+        "revenue_seasonality", "column_profile", "rfm_segments",
+        "point_in_time_join", "skew_audit", "attribution_position",
+        "join_blowup_audit", "transition_matrix", "hot_items", "hot_items_sql",
+        "hot_urls", "page_view",
+    ]},
 }
 
 
