@@ -49,6 +49,25 @@ def cosine_q(qa: Column, qb: Column) -> Column:
     return _idot(qa, qb) / (F.sqrt(_idot(qa, qa).cast("double")) * F.sqrt(_idot(qb, qb).cast("double")))
 
 
+def _rank_topk(scored: DataFrame, k: int, score_col: str, nbr_col: str = "neighbor_id") -> DataFrame:
+    """The family's shared ranking tail: per-query top-k over a scored
+    candidate frame with the canonical deterministic order
+    (score desc, neighbor id asc) and the fixed output shape
+    (query_id, neighbor_id, round(score, 6), rank int). Only (query,
+    neighbor, score) triples enter this shuffle — never vectors."""
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc(nbr_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(nbr_col).alias("neighbor_id"),
+            F.round(score_col, 6).alias(score_col),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def knn_brute(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> DataFrame:
     """Exact top-k cosine neighbors for query vectors (vec_id % query_mod == 0).
 
@@ -63,17 +82,7 @@ def knn_brute(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> Da
         "cosine",
         _idot(F.col("qq"), F.col("qc")) / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k, "cosine")
 
 
 def _plane_coeff(p: int, d: int) -> int:
@@ -188,17 +197,7 @@ def _exact_rerank(e: DataFrame, cands: DataFrame, query_mod: int, k: int) -> Dat
             / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k, "cosine")
 
 
 LSH_MULTIPROBE = 2  # extra single-bit-flip probe buckets per band
@@ -513,6 +512,97 @@ IVF_CENT_MOD = 137  # seed-vector centroids: vec_id % mod == 1 (~N/137 lists)
 IVF_NPROBE = 4
 
 
+# --------------------------------------------------- shared IVF scaffold
+# Every IVF composite (knn_ivf, knn_ivf_trained, knn_ivfsq8, knn_ivfpq,
+# the residual/refine pair, and streaming/ingest's index searches) is the
+# same three-stage skeleton — coarse quantizer → argmax list assignment →
+# top-nprobe probe selection — differing only in WHERE the centroids come
+# from (seed vectors vs k-means) and WHICH payload rides through to the
+# scoring stage (exact vectors, SQ8 reconstructions, PQ codes, nothing).
+# One parameterized builder per stage; the composites only compose.
+
+
+def _seed_cents(e: DataFrame, cent_mod: int) -> DataFrame:
+    """Seed-vector coarse quantizer: the vec_id % cent_mod == 1 rows of a
+    quantized corpus (vec_id, q, n2) as (cent_id, cq, cn2) — deterministic
+    across engines (k-means would refine placement, not operator shape);
+    `_kmeans_state`'s centroid frame is the drop-in TRAINED alternative."""
+    return e.filter(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+
+
+def _cent_cos() -> Column:
+    """Row-vs-centroid cosine over in-scope (q, n2) × (cq, cn2) columns."""
+    return _idot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+
+
+def _ivf_assign(frame: DataFrame, cents: DataFrame, payload: dict[str, str], id_alias: str = "neighbor_id") -> DataFrame:
+    """Inverted-list assignment: argmax centroid cosine per vector as ONE
+    hash aggregation (max over (cos, -cent_id) structs == cos desc,
+    cent_id asc) — no per-vector sort window on the corpus-sized frame.
+    `payload` (out_name → in_name) columns ride through the agg (first()
+    — constant within the group), so the candidate join needs no second
+    corpus join to fetch them. The centroid frame broadcasts; the corpus
+    never shuffles — the ×nlists fan-out collapses map-side."""
+    carried = [F.first(src).alias(dst) for dst, src in payload.items()]
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", _cent_cos())
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            *carried,
+        )
+        .select(
+            F.col("vec_id").alias(id_alias),
+            (-F.col("m.nc")).alias("list_id"),
+            *payload.keys(),
+        )
+    )
+
+
+def _ivf_probes(qs: DataFrame, cents: DataFrame, nprobe: int, extra: dict[str, Column] | None = None) -> DataFrame:
+    """Top-`nprobe` list selection per query: (query_id, list_id[, extras])
+    with the deterministic (centroid cosine desc, cent_id asc) probe
+    order. `extra` columns (e.g. the residual composite's dot(query,
+    centroid) base term) are computed on the probe row while the centroid
+    vector is still in scope. Only the query subset fans out ×nlists."""
+    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    cols = [F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id")]
+    if extra:
+        cols += [expr.alias(name) for name, expr in extra.items()]
+    return (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", _cent_cos())
+        .withColumn("pr", F.row_number().over(probes_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(*cols)
+    )
+
+
+def _ivf_rank(probes: DataFrame, inv: DataFrame, qv: DataFrame, k: int, vec_col: str, n2_col: str, score_col: str) -> DataFrame:
+    """Probe → candidate join → asymmetric scoring → top-k, for the IVF
+    variants whose inverted index carries a scorable vector payload
+    (exact `q` or a dequantized reconstruction). The broadcast side must
+    be the QUERY SUBSET, not the corpus: only ~N/query_mod rows can ever
+    match probes' query ids, and a corpus-sized broadcast hash table is a
+    driver/executor OOM at scale (the tpch q2/q17 anti-pattern)."""
+    scored = (
+        probes.join(inv, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            score_col,
+            _idot(F.col("qq"), F.col(vec_col))
+            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col(n2_col).cast("double"))),
+        )
+    )
+    return _rank_topk(scored, k, score_col)
+
+
 def knn_ivf(
     embeddings: DataFrame,
     k: int = KNN_K,
@@ -525,78 +615,22 @@ def knn_ivf(
     lists; each query probes its `nprobe` nearest lists and reranks those
     candidates exactly.
 
-    Centroids are seed vectors (vec_id % cent_mod == 1) rather than
-    k-means iterates — same IVF structure, fully deterministic across
-    engines, so the DuckDB oracle replicates the identical lists (k-means
-    would only refine centroid placement, not the operator shape).
+    Centroids are seed vectors (`_seed_cents`) rather than k-means
+    iterates — same IVF structure, fully deterministic across engines, so
+    the DuckDB oracle replicates the identical lists.
     100 TB shape: assignment is one corpus pass against ~N/cent_mod
     broadcast centroids (no corpus shuffle); the candidate join fans each
     query out to Σ probed-list sizes ≈ nprobe·N/nlist rows, not N.
     Recall < 1 by design — the brute operator is the exact baseline."""
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
-    cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
-    )
-    cent_cos = _idot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
-    )
-    # assignment: argmax centroid cosine per vector as ONE hash aggregation
-    # (max over (cos, -cent_id) structs == cos desc, cent_id asc) — no
-    # per-vector sort window on the corpus-sized frame. The vector + norm
-    # ride through the agg (first() — constant within the group), so the
-    # candidate join needs no second corpus join to fetch them.
-    assign = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cent_cos)
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"),
-            F.first("q").alias("qc"),
-            F.first("n2").alias("cn2"),
-        )
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            (-F.col("m.nc")).alias("list_id"),
-            "qc",
-            "cn2",
-        )
-    )
+    cents = _seed_cents(e, cent_mod)
+    # the vector + norm ride through the assignment as the scoring payload
+    assign = _ivf_assign(e, cents, {"qc": "q", "cn2": "n2"})
     qs = e.filter(F.col("vec_id") % query_mod == 0)
-    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probes = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cent_cos)
-        .withColumn("pr", F.row_number().over(probes_w))
-        .filter(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
-    )
-    # broadcast side must be the QUERY SUBSET, not the corpus: only
-    # ~N/query_mod rows can ever match probes' query ids, and a
-    # corpus-sized broadcast hash table is a driver/executor OOM at scale
-    # (same anti-pattern as tpch q2/q17's pre-fix unpruned broadcast).
+    probes = _ivf_probes(qs, cents, nprobe)
     qv = qs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
-    scored = (
-        probes.join(assign, "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(qv), "query_id")
-        .withColumn(
-            "cosine",
-            _idot(F.col("qq"), F.col("qc"))
-            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _ivf_rank(probes, assign, qv, k, "qc", "cn2", "cosine")
 
 
 RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality (64 → 16)
@@ -690,17 +724,7 @@ def knn_rp(
         _idot(F.col("qq"), F.col("qc"))
         / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_rp"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine_rp", 6).alias("cosine_rp"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k, "cosine_rp")
 
 
 def knn_ivf_trained(
@@ -733,6 +757,8 @@ def knn_ivf_trained(
     cent_mod = cent_mod or KM_CENT_MOD
     iters = KM_ITERS if iters is None else iters
     e, assign, cents = _kmeans_state(embeddings, cent_mod, iters)
+    # the final k-means assignment — which already carries each vector and
+    # norm — IS the inverted index; no corpus re-join, no second _ivf_assign
     inv = assign.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").alias("list_id"),
@@ -740,41 +766,11 @@ def knn_ivf_trained(
         F.col("n2").alias("cn2"),
     )
     qs = e.filter(F.col("vec_id") % query_mod == 0)
-    cent_cos = _idot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
-    )
-    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probes = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cent_cos)
-        .withColumn("pr", F.row_number().over(probes_w))
-        .filter(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
-    )
+    probes = _ivf_probes(qs, cents, nprobe)
     qv = qs.select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
-    scored = (
-        probes.join(inv, "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(qv), "query_id")
-        .withColumn(
-            "cosine",
-            _idot(F.col("qq"), F.col("qc"))
-            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _ivf_rank(probes, inv, qv, k, "qc", "cn2", "cosine")
 
 
 EMB_DEDUP_THRESHOLD = 0.35  # testdata has no planted vector dups; 0.35 ≈ top 0.1% of intra-label pairs
@@ -1148,17 +1144,7 @@ def knn_sq8(embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100) -> Data
         _idot(F.col("qq"), F.col("xh"))
         / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sq8"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("cosine_sq8", 6).alias("cosine_sq8"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k, "cosine_sq8", nbr_col="vec_id")
 
 
 def knn_ivfsq8(
@@ -1177,12 +1163,12 @@ def knn_ivfsq8(
     levels (measured in `ann_eval`, pinned in tests).
 
     Composition is literal: the coarse quantizer, list assignment and
-    probe selection are knn_ivf's exactly (seed centroids, argmax-struct
-    assignment, corpus never shuffled); the candidate payload carried
-    through the assignment aggregation is the dequantized x̂/‖x̂‖² instead
-    of the exact vector; scoring is knn_sq8's asymmetric distance. All
-    integer fixed-point, so the DuckDB oracle composes the same two
-    certified CTE blocks."""
+    probe selection are knn_ivf's exactly (the shared `_seed_cents` /
+    `_ivf_assign` / `_ivf_probes` scaffold, corpus never shuffled); the
+    candidate payload carried through the assignment aggregation is the
+    dequantized x̂/‖x̂‖² instead of the exact vector; scoring is knn_sq8's
+    asymmetric distance. All integer fixed-point, so the DuckDB oracle
+    composes the same two certified CTE blocks."""
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
     ec = (
@@ -1190,59 +1176,12 @@ def knn_ivfsq8(
         .select("vec_id", "q", "n2", F.transform("q", sq8_xhat_el).alias("xh"))
         .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
     )
-    cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
-    )
-    cent_cos = _idot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
-    )
-    assign = (
-        ec.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cent_cos)
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"),
-            F.first("xh").alias("xh"),
-            F.first("rn2").alias("rn2"),
-        )
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            (-F.col("m.nc")).alias("list_id"),
-            "xh",
-            "rn2",
-        )
-    )
+    cents = _seed_cents(e, cent_mod)
+    assign = _ivf_assign(ec, cents, {"xh": "xh", "rn2": "rn2"})
     qs = e.filter(F.col("vec_id") % query_mod == 0)
-    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probes = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cent_cos)
-        .withColumn("pr", F.row_number().over(probes_w))
-        .filter(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
-    )
+    probes = _ivf_probes(qs, cents, nprobe)
     qv = qs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2"))
-    scored = (
-        probes.join(assign, "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(qv), "query_id")
-        .withColumn(
-            "cosine_sq8",
-            _idot(F.col("qq"), F.col("xh"))
-            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sq8"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine_sq8", 6).alias("cosine_sq8"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _ivf_rank(probes, assign, qv, k, "xh", "rn2", "cosine_sq8")
 
 
 # ---------------------------------------------------------------- PQ / ADC
@@ -1443,17 +1382,7 @@ def _pq_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFram
         "cosine_pq",
         adot / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("cosine_pq", 6).alias("cosine_pq"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k, "cosine_pq", nbr_col="vec_id")
 
 
 def knn_ivfpq(
@@ -1488,28 +1417,11 @@ def knn_ivfpq(
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
     qs = e.filter(F.col("vec_id") % query_mod == 0)
 
-    # coarse quantizer: seed-vector lists, knn_ivf's argmax-cosine agg
-    cents = e.filter(F.col("vec_id") % cent_mod == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2c")
-    )
-    ccos = _idot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2c").cast("double"))
-    )
-    lists = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))).alias("m"))
-        .select("vec_id", (-F.col("m.nc")).alias("list_id"))
-    )
-    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probes = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("pr", F.row_number().over(probes_w))
-        .filter(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
-    )
+    # coarse quantizer: seed-vector lists via the shared IVF scaffold —
+    # no payload rides through; the code frame joins the lists by vec_id
+    cents = _seed_cents(e, cent_mod)
+    lists = _ivf_assign(e, cents, {}, id_alias="vec_id")
+    probes = _ivf_probes(qs, cents, nprobe)
 
     codes, cb = _pq_train_encode(e, code_mod, iters)
     ix = lists.join(codes, "vec_id")  # inverted index rows WITH codes
@@ -1584,10 +1496,7 @@ def _ivfpq_residual_scored(
     (quantized corpus e, scored candidate frame ready for `_pq_rank`)."""
     e, assign, kcents = _kmeans_state(embeddings, cent_mod, coarse_iters)
     qs = e.filter(F.col("vec_id") % query_mod == 0)
-    cents = kcents.select("cent_id", "cq", F.col("cn2").alias("cn2c"))
-    ccos = _idot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2c").cast("double"))
-    )
+    cents = kcents  # trained (cent_id, cq, cn2) — _seed_cents's drop-in
     lists = assign.select("vec_id", F.col("cluster").alias("list_id"))
 
     # residual corpus: r = x − c(list); broadcast the centroid frame, so
@@ -1623,17 +1532,10 @@ def _ivfpq_residual_scored(
         )
     )
 
-    probes_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probes = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("pr", F.row_number().over(probes_w))
-        .filter(F.col("pr") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cent_id").alias("list_id"),
-            _idot(F.col("q"), F.col("cq")).alias("qcdot"),
-        )
+    # the dot(query, list centroid) ADC base term is computed on the probe
+    # row while the centroid vector is still in scope
+    probes = _ivf_probes(
+        qs, cents, nprobe, extra={"qcdot": _idot(F.col("q"), F.col("cq"))}
     )
 
     lut = _pq_query_luts(qs, cb)
@@ -1699,14 +1601,4 @@ def knn_ivfpq_refine(
             / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(exact, k, "cosine")
