@@ -1109,6 +1109,103 @@ def order_wide_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
 TRAINING_QUERIES["order_wide_purged_stream_view"] = order_wide_purged_stream_view
 
 
+def order_wide_line_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-IVM stream with deletes at BOTH granularities under the
+    oracle gate: every o_orderkey % 7 == 0 order gets an O_DEL and every
+    (l_orderkey + l_linenumber) % 5 == 0 line an L_DEL, each routed one
+    chunk after its insert (the last chunk's keys get their delete in
+    chunk 0 — delete-before-insert at order AND line granularity). The
+    oracle is the batch join minus deleted orders minus deleted line
+    keys, so the driver hash-certifies the lineitem-granularity
+    tombstone contract end-to-end — including rows covered by both
+    tombstone kinds retiring exactly once."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_wide_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_owldv_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5
+    )
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d", f"{name}_ld"):
+        spark.catalog.refreshTable(t)
+    return order_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_wide_line_delete_stream_view"] = order_wide_line_delete_stream_view
+
+
+def revenue_max_by_cust_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-INVERTIBLE aggregate MV under the oracle gate: the
+    both-granularity deletes replay additionally maintains per-customer
+    MAX(revenue) — per-epoch insert maxima plus rebase partials
+    re-derived from live rows at each delete epoch (sum's sign trick
+    doesn't apply to max; see `_ivm_epoch`). The oracle is the batch
+    max over never-deleted rows, so the hash gate certifies that every
+    delete-of-a-current-max lowered the served max to the true runner-up
+    and fully-deleted customers dropped out."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_max_by_cust_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_rmxview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5
+    )
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False, maintain_max=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_mx")
+    return revenue_max_by_cust_view(spark, name)
+
+
+TRAINING_QUERIES["revenue_max_by_cust_stream_view"] = revenue_max_by_cust_stream_view
+
+
+def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-IVM replay run long enough (8 chunks, fold_every=2,
+    refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)
+    fires INSIDE the hash-gated path: folds at epochs 2 and 4 leave two
+    live tier-1 bases, which cascade into a tier-2 base before epoch
+    6's fold — so the gate certifies reads across a three-level
+    partition layout (tier-2 base + tier-1 base + fresh positives) on
+    all three tables. Same oracle as the plain stream view: the batch
+    join."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import order_wide_view, run_join_ivm_stream
+
+    name = f"q_owcasc_{sf_namespace(sf_dir)}"
+    q = run_join_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=8, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_v")
+    return order_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_wide_cascade_stream_view"] = order_wide_cascade_stream_view
+
+
 def knn_sq8_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-MAINTAINED SQ8 index under the oracle gate: replay the
     embeddings in 3 chunks through `run_sq8_index_stream` (first chunk

@@ -2128,6 +2128,29 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey % 7 <> 0
 """
 
+# both-granularity deletes twin: every % 7 == 0 order is O_DEL'd and
+# every (l_orderkey + l_linenumber) % 5 == 0 line key L_DEL'd during the
+# replay, so the converged view is the batch join minus both delete sets
+# (an L_DEL tombstones every row carrying its key — the synthetic
+# lineitem has duplicate keys, and the % filter drops exactly those rows)
+ORDER_WIDE_LINE_DELETE_VIEW = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
+"""
+
+# non-invertible aggregate twin: batch MAX over never-deleted rows — max
+# of identical rounded doubles is order-independent, so the stream's
+# rebase-partial merge must land on the same value bit-for-bit
+REVENUE_MAX_BY_CUST_VIEW = """
+SELECT o.o_custkey,
+       max(round(l.l_extendedprice * (1 - l.l_discount), 6)) AS max_revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
+GROUP BY o.o_custkey
+"""
+
 # retractable-aggregate twin: batch rollup over never-deleted orders;
 # DECIMAL(18,6) sum (exact, associative) emitted as double — the money
 # discipline on both engines
@@ -2236,8 +2259,11 @@ TRAINING_ORACLES: dict[str, str] = {
     "pagerank_stream_view": PAGERANK_STREAM_VIEW,
     "order_wide_stream_view": ORDER_WIDE_VIEW,
     "order_wide_delete_stream_view": ORDER_WIDE_DELETE_VIEW,
+    "order_wide_line_delete_stream_view": ORDER_WIDE_LINE_DELETE_VIEW,
     "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
+    "revenue_max_by_cust_stream_view": REVENUE_MAX_BY_CUST_VIEW,
     "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,
+    "order_wide_cascade_stream_view": ORDER_WIDE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,

@@ -1259,7 +1259,11 @@ def _refold_bases(spark: SparkSession, table: str, merge, width: int | None) -> 
     read-then-overwrite is barrier-free for the same disjointness
     reason: the written partition lives at tier t+1, the reads at tier
     t."""
-    if not width:
+    if not width or width < 2:
+        # width=1 would never terminate: a single live base always
+        # satisfies len(live) >= 1, so each pass promotes it one tier
+        # higher forever — the kwarg is public on every run_*_stream
+        # entry point, so guard rather than assume call-site discipline
         return
     changed = True
     while changed:  # cascade: a refold may fill the tier above
@@ -1768,7 +1772,10 @@ def pq_index_search_refine(
 
 
 def stage_order_lineitem_chunks(
-    sf_dir: str, n_chunks: int = 3, delete_mod: int | None = None
+    sf_dir: str,
+    n_chunks: int = 3,
+    delete_mod: int | None = None,
+    line_delete_mod: int | None = None,
 ) -> str:
     """Stage orders + lineitem as ONE interleaved chunked-arrival feed
     (the CDC-topic shape: both tables' inserts multiplexed through a
@@ -1781,7 +1788,16 @@ def stage_order_lineitem_chunks(
     o_orderkey % m == 0, routed to chunk (key % n + 1) % n — one rule
     that covers delete-after-insert (keys inserted in chunks 0..n−2) AND
     the out-of-order delete-BEFORE-insert case (keys inserted in the
-    last chunk get their delete in chunk 0)."""
+    last chunk get their delete in chunk 0).
+
+    `line_delete_mod=m` adds an `L_DEL` event — keyed (l_orderkey,
+    l_linenumber), the lineitem-granularity tombstone a per-row CDC feed
+    emits — for every line with (l_orderkey + l_linenumber) % m == 0,
+    routed one chunk after its insert by the same +1 rule (so the last
+    chunk's lines get their delete in chunk 0: delete-before-insert at
+    line granularity). Note the synthetic lineitem has duplicate
+    (l_orderkey, l_linenumber) pairs; an L_DEL therefore tombstones
+    every row carrying that key — exactly the key-tombstone contract."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1809,33 +1825,43 @@ def stage_order_lineitem_chunks(
         if delete_mod:
             d = o[(o["o_orderkey"] % delete_mod == 0) & ((o["o_orderkey"] % n_chunks + 1) % n_chunks == i)]
             dk = list(d["o_orderkey"])
-        n_o, n_l, n_d = len(oc), len(lc), len(dk)
+        ld = li.iloc[0:0]
+        if line_delete_mod:
+            lkey = li["l_orderkey"] + li["l_linenumber"]
+            ld = li[
+                (lkey % line_delete_mod == 0) & ((lkey % n_chunks + 1) % n_chunks == i)
+            ].drop_duplicates(subset=["l_orderkey", "l_linenumber"])
+        n_o, n_l, n_d, n_ld = len(oc), len(lc), len(dk), len(ld)
         cols = {
-            "side": ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d,
+            "side": ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d + ["L_DEL"] * n_ld,
             "o_orderkey": pa.array(
-                list(oc["o_orderkey"]) + [None] * n_l + dk, pa.int64()
+                list(oc["o_orderkey"]) + [None] * n_l + dk + [None] * n_ld, pa.int64()
             ),
             "o_custkey": pa.array(
-                list(oc["o_custkey"]) + [None] * (n_l + n_d), pa.int64()
+                list(oc["o_custkey"]) + [None] * (n_l + n_d + n_ld), pa.int64()
             ),
             "o_orderstatus": pa.array(
-                list(oc["o_orderstatus"]) + [None] * (n_l + n_d), pa.string()
+                list(oc["o_orderstatus"]) + [None] * (n_l + n_d + n_ld), pa.string()
             ),
             "l_orderkey": pa.array(
-                [None] * n_o + list(lc["l_orderkey"]) + [None] * n_d, pa.int64()
+                [None] * n_o + list(lc["l_orderkey"]) + [None] * n_d + list(ld["l_orderkey"]),
+                pa.int64(),
             ),
             "l_linenumber": pa.array(
-                [None] * n_o + [int(x) for x in lc["l_linenumber"]] + [None] * n_d,
+                [None] * n_o
+                + [int(x) for x in lc["l_linenumber"]]
+                + [None] * n_d
+                + [int(x) for x in ld["l_linenumber"]],
                 pa.int32(),
             ),
             "l_quantity": pa.array(
-                [None] * n_o + list(lc["l_quantity"]) + [None] * n_d, pa.float64()
+                [None] * n_o + list(lc["l_quantity"]) + [None] * (n_d + n_ld), pa.float64()
             ),
             "l_extendedprice": pa.array(
-                [None] * n_o + list(lc["l_extendedprice"]) + [None] * n_d, pa.float64()
+                [None] * n_o + list(lc["l_extendedprice"]) + [None] * (n_d + n_ld), pa.float64()
             ),
             "l_discount": pa.array(
-                [None] * n_o + list(lc["l_discount"]) + [None] * n_d, pa.float64()
+                [None] * n_o + list(lc["l_discount"]) + [None] * (n_d + n_ld), pa.float64()
             ),
         }
         path = os.path.join(stage, f"part-{i}.parquet")
@@ -1857,6 +1883,7 @@ def run_join_ivm_stream(
     fold_every: int | None = None,
     refold_width: int | None = None,
     maintain_agg: bool = True,
+    maintain_max: bool = False,
 ):
     """Incrementally-maintained JOIN view — the delta-rule member of the
     MV family (the others maintain aggregates, fixed points, or indexes;
@@ -1873,15 +1900,18 @@ def run_join_ivm_stream(
     maintainable by a minutes-cadence stream). State and view hold only
     the view's projected columns (ingest-time column pruning).
 
-    DELETIONS (`side='O_DEL'`, key only): the view's negative deltas are
-    TOMBSTONES, not partition rewrites — delete keys accumulate in the
-    epoch-partitioned `<name>_d` table, every ΔV term anti-joins the
-    delete set (historical ∪ this epoch's), and `order_wide_view`
-    anti-joins live tombstones at read. A delete is terminal (no
-    re-insert of a deleted key — the CDC-upsert stream is the family
-    member for keys that come back): deletes arriving BEFORE their
-    order's insert win too, because ΔO is anti-joined against ALL live
-    tombstones, so the late insert never enters state or the view.
+    DELETIONS at BOTH granularities: the view's negative deltas are
+    TOMBSTONES, not partition rewrites. `side='O_DEL'` (order key only)
+    accumulates in the epoch-partitioned `<name>_d` table; `side='L_DEL'`
+    — the lineitem-granularity tombstone keyed (l_orderkey,
+    l_linenumber) that a per-row CDC feed emits — accumulates in
+    `<name>_ld`. Every ΔV term anti-joins both delete sets (historical ∪
+    this epoch's), and `order_wide_view` anti-joins live tombstones of
+    both kinds at read. A delete is terminal (no re-insert of a deleted
+    key — the CDC-upsert stream is the family member for keys that come
+    back): deletes arriving BEFORE their row's insert win too, because
+    ΔO and ΔL are anti-joined against ALL live tombstones, so the late
+    insert never enters state or the view.
 
     Exactly-once is the `_ingest_epoch` discipline: all four tables are
     epoch-partitioned and dynamic-overwritten; the state reads exclude
@@ -1895,23 +1925,40 @@ def run_join_ivm_stream(
     `maintain_agg=False` skips the retractable aggregate MV (`<name>_agg`
     partials + `revenue_by_cust_view`) for callers that only read the
     join view — the partial computation and fifth table write are not
-    free on the ingest hot path."""
+    free on the ingest hot path. `maintain_max=True` additionally
+    maintains the NON-INVERTIBLE aggregate MV (`<name>_mx` partials +
+    `revenue_max_by_cust_view`): per-customer MAX(revenue), the classic
+    IVM hard case — sum's sign trick doesn't apply, so tombstone epochs
+    re-derive the max from live view rows for ONLY the touched keys and
+    write a REBASE partial that supersedes that customer's older
+    partials (see `_ivm_epoch`)."""
     o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
+    ld_t = f"{name}_ld"
     agg_t = f"{name}_agg" if maintain_agg else None
+    mx_t = f"{name}_mx" if maintain_max else None
     if fresh_tables:
-        # the agg table is dropped even when maintain_agg=False: a stale
+        # the agg/mx tables are dropped even when not maintained: a stale
         # aggregate from an earlier same-name run must not survive a
         # fresh rebuild of the view it claims to summarize
-        for t in (o_t, l_t, v_t, d_t, f"{name}_agg"):
+        for t in (o_t, l_t, v_t, d_t, ld_t, f"{name}_agg", f"{name}_mx"):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {ld_t} (l_orderkey BIGINT, l_linenumber INT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         if agg_t:
             spark.sql(
                 f"CREATE TABLE {agg_t} (o_custkey BIGINT, n BIGINT,"
                 f" rev DECIMAL(18,6)) USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
+        if mx_t:
+            spark.sql(
+                f"CREATE TABLE {mx_t} (o_custkey BIGINT, mx DOUBLE,"
+                f" rebase BOOLEAN) USING parquet PARTITIONED BY (epoch BIGINT)"
             )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
@@ -1937,7 +1984,10 @@ def run_join_ivm_stream(
     feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def ivm_batch(df: DataFrame, epoch_id: int) -> None:
-        _ivm_epoch(df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width)
+        _ivm_epoch(
+            df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
+            ld_t=ld_t, mx_t=mx_t,
+        )
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -1967,28 +2017,52 @@ def _ivm_epoch(
     agg_t: str | None = None,
     fold_every: int | None = None,
     refold_width: int | None = None,
+    ld_t: str | None = None,
+    mx_t: str | None = None,
 ) -> None:
     """One delta-rule micro-batch, idempotent under last-epoch replay:
     the state reads exclude the in-flight epoch (`epoch != epoch_id`
     composed with `live_epochs`), so a replay after a crash mid-writes
     recomputes ΔV from identical state and dynamic-overwrites every
-    epoch partition byte-identically. Deletes (side='O_DEL') tombstone:
-    every ΔV term and the ΔO state insert anti-join the delete set
-    (live historical ∪ this batch's), so a deleted key never re-enters
-    state — including the out-of-order delete-before-insert case.
+    epoch partition byte-identically. Deletes tombstone at BOTH
+    granularities — side='O_DEL' (order key → `d_t`) and side='L_DEL'
+    ((l_orderkey, l_linenumber) → `ld_t`): every ΔV term and both state
+    inserts anti-join the live delete sets (historical ∪ this batch's),
+    so a deleted key never re-enters state — including the out-of-order
+    delete-before-insert case at either granularity.
 
     `agg_t` (optional) additionally maintains a RETRACTABLE aggregate MV
     on top of the join view — per-customer (net row count, DECIMAL
     revenue) partials: +ΔV's contribution each epoch, MINUS the retired
     view rows' contribution at the epoch a tombstone lands (scanned from
-    the live pre-delete view rows — O(matching rows), fired exactly once
-    per key because only the delete EVENT's batch triggers it). DECIMAL
-    sums re-associate exactly, so the read-side rollup is bit-identical
-    to a batch aggregate over never-deleted orders."""
+    the live pre-delete view rows — O(matching rows)). Retraction is
+    idempotent under at-least-once delivery (CDC's norm): only
+    FIRST-SEEN delete keys (distinct within the batch, anti-joined
+    against the historical tombstone set) trigger it, and a row retired
+    by an earlier epoch's tombstone of EITHER granularity is excluded
+    from later retire scans — a redelivered or overlapping delete
+    retracts nothing. DECIMAL sums re-associate exactly, so the
+    read-side rollup is bit-identical to a batch aggregate over
+    never-deleted rows.
+
+    `mx_t` (optional) maintains the NON-INVERTIBLE aggregate MV:
+    per-customer MAX(revenue). Inserts are monotone (a per-epoch
+    (o_custkey, max ΔV revenue) partial merges by max at read), but a
+    delete can LOWER a max and no sign trick recovers it — the classic
+    IVM hard case. At a tombstone's arrival epoch the max is re-derived
+    from the live post-delete view rows for ONLY the touched customers
+    and written as a REBASE partial (rebase=true; NULL mx when every row
+    died); the read side (`revenue_max_by_cust_view`) ignores a
+    customer's partials older than their newest rebase. The rebase
+    ordering lives in the epoch column, so `mx_t` is EXCLUDED from the
+    watermark fold (a fold would replace epochs with negative base
+    encodings and break the epoch ≥ rebase comparison — bounded instead
+    by rebases collapsing history at every delete epoch)."""
     s = df.sparkSession
     # fold BEFORE the state reads so the fold-read path is under the
-    # same replay gate as the probes (window ≤ epoch−1 only)
-    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, agg_t) if x):
+    # same replay gate as the probes (window ≤ epoch−1 only); mx_t is
+    # deliberately NOT folded (see docstring)
+    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, ld_t, agg_t) if x):
         _maybe_fold(
             s,
             t,
@@ -2013,20 +2087,34 @@ def _ivm_epoch(
         .filter(F.col("epoch") != epoch_id)
         .drop("epoch")
     )
-    d_del = None
+    d_del = hist_o = None
     if d_t is not None:
         d_del = df.filter(F.col("side") == "O_DEL").select("o_orderkey")
-        dead = (
+        hist_o = (
             live_epochs(s.table(d_t), s, d_t)
             .filter(F.col("epoch") != epoch_id)
             .drop("epoch")
-            .unionByName(d_del)
         )
+        dead = hist_o.unionByName(d_del)
         # ΔO is cleansed BEFORE entering state (deletes win over inserts,
         # any arrival order); o_state is cleansed per epoch because its
         # rows may predate their key's tombstone
         d_o = d_o.join(dead, "o_orderkey", "left_anti")
         o_state = o_state.join(dead, "o_orderkey", "left_anti")
+    d_ldel = hist_ld = None
+    lkey = ["l_orderkey", "l_linenumber"]
+    if ld_t is not None:
+        d_ldel = df.filter(F.col("side") == "L_DEL").select(*lkey)
+        hist_ld = (
+            live_epochs(s.table(ld_t), s, ld_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead_l = hist_ld.unionByName(d_ldel)
+        # same discipline one granularity down: ΔL cleansed before state,
+        # l_state cleansed per epoch — a line-deleted key never joins
+        d_l = d_l.join(dead_l, lkey, "left_anti")
+        l_state = l_state.join(dead_l, lkey, "left_anti")
 
     def proj(j: DataFrame) -> DataFrame:
         return j.select(
@@ -2047,24 +2135,69 @@ def _ivm_epoch(
     ).unionByName(
         proj(o_state.join(F.broadcast(d_l), F.col("o_orderkey") == F.col("l_orderkey")))
     )
+
+    # ---- shared retire computation (agg and mx both consume it) ----
+    # gate the O(accumulated-view) retire scan on the micro-batch actually
+    # carrying deletes (one cheap batch-sized check each) — delete-free
+    # epochs keep the documented O(|Δ|+matches) bound
+    has_od = d_del is not None and not d_del.isEmpty()
+    has_ld = d_ldel is not None and not d_ldel.isEmpty()
+    retired = post_live = None
+    if (agg_t or mx_t) and (has_od or has_ld):
+        pre_v = (
+            live_epochs(s.table(v_t), s, v_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        # rows already retired by an EARLIER epoch's tombstone (either
+        # granularity) are out of scope — the first-seen discipline
+        eligible = pre_v
+        if hist_o is not None:
+            eligible = eligible.join(hist_o, "o_orderkey", "left_anti")
+        fs_l = None
+        if hist_ld is not None:
+            # view rows key the line by (o_orderkey, l_linenumber) — the
+            # join condition made o_orderkey == l_orderkey
+            hist_ld_v = hist_ld.withColumnRenamed("l_orderkey", "o_orderkey")
+            eligible = eligible.join(hist_ld_v, ["o_orderkey", "l_linenumber"], "left_anti")
+            fs_l = (
+                d_ldel.distinct()
+                .join(hist_ld, lkey, "left_anti")
+                .withColumnRenamed("l_orderkey", "o_orderkey")
+            )
+        fs_o = (
+            d_del.distinct().join(hist_o, "o_orderkey", "left_anti")
+            if d_del is not None
+            else None
+        )
+        # each eligible row is retired by AT MOST ONE first-seen delete:
+        # order-tombstoned rows first, then line tombstones over the rest
+        parts = []
+        rest = eligible
+        if fs_o is not None:
+            parts.append(eligible.join(F.broadcast(fs_o), "o_orderkey", "left_semi"))
+            rest = eligible.join(F.broadcast(fs_o), "o_orderkey", "left_anti")
+        if fs_l is not None:
+            parts.append(
+                rest.join(F.broadcast(fs_l), ["o_orderkey", "l_linenumber"], "left_semi")
+            )
+            rest = rest.join(
+                F.broadcast(fs_l), ["o_orderkey", "l_linenumber"], "left_anti"
+            )
+        retired = parts[0]
+        for p in parts[1:]:
+            retired = retired.unionByName(p)
+        post_live = rest  # live pre-epoch view rows AFTER this batch's deletes
+
     if agg_t is not None:
         # retractable aggregate partial: +ΔV, −(view rows retired by this
-        # batch's tombstones). The retire scan reads LIVE pre-epoch view
-        # rows only (replay-deterministic); a key's retraction fires in
-        # exactly one epoch — the one its delete event arrives in.
+        # batch's FIRST-SEEN tombstones). Replay-deterministic: every
+        # input is pre-epoch live state or the batch itself.
         signed = d_v.select("o_custkey", "revenue", F.lit(1).alias("sign"))
-        # the retire term scans the accumulated view, so gate it on the
-        # micro-batch actually carrying deletes (one cheap batch-sized
-        # check) — delete-free epochs keep the documented O(|Δ|+matches)
-        # bound instead of paying an O(accumulated-view) scan
-        if d_del is not None and not d_del.isEmpty():
-            retired = (
-                live_epochs(s.table(v_t), s, v_t)
-                .filter(F.col("epoch") != epoch_id)
-                .join(F.broadcast(d_del), "o_orderkey")
-                .select("o_custkey", "revenue", F.lit(-1).alias("sign"))
+        if retired is not None:
+            signed = signed.unionByName(
+                retired.select("o_custkey", "revenue", F.lit(-1).alias("sign"))
             )
-            signed = signed.unionByName(retired)
         partial = signed.groupBy("o_custkey").agg(
             F.sum("sign").cast("long").alias("n"),
             F.sum(F.col("sign") * F.col("revenue").cast("decimal(18,6)"))
@@ -2076,11 +2209,37 @@ def _ivm_epoch(
         # below starts, and the scan's epoch != epoch_id filter keeps a
         # replay (where v_t's partition already exists) read-identical
         _ivm_write_epoch(s, partial, agg_t, epoch_id)
+    if mx_t is not None:
+        # insert partial: max over ΔV per customer (inserts only raise a
+        # max, so per-epoch max partials merge exactly at read)
+        parts_mx = (
+            d_v.groupBy("o_custkey")
+            .agg(F.max("revenue").alias("mx"))
+            .withColumn("rebase", F.lit(False))
+        )
+        if retired is not None:
+            # rebase: re-derive the max from live POST-delete rows for
+            # only the touched customers — O(touched customers' rows).
+            # LEFT join keeps fully-retired customers as NULL-mx rebases
+            # (they drop out at read unless later inserts arrive).
+            touched = retired.select("o_custkey").distinct()
+            rebased = (
+                touched.join(
+                    post_live.groupBy("o_custkey").agg(F.max("revenue").alias("mx")),
+                    "o_custkey",
+                    "left",
+                )
+                .withColumn("rebase", F.lit(True))
+            )
+            parts_mx = parts_mx.unionByName(rebased)
+        _ivm_write_epoch(s, parts_mx, mx_t, epoch_id)
     _ivm_write_epoch(s, d_v, v_t, epoch_id)
     _ivm_write_epoch(s, d_o, o_t, epoch_id)
     _ivm_write_epoch(s, d_l, l_t, epoch_id)
     if d_t is not None:
         _ivm_write_epoch(s, d_del, d_t, epoch_id)
+    if ld_t is not None:
+        _ivm_write_epoch(s, d_ldel, ld_t, epoch_id)
 
 
 def _ivm_agg_merge(df: DataFrame) -> DataFrame:
@@ -2116,26 +2275,62 @@ def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFr
 def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
     """The maintained join view's live rows — equals the batch
     orders ⋈ lineitem projection over every ingested row whose order was
-    never deleted (each join pair is emitted by exactly one delta term
-    in exactly one epoch: the epoch its LATER side arrived; view rows
-    written before their key's tombstone are anti-joined out at read).
-    Fold-aware via `live_epochs` on both tables."""
+    never deleted and whose line key was never line-deleted (each join
+    pair is emitted by exactly one delta term in exactly one epoch: the
+    epoch its LATER side arrived; view rows written before their key's
+    tombstone — at either granularity — are anti-joined out at read).
+    Fold-aware via `live_epochs` on every table."""
     v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
-    # targeted existence probe — a bare try/except here would swallow real
-    # read errors and silently serve UNDELETED rows
-    if not spark.catalog.tableExists(f"{name}_d"):
-        return v  # pre-deletes table layout: inserts only
-    dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
-    return v.join(dead, "o_orderkey", "left_anti")
+    # targeted existence probes — a bare try/except here would swallow
+    # real read errors and silently serve UNDELETED rows
+    if spark.catalog.tableExists(f"{name}_d"):
+        dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
+        v = v.join(dead, "o_orderkey", "left_anti")
+    if spark.catalog.tableExists(f"{name}_ld"):
+        dead_l = (
+            live_epochs(spark.table(f"{name}_ld"), spark, f"{name}_ld")
+            .drop("epoch")
+            # view rows key the line by (o_orderkey, l_linenumber)
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+        )
+        v = v.join(dead_l, ["o_orderkey", "l_linenumber"], "left_anti")
+    return v
+
+
+def revenue_max_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
+    """The NON-INVERTIBLE aggregate MV's current state: per-customer
+    MAX(revenue) over the maintained join view. Partials are per-epoch
+    insert maxima plus REBASE rows written at delete epochs (the max
+    re-derived from live rows for only the touched customers); a
+    customer's answer is the max over partials at-or-after their newest
+    rebase — older insert partials may include since-deleted rows and
+    are superseded. Customers whose every row died carry a NULL-mx
+    rebase and drop out, identically to a batch aggregate that never saw
+    them. The epoch comparison is exact because `<name>_mx` is never
+    watermark-folded (see `_ivm_epoch`)."""
+    mx = live_epochs(spark.table(f"{name}_mx"), spark, f"{name}_mx")
+    last_rb = (
+        mx.filter(F.col("rebase"))
+        .groupBy("o_custkey")
+        .agg(F.max("epoch").alias("rb_epoch"))
+    )
+    return (
+        mx.join(last_rb, "o_custkey", "left")
+        .filter(F.col("rb_epoch").isNull() | (F.col("epoch") >= F.col("rb_epoch")))
+        .groupBy("o_custkey")
+        .agg(F.max("mx").alias("max_revenue"))
+        .filter(F.col("max_revenue").isNotNull())
+    )
 
 
 def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
     """Physically retire tombstoned join rows — the compaction pass the
     tombstone design defers to: rewrite ONLY the live view partitions
-    that actually contain a deleted key's rows (dynamic overwrite, same
-    bytes discipline as `compact_small_files`), dropping those rows;
-    fully-dead POSITIVE epochs are dropped as partitions outright.
-    Returns the number of partitions touched.
+    that actually contain a deleted key's rows (order- or line-granular
+    tombstones alike; dynamic overwrite, same bytes discipline as
+    `compact_small_files`), dropping those rows; fully-dead POSITIVE
+    epochs are dropped as partitions outright. Returns the number of
+    partitions touched.
 
     Semantics are read-identical by construction: `order_wide_view`
     anti-joins tombstones anyway, so purge changes bytes, not results
@@ -2149,19 +2344,39 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
       removing the newest base would resurrect any stale positives in
       the crash-GC window. Bases shed their dead rows when rewritten
       with ≥1 surviving row, like any touched partition."""
-    v_t, d_t = f"{name}_v", f"{name}_d"
-    if not spark.catalog.tableExists(d_t):
+    v_t, d_t, ld_t = f"{name}_v", f"{name}_d", f"{name}_ld"
+    has_d = spark.catalog.tableExists(d_t)
+    has_ld = spark.catalog.tableExists(ld_t)
+    if not has_d and not has_ld:
         return 0
-    # distinct: a redelivered O_DEL can tombstone one key twice, and an
+    # distinct: a redelivered delete can tombstone one key twice, and an
     # inner join against duplicates would double-count n_dead (and could
     # misclassify a partition as fully dead — dropping LIVE rows). No
-    # forced broadcast: the tombstone set is kept forever by design, so
-    # it outgrows broadcast limits eventually; let the planner choose.
-    dead = live_epochs(spark.table(d_t), spark, d_t).drop("epoch").distinct()
+    # forced broadcast: the tombstone sets are kept forever by design, so
+    # they outgrow broadcast limits eventually; let the planner choose.
     live = live_epochs(spark.table(v_t), spark, v_t)
+    # a row is dead if its order was tombstoned OR its (o_orderkey,
+    # l_linenumber) line key was — count via successive anti-joins so a
+    # row matching both tombstones counts once
+    dead_rows = live.filter(F.lit(False))
+    alive = live
+    if has_d:
+        dead = live_epochs(spark.table(d_t), spark, d_t).drop("epoch").distinct()
+        dead_rows = dead_rows.unionByName(alive.join(dead, "o_orderkey", "left_semi"))
+        alive = alive.join(dead, "o_orderkey", "left_anti")
+    if has_ld:
+        dead_l = (
+            live_epochs(spark.table(ld_t), spark, ld_t)
+            .drop("epoch")
+            .distinct()
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+        )
+        dead_rows = dead_rows.unionByName(
+            alive.join(dead_l, ["o_orderkey", "l_linenumber"], "left_semi")
+        )
+        alive = alive.join(dead_l, ["o_orderkey", "l_linenumber"], "left_anti")
     per_epoch = (
-        live.join(dead, "o_orderkey", "left_semi")
-        .groupBy("epoch")
+        dead_rows.groupBy("epoch")
         .agg(F.count(F.lit(1)).alias("n_dead"))
         .join(
             live.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch"
@@ -2177,8 +2392,7 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
     kept_cols = [f.name for f in spark.table(v_t).schema.fields if f.name != "epoch"]
     if rewrite:
         keep = (
-            live.filter(F.col("epoch").isin(rewrite))
-            .join(dead, "o_orderkey", "left_anti")
+            alive.filter(F.col("epoch").isin(rewrite))
             .select(*kept_cols, "epoch")
             # barrier: the overwrite reads the partitions it replaces
             .localCheckpoint(eager=True)

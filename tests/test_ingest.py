@@ -1897,6 +1897,317 @@ class TestJoinIvm:
         want = sorted(map(tuple, self._batch_join(spark, sf_dir).collect()))
         assert got == want
 
+    def test_line_deletes_tombstone_any_arrival_order(self, spark, sf_dir):
+        """L_DEL tombstones at (l_orderkey, l_linenumber) granularity,
+        interleaved with order-level O_DELs: the converged view equals
+        the batch join minus BOTH delete sets (a row covered by both
+        retires once), the out-of-order line case occurred (epoch-0 line
+        tombstones exist), and a line whose delete PRECEDED its insert
+        never entered lineitem state (the cleansed-ΔL path)."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_wide_view,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(
+            sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5
+        )
+        q = run_join_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_ivmld")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmld_v", "t_ivmld_d", "t_ivmld_ld", "t_ivmld_l"):
+            spark.catalog.refreshTable(t)
+        got = sorted(map(tuple, order_wide_view(spark, "t_ivmld").collect()))
+        want = sorted(
+            map(
+                tuple,
+                self._batch_join(spark, sf_dir)
+                .filter(
+                    (F.col("o_orderkey") % 7 != 0)
+                    & ((F.col("o_orderkey") + F.col("l_linenumber")) % 5 != 0)
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        # the out-of-order line case occurred: lines inserted in chunk 2
+        # have (l_orderkey + l_linenumber) % 3 == 2, so their deletes
+        # landed in chunk (2+1)%3 == 0
+        assert spark.table("t_ivmld_ld").filter("epoch = 0").count() > 0
+        # a line whose delete preceded its insert never entered state
+        lkey = F.col("l_orderkey") + F.col("l_linenumber")
+        assert (
+            spark.table("t_ivmld_l")
+            .filter((lkey % 5 == 0) & (lkey % 3 == 2))
+            .count()
+            == 0
+        )
+        # lines deleted AFTER insert legitimately remain as tombstoned state
+        assert spark.table("t_ivmld_l").filter(lkey % 5 == 0).count() > 0
+
+    def test_redelivered_deletes_do_not_double_retract(self, spark, sf_dir):
+        """At-least-once delivery pin (r09 ADVICE): the SAME O_DEL and
+        L_DEL events redelivered in a LATER chunk must retract nothing a
+        second time — only first-seen delete keys fire the retire term.
+        Both the retractable sum MV and the max MV must equal their batch
+        rollups despite every delete arriving twice."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq_
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            revenue_by_cust_view,
+            revenue_max_by_cust_view,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(
+            sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5
+        )
+        # redeliver every delete event as an extra fourth chunk
+        base = os.stat(os.path.join(stage, "part-0.parquet")).st_mtime
+        chunks = [
+            pq_.read_table(os.path.join(stage, f"part-{i}.parquet")) for i in range(3)
+        ]
+        dup = pa.concat_tables(
+            t.filter(pc.is_in(t["side"], value_set=pa.array(["O_DEL", "L_DEL"])))
+            for t in chunks
+        )
+        assert dup.num_rows > 0
+        path = os.path.join(stage, "part-3-redelivered.parquet")
+        pq_.write_table(dup, path)
+        os.utime(path, (base + 3, base + 3))
+
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_ivmrd", maintain_max=True
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmrd_agg", "t_ivmrd_mx"):
+            spark.catalog.refreshTable(t)
+        surviving = self._batch_join(spark, sf_dir).filter(
+            (F.col("o_orderkey") % 7 != 0)
+            & ((F.col("o_orderkey") + F.col("l_linenumber")) % 5 != 0)
+        )
+        got = sorted(map(tuple, revenue_by_cust_view(spark, "t_ivmrd").collect()))
+        want = sorted(
+            map(
+                tuple,
+                surviving.groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    F.sum(F.col("revenue").cast("decimal(18,6)"))
+                    .cast("decimal(18,6)")
+                    .cast("double")
+                    .alias("revenue"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        got_mx = sorted(map(tuple, revenue_max_by_cust_view(spark, "t_ivmrd").collect()))
+        want_mx = sorted(
+            map(
+                tuple,
+                surviving.groupBy("o_custkey")
+                .agg(F.max("revenue").alias("max_revenue"))
+                .collect(),
+            )
+        )
+        assert got_mx == want_mx
+        # epoch 3 (pure redelivery) wrote NO retraction partials
+        assert spark.table("t_ivmrd_agg").filter("epoch = 3 AND n < 0").count() == 0
+
+    def test_max_mv_delete_of_current_max(self, spark, tmp_path):
+        """The non-invertible hard case, planted: deleting the row that
+        HOLDS a customer's current max must lower the served max to the
+        true runner-up (sum's sign trick can't do this — the rebase
+        re-derivation must). Covers an O_DEL of the max order, an L_DEL
+        of the max line, and a fully-deleted customer dropping out; also
+        pins the mechanism (rebase rows supersede older insert partials)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            revenue_max_by_cust_view,
+            run_join_ivm_stream,
+        )
+
+        schema = pa.schema(
+            [
+                ("side", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+
+        def row(side, ok=None, ck=None, lk=None, ln=None, px=None):
+            return {
+                "side": side,
+                "o_orderkey": ok,
+                "o_custkey": ck,
+                "o_orderstatus": "F" if side == "O" else None,
+                "l_orderkey": lk,
+                "l_linenumber": ln,
+                "l_quantity": 1.0 if side == "L" else None,
+                "l_extendedprice": px,
+                "l_discount": 0.0 if side == "L" else None,
+            }
+
+        # cust 1: orders 10 (rev 100 — the max) and 11 (rev 10); O_DEL 10
+        # cust 2: order 20, lines 1 (rev 50 — the max) and 2 (rev 5); L_DEL (20, 1)
+        # cust 3: order 30 only (rev 7); O_DEL 30 → customer drops out
+        chunk0 = [
+            row("O", ok=10, ck=1),
+            row("O", ok=11, ck=1),
+            row("O", ok=20, ck=2),
+            row("O", ok=30, ck=3),
+            row("L", lk=10, ln=1, px=100.0),
+            row("L", lk=11, ln=1, px=10.0),
+            row("L", lk=20, ln=1, px=50.0),
+            row("L", lk=20, ln=2, px=5.0),
+            row("L", lk=30, ln=1, px=7.0),
+        ]
+        chunk1 = [
+            row("O_DEL", ok=10),
+            row("L_DEL", lk=20, ln=1),
+            row("O_DEL", ok=30),
+        ]
+        stage = str(tmp_path / "mxstage")
+        os.makedirs(stage)
+        base = None
+        for i, rows in enumerate((chunk0, chunk1)):
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq_.write_table(
+                pa.Table.from_pylist(rows, schema=schema), p
+            )
+            base = base or os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_ivmmx",
+            maintain_agg=False, maintain_max=True,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivmmx_mx")
+        got = {
+            r.o_custkey: r.max_revenue
+            for r in revenue_max_by_cust_view(spark, "t_ivmmx").collect()
+        }
+        assert got == {1: 10.0, 2: 5.0}  # maxes LOWERED; cust 3 gone
+        mx = spark.table("t_ivmmx_mx")
+        # mechanism: epoch 0 holds the pre-delete insert maxima ...
+        e0 = {r.o_custkey: r.mx for r in mx.filter("epoch = 0 AND NOT rebase").collect()}
+        assert e0 == {1: 100.0, 2: 50.0, 3: 7.0}
+        # ... superseded by epoch-1 rebases, incl. cust 3's NULL-mx one
+        rb = {r.o_custkey: r.mx for r in mx.filter("epoch = 1 AND rebase").collect()}
+        assert rb == {1: 10.0, 2: 5.0, 3: None}
+
+    def test_cascade_fires_and_bounds_partitions(self, spark, sf_dir):
+        """The gated-cascade configuration (8 chunks, fold_every=2,
+        refold_width=2) drives `_refold_bases` inside the replay: the
+        view table ends with a TIER-2 base (epoch < -TIER_OFF), at most
+        4 live partitions per state table, and the served view equals
+        the batch join across the three-level layout."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            TIER_OFF,
+            _partition_epochs,
+            order_wide_view,
+            run_join_ivm_stream,
+        )
+
+        q = run_join_ivm_stream(
+            spark, sf_dir, name="t_ivmcas", n_chunks=8, fold_every=2, refold_width=2,
+            maintain_agg=False,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmcas_v", "t_ivmcas_o", "t_ivmcas_l"):
+            spark.catalog.refreshTable(t)
+            eps = _partition_epochs(spark, t)
+            assert any(e < -TIER_OFF for e in eps), (t, eps)  # tier-2 base exists
+            # tier-2 base + tier-1 base + positive epochs 6, 7
+            assert len(eps) <= 4, (t, sorted(eps))
+        got = sorted(map(tuple, order_wide_view(spark, "t_ivmcas").collect()))
+        want = sorted(map(tuple, self._batch_join(spark, sf_dir).collect()))
+        assert got == want
+
+    def test_purge_crash_between_drop_and_rewrite(self, spark, sf_dir):
+        """Crash-sim for the purge's two phases (r09 verdict item 8):
+        after the DROP of fully-dead partitions but BEFORE the rewrite of
+        partially-dead ones, the served view must already be
+        read-identical (tombstone anti-joins don't need the purged
+        bytes); re-running purge from that state completes the rewrite
+        and stays read-identical and idempotent."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            order_wide_view,
+            purge_tombstoned_rows,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+        q = run_join_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_ivmpc")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmpc_v", "t_ivmpc_d"):
+            spark.catalog.refreshTable(t)
+        before = sorted(map(tuple, order_wide_view(spark, "t_ivmpc").collect()))
+        assert before
+
+        # phase 1 alone (the crash point): drop every fully-dead positive
+        # partition exactly as purge_tombstoned_rows computes them
+        live = live_epochs(spark.table("t_ivmpc_v"), spark, "t_ivmpc_v")
+        dead = live_epochs(spark.table("t_ivmpc_d"), spark, "t_ivmpc_d").drop("epoch").distinct()
+        counts = (
+            live.join(dead, "o_orderkey", "left_semi")
+            .groupBy("epoch")
+            .agg(F.count(F.lit(1)).alias("n_dead"))
+            .join(live.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch")
+            .collect()
+        )
+        full_dead = [r.epoch for r in counts if r.n_dead == r.n_all and r.epoch >= 0]
+        partial = [r.epoch for r in counts if 0 < r.n_dead < r.n_all]
+        assert partial, "staging must leave partially-dead partitions to rewrite"
+        for e in full_dead:
+            spark.sql(f"ALTER TABLE t_ivmpc_v DROP IF EXISTS PARTITION (epoch={e})")
+        spark.catalog.refreshTable("t_ivmpc_v")
+        # crashed-mid-purge state: served view identical
+        assert sorted(map(tuple, order_wide_view(spark, "t_ivmpc").collect())) == before
+
+        # resume: completes the rewrites, still identical, then drains
+        n = purge_tombstoned_rows(spark, "t_ivmpc")
+        assert n == len(partial)
+        assert sorted(map(tuple, order_wide_view(spark, "t_ivmpc").collect())) == before
+        live2 = live_epochs(spark.table("t_ivmpc_v"), spark, "t_ivmpc_v")
+        assert live2.filter(F.col("o_orderkey") % 7 == 0).count() == 0
+        assert purge_tombstoned_rows(spark, "t_ivmpc") == 0
+
 
 class TestSq8IndexStream:
     def test_freeze_clamp_and_search(self, spark, sf_dir, tmp_path):
