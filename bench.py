@@ -195,12 +195,25 @@ def main() -> None:
     # timing passes stay instrumentation-free). Each query runs under a
     # job group; its stages are the store's NEWEST entries, so the scan
     # stops at the group's oldest stage id and eviction can't bite.
-    store = spark.sparkContext._jsc.sc().statusStore()
-    _stage_defaults = [
-        getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
-    ]
+    # The AppStatusStore walk reaches into private JVM internals
+    # (statusStore() + stageList$default$N reflection + a newest-first
+    # ordering assumption) — fine on the pinned Spark, but a Spark
+    # upgrade may rename any of it. Degrade to null-and-warn rather than
+    # failing the bench or silently reporting zeros (which a compare
+    # would misread as a 100% shuffle improvement); bench_compare treats
+    # null/zero-only maps as 'instrumentation unavailable'.
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        _stage_defaults = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+    except Exception as exc:  # noqa: BLE001 — any reflection break degrades alike
+        print(f"WARN: shuffle instrumentation unavailable: {exc!r}", file=sys.stderr)
+        store = None
 
-    def group_shuffle_metrics(group: str) -> dict[str, int]:
+    def group_shuffle_metrics(group: str) -> dict[str, int] | None:
+        if store is None:
+            return None
         tracker = spark.sparkContext.statusTracker()
         stage_ids: set[int] = set()
         for jid in tracker.getJobIdsForGroup(group):
@@ -211,17 +224,23 @@ def main() -> None:
         if not stage_ids:
             return out
         lo = min(stage_ids)
-        sl = store.stageList(None, *_stage_defaults)  # newest-first
-        for i in range(sl.size()):
-            s = sl.apply(i)
-            sid = s.stageId()
-            if sid < lo:
-                break
-            if sid in stage_ids:
-                out["shuffle_write"] += s.shuffleWriteBytes()
-                out["shuffle_read"] += s.shuffleReadBytes()
-                out["spill_memory"] += s.memoryBytesSpilled()
-                out["spill_disk"] += s.diskBytesSpilled()
+        try:
+            sl = store.stageList(None, *_stage_defaults)  # newest-first
+            for i in range(sl.size()):
+                s = sl.apply(i)
+                sid = s.stageId()
+                if sid < lo:
+                    break
+                if sid in stage_ids:
+                    out["shuffle_write"] += s.shuffleWriteBytes()
+                    out["shuffle_read"] += s.shuffleReadBytes()
+                    out["spill_memory"] += s.memoryBytesSpilled()
+                    out["spill_disk"] += s.diskBytesSpilled()
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"WARN: shuffle metrics failed for {group}: {exc!r}", file=sys.stderr
+            )
+            return None
         return out
 
     # INTERLEAVED passes: steady-state timing resilient to transient host

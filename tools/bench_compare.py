@@ -70,6 +70,21 @@ def load(path: str) -> dict:
     raise SystemExit(f"{path}: no bench JSON found")
 
 
+def _usable_shuffle(sb: dict | None) -> dict | None:
+    """A shuffle-bytes map is comparable only if instrumentation actually
+    ran: bench.py records null per query (or omits the map) when the
+    AppStatusStore reflection breaks, and an all-zero map is the silent
+    form of the same failure — either way, comparing would read as a
+    100% improvement/regression artifact. Returns the dict of real
+    per-query maps, or None when unusable."""
+    if not isinstance(sb, dict):
+        return None
+    real = {k: m for k, m in sb.items() if isinstance(m, dict)}
+    if not real or all(sum(m.values()) == 0 for m in real.values()):
+        return None
+    return real
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 0.25
@@ -93,8 +108,13 @@ def main() -> None:
 
     # shuffle/spill byte deltas (r09+ detail files): the memory-scale
     # signal — seconds at sf0.1 can hide a plan that doubled its shuffle
-    # volume. Compared on total bytes (write + read + both spills).
-    osb, nsb = old.get("queries_shuffle_bytes"), new.get("queries_shuffle_bytes")
+    # volume. Compared on total bytes (write + read + both spills), with
+    # the SAME exit-1 ratchet as the seconds above: a per-query byte
+    # regression beyond the threshold (and > 1 MiB absolute, filtering
+    # footer-noise on tiny queries) fails loudly.
+    sbad = []
+    osb = _usable_shuffle(old.get("queries_shuffle_bytes"))
+    nsb = _usable_shuffle(new.get("queries_shuffle_bytes"))
     if osb and nsb:
         tot = lambda m: sum(m.values())
         srows = sorted(
@@ -109,18 +129,21 @@ def main() -> None:
         print(f"\nshuffle+spill bytes: {sum(r[2] for r in srows)/2**20:.1f} MiB"
               f" -> {sum(r[3] for r in srows)/2**20:.1f} MiB (common {len(srows)})")
         print(f"{'delta':>8s}  {'old MiB':>9s} {'new MiB':>9s}  query")
+        sbad = [r for r in srows if r[0] > thr and r[3] - r[2] > 2**20]
         for d, k, a, b in sorted(srows, reverse=True)[:10]:
             flag = "  <-- SHUFFLE REGRESSION" if d > thr and b - a > 2**20 else ""
             print(f"{d:+8.1%}  {a/2**20:9.2f} {b/2**20:9.2f}  {k}{flag}")
     elif nsb:
         biggest = sorted(nsb.items(), key=lambda kv: -sum(kv[1].values()))[:10]
-        print("\nshuffle+spill bytes (new run only; old run predates instrumentation):")
+        print("\nshuffle+spill bytes (new run only; old run has no usable"
+              " instrumentation):")
         for k, m in biggest:
             spill = m.get("spill_memory", 0) + m.get("spill_disk", 0)
             print(f"  {sum(m.values())/2**20:9.2f} MiB  (spill {spill/2**20:.2f} MiB)  {k}")
 
-    if bad:
-        print(f"\n{len(bad)} queries regressed beyond {thr:.0%}")
+    if bad or sbad:
+        print(f"\n{len(bad)} queries regressed beyond {thr:.0%} (seconds);"
+              f" {len(sbad)} beyond {thr:.0%} (shuffle bytes)")
         sys.exit(1)
 
 
