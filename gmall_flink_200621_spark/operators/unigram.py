@@ -242,6 +242,135 @@ def unigram_lm_vocab(
     return spark.createDataFrame(rows, "rank int, piece string, count_q long")
 
 
+UNI_FREQ_MAX_LEN = 3  # closed-form vocab: substrings up to this length
+UNI_FREQ_DENOM = 20  # keep pieces with cnt ≥ 1/denom of total word occurrences
+
+
+def unigram_freq_scores(
+    docs: DataFrame, max_len: int = UNI_FREQ_MAX_LEN, denom: int = UNI_FREQ_DENOM
+) -> list[tuple[str, int]]:
+    """CLOSED-FORM integer piece scores — the hash-gated Viterbi twin's
+    contract (`wordpiece_freq_vocab`'s stance applied here): every plain
+    substring of length ≤ max_len whose frequency-weighted occurrence
+    count reaches 1/denom of total word occurrences, scored by that
+    count. One aggregation, integer threshold arithmetic — the DuckDB
+    oracle re-derives vocabulary AND scores exactly. The collect is
+    vocab-bounded."""
+    wf = _word_freqs(docs)
+    pieces = wf.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_len), F.length("w") - i + 1),
+                        ),
+                        lambda n: F.col("w").substr(i, n),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    total = int(wf.agg(F.sum("freq")).first()[0] or 0)
+    kept = (
+        pieces.groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .filter(F.col("cnt") * denom >= F.lit(total))
+        .collect()
+    )
+    return [(r.piece, int(r.cnt)) for r in kept]
+
+
+def viterbi_segment_int(w: str, scores: dict[str, int], max_len: int) -> int:
+    """Integer-exact Viterbi piece count: the segmentation maximizing
+    (Σ piece score, then FEWER pieces) — the log-free member of the
+    Viterbi family. The float encoder (`viterbi_segment`) maximizes
+    Σ log p, which is libm-dependent and therefore outside the engine's
+    cross-engine hash contract; this twin's objective is pure int64
+    comparison, so the DuckDB oracle replays it bit-for-bit (encoded
+    there as comb = score·64 + (63 − pieces), lexicographic max —
+    requires pieces ≤ 63 per word, i.e. words under 64 chars; longer
+    words belong to the float encoder). A word with no full path (a
+    character below the vocab threshold) falls back to per-char count
+    len(w) — deterministic in both engines. Only the piece COUNT is
+    returned: third-level ties (same score, same count, different
+    splits) are output-invisible by construction."""
+    n = len(w)
+    best: list[tuple[int, int] | None] = [None] * (n + 1)
+    best[0] = (0, 0)  # (score, -pieces)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            if best[i] is None:
+                continue
+            s = scores.get(w[i:j])
+            if s is None:
+                continue
+            cand = (best[i][0] + s, best[i][1] - 1)
+            if best[j] is None or cand > best[j]:
+                best[j] = cand
+    if best[n] is None:
+        return n
+    return -best[n][1]
+
+
+def unigram_encode_freq(
+    docs: DataFrame, scores: list[tuple[str, int]], max_len: int = UNI_FREQ_MAX_LEN
+) -> DataFrame:
+    """Viterbi-encode the corpus under the closed-form integer scores —
+    `unigram_encode`'s exact scale shape (pure Arrow map, zero shuffles,
+    per-distinct-word memo) with `viterbi_segment_int` as the DP. This
+    is the hash-gated twin certifying the lattice DP engine end-to-end;
+    the trained-vocab encoder stays rows-only because its probabilities
+    are the EM trainer's product and its scores go through libm log."""
+    smap = dict(scores)
+
+    def encode(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def round6(x: float) -> float:
+            # mirror Spark/DuckDB round(double, 6) HALF_UP (Python round
+            # is half-even — the wordpiece_encode trick; load-bearing
+            # here because this twin IS hash-gated)
+            return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_words, n_pieces, n_chars = [], [], []
+            for text in pdf["text"]:
+                words = [w for w in text.split(" ") if w]
+                np_ = nc = 0
+                for w in words:
+                    k = memo.get(w)
+                    if k is None:
+                        k = viterbi_segment_int(w, smap, max_len)
+                        memo[w] = k
+                    np_ += k
+                    nc += len(w)
+                n_words.append(len(words))
+                n_pieces.append(np_)
+                n_chars.append(nc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int32"),
+                    "n_pieces": pd.Series(n_pieces, dtype="int64"),
+                    "chars_per_piece": [
+                        round6(c / p) if p else 0.0
+                        for c, p in zip(n_chars, n_pieces)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, "doc_id long, n_words int, n_pieces long, chars_per_piece double"
+    )
+
+
 def unigram_encode(docs: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
     """Viterbi-encode the corpus under a trained vocabulary — the
     corpus-scale side, a pure Arrow map (zero shuffles, zero driver

@@ -187,6 +187,59 @@ def wordpiece_vocab_sampled(
     )
 
 
+WP_FREQ_MAX_LEN = 3  # closed-form vocab: positional pieces up to this length
+WP_FREQ_DENOM = 20  # keep pieces with cnt ≥ 1/denom of total word occurrences
+
+
+def wordpiece_freq_vocab(
+    docs: DataFrame, max_len: int = WP_FREQ_MAX_LEN, denom: int = WP_FREQ_DENOM
+) -> list[str]:
+    """CLOSED-FORM frequency vocabulary — the hash-gated twin's contract:
+    every positional piece (word-initial bare, continuation ##-marked) of
+    length ≤ max_len whose frequency-weighted occurrence count reaches
+    1/denom of total word occurrences. Unlike the trained vocabulary
+    (an iterative product, rows-only by the BPE carve-out) this is one
+    aggregation — the DuckDB oracle re-derives it exactly, which is what
+    lets `wordpiece_encode_freq` put the greedy longest-match ENCODER
+    under the hash gate. Threshold arithmetic is integer
+    (cnt·denom ≥ total), so both engines keep identical vocabularies.
+    The collect is vocab-bounded (≤ 2·alphabet^max_len positional
+    pieces — the centroid-table class of driver read)."""
+    wf = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pieces = wf.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_len), F.length("w") - i + 1),
+                        ),
+                        lambda n: F.when(i == 1, F.col("w").substr(i, n)).otherwise(
+                            F.concat(F.lit(WP_CONT), F.col("w").substr(i, n))
+                        ),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    total = int(wf.agg(F.sum("freq")).first()[0] or 0)
+    kept = (
+        pieces.groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .filter(F.col("cnt") * denom >= F.lit(total))
+        .collect()
+    )
+    return [r.piece for r in kept]
+
+
 def wordpiece_base_vocab(docs: DataFrame) -> list[str]:
     """The trained vocabulary's BASE layer: every single-character symbol
     (bare word-initial + '##'-marked continuation) occurring in the

@@ -706,6 +706,53 @@ def wordpiece_vocab_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp_s(_docs(spark, sf_dir), rate_per_mille=500)
 
 
+def wordpiece_encode_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HASH-GATED twin of wordpiece_encode: the identical greedy
+    # longest-match Arrow encoder, run over the closed-form frequency
+    # vocabulary (one aggregation — SQL-derivable, unlike the trained
+    # vocab), which the DuckDB oracle re-derives and replays with a
+    # recursive-CTE greedy walk per distinct word. This certifies the
+    # encoder ENGINE (longest-match, '##' continuations, whole-word
+    # [UNK]) under the driver hash gate; the trained-vocab entry above
+    # stays rows-only because its vocab is the iterative trainer's
+    # product.
+    from ..operators.wordpiece import (
+        wordpiece_encode as _wp_enc,
+        wordpiece_freq_vocab,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return _wp_enc(docs, wordpiece_freq_vocab(docs))
+
+
+def unigram_encode_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HASH-GATED Viterbi twin: the lattice DP engine (unigram_encode's
+    # scale shape) under the INTEGER objective (max Σ piece score, then
+    # fewer pieces) over closed-form frequency scores — log-free, so
+    # the DuckDB oracle replays the DP exactly as an unrolled per-
+    # position max (comb = score·64 + (63 − pieces)). The trained
+    # float-prob encoder stays rows-only (EM product + libm log).
+    from ..operators.unigram import unigram_encode_freq as _uni_enc, unigram_freq_scores
+
+    docs = _docs(spark, sf_dir)
+    return _uni_enc(docs, unigram_freq_scores(docs))
+
+
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (same stance as wordpiece_encode): the consumed vocab is
+    # the EM trainer's product and the Viterbi scores go through libm
+    # log; exactness is pinned against a Python Viterbi in TestUnigramLm,
+    # and the DP engine itself is hash-certified by unigram_encode_freq.
+    from ..operators.unigram import (
+        unigram_encode as _uni_enc,
+        unigram_lm_vocab as _uni_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = [(r.piece, int(r.count_q)) for r in _uni_train(docs).collect()]
+    return _uni_enc(docs, vocab)
+
+
 def bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only like bpe_merges (same non-SQL-expressible iterative class);
     # exactness on the sample + prefix-agreement with the full-corpus
@@ -778,6 +825,9 @@ TRAINING_QUERIES = {
     "wordpiece_vocab": wordpiece_vocab,
     "wordpiece_vocab_sampled": wordpiece_vocab_sampled,
     "wordpiece_encode": wordpiece_encode,
+    "wordpiece_encode_freq": wordpiece_encode_freq,
+    "unigram_encode_freq": unigram_encode_freq,
+    "unigram_encode": unigram_encode,
     "split_leakage_audit": split_leakage_audit,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "token_entropy": token_entropy,

@@ -2198,7 +2198,153 @@ SELECT '{name}' AS method,
 ANN_EVAL = _ann_eval_sql()
 
 
+# WordPiece greedy longest-match encoder over the CLOSED-FORM frequency
+# vocabulary (operators/wordpiece.py wordpiece_freq_vocab: positional
+# pieces ≤ 3 chars with cnt·20 ≥ total word occurrences — integer
+# threshold, so both engines keep identical vocabularies). The greedy
+# walk is a single deterministic path per distinct word, so a recursive
+# CTE replays it without aggregation over the recursive relation: each
+# state (word, pos) advances by the LONGEST matching piece (word-initial
+# bare, continuation '##'-marked) found by a LEFT JOIN LATERAL max over
+# the vocab — NULL means no prefix matches and the whole word becomes
+# one [UNK] token, exactly the encoder's semantics. LEFT JOIN keeps
+# documents with no words (0-token rows).
+WORDPIECE_ENCODE_FREQ = """
+WITH RECURSIVE
+doc_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+wf AS (SELECT w, count(*) AS freq FROM doc_words GROUP BY w),
+tot AS (SELECT sum(freq) AS t FROM wf),
+pieces AS (
+  SELECT unnest(flatten(list_transform(generate_series(1, length(w)),
+           i -> list_transform(generate_series(1, least(3, length(w) - i + 1)),
+                n -> CASE WHEN i = 1 THEN substr(w, i, n)
+                          ELSE '##' || substr(w, i, n) END)))) AS piece,
+         freq
+  FROM wf
+),
+vocab AS (
+  SELECT piece FROM (SELECT piece, sum(freq) AS cnt FROM pieces GROUP BY piece), tot
+  WHERE cnt * 20 >= t
+),
+st AS (
+  SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS toks, false AS unk
+  FROM (SELECT DISTINCT w FROM wf)
+  UNION ALL
+  SELECT w,
+         CASE WHEN m.l IS NULL THEN length(w) + 1 ELSE pos + m.l END,
+         CASE WHEN m.l IS NULL THEN 1 ELSE toks + 1 END,
+         m.l IS NULL
+  FROM st LEFT JOIN LATERAL (
+    SELECT max(CASE WHEN st.pos = 1 THEN length(v.piece) ELSE length(v.piece) - 2 END) AS l
+    FROM vocab v
+    WHERE (st.pos = 1 AND v.piece NOT LIKE '##%'
+           AND v.piece = substr(st.w, st.pos, length(v.piece)))
+       OR (st.pos > 1 AND v.piece LIKE '##%'
+           AND substr(v.piece, 3) = substr(st.w, st.pos, length(v.piece) - 2))
+  ) m ON true
+  WHERE st.pos <= length(st.w) AND NOT st.unk
+),
+final AS (SELECT w, toks, unk FROM st WHERE pos = length(w) + 1)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_words, 0) AS INT) AS n_words,
+       CAST(coalesce(r.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+       CAST(coalesce(r.n_unk_words, 0) AS INT) AS n_unk_words,
+       CASE WHEN coalesce(r.n_wp_tokens, 0) > 0
+            THEN round(r.chars / r.n_wp_tokens, 6) ELSE 0.0 END AS chars_per_token
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_wp_tokens,
+         sum(CASE WHEN unk THEN 1 ELSE 0 END) AS n_unk_words,
+         CAST(sum(length(w)) AS DOUBLE) AS chars
+  FROM doc_words JOIN final USING (w)
+  GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
+def _unigram_encode_freq_sql(max_w: int = 16) -> str:
+    """Unrolled integer-Viterbi DP (operators/unigram.py
+    viterbi_segment_int): per distinct word, best[pos] under the
+    (Σ piece score, then fewer pieces) objective, encoded as one BIGINT
+    comb = score·64 + (63 − pieces) so the per-position max IS the
+    lexicographic max. One chained CTE per position (aggregates are
+    illegal in a recursive term, so the DP unrolls — `max_w` positions,
+    headroom over the corpus's max word length; extra steps match
+    nothing and cost nothing). Words with no full path (a sub-threshold
+    character) fall back to per-char count length(w), the twin's
+    documented fallback."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # step references its predecessor twice (carry + extend) — inlined,
+    # the chain expands 2^max_w ways and exhausts file handles re-scanning
+    # the base table
+    steps = []
+    for p in range(1, max_w + 1):
+        steps.append(
+            f"d{p} AS MATERIALIZED (\n"
+            f"  SELECT * FROM d{p - 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT w, {p} AS pos, max(comb + s.cnt * 64 - 1) AS comb\n"
+            f"  FROM d{p - 1} prev JOIN sc s\n"
+            f"    ON s.piece = substr(prev.w, prev.pos + 1, {p} - prev.pos)\n"
+            f"  WHERE prev.pos BETWEEN {p} - 3 AND {p} - 1 AND length(prev.w) >= {p}\n"
+            f"  GROUP BY w\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH
+doc_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+wf AS (SELECT w, count(*) AS freq FROM doc_words GROUP BY w),
+tot AS (SELECT sum(freq) AS t FROM wf),
+pieces AS (
+  SELECT unnest(flatten(list_transform(generate_series(1, length(w)),
+           i -> list_transform(generate_series(1, least(3, length(w) - i + 1)),
+                n -> substr(w, i, n))))) AS piece,
+         freq
+  FROM wf
+),
+sc AS (
+  SELECT piece, cnt FROM (SELECT piece, sum(freq) AS cnt FROM pieces GROUP BY piece), tot
+  WHERE cnt * 20 >= t
+),
+d0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(63 AS BIGINT) AS comb FROM (SELECT DISTINCT w FROM wf)),
+{chain},
+fin AS (
+  SELECT dw.w,
+         CASE WHEN t.comb IS NULL THEN length(dw.w)
+              ELSE 63 - (t.comb % 64) END AS n_pieces
+  FROM (SELECT DISTINCT w FROM wf) dw
+  LEFT JOIN (SELECT w, comb FROM d{max_w} WHERE pos = length(w)) t USING (w)
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_words, 0) AS INT) AS n_words,
+       CAST(coalesce(r.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CASE WHEN coalesce(r.n_pieces, 0) > 0
+            THEN round(r.chars / r.n_pieces, 6) ELSE 0.0 END AS chars_per_piece
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words, sum(n_pieces) AS n_pieces,
+         CAST(sum(length(w)) AS DOUBLE) AS chars
+  FROM doc_words JOIN fin USING (w)
+  GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
+UNIGRAM_ENCODE_FREQ = _unigram_encode_freq_sql()
+
+
 TRAINING_ORACLES: dict[str, str] = {
+    "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
+    "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
     "mixture_temperature": MIXTURE_TEMPERATURE,

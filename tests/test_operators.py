@@ -1806,6 +1806,63 @@ class TestUnigramLm:
             )
             assert got[doc_id] == want, doc_id
 
+    def test_integer_viterbi_matches_brute_force_enumeration(self, spark, sf_dir):
+        """viterbi_segment_int (the hash-gated twin's DP) against FULL
+        segmentation enumeration: for every distinct corpus word, the DP's
+        piece count equals the count of the best segmentation under the
+        exact (Σ score, fewer pieces) objective enumerated exhaustively;
+        unsegmentable words fall back to per-char length. Also pins the
+        twin's Spark output against a direct per-doc recount."""
+        from gmall_flink_200621_spark.operators.unigram import (
+            unigram_encode_freq,
+            unigram_freq_scores,
+            viterbi_segment_int,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        scores = dict(unigram_freq_scores(docs))
+        assert scores, "closed-form vocab must be non-empty"
+
+        def enumerate_best(w: str) -> int:
+            best: list[tuple[int, int]] = []
+
+            def rec(i: int, sc: int, k: int) -> None:
+                if i == len(w):
+                    best.append((sc, -k))
+                    return
+                for j in range(i + 1, min(len(w), i + 3) + 1):
+                    s = scores.get(w[i:j])
+                    if s is not None:
+                        rec(j, sc + s, k + 1)
+
+            rec(0, 0, 0)
+            if not best:
+                return len(w)
+            return -max(best)[1]
+
+        words = {
+            r.w
+            for r in docs.selectExpr("explode(split(text, ' ')) AS w")
+            .filter("length(w) > 0")
+            .distinct()
+            .collect()
+        }
+        for w in sorted(words):
+            assert viterbi_segment_int(w, scores, 3) == enumerate_best(w), w
+        # at least one word must exercise the per-char fallback or a
+        # multi-piece split, else the pin is vacuous on this corpus
+        counts = {w: viterbi_segment_int(w, scores, 3) for w in words}
+        assert any(k > 1 for k in counts.values())
+
+        got = {r.doc_id: r.n_pieces for r in unigram_encode_freq(docs, list(scores.items())).collect()}
+        import pandas as pd
+
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+        for doc_id in list(got)[:25]:
+            text = pdf.loc[doc_id, "text"]
+            assert got[doc_id] == sum(counts[w] for w in text.split(" ") if w)
+
 
 class TestDynamicGapSessions:
     def test_error_gap_splits_where_default_would_merge(self, spark, monkeypatch, tmp_path):
