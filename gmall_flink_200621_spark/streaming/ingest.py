@@ -2272,6 +2272,47 @@ def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFr
     )
 
 
+def compact_max_mv(spark: SparkSession, name: str = "orderwide") -> int:
+    """Compaction pass for the max-MV partials table — the growth story
+    its fold-exclusion defers to (`<name>_mx` can't take the watermark
+    fold: negative base encodings would break the epoch ≥ rebase
+    comparison). Collapse the table to ONE rebase row per customer at
+    the NEWEST existing epoch — the max re-derived through the served
+    view for live customers, NULL-mx for customers whose every row died
+    (they must stay superseded: dropping them instead would resurrect
+    their pre-rebase insert partials if a crash leaves old partitions
+    behind) — then GC every older partition. Read-identical by
+    construction (the view's last-rebase filter then sees exactly the
+    top-epoch rebase plus nothing older per customer), idempotent, and
+    crash-safe in the fold family's style: with the top-epoch write
+    landed, every older partition is superseded for every customer, so
+    the drops are pure GC a re-run completes. Run quiesced, like
+    `purge_tombstoned_rows`. Returns partitions GC'd."""
+    mx_t = f"{name}_mx"
+    if not spark.catalog.tableExists(mx_t):
+        return 0
+    eps = _partition_epochs(spark, mx_t)
+    if len(eps) <= 1:
+        return 0
+    top = max(eps)
+    custs = spark.table(mx_t).select("o_custkey").distinct()
+    served = revenue_max_by_cust_view(spark, name).select(
+        "o_custkey", F.col("max_revenue").alias("mx")
+    )
+    rebased = (
+        custs.join(served, "o_custkey", "left")
+        .withColumn("rebase", F.lit(True))
+        # barrier: the overwrite reads the partitions it replaces
+        .localCheckpoint(eager=True)
+    )
+    _ivm_write_epoch(spark, rebased, mx_t, top)
+    dropped = [e for e in eps if e != top]
+    for e in dropped:
+        spark.sql(f"ALTER TABLE {mx_t} DROP IF EXISTS PARTITION (epoch={e})")
+    spark.catalog.refreshTable(mx_t)
+    return len(dropped)
+
+
 def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
     """The maintained join view's live rows — equals the batch
     orders ⋈ lineitem projection over every ingested row whose order was

@@ -2027,23 +2027,15 @@ class TestJoinIvm:
         # epoch 3 (pure redelivery) wrote NO retraction partials
         assert spark.table("t_ivmrd_agg").filter("epoch = 3 AND n < 0").count() == 0
 
-    def test_max_mv_delete_of_current_max(self, spark, tmp_path):
-        """The non-invertible hard case, planted: deleting the row that
-        HOLDS a customer's current max must lower the served max to the
-        true runner-up (sum's sign trick can't do this — the rebase
-        re-derivation must). Covers an O_DEL of the max order, an L_DEL
-        of the max line, and a fully-deleted customer dropping out; also
-        pins the mechanism (rebase rows supersede older insert partials)."""
+    @staticmethod
+    def _planted_mx_stage(tmp_path) -> str:
+        """Two-chunk feed planting the max-MV hard cases: cust 1 loses its
+        max order to an O_DEL, cust 2 its max line to an L_DEL, cust 3
+        loses everything."""
         import os
 
         import pyarrow as pa
         import pyarrow.parquet as pq_
-        from pyspark.sql import functions as F
-
-        from gmall_flink_200621_spark.streaming.ingest import (
-            revenue_max_by_cust_view,
-            run_join_ivm_stream,
-        )
 
         schema = pa.schema(
             [
@@ -2101,7 +2093,21 @@ class TestJoinIvm:
             )
             base = base or os.stat(p).st_mtime
             os.utime(p, (base + i, base + i))
+        return stage
 
+    def test_max_mv_delete_of_current_max(self, spark, tmp_path):
+        """The non-invertible hard case, planted: deleting the row that
+        HOLDS a customer's current max must lower the served max to the
+        true runner-up (sum's sign trick can't do this — the rebase
+        re-derivation must). Covers an O_DEL of the max order, an L_DEL
+        of the max line, and a fully-deleted customer dropping out; also
+        pins the mechanism (rebase rows supersede older insert partials)."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            revenue_max_by_cust_view,
+            run_join_ivm_stream,
+        )
+
+        stage = self._planted_mx_stage(tmp_path)
         q = run_join_ivm_stream(
             spark, sf_dir="", stage_dir=stage, name="t_ivmmx",
             maintain_agg=False, maintain_max=True,
@@ -2122,6 +2128,71 @@ class TestJoinIvm:
         # ... superseded by epoch-1 rebases, incl. cust 3's NULL-mx one
         rb = {r.o_custkey: r.mx for r in mx.filter("epoch = 1 AND rebase").collect()}
         assert rb == {1: 10.0, 2: 5.0, 3: None}
+
+    def test_compact_max_mv_is_read_identical_and_bounds_partitions(
+        self, spark, tmp_path
+    ):
+        """The max MV's compaction story (`<name>_mx` is fold-excluded by
+        design): after compaction the served maxes are identical, the
+        table holds ONE partition, fully-deleted customers stay
+        superseded (NULL-mx rebases written, not dropped), a crash
+        between the rebase write and the GC still reads identically, and
+        a second pass is a no-op."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _partition_epochs,
+            compact_max_mv,
+            revenue_max_by_cust_view,
+            run_join_ivm_stream,
+        )
+
+        stage = self._planted_mx_stage(tmp_path)
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_ivmcm",
+            maintain_agg=False, maintain_max=True,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivmcm_mx")
+        before = sorted(map(tuple, revenue_max_by_cust_view(spark, "t_ivmcm").collect()))
+        n_parts = len(_partition_epochs(spark, "t_ivmcm_mx"))
+        assert n_parts > 1
+        # fully-deleted customers exist in partials but not in the view
+        all_custs = {r.o_custkey for r in spark.table("t_ivmcm_mx").select("o_custkey").distinct().collect()}
+        assert all_custs - {t[0] for t in before}, "need a fully-retired customer"
+
+        # crash-sim: the rebase write landed but the GC didn't — replay
+        # compact's write phase alone, leaving every old partition behind
+        from gmall_flink_200621_spark.streaming.ingest import _ivm_write_epoch
+
+        top = max(_partition_epochs(spark, "t_ivmcm_mx"))
+        custs = spark.table("t_ivmcm_mx").select("o_custkey").distinct()
+        served = revenue_max_by_cust_view(spark, "t_ivmcm").select(
+            "o_custkey", F.col("max_revenue").alias("mx")
+        )
+        rebased = (
+            custs.join(served, "o_custkey", "left")
+            .withColumn("rebase", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+        _ivm_write_epoch(spark, rebased, "t_ivmcm_mx", top)
+        assert len(_partition_epochs(spark, "t_ivmcm_mx")) == n_parts  # GC pending
+        assert sorted(map(tuple, revenue_max_by_cust_view(spark, "t_ivmcm").collect())) == before
+
+        n = compact_max_mv(spark, "t_ivmcm")
+        assert n == n_parts - 1
+        assert sorted(map(tuple, revenue_max_by_cust_view(spark, "t_ivmcm").collect())) == before
+        assert len(_partition_epochs(spark, "t_ivmcm_mx")) == 1
+        # dead customers stayed superseded as NULL-mx rebases
+        assert (
+            spark.table("t_ivmcm_mx").filter(F.col("mx").isNull() & F.col("rebase")).count()
+            == len(all_custs - {t[0] for t in before})
+        )
+        # idempotent
+        assert compact_max_mv(spark, "t_ivmcm") == 0
+        assert sorted(map(tuple, revenue_max_by_cust_view(spark, "t_ivmcm").collect())) == before
 
     def test_cascade_fires_and_bounds_partitions(self, spark, sf_dir):
         """The gated-cascade configuration (8 chunks, fold_every=2,
