@@ -1256,6 +1256,72 @@ def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFram
 TRAINING_QUERIES["order_wide_cascade_stream_view"] = order_wide_cascade_stream_view
 
 
+def order_wide_upsert_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-IVM stream under the full CDC event mix — inserts,
+    O_UPD upserts (status → 'U', custkey + 1000: revenue MOVES across
+    customers), O_DEL and L_DEL tombstones — under the oracle gate.
+    Updates route +2 chunks after the insert, so only chunk-0 keys'
+    updates WIN under arrival-epoch last-write-wins; chunk-1/2 keys get
+    the update before the insert and the later insert supersedes it
+    (their attributes stay original — the out-of-order contract is IN
+    the hash). fold_every exercises the o_version data-column design:
+    versioning must survive the watermark fold."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_wide_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_owuview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5, update_mod=11
+    )
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d", f"{name}_ld", f"{name}_u"):
+        spark.catalog.refreshTable(t)
+    return order_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_wide_upsert_stream_view"] = order_wide_upsert_stream_view
+
+
+def revenue_by_cust_upsert_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retractable sum MV under the full CDC mix: a winning upsert
+    must retract the key's rows from the OLD customer and re-add them
+    under the NEW one (custkey + 1000), so a broken retract-and-emit
+    shows directly in the per-customer hashes. Same arrival-order and
+    fold coverage as the view twin."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_by_cust_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_rbcuview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5, update_mod=11
+    )
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_agg")
+    return revenue_by_cust_view(spark, name)
+
+
+TRAINING_QUERIES["revenue_by_cust_upsert_stream_view"] = revenue_by_cust_upsert_stream_view
+
+
 def knn_sq8_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-MAINTAINED SQ8 index under the oracle gate: replay the
     embeddings in 3 chunks through `run_sq8_index_stream` (first chunk

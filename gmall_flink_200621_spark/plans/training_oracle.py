@@ -2151,6 +2151,40 @@ WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
 GROUP BY o.o_custkey
 """
 
+# full-CDC-mix twins: updates route +2 chunks after the insert, so under
+# arrival-epoch last-write-wins only keys inserted in chunk 0
+# (o_orderkey % 3 = 0) see their O_UPD win (status 'U', custkey + 1000);
+# chunk-1/2 keys get the update BEFORE the insert and the later insert
+# supersedes it — attributes stay original. Deletes are terminal at both
+# granularities regardless of upserts.
+_ORDERS_UPSERT_EFF = """
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 3 = 0
+              THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 3 = 0
+              THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+"""
+
+ORDER_WIDE_UPSERT_VIEW = f"""
+WITH eff AS ({_ORDERS_UPSERT_EFF})
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM eff o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
+"""
+
+REVENUE_BY_CUST_UPSERT_VIEW = f"""
+WITH eff AS ({_ORDERS_UPSERT_EFF})
+SELECT o.o_custkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM eff o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
+GROUP BY o.o_custkey
+"""
+
 # retractable-aggregate twin: batch rollup over never-deleted orders;
 # DECIMAL(18,6) sum (exact, associative) emitted as double — the money
 # discipline on both engines
@@ -2406,6 +2440,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "order_wide_stream_view": ORDER_WIDE_VIEW,
     "order_wide_delete_stream_view": ORDER_WIDE_DELETE_VIEW,
     "order_wide_line_delete_stream_view": ORDER_WIDE_LINE_DELETE_VIEW,
+    "order_wide_upsert_stream_view": ORDER_WIDE_UPSERT_VIEW,
+    "revenue_by_cust_upsert_stream_view": REVENUE_BY_CUST_UPSERT_VIEW,
     "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
     "revenue_max_by_cust_stream_view": REVENUE_MAX_BY_CUST_VIEW,
     "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,

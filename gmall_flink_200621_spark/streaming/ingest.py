@@ -1776,6 +1776,7 @@ def stage_order_lineitem_chunks(
     n_chunks: int = 3,
     delete_mod: int | None = None,
     line_delete_mod: int | None = None,
+    update_mod: int | None = None,
 ) -> str:
     """Stage orders + lineitem as ONE interleaved chunked-arrival feed
     (the CDC-topic shape: both tables' inserts multiplexed through a
@@ -1797,7 +1798,17 @@ def stage_order_lineitem_chunks(
     chunk's lines get their delete in chunk 0: delete-before-insert at
     line granularity). Note the synthetic lineitem has duplicate
     (l_orderkey, l_linenumber) pairs; an L_DEL therefore tombstones
-    every row carrying that key — exactly the key-tombstone contract."""
+    every row carrying that key — exactly the key-tombstone contract.
+
+    `update_mod=m` adds an `O_UPD` upsert event for every order with
+    o_orderkey % m == 0 — new attributes (status 'U', custkey + 1000, so
+    updates move revenue ACROSS customers and a broken retraction shows
+    in the per-customer hashes), routed TWO chunks after the insert by
+    (key % n + 2) % n. Under arrival-epoch last-write-wins that means
+    only keys inserted in chunk 0 see their update win; chunks 1/2 keys
+    get the update BEFORE the insert, and the later insert supersedes it
+    — the out-of-order case the oracle pins (their attributes stay
+    original)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1831,37 +1842,54 @@ def stage_order_lineitem_chunks(
             ld = li[
                 (lkey % line_delete_mod == 0) & ((lkey % n_chunks + 1) % n_chunks == i)
             ].drop_duplicates(subset=["l_orderkey", "l_linenumber"])
-        n_o, n_l, n_d, n_ld = len(oc), len(lc), len(dk), len(ld)
+        up = o.iloc[0:0]
+        if update_mod:
+            up = o[
+                (o["o_orderkey"] % update_mod == 0)
+                & ((o["o_orderkey"] % n_chunks + 2) % n_chunks == i)
+            ]
+        n_o, n_l, n_d, n_ld, n_u = len(oc), len(lc), len(dk), len(ld), len(up)
         cols = {
-            "side": ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d + ["L_DEL"] * n_ld,
+            "side": ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d + ["L_DEL"] * n_ld
+            + ["O_UPD"] * n_u,
             "o_orderkey": pa.array(
-                list(oc["o_orderkey"]) + [None] * n_l + dk + [None] * n_ld, pa.int64()
+                list(oc["o_orderkey"]) + [None] * n_l + dk + [None] * n_ld
+                + list(up["o_orderkey"]),
+                pa.int64(),
             ),
             "o_custkey": pa.array(
-                list(oc["o_custkey"]) + [None] * (n_l + n_d + n_ld), pa.int64()
+                list(oc["o_custkey"]) + [None] * (n_l + n_d + n_ld)
+                + [int(x) + 1000 for x in up["o_custkey"]],
+                pa.int64(),
             ),
             "o_orderstatus": pa.array(
-                list(oc["o_orderstatus"]) + [None] * (n_l + n_d + n_ld), pa.string()
+                list(oc["o_orderstatus"]) + [None] * (n_l + n_d + n_ld) + ["U"] * n_u,
+                pa.string(),
             ),
             "l_orderkey": pa.array(
-                [None] * n_o + list(lc["l_orderkey"]) + [None] * n_d + list(ld["l_orderkey"]),
+                [None] * n_o + list(lc["l_orderkey"]) + [None] * n_d
+                + list(ld["l_orderkey"]) + [None] * n_u,
                 pa.int64(),
             ),
             "l_linenumber": pa.array(
                 [None] * n_o
                 + [int(x) for x in lc["l_linenumber"]]
                 + [None] * n_d
-                + [int(x) for x in ld["l_linenumber"]],
+                + [int(x) for x in ld["l_linenumber"]]
+                + [None] * n_u,
                 pa.int32(),
             ),
             "l_quantity": pa.array(
-                [None] * n_o + list(lc["l_quantity"]) + [None] * (n_d + n_ld), pa.float64()
+                [None] * n_o + list(lc["l_quantity"]) + [None] * (n_d + n_ld + n_u),
+                pa.float64(),
             ),
             "l_extendedprice": pa.array(
-                [None] * n_o + list(lc["l_extendedprice"]) + [None] * (n_d + n_ld), pa.float64()
+                [None] * n_o + list(lc["l_extendedprice"]) + [None] * (n_d + n_ld + n_u),
+                pa.float64(),
             ),
             "l_discount": pa.array(
-                [None] * n_o + list(lc["l_discount"]) + [None] * (n_d + n_ld), pa.float64()
+                [None] * n_o + list(lc["l_discount"]) + [None] * (n_d + n_ld + n_u),
+                pa.float64(),
             ),
         }
         path = os.path.join(stage, f"part-{i}.parquet")
@@ -1922,6 +1950,24 @@ def run_join_ivm_stream(
     four partition counts via the tiered watermark fold (identity
     merge — join rows and tombstones are immutable).
 
+    UPSERTS (`side='O_UPD'`, full new attributes): arrival-epoch
+    LAST-WRITE-WINS versioning — the retract-and-emit update case. Every
+    O/O_UPD event carries its arrival epoch as `o_version` (a DATA
+    column on state and view rows, so versioning survives the watermark
+    fold — partition epochs don't). A key's re-upsert logs (key, epoch)
+    to `<name>_u`; a key is "re-upserted" when a CURRENT prior version
+    exists, so an O_UPD arriving before its insert simply inserts (and
+    the later insert supersedes it — last write wins). At the upsert
+    epoch the key's current join rows are retracted from the aggregate
+    MVs and the full row set re-emits with the new attributes
+    (O(matching lineitems) — the ΔO term's own shape); readers keep,
+    per key, only rows whose o_version equals the key's newest upsert
+    epoch (or any version for never-re-upserted keys). The `_u` latest
+    map broadcasts into maintenance and reads — valid while re-upserted
+    keys ≪ state (the CDC-compaction stream is the family member for
+    update volumes at state scale). Superseded-version rows remain on
+    disk and are read-filtered, like tombstoned rows pre-purge.
+
     `maintain_agg=False` skips the retractable aggregate MV (`<name>_agg`
     partials + `revenue_by_cust_view`) for callers that only read the
     join view — the partial computation and fifth table write are not
@@ -1933,14 +1979,14 @@ def run_join_ivm_stream(
     write a REBASE partial that supersedes that customer's older
     partials (see `_ivm_epoch`)."""
     o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
-    ld_t = f"{name}_ld"
+    ld_t, u_t = f"{name}_ld", f"{name}_u"
     agg_t = f"{name}_agg" if maintain_agg else None
     mx_t = f"{name}_mx" if maintain_max else None
     if fresh_tables:
         # the agg/mx tables are dropped even when not maintained: a stale
         # aggregate from an earlier same-name run must not survive a
         # fresh rebuild of the view it claims to summarize
-        for t in (o_t, l_t, v_t, d_t, ld_t, f"{name}_agg", f"{name}_mx"):
+        for t in (o_t, l_t, v_t, d_t, ld_t, u_t, f"{name}_agg", f"{name}_mx"):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
@@ -1948,6 +1994,10 @@ def run_join_ivm_stream(
         )
         spark.sql(
             f"CREATE TABLE {ld_t} (l_orderkey BIGINT, l_linenumber INT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {u_t} (o_orderkey BIGINT, ue BIGINT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         if agg_t:
@@ -1962,7 +2012,8 @@ def run_join_ivm_stream(
             )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
-            f" o_orderstatus STRING) USING parquet PARTITIONED BY (epoch BIGINT)"
+            f" o_orderstatus STRING, o_version BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
             f"CREATE TABLE {l_t} (l_orderkey BIGINT, l_linenumber INT,"
@@ -1972,7 +2023,8 @@ def run_join_ivm_stream(
         spark.sql(
             f"CREATE TABLE {v_t} (o_orderkey BIGINT, l_linenumber INT,"
             f" o_custkey BIGINT, o_orderstatus STRING, l_quantity DOUBLE,"
-            f" revenue DOUBLE) USING parquet PARTITIONED BY (epoch BIGINT)"
+            f" revenue DOUBLE, o_version BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
 
     stage = stage_dir or stage_order_lineitem_chunks(sf_dir, n_chunks)
@@ -1986,7 +2038,7 @@ def run_join_ivm_stream(
     def ivm_batch(df: DataFrame, epoch_id: int) -> None:
         _ivm_epoch(
             df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
-            ld_t=ld_t, mx_t=mx_t,
+            ld_t=ld_t, mx_t=mx_t, u_t=u_t,
         )
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
@@ -2019,6 +2071,7 @@ def _ivm_epoch(
     refold_width: int | None = None,
     ld_t: str | None = None,
     mx_t: str | None = None,
+    u_t: str | None = None,
 ) -> None:
     """One delta-rule micro-batch, idempotent under last-epoch replay:
     the state reads exclude the in-flight epoch (`epoch != epoch_id`
@@ -2057,23 +2110,54 @@ def _ivm_epoch(
     ordering lives in the epoch column, so `mx_t` is EXCLUDED from the
     watermark fold (a fold would replace epochs with negative base
     encodings and break the epoch ≥ rebase comparison — bounded instead
-    by rebases collapsing history at every delete epoch)."""
+    by rebases collapsing history at every delete epoch, plus the
+    offline `compact_max_mv`).
+
+    `u_t` (optional) enables O_UPD upserts — arrival-epoch
+    last-write-wins versioning via the `o_version` DATA column (see
+    `run_join_ivm_stream`'s UPSERTS paragraph); fold-compatible by
+    construction (data columns survive folds), so `u_t` itself folds
+    with the per-key max merge."""
     s = df.sparkSession
     # fold BEFORE the state reads so the fold-read path is under the
     # same replay gate as the probes (window ≤ epoch−1 only); mx_t is
     # deliberately NOT folded (see docstring)
-    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, ld_t, agg_t) if x):
-        _maybe_fold(
-            s,
-            t,
-            epoch_id,
-            fold_every,
-            merge=_ivm_agg_merge if t == agg_t else None,
-            refold_width=refold_width,
+    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, ld_t, u_t, agg_t) if x):
+        merge = None
+        if t == agg_t:
+            merge = _ivm_agg_merge
+        elif t == u_t:
+            merge = _ivm_u_merge
+        _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
+    if u_t is not None:
+        # upsert resolve: O and O_UPD are both VERSIONS of the key; within
+        # a batch the winner is deterministic (O_UPD over O, then greatest
+        # attribute struct — a CDC feed with sequence numbers would order
+        # by those instead). One batch-sized hash agg, no state touched.
+        d_o = (
+            df.filter(F.col("side").isin("O", "O_UPD"))
+            .select(
+                "o_orderkey",
+                F.when(F.col("side") == "O_UPD", F.lit(1)).otherwise(F.lit(0)).alias("prio"),
+                "o_custkey",
+                "o_orderstatus",
+            )
+            .groupBy("o_orderkey")
+            .agg(F.max(F.struct("prio", "o_custkey", "o_orderstatus")).alias("m"))
+            .select(
+                "o_orderkey",
+                F.col("m.o_custkey").alias("o_custkey"),
+                F.col("m.o_orderstatus").alias("o_orderstatus"),
+            )
         )
-    d_o = df.filter(F.col("side") == "O").select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
-    )
+    else:
+        d_o = df.filter(F.col("side") == "O").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+    # every order version is stamped with its arrival epoch as DATA
+    # (fold-proof — partition epochs vanish into bases); the stamp is
+    # unconditional because the table schema carries it either way
+    d_o = d_o.withColumn("o_version", F.lit(epoch_id).cast("long"))
     d_l = df.filter(F.col("side") == "L").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -2087,6 +2171,22 @@ def _ivm_epoch(
         .filter(F.col("epoch") != epoch_id)
         .drop("epoch")
     )
+    u_lat = None
+    if u_t is not None:
+        u_lat = (
+            live_epochs(s.table(u_t), s, u_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+            .groupBy("o_orderkey")
+            .agg(F.max("ue").alias("ue"))
+        )
+        # last-write-wins: keep only each key's NEWEST version in state.
+        # Broadcast is sound while re-upserted keys ≪ state (docstring).
+        o_state = (
+            o_state.join(F.broadcast(u_lat), "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
     d_del = hist_o = None
     if d_t is not None:
         d_del = df.filter(F.col("side") == "O_DEL").select("o_orderkey")
@@ -2116,6 +2216,27 @@ def _ivm_epoch(
         d_l = d_l.join(dead_l, lkey, "left_anti")
         l_state = l_state.join(dead_l, lkey, "left_anti")
 
+    d_u = None
+    o_state_t2 = o_state
+    if u_t is not None and not d_o.isEmpty():
+        # a key is RE-upserted iff a CURRENT prior version exists (an
+        # O_UPD arriving before its insert simply inserts; the later
+        # insert then supersedes it — last write wins). The probe is one
+        # map-only state scan against the broadcast batch keys — the
+        # same per-epoch read shape as the O_state⋈ΔL term.
+        d_u = (
+            o_state.select("o_orderkey")
+            .join(F.broadcast(d_o.select("o_orderkey")), "o_orderkey", "left_semi")
+            .distinct()
+            .withColumn("ue", F.lit(epoch_id).cast("long"))
+        )
+        # term 2 must not join ΔL against a superseded version: keys
+        # (re-)upserted THIS batch are fully covered by term 1
+        # (new attrs ⋈ (L ∪ ΔL)), so exclude them from the state side
+        o_state_t2 = o_state.join(
+            F.broadcast(d_o.select("o_orderkey")), "o_orderkey", "left_anti"
+        )
+
     def proj(j: DataFrame) -> DataFrame:
         return j.select(
             "o_orderkey",
@@ -2126,6 +2247,9 @@ def _ivm_epoch(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
                 "revenue"
             ),
+            # term 1 rows carry this batch's version, term 2 rows the
+            # emitting order-state row's — the version the row REFLECTS
+            "o_version",
         )
 
     d_v = proj(
@@ -2133,22 +2257,31 @@ def _ivm_epoch(
             l_state.unionByName(d_l), F.col("o_orderkey") == F.col("l_orderkey")
         )
     ).unionByName(
-        proj(o_state.join(F.broadcast(d_l), F.col("o_orderkey") == F.col("l_orderkey")))
+        proj(o_state_t2.join(F.broadcast(d_l), F.col("o_orderkey") == F.col("l_orderkey")))
     )
 
     # ---- shared retire computation (agg and mx both consume it) ----
     # gate the O(accumulated-view) retire scan on the micro-batch actually
-    # carrying deletes (one cheap batch-sized check each) — delete-free
-    # epochs keep the documented O(|Δ|+matches) bound
+    # carrying deletes or re-upserts (cheap batch/probe-sized checks) —
+    # quiet epochs keep the documented O(|Δ|+matches) bound
     has_od = d_del is not None and not d_del.isEmpty()
     has_ld = d_ldel is not None and not d_ldel.isEmpty()
+    has_upd = d_u is not None and not d_u.isEmpty()
     retired = post_live = None
-    if (agg_t or mx_t) and (has_od or has_ld):
+    if (agg_t or mx_t) and (has_od or has_ld or has_upd):
         pre_v = (
             live_epochs(s.table(v_t), s, v_t)
             .filter(F.col("epoch") != epoch_id)
             .drop("epoch")
         )
+        # rows superseded by an EARLIER epoch's upsert were retracted at
+        # that upsert's epoch — keep only each key's current version
+        if u_lat is not None:
+            pre_v = (
+                pre_v.join(F.broadcast(u_lat), "o_orderkey", "left")
+                .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+                .drop("ue")
+            )
         # rows already retired by an EARLIER epoch's tombstone (either
         # granularity) are out of scope — the first-seen discipline
         eligible = pre_v
@@ -2184,10 +2317,20 @@ def _ivm_epoch(
             rest = rest.join(
                 F.broadcast(fs_l), ["o_orderkey", "l_linenumber"], "left_anti"
             )
+        if has_upd:
+            # upsert-superseded rows: the key's current version is being
+            # replaced this epoch — retract the old rows wholesale (the
+            # new full row set rides ΔV via term 1). Runs AFTER the
+            # delete terms so a row deleted and re-upserted in one batch
+            # retires exactly once (and the delete wins: d_o was cleansed,
+            # so no new rows re-emit for it).
+            uk = d_u.select("o_orderkey")
+            parts.append(rest.join(F.broadcast(uk), "o_orderkey", "left_semi"))
+            rest = rest.join(F.broadcast(uk), "o_orderkey", "left_anti")
         retired = parts[0]
         for p in parts[1:]:
             retired = retired.unionByName(p)
-        post_live = rest  # live pre-epoch view rows AFTER this batch's deletes
+        post_live = rest  # live pre-epoch rows after this batch's deletes/upserts
 
     if agg_t is not None:
         # retractable aggregate partial: +ΔV, −(view rows retired by this
@@ -2240,6 +2383,10 @@ def _ivm_epoch(
         _ivm_write_epoch(s, d_del, d_t, epoch_id)
     if ld_t is not None:
         _ivm_write_epoch(s, d_ldel, ld_t, epoch_id)
+    if u_t is not None:
+        if d_u is None:
+            d_u = s.createDataFrame([], "o_orderkey long, ue long")
+        _ivm_write_epoch(s, d_u, u_t, epoch_id)
 
 
 def _ivm_agg_merge(df: DataFrame) -> DataFrame:
@@ -2250,6 +2397,13 @@ def _ivm_agg_merge(df: DataFrame) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.sum("rev").cast("decimal(18,6)").alias("rev"),
     )
+
+
+def _ivm_u_merge(df: DataFrame) -> DataFrame:
+    """Upsert-log fold merge: readers only consume the per-key MAX(ue),
+    and max re-associates — ue is a data column, so the fold's loss of
+    partition epochs is immaterial (the o_version design's point)."""
+    return df.groupBy("o_orderkey").agg(F.max("ue").alias("ue"))
 
 
 def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
@@ -2316,11 +2470,14 @@ def compact_max_mv(spark: SparkSession, name: str = "orderwide") -> int:
 def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
     """The maintained join view's live rows — equals the batch
     orders ⋈ lineitem projection over every ingested row whose order was
-    never deleted and whose line key was never line-deleted (each join
-    pair is emitted by exactly one delta term in exactly one epoch: the
-    epoch its LATER side arrived; view rows written before their key's
-    tombstone — at either granularity — are anti-joined out at read).
-    Fold-aware via `live_epochs` on every table."""
+    never deleted and whose line key was never line-deleted, at each
+    order's NEWEST upserted version (each join pair is emitted by
+    exactly one delta term in exactly one epoch: the epoch its LATER
+    side arrived; view rows written before their key's tombstone — at
+    either granularity — are anti-joined out at read, and rows of
+    superseded versions are o_version-filtered out). Fold-aware via
+    `live_epochs` on every table; the version filter keys on the
+    o_version DATA column, so it survives folds too."""
     v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
     # targeted existence probes — a bare try/except here would swallow
     # real read errors and silently serve UNDELETED rows
@@ -2335,7 +2492,19 @@ def order_wide_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
             .withColumnRenamed("l_orderkey", "o_orderkey")
         )
         v = v.join(dead_l, ["o_orderkey", "l_linenumber"], "left_anti")
-    return v
+    if spark.catalog.tableExists(f"{name}_u"):
+        u_lat = (
+            live_epochs(spark.table(f"{name}_u"), spark, f"{name}_u")
+            .drop("epoch")
+            .groupBy("o_orderkey")
+            .agg(F.max("ue").alias("ue"))
+        )
+        v = (
+            v.join(F.broadcast(u_lat), "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
+    return v.drop("o_version") if "o_version" in v.columns else v
 
 
 def revenue_max_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:

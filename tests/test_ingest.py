@@ -2194,6 +2194,109 @@ class TestJoinIvm:
         assert compact_max_mv(spark, "t_ivmcm") == 0
         assert sorted(map(tuple, revenue_max_by_cust_view(spark, "t_ivmcm").collect())) == before
 
+    def test_upsert_last_write_wins_and_max_rebase(self, spark, tmp_path):
+        """O_UPD semantics, planted: (a) an update AFTER the insert wins —
+        the key's join rows re-emit with the new attributes and the
+        revenue MOVES to the new customer in both aggregate MVs; (b) an
+        update BEFORE the insert is superseded by the later insert
+        (arrival-epoch last-write-wins); (c) a delete in the update's own
+        batch beats it (deletes are terminal); (d) the superseded
+        version's rows are version-filtered at read, not rewritten."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_wide_view,
+            revenue_by_cust_view,
+            revenue_max_by_cust_view,
+            run_join_ivm_stream,
+        )
+
+        schema = pa.schema(
+            [
+                ("side", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+
+        def row(side, ok=None, ck=None, st=None, lk=None, ln=None, px=None):
+            return {
+                "side": side,
+                "o_orderkey": ok,
+                "o_custkey": ck,
+                "o_orderstatus": st if st is not None else ("F" if side == "O" else None),
+                "l_orderkey": lk,
+                "l_linenumber": ln,
+                "l_quantity": 1.0 if side == "L" else None,
+                "l_extendedprice": px,
+                "l_discount": 0.0 if side == "L" else None,
+            }
+
+        chunk0 = [
+            # (a) cust 1's only order — later re-homed to cust 5
+            row("O", ok=10, ck=1),
+            row("L", lk=10, ln=1, px=100.0),
+            # (b) update arrives BEFORE the insert
+            row("O_UPD", ok=40, ck=6, st="U"),
+            row("L", lk=40, ln=1, px=20.0),
+            # (c) delete and update in the same later batch
+            row("O", ok=50, ck=7),
+            row("L", lk=50, ln=1, px=30.0),
+        ]
+        chunk1 = [
+            row("O_UPD", ok=10, ck=5, st="U"),
+            row("O", ok=40, ck=4),  # supersedes chunk-0's early update
+            row("O_DEL", ok=50),
+            row("O_UPD", ok=50, ck=9, st="U"),  # loses to the delete
+        ]
+        stage = str(tmp_path / "upstage")
+        os.makedirs(stage)
+        base = None
+        for i, rows in enumerate((chunk0, chunk1)):
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq_.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+            base = base or os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_ivmu", maintain_max=True
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivmu_v", "t_ivmu_u", "t_ivmu_agg", "t_ivmu_mx"):
+            spark.catalog.refreshTable(t)
+
+        view = {
+            (r.o_orderkey, r.l_linenumber): (r.o_custkey, r.o_orderstatus, r.revenue)
+            for r in order_wide_view(spark, "t_ivmu").collect()
+        }
+        assert view == {
+            (10, 1): (5, "U", 100.0),  # (a) update won, re-homed
+            (40, 1): (4, "F", 20.0),   # (b) later insert superseded the update
+            # (50, 1) deleted — (c)
+        }
+        agg = {r.o_custkey: (r.n_items, r.revenue) for r in revenue_by_cust_view(spark, "t_ivmu").collect()}
+        assert agg == {5: (1, 100.0), 4: (1, 20.0)}  # cust 1/6/7 fully retracted
+        mx = {r.o_custkey: r.max_revenue for r in revenue_max_by_cust_view(spark, "t_ivmu").collect()}
+        assert mx == {5: 100.0, 4: 20.0}
+        # (d) the superseded rows physically remain, version-filtered
+        raw = spark.table("t_ivmu_v").filter("o_orderkey = 10").count()
+        assert raw == 2  # v1 (cust 1) + v2 (cust 5)
+        # the upsert log recorded the re-upserts (keys 10 and 40), not 50
+        ue = {r.o_orderkey: r.ue for r in spark.table("t_ivmu_u").collect()}
+        assert ue == {10: 1, 40: 1}
+
     def test_cascade_fires_and_bounds_partitions(self, spark, sf_dir):
         """The gated-cascade configuration (8 chunks, fold_every=2,
         refold_width=2) drives `_refold_bases` inside the replay: the
