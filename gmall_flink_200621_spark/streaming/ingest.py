@@ -2534,13 +2534,14 @@ def revenue_max_by_cust_view(spark: SparkSession, name: str = "orderwide") -> Da
 
 
 def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
-    """Physically retire tombstoned join rows — the compaction pass the
-    tombstone design defers to: rewrite ONLY the live view partitions
-    that actually contain a deleted key's rows (order- or line-granular
-    tombstones alike; dynamic overwrite, same bytes discipline as
-    `compact_small_files`), dropping those rows; fully-dead POSITIVE
-    epochs are dropped as partitions outright. Returns the number of
-    partitions touched.
+    """Physically retire dead join rows — the compaction pass the
+    tombstone/versioning design defers to: rewrite ONLY the live view
+    partitions that actually contain dead rows (order- or line-granular
+    tombstones alike, plus upsert-SUPERSEDED versions — rows whose
+    o_version is older than their key's newest upsert; dynamic
+    overwrite, same bytes discipline as `compact_small_files`), dropping
+    those rows; fully-dead POSITIVE epochs are dropped as partitions
+    outright. Returns the number of partitions touched.
 
     Semantics are read-identical by construction: `order_wide_view`
     anti-joins tombstones anyway, so purge changes bytes, not results
@@ -2554,10 +2555,11 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
       removing the newest base would resurrect any stale positives in
       the crash-GC window. Bases shed their dead rows when rewritten
       with ≥1 surviving row, like any touched partition."""
-    v_t, d_t, ld_t = f"{name}_v", f"{name}_d", f"{name}_ld"
+    v_t, d_t, ld_t, u_tt = f"{name}_v", f"{name}_d", f"{name}_ld", f"{name}_u"
     has_d = spark.catalog.tableExists(d_t)
     has_ld = spark.catalog.tableExists(ld_t)
-    if not has_d and not has_ld:
+    has_u = spark.catalog.tableExists(u_tt)
+    if not has_d and not has_ld and not has_u:
         return 0
     # distinct: a redelivered delete can tombstone one key twice, and an
     # inner join against duplicates would double-count n_dead (and could
@@ -2565,9 +2567,10 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
     # forced broadcast: the tombstone sets are kept forever by design, so
     # they outgrow broadcast limits eventually; let the planner choose.
     live = live_epochs(spark.table(v_t), spark, v_t)
-    # a row is dead if its order was tombstoned OR its (o_orderkey,
-    # l_linenumber) line key was — count via successive anti-joins so a
-    # row matching both tombstones counts once
+    # a row is dead if its order was tombstoned, its (o_orderkey,
+    # l_linenumber) line key was, OR a newer upserted version superseded
+    # it — count via successive anti-joins so a row matching several
+    # conditions counts once
     dead_rows = live.filter(F.lit(False))
     alive = live
     if has_d:
@@ -2585,6 +2588,24 @@ def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
             alive.join(dead_l, ["o_orderkey", "l_linenumber"], "left_semi")
         )
         alive = alive.join(dead_l, ["o_orderkey", "l_linenumber"], "left_anti")
+    if has_u:
+        u_lat = (
+            live_epochs(spark.table(u_tt), spark, u_tt)
+            .drop("epoch")
+            .groupBy("o_orderkey")
+            .agg(F.max("ue").alias("ue"))
+        )
+        stale = (
+            alive.join(u_lat, "o_orderkey")
+            .filter(F.col("o_version") != F.col("ue"))
+            .drop("ue")
+        )
+        dead_rows = dead_rows.unionByName(stale)
+        alive = (
+            alive.join(u_lat, "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
     per_epoch = (
         dead_rows.groupBy("epoch")
         .agg(F.count(F.lit(1)).alias("n_dead"))

@@ -2296,6 +2296,14 @@ class TestJoinIvm:
         # the upsert log recorded the re-upserts (keys 10 and 40), not 50
         ue = {r.o_orderkey: r.ue for r in spark.table("t_ivmu_u").collect()}
         assert ue == {10: 1, 40: 1}
+        # purge physically retires superseded versions too, read-identically
+        from gmall_flink_200621_spark.streaming.ingest import purge_tombstoned_rows
+
+        before = sorted(map(tuple, order_wide_view(spark, "t_ivmu").collect()))
+        assert purge_tombstoned_rows(spark, "t_ivmu") > 0
+        assert sorted(map(tuple, order_wide_view(spark, "t_ivmu").collect())) == before
+        assert spark.table("t_ivmu_v").filter("o_orderkey = 10").count() == 1
+        assert purge_tombstoned_rows(spark, "t_ivmu") == 0
 
     def test_cascade_fires_and_bounds_partitions(self, spark, sf_dir):
         """The gated-cascade configuration (8 chunks, fold_every=2,
