@@ -1322,6 +1322,30 @@ def revenue_by_cust_upsert_stream_view(spark: SparkSession, sf_dir: str) -> Data
 TRAINING_QUERIES["revenue_by_cust_upsert_stream_view"] = revenue_by_cust_upsert_stream_view
 
 
+def order_wide_asof_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL read under the oracle gate: replay all 3 chunks, then
+    read the view AS OF epoch 1. Each join pair lands in the epoch its
+    LATER side arrived (the delta rule's emit contract), so the oracle
+    is closed-form: pairs with greatest(order chunk, line chunk) ≤ 1 —
+    the hash certifies both the snapshot filter AND the exactly-one-epoch
+    emit placement of every pair."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import order_wide_view_asof, run_join_ivm_stream
+
+    name = f"q_owasof_{sf_namespace(sf_dir)}"
+    q = run_join_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=3, maintain_agg=False
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_v")
+    return order_wide_view_asof(spark, 1, name)
+
+
+TRAINING_QUERIES["order_wide_asof_stream_view"] = order_wide_asof_stream_view
+
+
 def knn_sq8_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-MAINTAINED SQ8 index under the oracle gate: replay the
     embeddings in 3 chunks through `run_sq8_index_stream` (first chunk

@@ -2185,6 +2185,19 @@ WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
 GROUP BY o.o_custkey
 """
 
+# time-travel twin: the view AS OF epoch 1 of the 3-chunk inserts-only
+# replay. A pair is emitted in the epoch its LATER side arrives (orders
+# land in chunk o_orderkey % 3, lines in (l_orderkey + l_linenumber) % 3),
+# so the epoch-1 snapshot is exactly the pairs whose later side arrived
+# by chunk 1 — the oracle certifies snapshot filtering AND per-pair emit
+# placement in one hash
+ORDER_WIDE_ASOF_VIEW = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE greatest(o.o_orderkey % 3, (l.l_orderkey + l.l_linenumber) % 3) <= 1
+"""
+
 # retractable-aggregate twin: batch rollup over never-deleted orders;
 # DECIMAL(18,6) sum (exact, associative) emitted as double — the money
 # discipline on both engines
@@ -2441,6 +2454,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "order_wide_delete_stream_view": ORDER_WIDE_DELETE_VIEW,
     "order_wide_line_delete_stream_view": ORDER_WIDE_LINE_DELETE_VIEW,
     "order_wide_upsert_stream_view": ORDER_WIDE_UPSERT_VIEW,
+    "order_wide_asof_stream_view": ORDER_WIDE_ASOF_VIEW,
     "revenue_by_cust_upsert_stream_view": REVENUE_BY_CUST_UPSERT_VIEW,
     "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
     "revenue_max_by_cust_stream_view": REVENUE_MAX_BY_CUST_VIEW,

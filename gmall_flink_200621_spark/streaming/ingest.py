@@ -2426,6 +2426,58 @@ def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFr
     )
 
 
+def order_wide_view_asof(
+    spark: SparkSession, epoch: int, name: str = "orderwide"
+) -> DataFrame:
+    """TIME-TRAVEL read of the maintained join view: its exact contents
+    as of the end of `epoch` — the capability epoch-partitioned deltas
+    give almost for free (a Delta/Iceberg snapshot read, derived from
+    the MV's own layout, no extra state): keep view rows, tombstones and
+    upsert-log entries with partition epoch ≤ `epoch` and apply the SAME
+    read-side filters the live view applies. Every delta is written in
+    exactly one epoch and never mutated, so the ≤-filtered composition
+    IS the historical view (pinned in tests against a replay stopped at
+    that chunk).
+
+    Fold interaction, explicitly: the watermark fold trades PER-EPOCH
+    history for bounded partition counts — a folded base carries the
+    whole window at its top watermark. Time travel is therefore exact
+    for epochs ≥ the newest fold watermark (bases cover prefixes ≤ wm);
+    asking for an epoch below a fold watermark raises rather than
+    silently answering from coarser bases. At 100 TB this is the same
+    trade lakehouse formats make: VACUUM/compaction bounds retention."""
+    wm = max((w for _, w in _base_tiers(_partition_epochs(spark, f"{name}_v"))), default=-1)
+    if epoch < wm:
+        raise ValueError(
+            f"epoch {epoch} predates the fold watermark {wm}: its deltas were "
+            f"absorbed into a base (run without fold_every to keep full history)"
+        )
+
+    def upto(table: str) -> DataFrame:
+        return (
+            live_epochs(spark.table(table), spark, table)
+            .filter(F.col("epoch") <= epoch)
+            .drop("epoch")
+        )
+
+    v = upto(f"{name}_v")
+    if spark.catalog.tableExists(f"{name}_d"):
+        v = v.join(upto(f"{name}_d"), "o_orderkey", "left_anti")
+    if spark.catalog.tableExists(f"{name}_ld"):
+        dead_l = upto(f"{name}_ld").withColumnRenamed("l_orderkey", "o_orderkey")
+        v = v.join(dead_l, ["o_orderkey", "l_linenumber"], "left_anti")
+    if spark.catalog.tableExists(f"{name}_u"):
+        u_lat = (
+            upto(f"{name}_u").groupBy("o_orderkey").agg(F.max("ue").alias("ue"))
+        )
+        v = (
+            v.join(F.broadcast(u_lat), "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
+    return v.drop("o_version") if "o_version" in v.columns else v
+
+
 def compact_max_mv(spark: SparkSession, name: str = "orderwide") -> int:
     """Compaction pass for the max-MV partials table — the growth story
     its fold-exclusion defers to (`<name>_mx` can't take the watermark

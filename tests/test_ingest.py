@@ -2305,6 +2305,65 @@ class TestJoinIvm:
         assert spark.table("t_ivmu_v").filter("o_orderkey = 10").count() == 1
         assert purge_tombstoned_rows(spark, "t_ivmu") == 0
 
+    def test_asof_time_travel_matches_stopped_replay(self, spark, sf_dir, tmp_path):
+        """order_wide_view_asof(e) equals the live view of a replay
+        STOPPED after chunk e — for every epoch, under the full CDC mix
+        (inserts, upserts, both delete granularities). Pure read-side
+        epoch filtering; no state is copied. Below a fold watermark the
+        read refuses (history absorbed into a base) instead of answering
+        from coarser data."""
+        import os
+        import shutil
+
+        import pytest
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_wide_view,
+            order_wide_view_asof,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+        )
+
+        full = stage_order_lineitem_chunks(
+            sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5, update_mod=11
+        )
+        # incremental replay capturing the served view after each chunk
+        incr = tmp_path / "stage"
+        incr.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        snaps = []
+        for i in range(3):
+            shutil.copy2(os.path.join(full, f"part-{i}.parquet"), incr / f"part-{i}.parquet")
+            q = run_join_ivm_stream(
+                spark, sf_dir="", stage_dir=str(incr), name="t_ivmt",
+                checkpoint_dir=ckpt, fresh_tables=(i == 0), maintain_agg=False,
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            for t in ("t_ivmt_v", "t_ivmt_d", "t_ivmt_ld", "t_ivmt_u"):
+                spark.catalog.refreshTable(t)
+            snaps.append(sorted(map(tuple, order_wide_view(spark, "t_ivmt").collect())))
+        assert snaps[0] != snaps[2]  # deltas actually changed the view
+        for e in range(3):
+            got = sorted(map(tuple, order_wide_view_asof(spark, e, "t_ivmt").collect()))
+            assert got == snaps[e], f"asof({e}) != stopped replay"
+
+        # fold-watermark refusal: re-run folded, then ask below the watermark
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=full, name="t_ivmt2",
+            fold_every=2, refold_width=2, maintain_agg=False,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivmt2_v")
+        with pytest.raises(ValueError, match="fold watermark"):
+            order_wide_view_asof(spark, 0, "t_ivmt2")
+        # at/above the watermark it still answers, identically to live
+        live = sorted(map(tuple, order_wide_view(spark, "t_ivmt2").collect()))
+        assert sorted(map(tuple, order_wide_view_asof(spark, 2, "t_ivmt2").collect())) == live
+
     def test_cascade_fires_and_bounds_partitions(self, spark, sf_dir):
         """The gated-cascade configuration (8 chunks, fold_every=2,
         refold_width=2) drives `_refold_bases` inside the replay: the
