@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "hilbert_layout_audit",
     "mixture_temperature",
     "unigram_lm_vocab",
+    "wordpiece_encode_freq",
+    "unigram_encode_freq",
 ]
 
 
