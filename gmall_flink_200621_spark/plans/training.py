@@ -1229,6 +1229,43 @@ def revenue_max_by_cust_stream_view(spark: SparkSession, sf_dir: str) -> DataFra
 TRAINING_QUERIES["revenue_max_by_cust_stream_view"] = revenue_max_by_cust_stream_view
 
 
+def distinct_qty_by_cust_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COUNT(DISTINCT) MV under the oracle gate: the
+    both-granularity deletes replay additionally maintains per-customer
+    distinct l_quantity via signed REFCOUNT partials at the (customer,
+    value) grain — the exact-retraction construction for the other
+    non-invertible classic (a delete lowers a distinct count only when
+    it kills the value's last carrier; see `_ivm_epoch`). The oracle is
+    the batch COUNT(DISTINCT) over never-deleted rows, so the hash gate
+    certifies that values with surviving duplicate carriers stayed
+    counted, last-carrier deletes dropped their value, and fully-deleted
+    customers left the view — at any delete arrival order, across
+    watermark folds."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        distinct_qty_by_cust_view,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+    )
+
+    name = f"q_dqcview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, line_delete_mod=5
+    )
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False, maintain_distinct=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_dc")
+    return distinct_qty_by_cust_view(spark, name)
+
+
+TRAINING_QUERIES["distinct_qty_by_cust_stream_view"] = distinct_qty_by_cust_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

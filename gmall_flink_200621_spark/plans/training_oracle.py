@@ -2151,6 +2151,13 @@ WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
 GROUP BY o.o_custkey
 """
 
+DISTINCT_QTY_BY_CUST_VIEW = """
+SELECT o.o_custkey, CAST(count(DISTINCT l.l_quantity) AS BIGINT) AS n_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
+GROUP BY o.o_custkey
+"""
+
 # full-CDC-mix twins: updates route +2 chunks after the insert, so under
 # arrival-epoch last-write-wins only keys inserted in chunk 0
 # (o_orderkey % 3 = 0) see their O_UPD win (status 'U', custkey + 1000);
@@ -2458,6 +2465,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "revenue_by_cust_upsert_stream_view": REVENUE_BY_CUST_UPSERT_VIEW,
     "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
     "revenue_max_by_cust_stream_view": REVENUE_MAX_BY_CUST_VIEW,
+    "distinct_qty_by_cust_stream_view": DISTINCT_QTY_BY_CUST_VIEW,
     "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,
     "order_wide_cascade_stream_view": ORDER_WIDE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,

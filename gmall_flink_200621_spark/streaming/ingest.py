@@ -1912,6 +1912,7 @@ def run_join_ivm_stream(
     refold_width: int | None = None,
     maintain_agg: bool = True,
     maintain_max: bool = False,
+    maintain_distinct: bool = False,
 ):
     """Incrementally-maintained JOIN view — the delta-rule member of the
     MV family (the others maintain aggregates, fixed points, or indexes;
@@ -1977,16 +1978,30 @@ def run_join_ivm_stream(
     IVM hard case — sum's sign trick doesn't apply, so tombstone epochs
     re-derive the max from live view rows for ONLY the touched keys and
     write a REBASE partial that supersedes that customer's older
-    partials (see `_ivm_epoch`)."""
+    partials (see `_ivm_epoch`).
+
+    `maintain_distinct=True` maintains the COUNT(DISTINCT) MV
+    (`<name>_dc` partials + `distinct_qty_by_cust_view`): per-customer
+    distinct l_quantity count, the OTHER classic hard retraction case —
+    a delete only lowers a distinct count when it kills the LAST row
+    carrying that value. Exactness comes from REFCOUNTING at the
+    (customer, value) grain: each epoch writes signed per-(customer,
+    value) row counts (+ΔV, − retired), the fold merges them by sum,
+    and the read side counts values whose net refcount is positive
+    (see `_ivm_epoch`)."""
     o_t, l_t, v_t, d_t = f"{name}_o", f"{name}_l", f"{name}_v", f"{name}_d"
     ld_t, u_t = f"{name}_ld", f"{name}_u"
     agg_t = f"{name}_agg" if maintain_agg else None
     mx_t = f"{name}_mx" if maintain_max else None
+    dc_t = f"{name}_dc" if maintain_distinct else None
     if fresh_tables:
-        # the agg/mx tables are dropped even when not maintained: a stale
-        # aggregate from an earlier same-name run must not survive a
-        # fresh rebuild of the view it claims to summarize
-        for t in (o_t, l_t, v_t, d_t, ld_t, u_t, f"{name}_agg", f"{name}_mx"):
+        # the agg/mx/dc tables are dropped even when not maintained: a
+        # stale aggregate from an earlier same-name run must not survive
+        # a fresh rebuild of the view it claims to summarize
+        for t in (
+            o_t, l_t, v_t, d_t, ld_t, u_t,
+            f"{name}_agg", f"{name}_mx", f"{name}_dc",
+        ):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
@@ -2009,6 +2024,11 @@ def run_join_ivm_stream(
             spark.sql(
                 f"CREATE TABLE {mx_t} (o_custkey BIGINT, mx DOUBLE,"
                 f" rebase BOOLEAN) USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
+        if dc_t:
+            spark.sql(
+                f"CREATE TABLE {dc_t} (o_custkey BIGINT, qty DOUBLE,"
+                f" c BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
             )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
@@ -2038,7 +2058,7 @@ def run_join_ivm_stream(
     def ivm_batch(df: DataFrame, epoch_id: int) -> None:
         _ivm_epoch(
             df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
-            ld_t=ld_t, mx_t=mx_t, u_t=u_t,
+            ld_t=ld_t, mx_t=mx_t, u_t=u_t, dc_t=dc_t,
         )
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
@@ -2072,6 +2092,7 @@ def _ivm_epoch(
     ld_t: str | None = None,
     mx_t: str | None = None,
     u_t: str | None = None,
+    dc_t: str | None = None,
 ) -> None:
     """One delta-rule micro-batch, idempotent under last-epoch replay:
     the state reads exclude the in-flight epoch (`epoch != epoch_id`
@@ -2117,17 +2138,31 @@ def _ivm_epoch(
     last-write-wins versioning via the `o_version` DATA column (see
     `run_join_ivm_stream`'s UPSERTS paragraph); fold-compatible by
     construction (data columns survive folds), so `u_t` itself folds
-    with the per-key max merge."""
+    with the per-key max merge.
+
+    `dc_t` (optional) maintains the COUNT(DISTINCT) MV: per-customer
+    distinct l_quantity. Distinct-count is non-invertible at the GROUP
+    grain (a delete lowers the count only if it removed the value's
+    last carrier) but EXACTLY invertible one grain down: refcount rows
+    per (o_custkey, qty). Each epoch writes signed per-(customer,
+    value) counts — +ΔV's rows, − the retired rows — and the read side
+    (`distinct_qty_by_cust_view`) counts values whose net refcount > 0.
+    Pure sums, so the partials fold with the same associative merge as
+    the agg MV and replay idempotence is inherited; no rebase scan is
+    ever needed (unlike max) because the value grain never loses
+    information."""
     s = df.sparkSession
     # fold BEFORE the state reads so the fold-read path is under the
     # same replay gate as the probes (window ≤ epoch−1 only); mx_t is
     # deliberately NOT folded (see docstring)
-    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, ld_t, u_t, agg_t) if x):
+    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, ld_t, u_t, agg_t, dc_t) if x):
         merge = None
         if t == agg_t:
             merge = _ivm_agg_merge
         elif t == u_t:
             merge = _ivm_u_merge
+        elif t == dc_t:
+            merge = _ivm_dc_merge
         _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
     if u_t is not None:
         # upsert resolve: O and O_UPD are both VERSIONS of the key; within
@@ -2268,7 +2303,7 @@ def _ivm_epoch(
     has_ld = d_ldel is not None and not d_ldel.isEmpty()
     has_upd = d_u is not None and not d_u.isEmpty()
     retired = post_live = None
-    if (agg_t or mx_t) and (has_od or has_ld or has_upd):
+    if (agg_t or mx_t or dc_t) and (has_od or has_ld or has_upd):
         pre_v = (
             live_epochs(s.table(v_t), s, v_t)
             .filter(F.col("epoch") != epoch_id)
@@ -2376,6 +2411,29 @@ def _ivm_epoch(
             )
             parts_mx = parts_mx.unionByName(rebased)
         _ivm_write_epoch(s, parts_mx, mx_t, epoch_id)
+    if dc_t is not None:
+        # refcount partial at the (customer, value) grain: +1 per ΔV
+        # row, −1 per retired row. A value's refcount only hits zero
+        # when its LAST carrier dies — exactly when COUNT(DISTINCT)
+        # drops — so the read-side `> 0` filter is exact with no
+        # rebase scan. One batch-sized hash agg; same replay
+        # determinism as the agg partial (inputs are pre-epoch state
+        # + the batch).
+        signed_dc = d_v.select(
+            "o_custkey", F.col("l_quantity").alias("qty"), F.lit(1).alias("sign")
+        )
+        if retired is not None:
+            signed_dc = signed_dc.unionByName(
+                retired.select(
+                    "o_custkey",
+                    F.col("l_quantity").alias("qty"),
+                    F.lit(-1).alias("sign"),
+                )
+            )
+        partial_dc = signed_dc.groupBy("o_custkey", "qty").agg(
+            F.sum("sign").cast("long").alias("c")
+        )
+        _ivm_write_epoch(s, partial_dc, dc_t, epoch_id)
     _ivm_write_epoch(s, d_v, v_t, epoch_id)
     _ivm_write_epoch(s, d_o, o_t, epoch_id)
     _ivm_write_epoch(s, d_l, l_t, epoch_id)
@@ -2404,6 +2462,15 @@ def _ivm_u_merge(df: DataFrame) -> DataFrame:
     and max re-associates — ue is a data column, so the fold's loss of
     partition epochs is immaterial (the o_version design's point)."""
     return df.groupBy("o_orderkey").agg(F.max("ue").alias("ue"))
+
+
+def _ivm_dc_merge(df: DataFrame) -> DataFrame:
+    """Distinct-count refcount fold merge: signed per-(customer, value)
+    counts sum associatively — retraction partials cancel into the base
+    exactly. Zero-netted pairs are kept rather than filtered: the merge
+    stays a pure fold of the partials (the read side applies the > 0
+    predicate exactly once, at view time)."""
+    return df.groupBy("o_custkey", "qty").agg(F.sum("c").cast("long").alias("c"))
 
 
 def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
@@ -2582,6 +2649,28 @@ def revenue_max_by_cust_view(spark: SparkSession, name: str = "orderwide") -> Da
         .groupBy("o_custkey")
         .agg(F.max("mx").alias("max_revenue"))
         .filter(F.col("max_revenue").isNotNull())
+    )
+
+
+def distinct_qty_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
+    """The COUNT(DISTINCT) MV's current state: per-customer distinct
+    l_quantity count over the maintained join view. The rollup sums the
+    signed refcount partials per (customer, value), keeps values whose
+    net refcount is positive, and counts them — exact under deletion at
+    either granularity because a value leaves the count precisely when
+    its last carrier row was retired. Customers with no surviving value
+    produce no rows after the > 0 filter and drop out, identically to a
+    batch COUNT(DISTINCT) that never saw them. Two hash aggregates over
+    MV-sized (not view-sized) state; both keyed on o_custkey first, so
+    AQE coalesces them onto one exchange."""
+    live = live_epochs(spark.table(f"{name}_dc"), spark, f"{name}_dc")
+    ref = (
+        live.groupBy("o_custkey", "qty")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .filter(F.col("c") > 0)
+    )
+    return ref.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_qty")
     )
 
 

@@ -2129,6 +2129,112 @@ class TestJoinIvm:
         rb = {r.o_custkey: r.mx for r in mx.filter("epoch = 1 AND rebase").collect()}
         assert rb == {1: 10.0, 2: 5.0, 3: None}
 
+    @staticmethod
+    def _planted_dc_stage(tmp_path) -> str:
+        """Two-chunk feed planting the distinct-count hard cases for one
+        customer: value 1.0 carried by TWO lines (one dies — value must
+        stay counted), value 2.0 carried by ONE line (dies — value must
+        leave), value 3.0 untouched; plus cust 2 fully deleted."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        schema = pa.schema(
+            [
+                ("side", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+
+        def row(side, ok=None, ck=None, lk=None, ln=None, qty=None):
+            return {
+                "side": side,
+                "o_orderkey": ok,
+                "o_custkey": ck,
+                "o_orderstatus": "F" if side == "O" else None,
+                "l_orderkey": lk,
+                "l_linenumber": ln,
+                "l_quantity": qty,
+                "l_extendedprice": 1.0 if side == "L" else None,
+                "l_discount": 0.0 if side == "L" else None,
+            }
+
+        chunk0 = [
+            row("O", ok=10, ck=1),
+            row("O", ok=20, ck=2),
+            row("L", lk=10, ln=1, qty=1.0),
+            row("L", lk=10, ln=2, qty=1.0),  # duplicate carrier of 1.0
+            row("L", lk=10, ln=3, qty=2.0),  # sole carrier of 2.0
+            row("L", lk=10, ln=4, qty=3.0),
+            row("L", lk=20, ln=1, qty=9.0),
+        ]
+        chunk1 = [
+            row("L_DEL", lk=10, ln=2),  # one carrier of 1.0 dies
+            row("L_DEL", lk=10, ln=3),  # 2.0's LAST carrier dies
+            row("O_DEL", ok=20),  # cust 2 drops out entirely
+        ]
+        stage = str(tmp_path / "dcstage")
+        os.makedirs(stage)
+        base = None
+        for i, rows in enumerate((chunk0, chunk1)):
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq_.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+            base = base or os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+        return stage
+
+    def test_distinct_mv_refcount_semantics(self, spark, tmp_path):
+        """The distinct-count hard case, planted: deleting ONE of a
+        value's duplicate carriers must NOT lower the count (naive −1
+        retraction of the group count would), deleting a value's LAST
+        carrier must, and a fully-deleted customer drops out. Also pins
+        the mechanism: the epoch-1 partial carries the signed refcounts,
+        and the surviving duplicate's net refcount is 1 (not 0)."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            distinct_qty_by_cust_view,
+            run_join_ivm_stream,
+        )
+
+        stage = self._planted_dc_stage(tmp_path)
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_ivmdc",
+            maintain_agg=False, maintain_distinct=True,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_ivmdc_dc")
+        got = {
+            r.o_custkey: r.n_qty
+            for r in distinct_qty_by_cust_view(spark, "t_ivmdc").collect()
+        }
+        # cust 1 keeps {1.0, 3.0}: duplicate-carrier delete didn't evict
+        # 1.0, last-carrier delete evicted 2.0; cust 2 gone
+        assert got == {1: 2}
+        dc = spark.table("t_ivmdc_dc")
+        e1 = {
+            (r.o_custkey, r.qty): r.c
+            for r in dc.filter("epoch = 1").collect()
+        }
+        assert e1 == {(1, 1.0): -1, (1, 2.0): -1, (2, 9.0): -1}
+        net = {
+            (r.o_custkey, r.qty): r.net
+            for r in dc.groupBy("o_custkey", "qty").agg(
+                F.sum("c").alias("net")
+            ).collect()
+        }
+        assert net == {(1, 1.0): 1, (1, 2.0): 0, (1, 3.0): 1, (2, 9.0): 0}
+
     def test_compact_max_mv_is_read_identical_and_bounds_partitions(
         self, spark, tmp_path
     ):
