@@ -633,6 +633,103 @@ def knn_ivf(
     return _ivf_rank(probes, assign, qv, k, "qc", "cn2", "cosine")
 
 
+FILTERED_NPROBE = IVF_NPROBE + 2  # predicate thins lists — probe wider
+
+
+def knn_brute_filtered(
+    embeddings: DataFrame, k: int = KNN_K, query_mod: int = 100
+) -> DataFrame:
+    """FILTERED vector search, exact baseline: per-query top-k cosine
+    restricted to corpus rows sharing the query's `label` — the
+    tenant-/attribute-scoped search every production vector store
+    exposes (FAISS `IDSelector`, Qdrant/Milvus payload filters). This is
+    the PRE-FILTER strategy: the predicate lands before scoring, so
+    recall over the eligible set is exactly 1 (post-filtering a plain
+    top-k instead can return < k or miss eligible neighbors entirely —
+    the classic filtered-ANN failure mode).
+
+    Scale shape: identical to `knn_brute` (queries broadcast, corpus
+    never shuffles) with the label-equality conjunct folded into the
+    broadcast-join condition, cutting scored pairs to Q·N/|labels|."""
+    e = _fan_out(embeddings).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    q = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("q").alias("qc"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine",
+        _idot(F.col("qq"), F.col("qc"))
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+    )
+    return _rank_topk(scored, k, "cosine")
+
+
+def knn_ivf_filtered(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    nprobe: int = FILTERED_NPROBE,
+) -> DataFrame:
+    """FILTERED IVF search: the label predicate is applied to CANDIDATES
+    inside the probed lists (FAISS's IDSelector-during-scan strategy) —
+    not by post-filtering the unfiltered top-k, which under-returns
+    whenever the true same-label neighbors rank below k globally.
+
+    Because the predicate thins every list by ~|labels|×, the default
+    probe width is raised (`FILTERED_NPROBE`) — the production tuning
+    rule for filtered IVF: probe wider as selectivity grows, degrading
+    toward a filtered scan for very selective predicates. The label
+    rides the inverted index as assignment payload, so the filter costs
+    no extra join. `knn_brute_filtered` is the exact baseline the
+    recall pin measures against."""
+    e = _fan_out(embeddings).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    cents = _seed_cents(e, cent_mod)
+    # label joins the scoring payload: the candidate filter needs no
+    # second corpus join
+    assign = _ivf_assign(e, cents, {"qc": "q", "cn2": "n2", "nlabel": "label"})
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    probes = _ivf_probes(qs, cents, nprobe, extra={"qlabel": F.col("label")})
+    qv = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    scored = (
+        probes.join(assign, "list_id")
+        .filter(
+            (F.col("nlabel") == F.col("qlabel"))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            _idot(F.col("qq"), F.col("qc"))
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+        )
+    )
+    return _rank_topk(scored, k, "cosine")
+
+
 RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality (64 → 16)
 RP_PLANE_OFFSET = 1000  # coeff stream offset — independent of the LSH planes
 RP_SHIFT = 4096  # power-of-two post-projection downscale (keeps dots < 2^63)

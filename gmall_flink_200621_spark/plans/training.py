@@ -290,6 +290,20 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ivfpq(_emb(spark, sf_dir))
 
 
+def knn_brute_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FILTERED vector search — per-query top-k restricted to
+    same-label corpus rows (pre-filter strategy, recall 1 over the
+    eligible set). See operators/similarity.knn_brute_filtered."""
+    return V.knn_brute_filtered(_emb(spark, sf_dir))
+
+
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF search — label predicate applied inside the probed
+    lists (FAISS IDSelector-during-scan), probe width raised for the
+    predicate's selectivity. See operators/similarity.knn_ivf_filtered."""
+    return V.knn_ivf_filtered(_emb(spark, sf_dir))
+
+
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH (Lv et al. 2007): per band, also probe the
     buckets reached by flipping the lowest-|projection| sign bits —
@@ -791,6 +805,8 @@ TRAINING_QUERIES = {
     "top_terms": top_terms,
     "corpus_sample_stratified": corpus_sample_stratified,
     "knn_brute": knn_brute,
+    "knn_brute_filtered": knn_brute_filtered,
+    "knn_ivf_filtered": knn_ivf_filtered,
     "knn_lsh": knn_lsh,
     "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,

@@ -38,6 +38,7 @@ from ..operators.graph import (
 from ..operators.similarity import (
     DIM,
     EMB_DEDUP_THRESHOLD,
+    FILTERED_NPROBE,
     IVF_CENT_MOD,
     IVF_NPROBE,
     KM_CENT_MOD,
@@ -839,6 +840,62 @@ scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, {_cosine_sql("qv.q", "nv.q")} AS cosine
   FROM probes p
   JOIN assign a ON p.list_id = a.list_id
+  JOIN e qv ON qv.vec_id = p.query_id
+  JOIN e nv ON nv.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+KNN_BRUTE_FILTERED = f"""
+WITH e AS (SELECT vec_id, label, {_QVEC} AS q FROM embeddings),
+qs AS (SELECT vec_id AS query_id, label AS qlabel, q AS qq
+       FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_cosine_sql("qq", "c.q")} AS cosine
+  FROM qs, e c
+  WHERE query_id <> c.vec_id AND c.label = qlabel
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+# filtered IVF probes wider than plain IVF (FILTERED_NPROBE) because the
+# label predicate thins every probed list ~|labels|-fold
+KNN_IVF_FILTERED = f"""
+WITH e AS (SELECT vec_id, label, {_QVEC} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
+assign AS (
+  SELECT vec_id, label, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.label, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qlabel, cent_id AS list_id FROM (
+    SELECT qs.vec_id AS query_id, qs.label AS qlabel, c.cent_id,
+           row_number() OVER (PARTITION BY qs.vec_id
+                              ORDER BY {_cosine_sql("qs.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e qs, cents c WHERE qs.vec_id % 100 = 0
+  ) WHERE rn <= {FILTERED_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cosine_sql("qv.q", "nv.q")} AS cosine
+  FROM probes p
+  JOIN assign a ON p.list_id = a.list_id AND a.label = p.qlabel
   JOIN e qv ON qv.vec_id = p.query_id
   JOIN e nv ON nv.vec_id = a.vec_id
   WHERE p.query_id <> a.vec_id
@@ -2439,6 +2496,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "token_counts": TOKEN_COUNTS,
     "corpus_prep": _corpus_prep_sql(),
     "knn_brute": KNN_BRUTE,
+    "knn_brute_filtered": KNN_BRUTE_FILTERED,
+    "knn_ivf_filtered": KNN_IVF_FILTERED,
     "knn_lsh": KNN_LSH,
     "knn_lsh_multiprobe": KNN_LSH_MULTIPROBE,
     "knn_ivf": KNN_IVF,

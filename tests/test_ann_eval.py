@@ -113,3 +113,51 @@ def test_ann_eval_oracle_matches(duck, sf_dir):
         for r in df.itertuples()
     }
     assert rows == want
+
+
+# (n_exact, n_method, n_common, recall) for the FILTERED pair, plus the
+# eligible pairs a naive POST-filter of the unfiltered brute top-k keeps —
+# measured 2026-08-15, round 10. Filtered IVF probes FILTERED_NPROBE lists,
+# which covers the small list counts at these SFs completely (recall 1.0,
+# same as plain seed-IVF); the post-filter count is the evidence for WHY
+# the pre-filter/in-scan strategies exist.
+FILTERED_EXPECTED = {
+    "sf0.001": {"filtered": (25, 25, 25, 1.0), "postfilter_common": 1},
+    "sf0.01": {"filtered": (25, 25, 25, 1.0), "postfilter_common": 1},
+}
+
+
+def test_filtered_ann_recall_pinned(spark, sf_dir):
+    """Filtered-search ratchet: knn_ivf_filtered's recall against the
+    exact filtered baseline is pinned, and the naive alternative —
+    post-filtering the UNFILTERED top-k by label — is pinned at its
+    catastrophic eligible-pair count (1/25 here): same-label neighbors
+    almost never rank in the global top-5, so post-filtering returns
+    nearly nothing. That contrast is the operator's reason to exist."""
+    from gmall_flink_200621_spark.operators import similarity as V
+    from gmall_flink_200621_spark.plans.training import _emb
+
+    want = None
+    for sf, vals in FILTERED_EXPECTED.items():
+        if sf_dir.rstrip("/").endswith(sf):
+            want = vals
+    if want is None:
+        pytest.skip(f"no pinned filtered-ann constants for {sf_dir}")
+
+    emb = _emb(spark, sf_dir)
+    exact = V.knn_brute_filtered(emb).select("query_id", "neighbor_id")
+    m = V.knn_ivf_filtered(emb).select("query_id", "neighbor_id")
+    n_exact, n_method = exact.count(), m.count()
+    n_common = m.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    got = (n_exact, n_method, n_common, round(n_common / n_exact, 6))
+    assert got == want["filtered"]
+    post = (
+        V.knn_brute(emb)
+        .select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .count()
+    )
+    assert post == want["postfilter_common"]
+    # the structural claim, independent of the pinned constants: the
+    # in-scan filter strategy dominates post-filtering
+    assert n_common > post
