@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "knn_ivfpq_residual",
     "knn_ivfpq_refine",
     "knn_lsh_multiprobe",
+    "knn_brute_filtered",
+    "knn_ivf_filtered",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

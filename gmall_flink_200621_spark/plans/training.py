@@ -1282,6 +1282,68 @@ def distinct_qty_by_cust_stream_view(spark: SparkSession, sf_dir: str) -> DataFr
 TRAINING_QUERIES["distinct_qty_by_cust_stream_view"] = distinct_qty_by_cust_stream_view
 
 
+def order_cust_wide_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THREE-way join IVM under the oracle gate: customer + orders +
+    lineitem multiplexed as one chunked CDC feed (customers chunked by
+    c_custkey, so order-before-customer arrivals occur), replayed
+    through the ternary delta rule with O_DEL tombstones and watermark
+    folds, then the served view. The oracle is the batch three-way join
+    minus deleted orders — certifying each joined tuple was emitted by
+    exactly one of the three delta terms in exactly one epoch, at any
+    relative arrival order of its three sides."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_cust_wide_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_ocwview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d"):
+        spark.catalog.refreshTable(t)
+    return order_cust_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_cust_wide_stream_view"] = order_cust_wide_stream_view
+
+
+def revenue_by_nation_ivm_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ternary IVM's retractable per-NATION aggregate MV under the
+    oracle gate — same replay as `order_cust_wide_stream_view` with the
+    signed (count, DECIMAL revenue) partials maintained; the oracle is
+    the batch rollup over never-deleted orders. Certifies the retire
+    discipline generalizes unchanged to views with more than two
+    inputs."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_by_nation_ivm_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_rbnview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_agg")
+    return revenue_by_nation_ivm_view(spark, name)
+
+
+TRAINING_QUERIES["revenue_by_nation_ivm_stream_view"] = revenue_by_nation_ivm_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

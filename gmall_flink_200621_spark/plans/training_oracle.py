@@ -2208,6 +2208,27 @@ WHERE o.o_orderkey % 7 <> 0 AND (l.l_orderkey + l.l_linenumber) % 5 <> 0
 GROUP BY o.o_custkey
 """
 
+ORDER_CUST_WIDE_VIEW = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, c.c_nationkey,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+"""
+
+REVENUE_BY_NATION_IVM_VIEW = """
+SELECT c.c_nationkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+GROUP BY c.c_nationkey
+"""
+
 DISTINCT_QTY_BY_CUST_VIEW = """
 SELECT o.o_custkey, CAST(count(DISTINCT l.l_quantity) AS BIGINT) AS n_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -2525,6 +2546,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "revenue_by_cust_stream_view": REVENUE_BY_CUST_VIEW,
     "revenue_max_by_cust_stream_view": REVENUE_MAX_BY_CUST_VIEW,
     "distinct_qty_by_cust_stream_view": DISTINCT_QTY_BY_CUST_VIEW,
+    "order_cust_wide_stream_view": ORDER_CUST_WIDE_VIEW,
+    "revenue_by_nation_ivm_stream_view": REVENUE_BY_NATION_IVM_VIEW,
     "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,
     "order_wide_cascade_stream_view": ORDER_WIDE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,

@@ -2674,6 +2674,335 @@ def distinct_qty_by_cust_view(spark: SparkSession, name: str = "orderwide") -> D
     )
 
 
+def stage_cust_order_lineitem_chunks(
+    sf_dir: str,
+    n_chunks: int = 3,
+    delete_mod: int | None = None,
+) -> str:
+    """Stage customer + orders + lineitem as ONE interleaved arrival feed
+    for the THREE-way join IVM: three tables' inserts multiplexed through
+    a single ordered stream. Customers land in chunk c_custkey % n,
+    orders in o_orderkey % n, lineitems in (l_orderkey + l_linenumber)
+    % n — so every relative arrival order the ternary delta rule must
+    handle occurs: customer-before-order, order-before-customer, lines
+    before/with/after both. `delete_mod` adds O_DEL tombstones routed one
+    chunk after the insert (last chunk's keys delete in chunk 0 —
+    delete-before-insert), same contract as the binary feed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("side", pa.string()),
+            ("c_custkey", pa.int64()),
+            ("c_nationkey", pa.int32()),
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("l_orderkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+        ]
+    )
+    c = pq.read_table(os.path.join(sf_dir, "customer.parquet")).to_pandas()
+    o = pq.read_table(os.path.join(sf_dir, "orders.parquet")).to_pandas()
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet")).to_pandas()
+    stage = tempfile.mkdtemp(prefix="spark_graft_ivm3_")
+    base = None
+    for i in range(n_chunks):
+        cc = c[c["c_custkey"] % n_chunks == i]
+        oc = o[o["o_orderkey"] % n_chunks == i]
+        lc = li[(li["l_orderkey"] + li["l_linenumber"]) % n_chunks == i]
+        dk = []
+        if delete_mod:
+            d = o[
+                (o["o_orderkey"] % delete_mod == 0)
+                & ((o["o_orderkey"] % n_chunks + 1) % n_chunks == i)
+            ]
+            dk = list(d["o_orderkey"])
+        n_c, n_o, n_l, n_d = len(cc), len(oc), len(lc), len(dk)
+        cols = {
+            "side": ["C"] * n_c + ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d,
+            "c_custkey": pa.array(
+                list(cc["c_custkey"]) + [None] * (n_o + n_l + n_d), pa.int64()
+            ),
+            "c_nationkey": pa.array(
+                [int(x) for x in cc["c_nationkey"]] + [None] * (n_o + n_l + n_d),
+                pa.int32(),
+            ),
+            "o_orderkey": pa.array(
+                [None] * n_c + list(oc["o_orderkey"]) + [None] * n_l + dk,
+                pa.int64(),
+            ),
+            "o_custkey": pa.array(
+                [None] * n_c + list(oc["o_custkey"]) + [None] * (n_l + n_d),
+                pa.int64(),
+            ),
+            "l_orderkey": pa.array(
+                [None] * (n_c + n_o) + list(lc["l_orderkey"]) + [None] * n_d,
+                pa.int64(),
+            ),
+            "l_linenumber": pa.array(
+                [None] * (n_c + n_o)
+                + [int(x) for x in lc["l_linenumber"]]
+                + [None] * n_d,
+                pa.int32(),
+            ),
+            "l_extendedprice": pa.array(
+                [None] * (n_c + n_o) + list(lc["l_extendedprice"]) + [None] * n_d,
+                pa.float64(),
+            ),
+            "l_discount": pa.array(
+                [None] * (n_c + n_o) + list(lc["l_discount"]) + [None] * n_d,
+                pa.float64(),
+            ),
+        }
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pq.write_table(pa.table(cols, schema=schema), path)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
+def run_join3_ivm_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "custwide",
+    n_chunks: int = 3,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+    maintain_agg: bool = True,
+):
+    """THREE-way incrementally-maintained join view — customer ⋈ orders
+    ⋈ lineitem. The binary family proves the delta rule's tombstone /
+    upsert / fold depth; this member proves its GENERALITY: for an
+    n-way join the rule is one term per input, each joining that
+    input's delta against the LATER-ARRIVAL closure of the inputs to
+    its right and the pre-epoch state of those to its left (so every
+    joined tuple is emitted exactly once — in the epoch its latest
+    side arrived, by the term owning that side):
+
+        ΔV = ΔC ⋈ (O∪ΔO) ⋈ (L∪ΔL)
+           ∪  C ⋈ ΔO ⋈ (L∪ΔL)
+           ∪  C ⋈  O ⋈  ΔL
+
+    Every term starts from a batch-sized delta, broadcasts it (or the
+    delta-derived intermediate) against exactly one epoch-partitioned
+    state table per hop, and never shuffles state — the per-epoch cost
+    stays O(|Δ| + matching rows) regardless of how many inputs the view
+    joins, which is the property that makes wide star-schema views
+    maintainable at 100 TB fact scale. O_DEL tombstones and the
+    retractable per-NATION aggregate MV (`<name>_agg` →
+    `revenue_by_nation_ivm_view`) reuse the binary family's first-seen
+    retire discipline verbatim."""
+    c_t, o_t, l_t = f"{name}_c", f"{name}_o", f"{name}_l"
+    v_t, d_t = f"{name}_v", f"{name}_d"
+    agg_t = f"{name}_agg" if maintain_agg else None
+    if fresh_tables:
+        for t in (c_t, o_t, l_t, v_t, d_t, f"{name}_agg"):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {c_t} (c_custkey BIGINT, c_nationkey INT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {l_t} (l_orderkey BIGINT, l_linenumber INT,"
+            f" l_extendedprice DOUBLE, l_discount DOUBLE)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {v_t} (o_orderkey BIGINT, l_linenumber INT,"
+            f" o_custkey BIGINT, c_nationkey INT, revenue DOUBLE)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        if agg_t:
+            spark.sql(
+                f"CREATE TABLE {agg_t} (c_nationkey INT, n BIGINT,"
+                f" rev DECIMAL(18,6)) USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
+
+    stage = stage_dir or stage_cust_order_lineitem_chunks(sf_dir, n_chunks)
+    schema = (
+        "side string, c_custkey long, c_nationkey int, o_orderkey long,"
+        " o_custkey long, l_orderkey long, l_linenumber int,"
+        " l_extendedprice double, l_discount double"
+    )
+    feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def ivm3_batch(df: DataFrame, epoch_id: int) -> None:
+        _ivm3_epoch(
+            df, epoch_id, c_t, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width
+        )
+
+    w = feed.writeStream.foreachBatch(ivm3_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _ivm3_epoch(
+    df: DataFrame,
+    epoch_id: int,
+    c_t: str,
+    o_t: str,
+    l_t: str,
+    v_t: str,
+    d_t: str | None,
+    agg_t: str | None,
+    fold_every: int | None,
+    refold_width: int | None,
+) -> None:
+    """One ternary delta-rule micro-batch — the later-side-emit triangle
+    in three dimensions, under the same exactly-once discipline as
+    `_ivm_epoch` (state reads exclude the in-flight epoch; every write
+    is a dynamic partition overwrite, so a crashed-epoch replay is
+    byte-identical). Term shapes (deltas/delta-derived frames always
+    the broadcast side):
+
+      term1  ΔC ⋈ (O∪ΔO) ⋈ (L∪ΔL) — pairs whose NEWEST side is the
+             customer (same-epoch ΔO/ΔL ride in the closures);
+      term2  C ⋈ ΔO ⋈ (L∪ΔL)      — newest side the order (C strictly
+             older: term1 owns same-epoch customers);
+      term3  C ⋈ O ⋈ ΔL           — newest side the line.
+
+    O_DEL cleansing happens at the ORDER hop only: ΔO and O-state are
+    anti-joined against live tombstones, and every term reaches
+    lineitems through a cleansed order frame — so a deleted order's
+    rows never materialize regardless of which side arrived last."""
+    s = df.sparkSession
+    for t in (c_t, o_t, l_t, v_t) + tuple(x for x in (d_t, agg_t) if x):
+        merge = _ivm3_agg_merge if t == agg_t else None
+        _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
+    d_c = df.filter(F.col("side") == "C").select("c_custkey", "c_nationkey")
+    d_o = df.filter(F.col("side") == "O").select("o_orderkey", "o_custkey")
+    d_l = df.filter(F.col("side") == "L").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    c_state = (
+        live_epochs(s.table(c_t), s, c_t).filter(F.col("epoch") != epoch_id).drop("epoch")
+    )
+    o_state = (
+        live_epochs(s.table(o_t), s, o_t).filter(F.col("epoch") != epoch_id).drop("epoch")
+    )
+    l_state = (
+        live_epochs(s.table(l_t), s, l_t).filter(F.col("epoch") != epoch_id).drop("epoch")
+    )
+    d_del = hist_o = None
+    if d_t is not None:
+        d_del = df.filter(F.col("side") == "O_DEL").select("o_orderkey")
+        hist_o = (
+            live_epochs(s.table(d_t), s, d_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist_o.unionByName(d_del)
+        d_o = d_o.join(dead, "o_orderkey", "left_anti")
+        o_state = o_state.join(dead, "o_orderkey", "left_anti")
+    o_all = o_state.unionByName(d_o)
+    l_all = l_state.unionByName(d_l)
+
+    def proj(j: DataFrame) -> DataFrame:
+        return j.select(
+            "o_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "c_nationkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+
+    mo1 = F.broadcast(d_c).join(o_all, F.col("c_custkey") == F.col("o_custkey"))
+    t1 = proj(F.broadcast(mo1).join(l_all, F.col("o_orderkey") == F.col("l_orderkey")))
+    mo2 = F.broadcast(d_o).join(c_state, F.col("o_custkey") == F.col("c_custkey"))
+    t2 = proj(F.broadcast(mo2).join(l_all, F.col("o_orderkey") == F.col("l_orderkey")))
+    ol3 = F.broadcast(d_l).join(o_state, F.col("o_orderkey") == F.col("l_orderkey"))
+    t3 = proj(c_state.join(F.broadcast(ol3), F.col("c_custkey") == F.col("o_custkey")))
+    d_v = t1.unionByName(t2).unionByName(t3)
+
+    retired = None
+    if agg_t is not None and d_del is not None and not d_del.isEmpty():
+        pre_v = (
+            live_epochs(s.table(v_t), s, v_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        eligible = pre_v.join(hist_o, "o_orderkey", "left_anti")
+        fs_o = d_del.distinct().join(hist_o, "o_orderkey", "left_anti")
+        retired = eligible.join(F.broadcast(fs_o), "o_orderkey", "left_semi")
+    if agg_t is not None:
+        signed = d_v.select("c_nationkey", "revenue", F.lit(1).alias("sign"))
+        if retired is not None:
+            signed = signed.unionByName(
+                retired.select("c_nationkey", "revenue", F.lit(-1).alias("sign"))
+            )
+        partial = signed.groupBy("c_nationkey").agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(F.col("sign") * F.col("revenue").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("rev"),
+        )
+        _ivm_write_epoch(s, partial, agg_t, epoch_id)
+    _ivm_write_epoch(s, d_v, v_t, epoch_id)
+    _ivm_write_epoch(s, d_c, c_t, epoch_id)
+    _ivm_write_epoch(s, d_o, o_t, epoch_id)
+    _ivm_write_epoch(s, d_l, l_t, epoch_id)
+    if d_t is not None:
+        _ivm_write_epoch(s, d_del, d_t, epoch_id)
+
+
+def _ivm3_agg_merge(df: DataFrame) -> DataFrame:
+    """Ternary join-IVM aggregate fold merge — associative (count,
+    DECIMAL) sums keyed by nation."""
+    return df.groupBy("c_nationkey").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(18,6)").alias("rev"),
+    )
+
+
+def order_cust_wide_view(spark: SparkSession, name: str = "custwide") -> DataFrame:
+    """The maintained three-way join view's live rows — equals the batch
+    customer ⋈ orders ⋈ lineitem projection over never-deleted orders.
+    Fold-aware via `live_epochs`; order tombstones anti-joined at read,
+    exactly like the binary view."""
+    v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
+    if spark.catalog.tableExists(f"{name}_d"):
+        dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
+        v = v.join(dead, "o_orderkey", "left_anti")
+    return v
+
+
+def revenue_by_nation_ivm_view(spark: SparkSession, name: str = "custwide") -> DataFrame:
+    """The ternary IVM's retractable aggregate MV: per-nation net item
+    count + DECIMAL-exact revenue, rolled up from the signed epoch
+    partials. Same money discipline as `revenue_by_cust_view`: the
+    double cast happens AFTER the exact decimal sum."""
+    live = live_epochs(spark.table(f"{name}_agg"), spark, f"{name}_agg")
+    return (
+        live.groupBy("c_nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_items"),
+            F.sum("rev").cast("decimal(18,6)").alias("_rev"),
+        )
+        .filter(F.col("n_items") > 0)
+        .select(
+            "c_nationkey", "n_items", F.col("_rev").cast("double").alias("revenue")
+        )
+    )
+
+
 def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
     """Physically retire dead join rows — the compaction pass the
     tombstone/versioning design defers to: rewrite ONLY the live view

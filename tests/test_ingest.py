@@ -2235,6 +2235,104 @@ class TestJoinIvm:
         }
         assert net == {(1, 1.0): 1, (1, 2.0): 0, (1, 3.0): 1, (2, 9.0): 0}
 
+    @staticmethod
+    def _planted_3way_stage(tmp_path) -> str:
+        """Two-chunk ternary feed planting the arrival-order cases: cust 1
+        arrives AFTER its order and line (term-1 emit), order 20 arrives
+        after its line (term-2 emit), order 30's delete arrives BEFORE its
+        insert, order 40 is deleted after insert (agg retraction)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        schema = pa.schema(
+            [
+                ("side", pa.string()),
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int32()),
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+
+        def row(side, ck=None, nk=None, ok=None, ock=None, lk=None, ln=None, px=None):
+            return {
+                "side": side,
+                "c_custkey": ck,
+                "c_nationkey": nk,
+                "o_orderkey": ok,
+                "o_custkey": ock,
+                "l_orderkey": lk,
+                "l_linenumber": ln,
+                "l_extendedprice": px,
+                "l_discount": 0.0 if side == "L" else None,
+            }
+
+        chunk0 = [
+            row("O", ok=10, ock=1),  # cust 1 not yet arrived
+            row("L", lk=10, ln=1, px=100.0),
+            row("L", lk=20, ln=1, px=50.0),  # order 20 not yet arrived
+            row("C", ck=2, nk=200),
+            row("O_DEL", ok=30),  # delete BEFORE insert
+            row("O", ok=40, ock=2),
+            row("L", lk=40, ln=1, px=7.0),
+        ]
+        chunk1 = [
+            row("C", ck=1, nk=100),  # late customer → term 1 emits 10's rows
+            row("O", ok=20, ock=2),  # late order → term 2 emits 20's rows
+            row("O", ok=30, ock=1),  # tombstoned key's insert — must not join
+            row("L", lk=30, ln=1, px=999.0),
+            row("O_DEL", ok=40),  # delete after insert → agg retracts 7.0
+        ]
+        stage = str(tmp_path / "w3stage")
+        os.makedirs(stage)
+        base = None
+        for i, rows in enumerate((chunk0, chunk1)):
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq_.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+            base = base or os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+        return stage
+
+    def test_join3_ivm_arrival_orders_and_retraction(self, spark, tmp_path):
+        """Ternary delta rule, planted: every relative arrival order of a
+        tuple's three sides emits it exactly once, delete-before-insert
+        wins at the order hop, and the per-nation aggregate retracts a
+        post-insert delete's contribution."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_cust_wide_view,
+            revenue_by_nation_ivm_view,
+            run_join3_ivm_stream,
+        )
+
+        stage = self._planted_3way_stage(tmp_path)
+        q = run_join3_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_ivm3",
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivm3_v", "t_ivm3_d", "t_ivm3_agg"):
+            spark.catalog.refreshTable(t)
+        got = sorted(
+            (r.o_orderkey, r.l_linenumber, r.o_custkey, r.c_nationkey, r.revenue)
+            for r in order_cust_wide_view(spark, "t_ivm3").collect()
+        )
+        # orders 10 (late customer) and 20 (late order) emitted exactly
+        # once; 30 (deleted before insert) and 40 (deleted after) absent
+        assert got == [(10, 1, 1, 100, 100.0), (20, 1, 2, 200, 50.0)]
+        agg = {
+            r.c_nationkey: (r.n_items, r.revenue)
+            for r in revenue_by_nation_ivm_view(spark, "t_ivm3").collect()
+        }
+        # nation 200 netted 50.0: order 40's 7.0 was added then retracted
+        assert agg == {100: (1, 100.0), 200: (1, 50.0)}
+
     def test_compact_max_mv_is_read_identical_and_bounds_partitions(
         self, spark, tmp_path
     ):
