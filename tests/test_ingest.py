@@ -2332,6 +2332,21 @@ class TestJoinIvm:
         }
         # nation 200 netted 50.0: order 40's 7.0 was added then retracted
         assert agg == {100: (1, 100.0), 200: (1, 50.0)}
+        # purge generalizes to the ternary view unmodified (kept columns
+        # come from the table schema, dead keys from `<name>_d`):
+        # read-identical, and the dead rows are physically gone
+        from gmall_flink_200621_spark.streaming.ingest import purge_tombstoned_rows
+
+        n = purge_tombstoned_rows(spark, "t_ivm3")
+        assert n >= 1
+        spark.catalog.refreshTable("t_ivm3_v")
+        after = sorted(
+            (r.o_orderkey, r.l_linenumber, r.o_custkey, r.c_nationkey, r.revenue)
+            for r in order_cust_wide_view(spark, "t_ivm3").collect()
+        )
+        assert after == got
+        raw_keys = {r.o_orderkey for r in spark.table("t_ivm3_v").collect()}
+        assert 30 not in raw_keys and 40 not in raw_keys
 
     def test_compact_max_mv_is_read_identical_and_bounds_partitions(
         self, spark, tmp_path
