@@ -1344,6 +1344,35 @@ def revenue_by_nation_ivm_stream_view(spark: SparkSession, sf_dir: str) -> DataF
 TRAINING_QUERIES["revenue_by_nation_ivm_stream_view"] = revenue_by_nation_ivm_stream_view
 
 
+def revenue_by_region_ivm_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV STACKING under the oracle gate: the ternary replay maintains
+    the per-nation partials, then the per-REGION rollup is served by
+    aggregate navigation — MV-sized partials ⋈ broadcast 25-row nation
+    dim, re-aggregated in DECIMAL. The oracle is the batch 4-table
+    join's region rollup, so the hash certifies the stacked read equals
+    recomputation from facts without ever scanning them."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_by_region_ivm_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_rbrview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_agg")
+    return revenue_by_region_ivm_view(spark, load_table(spark, sf_dir, "nation"), name)
+
+
+TRAINING_QUERIES["revenue_by_region_ivm_stream_view"] = revenue_by_region_ivm_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

@@ -2229,6 +2229,19 @@ WHERE o.o_orderkey % 7 <> 0
 GROUP BY c.c_nationkey
 """
 
+REVENUE_BY_REGION_IVM_VIEW = """
+SELECT n.n_regionkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderkey % 7 <> 0
+GROUP BY n.n_regionkey
+"""
+
 DISTINCT_QTY_BY_CUST_VIEW = """
 SELECT o.o_custkey, CAST(count(DISTINCT l.l_quantity) AS BIGINT) AS n_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -2548,6 +2561,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "distinct_qty_by_cust_stream_view": DISTINCT_QTY_BY_CUST_VIEW,
     "order_cust_wide_stream_view": ORDER_CUST_WIDE_VIEW,
     "revenue_by_nation_ivm_stream_view": REVENUE_BY_NATION_IVM_VIEW,
+    "revenue_by_region_ivm_stream_view": REVENUE_BY_REGION_IVM_VIEW,
     "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,
     "order_wide_cascade_stream_view": ORDER_WIDE_VIEW,
     "perceptron_lang": PERCEPTRON_LANG,

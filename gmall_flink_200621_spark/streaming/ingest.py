@@ -3003,6 +3003,36 @@ def revenue_by_nation_ivm_view(spark: SparkSession, name: str = "custwide") -> D
     )
 
 
+def revenue_by_region_ivm_view(
+    spark: SparkSession, nation: DataFrame, name: str = "custwide"
+) -> DataFrame:
+    """AGGREGATE NAVIGATION over the maintained MV: per-REGION revenue
+    rolled up from the per-nation partials — the classic stacked-view
+    read (Kimball's aggregate navigator; Materialize's view-on-view).
+    The rollup never touches the fact table or the join view: it reads
+    MV-sized partials, broadcast-joins the 25-row nation dim, and
+    re-aggregates — the DECIMAL sums re-associate exactly across the
+    extra grouping level, so stacking costs no precision. The double
+    cast still happens last (money discipline)."""
+    live = live_epochs(spark.table(f"{name}_agg"), spark, f"{name}_agg")
+    nat = nation.select(
+        F.col("n_nationkey").cast("int").alias("c_nationkey"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+    return (
+        live.join(F.broadcast(nat), "c_nationkey")
+        .groupBy("n_regionkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_items"),
+            F.sum("rev").cast("decimal(18,6)").alias("_rev"),
+        )
+        .filter(F.col("n_items") > 0)
+        .select(
+            "n_regionkey", "n_items", F.col("_rev").cast("double").alias("revenue")
+        )
+    )
+
+
 def purge_tombstoned_rows(spark: SparkSession, name: str = "orderwide") -> int:
     """Physically retire dead join rows — the compaction pass the
     tombstone/versioning design defers to: rewrite ONLY the live view
