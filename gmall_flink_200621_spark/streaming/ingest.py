@@ -2467,10 +2467,21 @@ def _ivm_u_merge(df: DataFrame) -> DataFrame:
 def _ivm_dc_merge(df: DataFrame) -> DataFrame:
     """Distinct-count refcount fold merge: signed per-(customer, value)
     counts sum associatively — retraction partials cancel into the base
-    exactly. Zero-netted pairs are kept rather than filtered: the merge
-    stays a pure fold of the partials (the read side applies the > 0
-    predicate exactly once, at view time)."""
-    return df.groupBy("o_custkey", "qty").agg(F.sum("c").cast("long").alias("c"))
+    exactly. Zero-netted pairs are DROPPED from the base: a retraction
+    always lands in a later epoch than the insert it cancels (retire
+    scans only pre-epoch live rows; delete-before-insert keys never
+    enter ΔV at all), and folds merge contiguous oldest-epoch prefixes,
+    so any −1 inside the window has its +1 inside too — a zero net is
+    a dead pair, never a partial retraction awaiting its insert.
+    Dropping it is exact for future sums (0 adds nothing) and bounds
+    the state table by LIVE (customer, value) pairs instead of
+    ever-seen ones — the dc-table analog of `compact_max_mv`'s rebase
+    collapse."""
+    return (
+        df.groupBy("o_custkey", "qty")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .filter(F.col("c") != 0)
+    )
 
 
 def revenue_by_cust_view(spark: SparkSession, name: str = "orderwide") -> DataFrame:
