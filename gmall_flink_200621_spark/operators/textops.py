@@ -1060,8 +1060,6 @@ def bm25_search(
     query term — postings-sized, not corpus-sized); for a stop-word
     query at extreme scale, pre-prune per partition with the
     operators/topn two-stage shape first."""
-    from pyspark.sql import Window as W
-
     toked = _fan_out(docs).select("doc_id", tokens("text").alias("toks"))
     dl = toked.select("doc_id", F.size("toks").cast("long").alias("dl"))
     stats = dl.agg(
@@ -1073,6 +1071,26 @@ def bm25_search(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_rank(tf, dl, stats, query_terms, k1, b, topk)
+
+
+def bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """The BM25 scoring tail, shared by the batch search and the
+    stream-maintained index's search view so both evaluate the IDENTICAL
+    IEEE expression tree (one source of truth for the hash gate). Inputs:
+    `tf` (doc_id, term, tf) restricted to the query terms, `dl`
+    (doc_id, dl), `stats` one row (n_docs, sum_dl); df is derived from
+    `tf` — a doc counts once per term by construction."""
+    from pyspark.sql import Window as W
+
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl") / F.col("n_docs")
     idf = F.log(

@@ -1373,6 +1373,33 @@ def revenue_by_region_ivm_stream_view(spark: SparkSession, sf_dir: str) -> DataF
 TRAINING_QUERIES["revenue_by_region_ivm_stream_view"] = revenue_by_region_ivm_stream_view
 
 
+def bm25_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-maintained BM25 inverted index under the oracle gate:
+    documents replayed in 3 chunks build full-vocabulary postings,
+    document lengths and corpus-stats partials (folded at fold_every=2);
+    the search view then serves the fixed demo query from the INDEX —
+    postings pruned to the query terms, stats from MV-sized partials,
+    scoring via the batch operator's own `bm25_rank`. The oracle is the
+    batch BM25 search, so the hash certifies index-served ranking ==
+    scan-the-corpus ranking, bit-for-bit."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import bm25_index_search, run_bm25_index_stream
+
+    name = f"q_bmidx_{sf_namespace(sf_dir)}"
+    q = run_bm25_index_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_post", f"{name}_dl", f"{name}_st"):
+        spark.catalog.refreshTable(t)
+    return bm25_index_search(spark, name)
+
+
+TRAINING_QUERIES["bm25_index_stream_view"] = bm25_index_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

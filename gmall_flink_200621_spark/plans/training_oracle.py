@@ -2568,6 +2568,9 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,
     "bm25_search": BM25_SEARCH,
+    # the index-served search must equal the batch scan bit-for-bit —
+    # same oracle by design
+    "bm25_index_stream_view": BM25_SEARCH,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,
     "source_minhash_setops": SOURCE_MINHASH_SETOPS,

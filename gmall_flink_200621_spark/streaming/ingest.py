@@ -3253,3 +3253,138 @@ def sq8_index_search(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def run_bm25_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "bmidx",
+    n_chunks: int = 3,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Stream-maintained BM25 full-text index — the lexical-search member
+    of the index-MV family (PQ/SQ8 maintain vector indexes; this
+    maintains the INVERTED INDEX a search engine serves from). Three
+    epoch-partitioned tables, each O(batch) to maintain:
+
+      `<name>_post`  (term, doc_id, tf)  — full-vocabulary postings for
+                     the batch's docs (an index can't know queries in
+                     advance, so unlike the batch operator the explode
+                     is NOT term-filtered; a search later reads only the
+                     query terms' postings via predicate pushdown —
+                     bucket `<name>_post` BY term at warehouse scale for
+                     partition-pruned lookups);
+      `<name>_dl`    (doc_id, dl)        — document lengths;
+      `<name>_st`    (n, sum_dl)         — ONE corpus-stats partial row
+                     per epoch, sum-merged at fold and at read, so the
+                     global N and Σdl BM25 needs never rescan documents.
+
+    Docs are epoch-unique (append-only corpus), so postings and lengths
+    fold with the identity merge; the search view
+    (`bm25_index_search`) rebuilds (tf, dl, stats) from the maintained
+    tables and hands them to the SAME `bm25_rank` scoring tail as the
+    batch operator — identical IEEE expression tree, so index-served
+    results hash-match the batch search exactly (the driver-gated
+    claim). Per-epoch cost: tokenize + one (doc, term) hash agg over
+    the batch — the corpus is never re-scanned."""
+    from ..functions.text import tokens as _tokens
+
+    post_t, dl_t, st_t = f"{name}_post", f"{name}_dl", f"{name}_st"
+    if fresh_tables:
+        for t in (post_t, dl_t, st_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {post_t} (term STRING, doc_id BIGINT, tf BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {dl_t} (doc_id BIGINT, dl BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {st_t} (n BIGINT, sum_dl BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def index_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t in (post_t, dl_t):
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+        _maybe_fold(
+            s, st_t, epoch_id, fold_every, merge=_bm25_st_merge,
+            refold_width=refold_width,
+        )
+        toked = df.select("doc_id", _tokens("text").alias("toks"))
+        dl = toked.select("doc_id", F.size("toks").cast("long").alias("dl"))
+        # the one frame feeding three writes — materialize it once
+        dl = dl.localCheckpoint(eager=True)
+        post = (
+            toked.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .select("term", "doc_id", "tf")
+        )
+        st = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        _ivm_write_epoch(s, post, post_t, epoch_id)
+        _ivm_write_epoch(s, dl.select("doc_id", "dl"), dl_t, epoch_id)
+        _ivm_write_epoch(s, st, st_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _bm25_st_merge(df: DataFrame) -> DataFrame:
+    """Corpus-stats fold merge: (n, Σdl) partials sum associatively."""
+    return df.agg(
+        F.sum("n").cast("long").alias("n"), F.sum("sum_dl").cast("long").alias("sum_dl")
+    )
+
+
+def bm25_index_search(
+    spark: SparkSession,
+    name: str = "bmidx",
+    query_terms: tuple[str, ...] | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+    topk: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 over the stream-maintained index: postings are read
+    filtered to the QUERY TERMS (pushdown-prunable — only ~|query|
+    postings lists move), document lengths join on the candidate set,
+    and the corpus stats come from the MV-sized `<name>_st` partials.
+    Scoring delegates to the batch operator's own `bm25_rank`, so the
+    index-served ranking is bit-identical to searching the corpus
+    directly."""
+    from ..operators.textops import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK, bm25_rank
+
+    terms = query_terms or BM25_QUERY
+    post = (
+        live_epochs(spark.table(f"{name}_post"), spark, f"{name}_post")
+        .drop("epoch")
+        .filter(F.col("term").isin(*terms))
+    )
+    # docs are epoch-unique; the sum is a no-op defensively kept so a
+    # re-chunked doc (two fragments of one doc_id in different epochs)
+    # would still score on its total tf
+    tf = post.groupBy("doc_id", "term").agg(F.sum("tf").cast("long").alias("tf"))
+    dl = live_epochs(spark.table(f"{name}_dl"), spark, f"{name}_dl").drop("epoch")
+    stats = live_epochs(spark.table(f"{name}_st"), spark, f"{name}_st").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    return bm25_rank(
+        tf, dl, stats, terms, k1 or BM25_K1, b or BM25_B, topk or BM25_TOPK
+    )

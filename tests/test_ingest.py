@@ -2789,3 +2789,43 @@ class TestSq8IndexStream:
         n_q = qs.count()
         assert out.count() == 5 * n_q
         assert out.groupBy("query_id").count().filter("count != 5").count() == 0
+
+
+class TestBm25IndexStream:
+    def test_index_search_equals_batch_on_novel_query(self, spark, sf_dir):
+        """The maintained inverted index must serve ANY query, not just
+        the gated demo one: build the index by 4-chunk replay (folds
+        on), then search a different term set and compare bit-for-bit
+        against the batch operator scanning the corpus directly. Also
+        pins the full-vocabulary property — postings exist for terms no
+        query has asked for yet."""
+        from gmall_flink_200621_spark.operators.textops import bm25_search
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import (
+            bm25_index_search,
+            run_bm25_index_stream,
+        )
+
+        q = run_bm25_index_stream(
+            spark, sf_dir, name="t_bmidx", n_chunks=4, fold_every=2, refold_width=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_bmidx_post", "t_bmidx_dl", "t_bmidx_st"):
+            spark.catalog.refreshTable(t)
+        terms = ("data", "query", "stream")
+        got = sorted(
+            map(tuple, bm25_index_search(spark, "t_bmidx", query_terms=terms).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                bm25_search(load_table(spark, sf_dir, "documents"), query_terms=terms).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        # full-vocab postings: strictly more distinct terms indexed than
+        # any single query touches
+        n_terms = spark.table("t_bmidx_post").select("term").distinct().count()
+        assert n_terms > len(terms)
