@@ -1400,6 +1400,34 @@ def bm25_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_QUERIES["bm25_index_stream_view"] = bm25_index_stream_view
 
 
+def bm25_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 index as a CDC consumer under the oracle gate: the
+    3-chunk replay carries D_DEL tombstones for every doc_id % 6 == 0
+    (routed one chunk after the insert; the last chunk's keys delete in
+    chunk 0 — delete-before-insert), with SIGNED corpus-stats partials
+    retracting the dead docs' (count, Σdl). The oracle is the batch
+    BM25 over surviving documents — certifying not just that deleted
+    docs vanished from the ranking but that every SURVIVOR's score
+    shifted to the new df/N/avgdl, at any delete arrival order, across
+    folds."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import bm25_index_search, run_bm25_index_stream
+
+    name = f"q_bmidxd_{sf_namespace(sf_dir)}"
+    q = run_bm25_index_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2, cdc=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_post", f"{name}_dl", f"{name}_st", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    return bm25_index_search(spark, name)
+
+
+TRAINING_QUERIES["bm25_index_delete_stream_view"] = bm25_index_delete_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

@@ -956,8 +956,15 @@ _BM25_PIVOT = ",\n         ".join(
 )
 _BM25_SCORE = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(len(BM25_QUERY)))
 
-BM25_SEARCH = f"""
-WITH toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+def _bm25_sql(where: str = "TRUE") -> str:
+    """BM25 oracle, parameterized by the surviving-documents predicate —
+    `TRUE` for the batch/plain-index twins, `doc_id % m <> 0` for the
+    CDC index twin (a deleted doc leaves tf AND df AND N AND avgdl,
+    shifting every survivor's score — which is what the delete gate
+    certifies)."""
+    return f"""
+WITH toked AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE {where}),
 dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toked),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
 tf AS (
@@ -986,6 +993,12 @@ SELECT doc_id, dl, round(score, 6) AS bm25,
 FROM scored
 QUALIFY rank <= {BM25_TOPK}
 """
+
+
+BM25_DEL_MOD = 6  # every doc_id % 6 == 0 gets a D_DEL in the CDC gate
+
+BM25_SEARCH = _bm25_sql()
+BM25_INDEX_DELETE_VIEW = _bm25_sql(f"doc_id % {BM25_DEL_MOD} <> 0")
 
 SPARSE_COSINE_PAIRS = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2571,6 +2584,7 @@ TRAINING_ORACLES: dict[str, str] = {
     # the index-served search must equal the batch scan bit-for-bit —
     # same oracle by design
     "bm25_index_stream_view": BM25_SEARCH,
+    "bm25_index_delete_stream_view": BM25_INDEX_DELETE_VIEW,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,
     "source_minhash_setops": SOURCE_MINHASH_SETOPS,

@@ -3255,6 +3255,46 @@ def sq8_index_search(
     )
 
 
+def stage_document_cdc_chunks(
+    sf_dir: str, n_chunks: int = 3, delete_mod: int = 6
+) -> str:
+    """Documents as a CDC feed: side='D' inserts chunked by doc_id % n,
+    side='D_DEL' tombstones (doc_id only) for every doc_id % delete_mod
+    == 0, routed one chunk after the insert — the last chunk's keys
+    delete in chunk 0 (delete-before-insert), same contract as the
+    order/lineitem CDC stages."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    stage = tempfile.mkdtemp(prefix="spark_graft_bmcdc_")
+    base = None
+    for i in range(n_chunks):
+        ins = pdf[pdf["doc_id"] % n_chunks == i].copy()
+        ins.insert(0, "side", "D")
+        d = pdf[
+            (pdf["doc_id"] % delete_mod == 0)
+            & ((pdf["doc_id"] % n_chunks + 1) % n_chunks == i)
+        ]
+        dels = pd.DataFrame(
+            {
+                "side": ["D_DEL"] * len(d),
+                "doc_id": d["doc_id"].values,
+                "text": [None] * len(d),
+                "lang": [None] * len(d),
+                "source": [None] * len(d),
+                "n_chars": pd.array([None] * len(d), dtype="Int64"),
+            }
+        )
+        out = pd.concat([ins, dels], ignore_index=True)
+        path = os.path.join(stage, f"part-{i}.parquet")
+        out.to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
 def run_bm25_index_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -3265,6 +3305,7 @@ def run_bm25_index_stream(
     fresh_tables: bool = True,
     fold_every: int | None = None,
     refold_width: int | None = None,
+    cdc: bool = False,
 ):
     """Stream-maintained BM25 full-text index — the lexical-search member
     of the index-MV family (PQ/SQ8 maintain vector indexes; this
@@ -3290,13 +3331,30 @@ def run_bm25_index_stream(
     batch operator — identical IEEE expression tree, so index-served
     results hash-match the batch search exactly (the driver-gated
     claim). Per-epoch cost: tokenize + one (doc, term) hash agg over
-    the batch — the corpus is never re-scanned."""
+    the batch — the corpus is never re-scanned.
+
+    `cdc=True` consumes a side-tagged feed (`stage_document_cdc_chunks`)
+    with D_DEL document tombstones: deleted docs' postings and lengths
+    are tombstoned in `<name>_del` (read-filtered at search — exactly
+    the order-tombstone discipline, delete-before-insert included), and
+    the corpus-stats partials turn SIGNED — the delete epoch writes
+    −(count, Σdl) for the first-seen deleted docs, re-derived from the
+    maintained dl table in O(matched rows). A deletion therefore shifts
+    EVERY survivor's score (df, N and avgdl all move); the delete
+    gate's oracle pins that global effect, not just the dead doc's
+    disappearance."""
     from ..functions.text import tokens as _tokens
 
     post_t, dl_t, st_t = f"{name}_post", f"{name}_dl", f"{name}_st"
+    del_t = f"{name}_del" if cdc else None
     if fresh_tables:
-        for t in (post_t, dl_t, st_t):
+        for t in (post_t, dl_t, st_t, f"{name}_del"):
             _drop_table(spark, t)
+        if del_t:
+            spark.sql(
+                f"CREATE TABLE {del_t} (doc_id BIGINT)"
+                f" USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
         spark.sql(
             f"CREATE TABLE {post_t} (term STRING, doc_id BIGINT, tf BIGINT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
@@ -3310,18 +3368,38 @@ def run_bm25_index_stream(
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
 
-    stage = stage_dir or stage_document_chunks(sf_dir, n_chunks)
+    if stage_dir:
+        stage = stage_dir
+    elif cdc:
+        stage = stage_document_cdc_chunks(sf_dir, n_chunks)
+    else:
+        stage = stage_document_chunks(sf_dir, n_chunks)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
+    if cdc:
+        schema = "side string, " + schema
     feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
 
     def index_batch(df: DataFrame, epoch_id: int) -> None:
         s = df.sparkSession
-        for t in (post_t, dl_t):
+        for t in (post_t, dl_t) + ((del_t,) if del_t else ()):
             _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
         _maybe_fold(
             s, st_t, epoch_id, fold_every, merge=_bm25_st_merge,
             refold_width=refold_width,
         )
+        d_del = hist_d = None
+        if cdc:
+            d_del = df.filter(F.col("side") == "D_DEL").select("doc_id")
+            hist_d = (
+                live_epochs(s.table(del_t), s, del_t)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
+            )
+            # deletes win at any arrival order: a tombstoned doc's insert
+            # never enters postings, lengths, or stats
+            df = df.filter(F.col("side") == "D").join(
+                hist_d.unionByName(d_del), "doc_id", "left_anti"
+            )
         toked = df.select("doc_id", _tokens("text").alias("toks"))
         dl = toked.select("doc_id", F.size("toks").cast("long").alias("dl"))
         # the one frame feeding three writes — materialize it once
@@ -3336,9 +3414,27 @@ def run_bm25_index_stream(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("dl").cast("long").alias("sum_dl"),
         )
+        if cdc and not d_del.isEmpty():
+            # stats retraction for FIRST-SEEN deletes: −(count, Σdl) of
+            # the dead docs, re-derived from the maintained dl table
+            # (O(matched rows); pre-epoch state only — replay-safe)
+            fs = d_del.distinct().join(hist_d, "doc_id", "left_anti")
+            dead_dl = (
+                live_epochs(s.table(dl_t), s, dl_t)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
+                .join(F.broadcast(fs), "doc_id", "left_semi")
+            )
+            ret = dead_dl.agg(
+                (-F.count(F.lit(1))).cast("long").alias("n"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("sum_dl"),
+            )
+            st = st.unionByName(ret)
         _ivm_write_epoch(s, post, post_t, epoch_id)
         _ivm_write_epoch(s, dl.select("doc_id", "dl"), dl_t, epoch_id)
         _ivm_write_epoch(s, st, st_t, epoch_id)
+        if cdc:
+            _ivm_write_epoch(s, d_del, del_t, epoch_id)
 
     w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -3376,11 +3472,21 @@ def bm25_index_search(
         .drop("epoch")
         .filter(F.col("term").isin(*terms))
     )
+    dead = None
+    if spark.catalog.tableExists(f"{name}_del"):
+        dead = (
+            live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+            .drop("epoch")
+            .distinct()
+        )
+        post = post.join(dead, "doc_id", "left_anti")
     # docs are epoch-unique; the sum is a no-op defensively kept so a
     # re-chunked doc (two fragments of one doc_id in different epochs)
     # would still score on its total tf
     tf = post.groupBy("doc_id", "term").agg(F.sum("tf").cast("long").alias("tf"))
     dl = live_epochs(spark.table(f"{name}_dl"), spark, f"{name}_dl").drop("epoch")
+    if dead is not None:
+        dl = dl.join(dead, "doc_id", "left_anti")
     stats = live_epochs(spark.table(f"{name}_st"), spark, f"{name}_st").agg(
         F.sum("n").cast("long").alias("n_docs"),
         F.sum("sum_dl").cast("long").alias("sum_dl"),
