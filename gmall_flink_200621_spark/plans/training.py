@@ -1428,6 +1428,43 @@ def bm25_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
 TRAINING_QUERIES["bm25_index_delete_stream_view"] = bm25_index_delete_stream_view
 
 
+def hybrid_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SEARCH STACK maintained incrementally, under the oracle
+    gate: the BM25 inverted index (3-chunk doc replay) and the flat
+    vector store (4-chunk embedding replay, FAISS IndexFlat add()
+    lifecycle) are each stream-built with folds on, then the hybrid RRF
+    query is served ENTIRELY from the two indexes. The oracle is the
+    batch `hybrid_search_rrf`, so the hash certifies the index-served
+    stack returns the identical fused ranking a corpus scan would."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        hybrid_index_search,
+        run_bm25_index_stream,
+        run_flat_index_stream,
+    )
+
+    ns = sf_namespace(sf_dir)
+    bm, fl = f"q_hybm_{ns}", f"q_hyfl_{ns}"
+    q1 = run_bm25_index_stream(
+        spark, sf_dir, name=bm, n_chunks=3, fold_every=2, refold_width=2
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    q2 = run_flat_index_stream(
+        spark, sf_dir, name=fl, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    for t in (f"{bm}_post", f"{bm}_dl", f"{bm}_st", f"{fl}_vec"):
+        spark.catalog.refreshTable(t)
+    return hybrid_index_search(spark, bm, fl)
+
+
+TRAINING_QUERIES["hybrid_index_stream_view"] = hybrid_index_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

@@ -3494,3 +3494,116 @@ def bm25_index_search(
     return bm25_rank(
         tf, dl, stats, terms, k1 or BM25_K1, b or BM25_B, topk or BM25_TOPK
     )
+
+
+def run_flat_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "flatidx",
+    n_chunks: int = 4,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Stream-maintained FLAT vector store (FAISS IndexFlat's add()
+    lifecycle): each epoch quantizes its arrivals to the fixed-point
+    contract and appends (vec_id, q, ‖q‖²) — no training, no
+    compression, exact search at read. The lossless member of the index
+    family (PQ/SQ8 trade recall for memory; flat is the recall-1.0
+    baseline a search stack needs for reranking and for the hybrid
+    fusion's semantic half). Per-epoch cost O(batch); identity fold."""
+    from ..operators.similarity import _idot, quantize
+
+    vec_t = f"{name}_vec"
+    if fresh_tables:
+        _drop_table(spark, vec_t)
+        spark.sql(
+            f"CREATE TABLE {vec_t} (vec_id BIGINT, q ARRAY<BIGINT>, n2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_chunks(sf_dir, n_chunks)
+    feed = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def index_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        _maybe_fold(s, vec_t, epoch_id, fold_every, refold_width=refold_width)
+        e = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        e = e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        _ivm_write_epoch(s, e.select("vec_id", "q", "n2"), vec_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def hybrid_index_search(
+    spark: SparkSession,
+    bm_name: str = "bmidx",
+    vec_name: str = "flatidx",
+) -> DataFrame:
+    """The FULL SEARCH STACK served from maintained indexes: the lexical
+    top list from the BM25 inverted index (`bm25_index_search`) and the
+    semantic top list from the flat vector store, fused by reciprocal
+    rank — no corpus or embedding scan anywhere on the read path. The
+    formulas are the batch `hybrid_search_rrf`'s own (integer ranks,
+    fixed two-term double sum), so index-served fusion hash-matches the
+    batch operator exactly."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _idot
+    from ..plans.training import RRF_K, RRF_QUERY_VEC, RRF_SEM_K, RRF_TOPK
+
+    lex = bm25_index_search(spark, bm_name).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    e = live_epochs(spark.table(f"{vec_name}_vec"), spark, f"{vec_name}_vec").drop(
+        "epoch"
+    )
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    cos = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != RRF_QUERY_VEC)
+        .select(
+            "vec_id",
+            (
+                _idot(F.col("q"), F.col("qq"))
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    wsem = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem = (
+        cos.withColumn("r_sem", F.row_number().over(wsem))
+        .where(F.col("r_sem") <= RRF_SEM_K)
+        .select(F.col("vec_id").alias("doc_id"), "r_sem")
+    )
+    fused = sem.join(lex, "doc_id", "outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= RRF_TOPK)
+        .select(
+            "doc_id", "r_lex", "r_sem", "rrf", F.col("rank").cast("int").alias("rank")
+        )
+    )
