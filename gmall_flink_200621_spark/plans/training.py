@@ -1465,6 +1465,35 @@ def hybrid_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_QUERIES["hybrid_index_stream_view"] = hybrid_index_stream_view
 
 
+def bm25_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC BM25 index replay followed by the PHYSICAL purge pass
+    (`purge_bm25_index` rewrites only partitions holding dead docs'
+    postings/lengths), then the served search — same oracle as the
+    delete twin, so the driver hash-certifies that search-stack
+    compaction changes bytes, never rankings."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        bm25_index_search,
+        purge_bm25_index,
+        run_bm25_index_stream,
+    )
+
+    name = f"q_bmidxp_{sf_namespace(sf_dir)}"
+    q = run_bm25_index_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2, cdc=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_post", f"{name}_dl", f"{name}_st", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    purge_bm25_index(spark, name)
+    return bm25_index_search(spark, name)
+
+
+TRAINING_QUERIES["bm25_index_purged_stream_view"] = bm25_index_purged_stream_view
+
+
 def order_wide_cascade_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-IVM replay run long enough (8 chunks, fold_every=2,
     refold_width=2) that the SECOND-tier LSM fold (`_refold_bases`)

@@ -2586,6 +2586,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "bm25_index_stream_view": BM25_SEARCH,
     "bm25_index_delete_stream_view": BM25_INDEX_DELETE_VIEW,
     "hybrid_index_stream_view": HYBRID_SEARCH_RRF,
+    "bm25_index_purged_stream_view": BM25_INDEX_DELETE_VIEW,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,
     "source_minhash_setops": SOURCE_MINHASH_SETOPS,

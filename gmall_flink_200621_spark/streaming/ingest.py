@@ -3607,3 +3607,51 @@ def hybrid_index_search(
             "doc_id", "r_lex", "r_sem", "rrf", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def purge_bm25_index(spark: SparkSession, name: str = "bmidx") -> int:
+    """Physically retire tombstoned documents from the BM25 index — the
+    search-stack VACUUM: rewrite only the postings/length partitions
+    that hold dead docs' rows (dynamic overwrite), drop fully-dead
+    positive epochs, never drop a base (the `purge_tombstoned_rows`
+    rails, applied per table). Tombstones are KEPT — a late re-insert
+    of a deleted doc must still be cleansed at maintenance time. Stats
+    partials are untouched: they were already retracted by the signed
+    row at the delete epoch, so purge changes bytes, not results (the
+    purged gate twin shares the delete twin's oracle). Returns
+    partitions touched across both tables."""
+    del_t = f"{name}_del"
+    if not spark.catalog.tableExists(del_t):
+        return 0
+    dead = live_epochs(spark.table(del_t), spark, del_t).drop("epoch").distinct()
+    touched = 0
+    for t in (f"{name}_post", f"{name}_dl"):
+        live = live_epochs(spark.table(t), spark, t)
+        dead_rows = live.join(dead, "doc_id", "left_semi")
+        alive = live.join(dead, "doc_id", "left_anti")
+        per_epoch = (
+            dead_rows.groupBy("epoch")
+            .agg(F.count(F.lit(1)).alias("n_dead"))
+            .join(live.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch")
+            .collect()
+        )  # bounded: one row per live partition
+        full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+        rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+        for e in full_dead:
+            spark.sql(f"ALTER TABLE {t} DROP IF EXISTS PARTITION (epoch={e})")
+        kept_cols = [f.name for f in spark.table(t).schema.fields if f.name != "epoch"]
+        if rewrite:
+            keep = (
+                alive.filter(F.col("epoch").isin(rewrite))
+                .select(*kept_cols, "epoch")
+                .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
+            )
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                keep.write.mode("overwrite").insertInto(t, overwrite=True)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshTable(t)
+        touched += len(full_dead) + len(rewrite)
+    return touched

@@ -2829,3 +2829,34 @@ class TestBm25IndexStream:
         # any single query touches
         n_terms = spark.table("t_bmidx_post").select("term").distinct().count()
         assert n_terms > len(terms)
+
+    def test_purge_physically_removes_dead_docs(self, spark, sf_dir):
+        """After the CDC replay + purge, the RAW postings/length tables
+        hold no tombstoned doc's rows (served results already pinned
+        identical by the purged gate's shared oracle), and a second
+        purge is a no-op."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            purge_bm25_index,
+            run_bm25_index_stream,
+        )
+
+        q = run_bm25_index_stream(
+            spark, sf_dir, name="t_bmpg", n_chunks=3, fold_every=2,
+            refold_width=2, cdc=True,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_bmpg_post", "t_bmpg_dl", "t_bmpg_del"):
+            spark.catalog.refreshTable(t)
+        assert purge_bm25_index(spark, "t_bmpg") >= 1
+        dead = {r.doc_id for r in spark.table("t_bmpg_del").select("doc_id").collect()}
+        assert dead  # the feed really planted deletes
+        for t in ("t_bmpg_post", "t_bmpg_dl"):
+            n = (
+                spark.table(t)
+                .filter(spark.table(t).doc_id.isin(*[int(d) for d in dead]))
+                .count()
+            )
+            assert n == 0, t
+        assert purge_bm25_index(spark, "t_bmpg") == 0
