@@ -54,7 +54,20 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from gmall_flink_200621_spark.session import get_spark
 
-    spark = get_spark("verify_oracle")
+    # per-process warehouse: the stream views' catalog tables are
+    # namespaced per SF (sf_namespace), which makes concurrent runs at
+    # DIFFERENT SFs safe — but two processes at the SAME SF (e.g. this
+    # tool alongside plan_audit) would collide on
+    # $PWD/spark-warehouse/<same table>. A temp dir isolates the process
+    # completely; replay idempotence within the process is unaffected.
+    import tempfile
+
+    spark = get_spark(
+        "verify_oracle",
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="sg_verify_wh_")
+        },
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
