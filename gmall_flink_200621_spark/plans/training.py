@@ -1641,3 +1641,36 @@ def knn_sq8_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["knn_sq8_index_view"] = knn_sq8_index_view
+
+
+def hot_items_mv_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOWED aggregate MV under the oracle gate — the reference's
+    flagship hot-items query (HotItemApp.java:54-64) served from a
+    stream-maintained, RETENTION-BOUNDED bucket view: replay events as 3
+    arrival chunks through `run_window_agg_stream` (per-(5-min bucket,
+    item) count partials, fold_every=1 + refold_width=2 so the replay
+    crosses both fold tiers), run the PHYSICAL retention GC
+    (`expire_window_buckets` — whole expired arrival epochs drop as
+    catalog metadata; folded bases rewrite in place), then serve top-5
+    per sliding 1h window from the surviving buckets. The oracle is the
+    batch windowed rollup over events restricted to the same data-time
+    retention horizon, so the driver hash-certifies maintenance, fold,
+    expiry, and the read-side rollup together."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        expire_window_buckets,
+        hot_window_view,
+        run_window_agg_stream,
+    )
+
+    name = f"q_hotw_{sf_namespace(sf_dir)}"
+    q = run_window_agg_stream(spark, sf_dir, name=name, fold_every=1, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_buckets")
+    expire_window_buckets(spark, name, retention_s=7 * 86400)
+    return hot_window_view(spark, name, retention_s=7 * 86400)
+
+
+TRAINING_QUERIES["hot_items_mv_stream_view"] = hot_items_mv_stream_view

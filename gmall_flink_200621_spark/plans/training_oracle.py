@@ -2500,7 +2500,40 @@ LEFT JOIN (
 UNIGRAM_ENCODE_FREQ = _unigram_encode_freq_sql()
 
 
+# Windowed-agg MV with retention: batch two-level rollup (5-min buckets →
+# 12 containing sliding 1h windows → top-5), restricted to buckets newer
+# than (max bucket_end − 7 days) and to windows FULLY covered by retained
+# buckets — hot_items' own oracle shape plus the data-time horizon the
+# stream view serves under.
+HOT_ITEMS_MV = """
+WITH e AS (
+  SELECT CAST(props->>'k' AS INT) AS item_k, ts
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT CAST(floor(epoch(time_bucket(INTERVAL 300 seconds, ts))) AS BIGINT) + 300 AS bucket_end,
+         item_k, count(*) AS cnt
+  FROM e GROUP BY 1, 2
+), mx AS (
+  SELECT max(bucket_end) - 604800 AS cutoff FROM b
+), counts AS (
+  SELECT bucket_end + (j - 1) * 300 AS window_end_s, item_k,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM b, mx, generate_series(1, 12) AS gs(j)
+  WHERE b.bucket_end > mx.cutoff
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT window_end_s, item_k, cnt,
+         CAST(row_number() OVER (PARTITION BY window_end_s ORDER BY cnt DESC, item_k ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT window_end_s, item_k, cnt, rank
+FROM ranked, mx
+WHERE rank <= 5 AND window_end_s - 3300 > mx.cutoff
+"""
+
+
 TRAINING_ORACLES: dict[str, str] = {
+    "hot_items_mv_stream_view": HOT_ITEMS_MV,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,
     "doc_chunks": DOC_CHUNKS,

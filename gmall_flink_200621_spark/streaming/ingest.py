@@ -3655,3 +3655,198 @@ def purge_bm25_index(spark: SparkSession, name: str = "bmidx") -> int:
         spark.catalog.refreshTable(t)
         touched += len(full_dead) + len(rewrite)
     return touched
+
+
+def run_window_agg_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "hotw",
+    n_chunks: int = 3,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Stream-maintained WINDOWED aggregate with a RETENTION horizon —
+    the reference's flagship hot-items workload (HotItemApp.java:54-64:
+    per-item view counts over sliding 1h/5min windows) recast as an
+    incrementally maintained view whose state is bounded by DATA TIME,
+    not stream length.
+
+    Maintenance is the corpus-stats discipline at the 5-minute-bucket
+    grain: each micro-batch writes per-(bucket_end, item) view-count
+    partials into the epoch-partitioned `<name>_buckets` table (dynamic
+    overwrite → replay-idempotent), and the fold merge re-sums by
+    (bucket_end, item). The sliding-window rollup (each bucket feeds its
+    12 containing windows) and the top-5 ranking happen at READ over the
+    bucket-grain MV — O(live buckets · 12), never an event rescan; raw
+    events are never retained at all.
+
+    The RETENTION contract is the new axis: `hot_window_view` serves
+    only buckets newer than (max bucket_end seen − retention), i.e. the
+    watermark implied by the data itself, and `expire_window_buckets`
+    makes that cutoff PHYSICAL — positive epochs whose buckets are all
+    expired are dropped as pure catalog metadata (arrival order tracks
+    event time for an in-order feed, so whole old epochs die at once),
+    and mixed/base partitions are rewritten in place without their dead
+    buckets. Correctness never depends on GC having run (the read view
+    re-filters), so expiry can lag, crash mid-pass, or re-run — the
+    purge discipline. At 100 TB this is the difference between state
+    that grows with the stream's lifetime and state bounded by
+    |items in retention| · |buckets in retention|.
+    """
+    b_t = f"{name}_buckets"
+    if fresh_tables:
+        _drop_table(spark, b_t)
+        spark.sql(
+            f"CREATE TABLE {b_t} (bucket_end BIGINT, item_k INT, cnt BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_event_chunks(sf_dir, n_chunks)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def bucket_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        part = (
+            df.filter(F.col("event_type") == "view")
+            .select(
+                F.window("ts", "5 minutes").end.cast("long").alias("bucket_end"),
+                F.get_json_object("props", "$.k").cast("int").alias("item_k"),
+            )
+            .groupBy("bucket_end", "item_k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _ivm_write_epoch(s, part, b_t, epoch_id)
+        _maybe_fold(s, b_t, epoch_id, fold_every, merge=_wagg_merge, refold_width=refold_width)
+
+    w = feed.writeStream.foreachBatch(bucket_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _wagg_merge(df: DataFrame) -> DataFrame:
+    """Fold merge for the windowed-agg MV: counts re-sum by (bucket,
+    item) — plain associative integer addition, so folded state is
+    bit-identical to unfolded."""
+    return df.groupBy("bucket_end", "item_k").agg(F.sum("cnt").alias("cnt"))
+
+
+def _wagg_cutoff(spark: SparkSession, name: str, retention_s: int) -> int | None:
+    """The data-time expiry cutoff: (newest bucket_end in live state) −
+    retention. Self-contained — derived from the MV itself, no side
+    watermark table; the newest bucket can never expire, so the cutoff
+    is stable under any amount of GC."""
+    b_t = f"{name}_buckets"
+    r = (
+        live_epochs(spark.table(b_t), spark, b_t)
+        .agg(F.max("bucket_end").alias("m"))
+        .collect()[0]
+    )
+    return None if r.m is None else int(r.m) - retention_s
+
+
+def expire_window_buckets(spark: SparkSession, name: str, retention_s: int) -> int:
+    """PHYSICAL retention GC for the windowed-agg MV: drop every LIVE
+    partition whose buckets are all older than the cutoff (metadata-only
+    DROP PARTITION — for an in-order feed that is the common case:
+    whole old arrival epochs expire together), and rewrite mixed
+    partitions in place without their expired rows. Bases are only ever
+    REWRITTEN, never dropped — dropping a base would rewind the fold
+    watermark that `live_epochs` liveness is computed from. Returns the
+    number of partitions touched. Idempotent and crash-tolerant: the
+    served view applies the same cutoff filter, so a half-finished pass
+    only means some dead buckets wait for the next one."""
+    b_t = f"{name}_buckets"
+    cutoff = _wagg_cutoff(spark, name, retention_s)
+    if cutoff is None:
+        return 0
+    alive = live_epochs(spark.table(b_t), spark, b_t)
+    per_epoch = (
+        alive.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("bucket_end") <= F.lit(cutoff), 1)).alias("n_dead"),
+        )
+        .filter(F.col("n_dead") > 0)
+        .collect()  # one row per live partition — metadata-scale
+    )
+    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
+    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+    for e in full_dead:
+        spark.sql(f"ALTER TABLE {b_t} DROP IF EXISTS PARTITION (epoch={e})")
+    for e in dead_bases:
+        # an all-expired BASE can't be dropped (its window-top carries the
+        # fold watermark liveness reads from) and a dynamic overwrite with
+        # zero rows never touches it — overwrite it EMPTY, explicitly
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {b_t} PARTITION (epoch={e})"
+            f" SELECT BIGINT(NULL) AS bucket_end, INT(NULL) AS item_k,"
+            f" BIGINT(NULL) AS cnt WHERE false"
+        )
+    if rewrite:
+        keep = (
+            alive.filter(F.col("epoch").isin(rewrite))
+            .filter(F.col("bucket_end") > F.lit(cutoff))
+            .select("bucket_end", "item_k", "cnt", "epoch")
+            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").insertInto(b_t, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(b_t)
+    return len(full_dead) + len(dead_bases) + len(rewrite)
+
+
+def hot_window_view(
+    spark: SparkSession, name: str = "hotw", retention_s: int = 7 * 86400, top_n: int = 5
+) -> DataFrame:
+    """Serve hot-items from the maintained bucket MV: live buckets newer
+    than the retention cutoff roll up into their 12 containing sliding
+    windows (the batch hot_items two-level plan's own upper level), then
+    row_number ≤ top_n per window end. Only windows FULLY covered by
+    retained buckets are emitted (window's oldest bucket > cutoff) — a
+    partially-expired window would report a count no batch query over
+    the retained range agrees with. Read cost is O(live buckets · 12):
+    the MV is bucket-grain, events are long gone."""
+    from pyspark.sql import Window
+
+    b_t = f"{name}_buckets"
+    cutoff = _wagg_cutoff(spark, name, retention_s)
+    if cutoff is None:
+        cutoff = -(1 << 62)
+    live = (
+        live_epochs(spark.table(b_t), spark, b_t)
+        .filter(F.col("bucket_end") > F.lit(cutoff))
+        .groupBy("bucket_end", "item_k")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    counts = (
+        live.select(
+            "bucket_end",
+            "item_k",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("j"),
+        )
+        .select(
+            (F.col("bucket_end") + (F.col("j") - 1) * 300).alias("window_end_s"),
+            "item_k",
+            "cnt",
+        )
+        .groupBy("window_end_s", "item_k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("window_end_s") - 3300 > F.lit(cutoff))
+    )
+    w = Window.partitionBy("window_end_s").orderBy(F.desc("cnt"), F.asc("item_k"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("window_end_s", "item_k", "cnt", "rank")
+    )

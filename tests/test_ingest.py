@@ -2860,3 +2860,116 @@ class TestBm25IndexStream:
             )
             assert n == 0, t
         assert purge_bm25_index(spark, "t_bmpg") == 0
+
+
+class TestWindowAggStream:
+    """The windowed-agg MV with a retention horizon: maintenance partials,
+    data-time expiry (metadata drops for whole-old epochs, in-place
+    rewrites for bases), and the read-side rollup."""
+
+    RET = 7 * 86400
+
+    def _oracle(self, duck):
+        from gmall_flink_200621_spark.plans.training_oracle import HOT_ITEMS_MV
+
+        return sorted(map(tuple, duck.sql(HOT_ITEMS_MV).fetchall()))
+
+    def _replay(self, spark, sf_dir, name, **kw):
+        from gmall_flink_200621_spark.streaming.ingest import run_window_agg_stream
+
+        q = run_window_agg_stream(spark, sf_dir, name=name, **kw)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable(f"{name}_buckets")
+
+    def test_view_matches_oracle_and_expiry_preserves_it(self, spark, sf_dir, duck):
+        """Unfolded replay: the served view equals the batch oracle, the
+        physical expiry drops whole expired arrival epochs as METADATA
+        (epoch=0 partition gone, no rewrite of survivors), leaves zero
+        live rows below the cutoff, and the view is identical before and
+        after GC (correctness never depends on GC having run)."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _wagg_cutoff,
+            expire_window_buckets,
+            hot_window_view,
+            live_epochs,
+        )
+        from pyspark.sql import functions as F
+
+        self._replay(spark, sf_dir, "t_wagg", n_chunks=3)
+        before = sorted(map(tuple, hot_window_view(spark, "t_wagg", self.RET).collect()))
+        assert before == self._oracle(duck) and len(before) > 0
+
+        cutoff = _wagg_cutoff(spark, "t_wagg", self.RET)
+        parts0 = {r[0] for r in spark.sql("SHOW PARTITIONS t_wagg_buckets").collect()}
+        assert "epoch=0" in parts0  # 3 in-order chunks over 30 days: chunk 0 is all-expired
+        touched = expire_window_buckets(spark, "t_wagg", self.RET)
+        assert touched >= 1
+        parts1 = {r[0] for r in spark.sql("SHOW PARTITIONS t_wagg_buckets").collect()}
+        assert "epoch=0" not in parts1
+
+        live = live_epochs(spark.table("t_wagg_buckets"), spark, "t_wagg_buckets")
+        assert live.filter(F.col("bucket_end") <= F.lit(cutoff)).count() == 0
+        after = sorted(map(tuple, hot_window_view(spark, "t_wagg", self.RET).collect()))
+        assert after == before
+        # idempotent: nothing left to expire
+        assert expire_window_buckets(spark, "t_wagg", self.RET) == 0
+
+    def test_folded_replay_rewrites_bases_never_drops(self, spark, sf_dir, duck):
+        """fold_every=1 + refold_width=2 routes every epoch through the
+        tiered fold before GC: expiry must REWRITE live bases in place
+        (a dropped base would rewind the fold watermark), the view still
+        equals the oracle, and state physically sheds expired buckets."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _wagg_cutoff,
+            expire_window_buckets,
+            hot_window_view,
+            live_epochs,
+        )
+        from pyspark.sql import functions as F
+
+        self._replay(spark, sf_dir, "t_waggf", n_chunks=3, fold_every=1, refold_width=2)
+        neg0 = [
+            p[0] for p in spark.sql("SHOW PARTITIONS t_waggf_buckets").collect()
+            if int(p[0].split("=")[1]) < 0
+        ]
+        assert neg0  # the fold actually ran
+        assert expire_window_buckets(spark, "t_waggf", self.RET) >= 1
+        neg1 = [
+            p[0] for p in spark.sql("SHOW PARTITIONS t_waggf_buckets").collect()
+            if int(p[0].split("=")[1]) < 0
+        ]
+        assert set(neg1) == set(neg0)  # bases rewritten, never dropped
+        cutoff = _wagg_cutoff(spark, "t_waggf", self.RET)
+        live = live_epochs(spark.table("t_waggf_buckets"), spark, "t_waggf_buckets")
+        assert live.filter(F.col("bucket_end") <= F.lit(cutoff)).count() == 0
+        got = sorted(map(tuple, hot_window_view(spark, "t_waggf", self.RET).collect()))
+        assert got == self._oracle(duck)
+
+    def test_state_bounded_by_retention_not_stream_length(self, spark, sf_dir):
+        """The 100 TB claim in miniature: after GC, live state rows are
+        exactly the (bucket, item) pairs inside the retention horizon —
+        growing the replayed history (3 → 6 chunks over the same data)
+        leaves the post-GC state identical."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            expire_window_buckets,
+            live_epochs,
+        )
+
+        def live_state(name, n_chunks):
+            self._replay(spark, sf_dir, name, n_chunks=n_chunks, fold_every=2)
+            expire_window_buckets(spark, name, self.RET)
+            return sorted(
+                map(
+                    tuple,
+                    live_epochs(spark.table(f"{name}_buckets"), spark, f"{name}_buckets")
+                    .groupBy("bucket_end", "item_k")
+                    .agg(F.sum("cnt").alias("cnt"))
+                    .collect(),
+                )
+            )
+
+        from pyspark.sql import functions as F
+
+        assert live_state("t_wagg3", 3) == live_state("t_wagg6", 6)
