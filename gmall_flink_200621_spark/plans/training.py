@@ -1674,3 +1674,37 @@ def hot_items_mv_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["hot_items_mv_stream_view"] = hot_items_mv_stream_view
+
+
+def top_customers_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOP-K aggregate MV under the oracle gate — the RANKING member
+    of the retraction family (sum is invertible, max rebases touched
+    keys, distinct refcounts one grain down; top-k keeps a bounded
+    candidate set with an eviction bound and rebases from the group-
+    grain MV when retractions sink the K-th candidate to the bound).
+    Same deletes-staged join-IVM replay as revenue_by_cust_stream_view
+    with maintain_topk=10 stacked on the aggregate partials; the oracle
+    is the batch top-10 customers by revenue over surviving orders, so
+    the driver hash-certifies candidate maintenance, the eviction-bound
+    invariant, and rebase correctness together."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+        top_customers_by_rev_view,
+    )
+
+    name = f"q_tkview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_topk=10,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_tk")
+    return top_customers_by_rev_view(spark, name, k=10)
+
+
+TRAINING_QUERIES["top_customers_stream_view"] = top_customers_stream_view

@@ -2532,8 +2532,28 @@ WHERE rank <= 5 AND window_end_s - 3300 > mx.cutoff
 """
 
 
+# Top-10 customers by DECIMAL-exact revenue over surviving (never-deleted)
+# orders — the batch rank the maintained candidate set must reproduce.
+TOP_CUSTOMERS_VIEW = """
+WITH tot AS (
+  SELECT o.o_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                  AS DECIMAL(18,6))) AS rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 7 <> 0
+  GROUP BY o.o_custkey
+), ranked AS (
+  SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS INT) AS rank
+  FROM tot
+)
+SELECT o_custkey, revenue, rank FROM ranked WHERE rank <= 10
+"""
+
+
 TRAINING_ORACLES: dict[str, str] = {
     "hot_items_mv_stream_view": HOT_ITEMS_MV,
+    "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,
     "doc_chunks": DOC_CHUNKS,

@@ -1913,6 +1913,7 @@ def run_join_ivm_stream(
     maintain_agg: bool = True,
     maintain_max: bool = False,
     maintain_distinct: bool = False,
+    maintain_topk: int | None = None,
 ):
     """Incrementally-maintained JOIN view — the delta-rule member of the
     MV family (the others maintain aggregates, fixed points, or indexes;
@@ -1994,13 +1995,16 @@ def run_join_ivm_stream(
     agg_t = f"{name}_agg" if maintain_agg else None
     mx_t = f"{name}_mx" if maintain_max else None
     dc_t = f"{name}_dc" if maintain_distinct else None
+    tk_t = f"{name}_tk" if maintain_topk else None
+    if maintain_topk and not maintain_agg:
+        raise ValueError("maintain_topk rides on the aggregate MV partials")
     if fresh_tables:
         # the agg/mx/dc tables are dropped even when not maintained: a
         # stale aggregate from an earlier same-name run must not survive
         # a fresh rebuild of the view it claims to summarize
         for t in (
             o_t, l_t, v_t, d_t, ld_t, u_t,
-            f"{name}_agg", f"{name}_mx", f"{name}_dc",
+            f"{name}_agg", f"{name}_mx", f"{name}_dc", f"{name}_tk",
         ):
             _drop_table(spark, t)
         spark.sql(
@@ -2029,6 +2033,12 @@ def run_join_ivm_stream(
             spark.sql(
                 f"CREATE TABLE {dc_t} (o_custkey BIGINT, qty DOUBLE,"
                 f" c BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
+        if tk_t:
+            spark.sql(
+                f"CREATE TABLE {tk_t} (o_custkey BIGINT, rev DECIMAL(18,6),"
+                f" b DECIMAL(18,6), rebased BOOLEAN, ve BIGINT)"
+                f" USING parquet PARTITIONED BY (epoch BIGINT)"
             )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
@@ -2059,6 +2069,7 @@ def run_join_ivm_stream(
         _ivm_epoch(
             df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
             ld_t=ld_t, mx_t=mx_t, u_t=u_t, dc_t=dc_t,
+            tk_t=tk_t, topk_k=maintain_topk or 0,
         )
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
@@ -2093,6 +2104,8 @@ def _ivm_epoch(
     mx_t: str | None = None,
     u_t: str | None = None,
     dc_t: str | None = None,
+    tk_t: str | None = None,
+    topk_k: int = 0,
 ) -> None:
     """One delta-rule micro-batch, idempotent under last-epoch replay:
     the state reads exclude the in-flight epoch (`epoch != epoch_id`
@@ -2155,7 +2168,9 @@ def _ivm_epoch(
     # fold BEFORE the state reads so the fold-read path is under the
     # same replay gate as the probes (window ≤ epoch−1 only); mx_t is
     # deliberately NOT folded (see docstring)
-    for t in (o_t, l_t, v_t) + tuple(x for x in (d_t, ld_t, u_t, agg_t, dc_t) if x):
+    for t in (o_t, l_t, v_t) + tuple(
+        x for x in (d_t, ld_t, u_t, agg_t, dc_t, tk_t) if x
+    ):
         merge = None
         if t == agg_t:
             merge = _ivm_agg_merge
@@ -2163,6 +2178,8 @@ def _ivm_epoch(
             merge = _ivm_u_merge
         elif t == dc_t:
             merge = _ivm_dc_merge
+        elif t == tk_t:
+            merge = _ivm_tk_merge
         _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
     if u_t is not None:
         # upsert resolve: O and O_UPD are both VERSIONS of the key; within
@@ -2387,6 +2404,8 @@ def _ivm_epoch(
         # below starts, and the scan's epoch != epoch_id filter keeps a
         # replay (where v_t's partition already exists) read-identical
         _ivm_write_epoch(s, partial, agg_t, epoch_id)
+        if tk_t is not None:
+            _ivm_topk_epoch(s, partial, agg_t, tk_t, topk_k, epoch_id)
     if mx_t is not None:
         # insert partial: max over ΔV per customer (inserts only raise a
         # max, so per-epoch max partials merge exactly at read)
@@ -2462,6 +2481,142 @@ def _ivm_u_merge(df: DataFrame) -> DataFrame:
     and max re-associates — ue is a data column, so the fold's loss of
     partition epochs is immaterial (the o_version design's point)."""
     return df.groupBy("o_orderkey").agg(F.max("ue").alias("ue"))
+
+
+def _ivm_tk_merge(df: DataFrame) -> DataFrame:
+    """Top-K candidate-set fold merge: the tk table is VERSIONED state,
+    not additive partials — each epoch writes the complete new candidate
+    set tagged with its writing epoch (`ve`, a data column, so the
+    version survives the fold's partition-epoch erasure). The merge
+    keeps only the newest version's rows; older candidate sets are
+    superseded whole."""
+    mx = df.agg(F.max("ve").alias("_mv"))
+    return df.join(F.broadcast(mx), F.col("ve") == F.col("_mv")).drop("_mv")
+
+
+def _ivm_topk_epoch(
+    s: SparkSession, partial: DataFrame, agg_t: str, tk_t: str, k: int, epoch_id: int
+) -> None:
+    """Maintain the TOP-K aggregate MV — the RANKING hard case of
+    incremental view maintenance: which customers currently have the K
+    largest maintained revenues, under inserts AND retractions, without
+    re-ranking the whole group-grain MV every epoch.
+
+    The classical bounded-candidates design (the shape FAISS-style
+    shortlists and streaming top-k both use): keep M = 4K candidates
+    plus an EVICTION BOUND `b` = the largest total any key ever had at
+    the moment it was evicted from the candidate set. A non-candidate's
+    total only changes when the key is touched by a delta — and a
+    touched key always re-enters the pool for re-ranking — so every
+    absent key's current total is its total at last eviction, which is
+    ≤ b by construction. Serving the top-K from the candidate set alone
+    is therefore exact whenever the K-th candidate's total is STRICTLY
+    above b. Inserts raise candidate totals and never threaten the
+    invariant; retractions shrink them, and when the K-th total sinks
+    to ≤ b the epoch REBASES: one O(group-grain MV) re-rank rebuilds the
+    pool and resets b to the M-th total (every excluded key sorts after
+    it, ties broken by key). Amortized cost: O(|touched| + M) per epoch,
+    with rare MV-sized rebases only under delete pressure near the
+    boundary — never a fact-table scan.
+
+    Replay-deterministic like every other partial: inputs are pre-epoch
+    live state (agg partials and the previous candidate set, both read
+    with `epoch != epoch_id`) plus this batch's own partial frame. The
+    per-epoch decision collects only bounded frames (M+1 rows)."""
+    m = 4 * k
+    live_agg = (
+        live_epochs(s.table(agg_t), s, agg_t)
+        .filter(F.col("epoch") != epoch_id)
+        .drop("epoch")
+    )
+    tk_live = (
+        live_epochs(s.table(tk_t), s, tk_t)
+        .filter(F.col("epoch") != epoch_id)
+        .drop("epoch")
+    )
+    pv = tk_live.agg(F.max("ve")).collect()[0][0]
+    prev = tk_live.filter(F.col("ve") == F.lit(pv)) if pv is not None else None
+
+    touched = partial.select("o_custkey").distinct()
+    cur_touched = (
+        live_agg.join(F.broadcast(touched), "o_custkey", "left_semi")
+        .select("o_custkey", "n", "rev")
+        .unionByName(partial.select("o_custkey", "n", "rev"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("rev").cast("decimal(18,6)").alias("rev"),
+        )
+        .filter(F.col("n") > 0)  # fully-retracted keys leave the ranking
+        .select("o_custkey", "rev")
+    )
+
+    def full_rerank():
+        full = (
+            live_agg.select("o_custkey", "n", "rev")
+            .unionByName(partial.select("o_custkey", "n", "rev"))
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("rev").cast("decimal(18,6)").alias("rev"),
+            )
+            .filter(F.col("n") > 0)
+            .select("o_custkey", "rev")
+        )
+        rows = full.orderBy(F.desc("rev"), F.asc("o_custkey")).limit(m + 1).collect()
+        cands, b = rows[:m], (rows[m - 1].rev if len(rows) > m else None)
+        return cands, b, True
+
+    if prev is None:
+        cands, b, rebased = full_rerank()
+    else:
+        b_prev = prev.agg(F.max("b")).collect()[0][0]
+        pool = (
+            prev.select("o_custkey", "rev")
+            .join(F.broadcast(touched), "o_custkey", "left_anti")
+            .unionByName(cur_touched)
+        )
+        rows = pool.orderBy(F.desc("rev"), F.asc("o_custkey")).limit(m + 1).collect()
+        cands = rows[:m]
+        evicted_max = rows[m].rev if len(rows) > m else None
+        b = max(x for x in (b_prev, evicted_max) if x is not None) if (
+            b_prev is not None or evicted_max is not None
+        ) else None
+        kth = cands[k - 1].rev if len(cands) >= k else None
+        valid = b is None or (kth is not None and kth > b)
+        if valid:
+            rebased = False
+        else:
+            cands, b, rebased = full_rerank()
+
+    out = s.createDataFrame(
+        [(r.o_custkey, r.rev, b, rebased, epoch_id) for r in cands],
+        "o_custkey long, rev decimal(18,6), b decimal(18,6), rebased boolean, ve long",
+    )
+    _ivm_write_epoch(s, out, tk_t, epoch_id)
+
+
+def top_customers_by_rev_view(
+    spark: SparkSession, name: str = "orderwide", k: int = 10
+) -> DataFrame:
+    """Serve the maintained top-K: the newest candidate-set version,
+    re-ranked (M rows — constant), cut to K. Never touches the
+    group-grain aggregate MV, let alone the join view or fact tables:
+    the read is O(M) against a table bounded by M rows per live
+    partition."""
+    from pyspark.sql import Window
+
+    tk = live_epochs(spark.table(f"{name}_tk"), spark, f"{name}_tk")
+    mx = tk.agg(F.max("ve")).collect()[0][0]
+    cur = tk.filter(F.col("ve") == F.lit(mx))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    return (
+        cur.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "o_custkey", F.col("rev").cast("double").alias("revenue"), "rank"
+        )
+    )
 
 
 def _ivm_dc_merge(df: DataFrame) -> DataFrame:

@@ -2973,3 +2973,208 @@ class TestWindowAggStream:
         from pyspark.sql import functions as F
 
         assert live_state("t_wagg3", 3) == live_state("t_wagg6", 6)
+
+
+class TestTopkIvm:
+    """The top-K retraction MV: bounded candidate set + eviction bound,
+    rebase-on-violation, versioned fold."""
+
+    ORDER_COLS = [
+        "side", "o_orderkey", "o_custkey", "o_orderstatus", "l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+    ]
+
+    def _stage(self, tmp_path, chunks):
+        """Write hand-built feed chunks (list of pandas frames in the
+        staged-feed schema) with mtimes encoding arrival order."""
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("side", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+        stage = tmp_path / "tkstage"
+        stage.mkdir()
+        base = None
+        for i, pdf in enumerate(chunks):
+            p = str(stage / f"part-{i}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(pdf[ [f.name for f in schema] ], schema=schema, preserve_index=False), p
+            )
+            if base is None:
+                base = _os.stat(p).st_mtime
+            _os.utime(p, (base + i, base + i))
+        return str(stage)
+
+    def _replay(self, spark, stage, name, **kw):
+        from gmall_flink_200621_spark.streaming.ingest import run_join_ivm_stream
+
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name=name, maintain_topk=10, **kw
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable(f"{name}_tk")
+
+    def _feed_frames(self, sf_dir):
+        import os as _os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        o = pq.read_table(_os.path.join(sf_dir, "orders.parquet")).to_pandas()
+        li = pq.read_table(_os.path.join(sf_dir, "lineitem.parquet")).to_pandas()
+        oin = pd.DataFrame(
+            {
+                "side": "O",
+                "o_orderkey": o["o_orderkey"],
+                "o_custkey": o["o_custkey"],
+                "o_orderstatus": o["o_orderstatus"],
+                "l_orderkey": np.int64(0),
+                "l_linenumber": np.int32(0),
+                "l_quantity": 0.0,
+                "l_extendedprice": 0.0,
+                "l_discount": 0.0,
+            }
+        )
+        lin = pd.DataFrame(
+            {
+                "side": "L",
+                "o_orderkey": np.int64(0),
+                "o_custkey": np.int64(0),
+                "o_orderstatus": "",
+                "l_orderkey": li["l_orderkey"],
+                "l_linenumber": li["l_linenumber"].astype("int32"),
+                "l_quantity": li["l_quantity"],
+                "l_extendedprice": li["l_extendedprice"],
+                "l_discount": li["l_discount"],
+            }
+        )
+        return o, li, pd.concat([oin, lin], ignore_index=True)
+
+    def test_insert_only_never_rebases_after_seed(self, spark, sf_dir, duck, tmp_path):
+        """Inserts only raise candidate totals: epoch 0 seeds the pool
+        (a rebase by construction), every later epoch serves from the
+        candidate set alone, and the final top-10 equals the batch rank."""
+        import pandas as pd
+
+        o, li, all_rows = self._feed_frames(sf_dir)
+        thirds = [
+            all_rows[all_rows.index % 3 == i].reset_index(drop=True) for i in range(3)
+        ]
+        stage = self._stage(tmp_path, thirds)
+        self._replay(spark, stage, "t_tki")
+
+        from gmall_flink_200621_spark.streaming.ingest import top_customers_by_rev_view
+
+        flags = {
+            (r.epoch, r.rebased)
+            for r in spark.table("t_tki_tk").select("epoch", "rebased").distinct().collect()
+        }
+        assert (0, True) in flags
+        assert all(not reb for ep, reb in flags if ep > 0)
+
+        got = sorted(map(tuple, top_customers_by_rev_view(spark, "t_tki", 10).collect()))
+        want = sorted(
+            map(
+                tuple,
+                duck.sql(
+                    """
+            WITH tot AS (
+              SELECT o.o_custkey,
+                     sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                              AS DECIMAL(18,6))) AS rev
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              GROUP BY o.o_custkey
+            ), ranked AS (
+              SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+                     CAST(row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS INT) AS rank
+              FROM tot
+            ) SELECT o_custkey, revenue, rank FROM ranked WHERE rank <= 10
+            """
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_deleting_every_candidate_forces_rebase(self, spark, sf_dir, duck, tmp_path):
+        """The hard case the eviction bound exists for: chunk 1 deletes
+        EVERY order of all 40 candidates, sinking the K-th total to the
+        bound — the epoch must rebase from the group-grain MV, and the
+        served top-10 must equal the batch rank over surviving orders."""
+        import pandas as pd
+
+        o, li, all_rows = self._feed_frames(sf_dir)
+        stage0 = self._stage(tmp_path, [all_rows])
+        self._replay(spark, stage0, "t_tkseed")
+        cand = {
+            r.o_custkey for r in spark.table("t_tkseed_tk").select("o_custkey").collect()
+        }
+        assert len(cand) == 40
+
+        dead_orders = o[o["o_custkey"].isin(cand)]["o_orderkey"]
+        dels = pd.DataFrame(
+            {
+                "side": "O_DEL",
+                "o_orderkey": dead_orders,
+                "o_custkey": 0,
+                "o_orderstatus": "",
+                "l_orderkey": 0,
+                "l_linenumber": 0,
+                "l_quantity": 0.0,
+                "l_extendedprice": 0.0,
+                "l_discount": 0.0,
+            }
+        ).astype(all_rows.dtypes.to_dict())
+        (tmp_path / "two").mkdir()
+        stage = self._stage(tmp_path / "two", [all_rows, dels])
+        self._replay(spark, stage, "t_tkreb")
+
+        from gmall_flink_200621_spark.streaming.ingest import top_customers_by_rev_view
+
+        reb1 = (
+            spark.table("t_tkreb_tk")
+            .filter("epoch = 1 AND rebased")
+            .count()
+        )
+        assert reb1 > 0  # the delete epoch rebased
+
+        ck_list = ",".join(str(k) for k in sorted(cand))
+        want = sorted(
+            map(
+                tuple,
+                duck.sql(
+                    f"""
+            WITH tot AS (
+              SELECT o.o_custkey,
+                     sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                              AS DECIMAL(18,6))) AS rev
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_custkey NOT IN ({ck_list})
+              GROUP BY o.o_custkey
+            ), ranked AS (
+              SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+                     CAST(row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS INT) AS rank
+              FROM tot
+            ) SELECT o_custkey, revenue, rank FROM ranked WHERE rank <= 10
+            """
+                ).fetchall(),
+            )
+        )
+        got = sorted(map(tuple, top_customers_by_rev_view(spark, "t_tkreb", 10).collect()))
+        assert got == want
