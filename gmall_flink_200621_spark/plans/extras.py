@@ -706,7 +706,33 @@ def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTALLY-MAINTAINED sessionization under the oracle gate
+    — the MV family's interval-merge member: replay events as 3
+    OUT-OF-ORDER arrival chunks (hash-split, so every chunk spans the
+    full time range and late events bridge previously-separate session
+    fragments) through `run_session_ivm_stream` with fold_every=2 +
+    refold_width=2, then read each user's newest session-list version.
+    The oracle is batch sessionize_native's own SQL, so the driver
+    hash-certifies that merge-by-versioning converges to exactly the
+    batch gap-sessionization at any arrival order."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_session_ivm_stream, sessions_view
+
+    name = f"q_sessmv_{sf_namespace(sf_dir)}"
+    q = run_session_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2,
+        gap_s=SESSION_GAP_S,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_sess")
+    return sessions_view(spark, name)
+
+
 EXTRA_QUERIES = {
+    "sessionize_stream_view": sessionize_stream_view,
     "late_arrival_audit": late_arrival_audit,
     "user_churn_sets": user_churn_sets,
     "funnel_conversion": funnel_conversion,
@@ -1068,3 +1094,5 @@ SELECT count(DISTINCT user_id) AS uv,
 FROM events WHERE event_type = 'view'
 """,
 }
+
+EXTRA_ORACLES["sessionize_stream_view"] = EXTRA_ORACLES["sessionize_native"]

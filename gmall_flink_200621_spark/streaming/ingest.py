@@ -4005,3 +4005,170 @@ def hot_window_view(
         .filter(F.col("rank") <= top_n)
         .select("window_end_s", "item_k", "cnt", "rank")
     )
+
+
+def stage_event_chunks_unordered(sf_dir: str, n_chunks: int = 3) -> str:
+    """events.parquet split into n_chunks by event_id hash — an
+    OUT-OF-ORDER arrival feed (each chunk spans the full time range), so
+    consumers that maintain time-contiguous state (sessionization) see
+    late events that bridge and MERGE previously-separate fragments.
+    Same mtime-pinning as stage_event_chunks."""
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_eventuo_")
+    pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    base = None
+    for i in range(n_chunks):
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pdf[pdf["event_id"] % n_chunks == i].to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
+def run_session_ivm_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "sessmv",
+    n_chunks: int = 3,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+    gap_s: int = 1800,
+):
+    """Incrementally-maintained SESSIONIZATION — the MV family's
+    INTERVAL-MERGE member, and the stateful-window hard case native
+    session windows solve with watermark-scoped state: a late event can
+    BRIDGE two previously-closed sessions, so maintenance must be able
+    to merge (and thereby retract) earlier results, at ANY arrival
+    order and with no watermark bound on lateness.
+
+    State is per-user VERSIONED session lists in the epoch-partitioned
+    `<name>_sess` table: each epoch reads only the TOUCHED users'
+    current sessions (batch keys broadcast into a semi-join — state is
+    never scanned whole), unions them with the batch's events as unit
+    intervals, re-merges intervals per user with the gap rule (strict
+    `start − max(prior end) > gap` starts a session — the
+    session_window/sessionize semantics), and writes each touched
+    user's complete new list tagged `ve = epoch`. Reads and folds keep
+    only each user's newest version (`_sess_merge`), so a merge that
+    collapses three fragments into one session supersedes the old rows
+    wholesale — retraction by versioning, the SCD2 discipline applied
+    to window state. Per-epoch cost: O(batch + touched users'
+    sessions); per-user session lists are bounded by activity, and the
+    interval merge is a per-user-partition window function, shuffled by
+    user exactly once per epoch.
+
+    Replay-idempotent like every MV here: state reads exclude the
+    in-flight epoch, inputs are pre-epoch state + the batch, and the
+    epoch's partition dynamic-overwrites byte-identically on replay."""
+    from ..sources.loaders import events_parquet_stream
+
+    sess_t = f"{name}_sess"
+    if fresh_tables:
+        _drop_table(spark, sess_t)
+        spark.sql(
+            f"CREATE TABLE {sess_t} (user_id BIGINT, start_s BIGINT, end_s BIGINT,"
+            f" n_events BIGINT, ve BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_event_chunks_unordered(sf_dir, n_chunks)
+    feed = events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
+
+    def sess_batch(df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        s = df.sparkSession
+        _maybe_fold(s, sess_t, epoch_id, fold_every, merge=_sess_merge, refold_width=refold_width)
+        ev = df.select("user_id", F.col("ts").cast("long").alias("ts_s"))
+        touched = ev.select("user_id").distinct()
+        state = (
+            live_epochs(s.table(sess_t), s, sess_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+            .join(F.broadcast(touched), "user_id", "left_semi")
+        )
+        w_u = Window.partitionBy("user_id")
+        st_cur = (
+            state.withColumn("_mv", F.max("ve").over(w_u))
+            .filter(F.col("ve") == F.col("_mv"))
+            .select("user_id", "start_s", "end_s", "n_events")
+        )
+        comb = st_cur.unionByName(
+            ev.select(
+                "user_id",
+                F.col("ts_s").alias("start_s"),
+                F.col("ts_s").alias("end_s"),
+                F.lit(1).cast("long").alias("n_events"),
+            )
+        )
+        w_prev = (
+            Window.partitionBy("user_id")
+            .orderBy("start_s", "end_s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("user_id")
+            .orderBy("start_s", "end_s")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        run_end = F.max("end_s").over(w_prev)
+        flagged = comb.withColumn(
+            "_new",
+            F.when(
+                run_end.isNull() | (F.col("start_s") - run_end > gap_s), 1
+            ).otherwise(0),
+        ).withColumn("_sid", F.sum("_new").over(w_run))
+        merged = (
+            flagged.groupBy("user_id", "_sid")
+            .agg(
+                F.min("start_s").alias("start_s"),
+                F.max("end_s").alias("end_s"),
+                F.sum("n_events").cast("long").alias("n_events"),
+            )
+            .withColumn("ve", F.lit(epoch_id).cast("long"))
+            .select("user_id", "start_s", "end_s", "n_events", "ve")
+        )
+        _ivm_write_epoch(s, merged, sess_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(sess_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _sess_merge(df: DataFrame) -> DataFrame:
+    """Session-MV fold merge: per-user versioned state — keep each
+    user's newest version's rows; older session lists are superseded
+    whole (a merge rewrote them)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        df.withColumn("_mv", F.max("ve").over(w))
+        .filter(F.col("ve") == F.col("_mv"))
+        .drop("_mv")
+    )
+
+
+def sessions_view(spark: SparkSession, name: str = "sessmv") -> DataFrame:
+    """Current sessions: each user's newest version from live state —
+    the columns (and hence the oracle) of batch `sessionize_native`."""
+    from pyspark.sql import Window
+
+    live = live_epochs(spark.table(f"{name}_sess"), spark, f"{name}_sess")
+    w = Window.partitionBy("user_id")
+    return (
+        live.withColumn("_mv", F.max("ve").over(w))
+        .filter(F.col("ve") == F.col("_mv"))
+        .select(
+            "user_id",
+            F.col("start_s").alias("session_start_s"),
+            F.col("end_s").alias("session_end_s"),
+            "n_events",
+        )
+    )

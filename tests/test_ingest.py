@@ -3178,3 +3178,83 @@ class TestTopkIvm:
         )
         got = sorted(map(tuple, top_customers_by_rev_view(spark, "t_tkreb", 10).collect()))
         assert got == want
+
+
+class TestSessionIvm:
+    """Incremental sessionization: interval merge by versioning, any
+    arrival order."""
+
+    def _stage_events(self, tmp_path, chunks):
+        import os as _os
+
+        import pandas as pd
+
+        stage = tmp_path / "sessstage"
+        stage.mkdir()
+        base = None
+        for i, rows in enumerate(chunks):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+            p = str(stage / f"part-{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            if base is None:
+                base = _os.stat(p).st_mtime
+            _os.utime(p, (base + i, base + i))
+        return str(stage)
+
+    def _replay(self, spark, stage, name, **kw):
+        from gmall_flink_200621_spark.streaming.ingest import run_session_ivm_stream
+
+        q = run_session_ivm_stream(spark, sf_dir="", stage_dir=stage, name=name, **kw)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable(f"{name}_sess")
+
+    def test_late_event_bridges_and_merges_sessions(self, spark, tmp_path):
+        """Chunk 0 creates two separate sessions (events 3600 s apart);
+        chunk 1's late bridging event lands between them, within the gap
+        of both — the maintained view must collapse them into ONE
+        session of three events (the retract-by-versioning case no
+        grow-only window state can express)."""
+        from gmall_flink_200621_spark.streaming.ingest import sessions_view
+
+        t0 = 1_700_000_000
+        stage = self._stage_events(
+            tmp_path,
+            [
+                [(1, t0, 7, "view", 0.0, "{}"), (2, t0 + 3600, 7, "view", 0.0, "{}")],
+                [(3, t0 + 1800, 7, "view", 0.0, "{}")],
+            ],
+        )
+        self._replay(spark, stage, "t_sessbr", gap_s=1800)
+
+        mid = sorted(
+            map(
+                tuple,
+                spark.table("t_sessbr_sess").filter("epoch = 0")
+                .select("start_s", "end_s", "n_events").collect(),
+            )
+        )
+        assert mid == [(t0, t0, 1), (t0 + 3600, t0 + 3600, 1)]  # two fragments pre-bridge
+        got = sorted(map(tuple, sessions_view(spark, "t_sessbr").collect()))
+        assert got == [(7, t0, t0 + 3600, 3)]  # one merged session served
+
+    def test_unordered_replay_matches_batch_sessionize(self, spark, sf_dir, duck):
+        """Full out-of-order replay + folds: the served sessions equal
+        batch sessionize_native's oracle rows exactly."""
+        from gmall_flink_200621_spark.plans.extras import EXTRA_ORACLES, SESSION_GAP_S
+        from gmall_flink_200621_spark.streaming.ingest import (
+            sessions_view,
+            stage_event_chunks_unordered,
+        )
+
+        stage = stage_event_chunks_unordered(sf_dir, n_chunks=3)
+        self._replay(
+            spark, stage, "t_sessuo", gap_s=SESSION_GAP_S, fold_every=2, refold_width=2
+        )
+        got = sorted(map(tuple, sessions_view(spark, "t_sessuo").collect()))
+        want = sorted(map(tuple, duck.sql(EXTRA_ORACLES["sessionize_native"]).fetchall()))
+        assert got == want and len(got) > 0
