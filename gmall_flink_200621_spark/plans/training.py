@@ -1708,3 +1708,31 @@ def top_customers_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["top_customers_stream_view"] = top_customers_stream_view
+
+
+def value_quantile_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retractable EXACT-QUANTILE MV under the oracle gate — order
+    statistics under key-only CDC deletes: replay events as a 3-chunk
+    side-tagged feed (every event_id % 7 == 0 gets an E_DEL tombstone
+    one chunk after its insert; the last chunk's deletes arrive FIRST)
+    through `run_quantile_ivm_stream` with fold_every=2 +
+    refold_width=2, then invert the maintained per-(type, value)
+    refcount histogram into interpolated p50/p90. The oracle is the
+    batch quantile over surviving events at the same cent grain, so the
+    driver hash-certifies tombstone resolution, refcount retraction,
+    the zero-net-dropping fold, and the order-statistic read."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_quantile_ivm_stream, value_quantile_view
+
+    name = f"q_qmv_{sf_namespace(sf_dir)}"
+    q = run_quantile_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_hist")
+    return value_quantile_view(spark, name)
+
+
+TRAINING_QUERIES["value_quantile_stream_view"] = value_quantile_stream_view

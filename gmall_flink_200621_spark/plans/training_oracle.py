@@ -2551,8 +2551,25 @@ SELECT o_custkey, revenue, rank FROM ranked WHERE rank <= 10
 """
 
 
+# Exact interpolated quantiles over surviving (never-deleted) events at
+# the cent-quantized value grain — what the maintained refcount histogram
+# must invert to.
+VALUE_QUANTILE_VIEW = """
+WITH s AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) / 100.0 AS v
+  FROM events WHERE event_id % 7 <> 0
+)
+SELECT event_type,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.9), 6) AS p90,
+       count(*) AS n
+FROM s GROUP BY event_type
+"""
+
+
 TRAINING_ORACLES: dict[str, str] = {
     "hot_items_mv_stream_view": HOT_ITEMS_MV,
+    "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
     "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,

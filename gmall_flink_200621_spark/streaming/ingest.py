@@ -4172,3 +4172,176 @@ def sessions_view(spark: SparkSession, name: str = "sessmv") -> DataFrame:
             "n_events",
         )
     )
+
+
+def stage_event_cdc_chunks(
+    sf_dir: str, n_chunks: int = 3, delete_mod: int | None = None
+) -> str:
+    """events as a side-tagged CDC feed: inserts (side='E') chunked by
+    event_id % n, plus an 'E_DEL' tombstone — KEY ONLY, the shape a real
+    CDC topic emits — for every event_id % delete_mod == 0, routed one
+    chunk after its insert by the +1 rule (the last chunk's deletes land
+    in chunk 0: delete-before-insert)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_evcdc_")
+    pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    base = None
+    for i in range(n_chunks):
+        ins = pdf[pdf["event_id"] % n_chunks == i].copy()
+        ins["side"] = "E"
+        out = ins[["side", "event_id", "ts", "event_type", "value"]]
+        if delete_mod:
+            d = pdf[
+                (pdf["event_id"] % delete_mod == 0)
+                & ((pdf["event_id"] % n_chunks + 1) % n_chunks == i)
+            ].copy()
+            d["side"] = "E_DEL"
+            d["event_type"] = ""
+            d["value"] = 0.0
+            out = __import__("pandas").concat(
+                [out, d[["side", "event_id", "ts", "event_type", "value"]]],
+                ignore_index=True,
+            )
+        path = os.path.join(stage, f"part-{i}.parquet")
+        out.to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
+def run_quantile_ivm_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "qmv",
+    n_chunks: int = 3,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Retractable EXACT-QUANTILE MV — the ORDER-STATISTIC member of the
+    retraction family. Like COUNT(DISTINCT), a quantile is
+    non-invertible at the group grain but exactly invertible one grain
+    down: the state is signed REFCOUNTS per (event_type, value) — value
+    fixed-pointed to cents so the grain is integer-exact — and the read
+    side inverts the histogram into interpolated percentiles with
+    Spark's frequency-weighted `percentile`, which is definitionally
+    the percentile of the expanded multiset. Deletes are key-only
+    tombstones (the CDC shape): a first-seen E_DEL finds its row's
+    (type, value) in pre-epoch state or the same batch and writes a −1
+    partial; refcount sums fold associatively, so replay idempotence
+    and the tier cascade are inherited wholesale from the partial-MV
+    discipline.
+
+    State: `<name>_rows` (event_id → type, value — the lookup a key-only
+    delete needs), `<name>_d` (tombstones), `<name>_hist` (the signed
+    refcounts the quantile reads). All epoch-partitioned; reads exclude
+    the in-flight epoch; deletes win at any arrival order (inserts and
+    row-state are anti-joined against live ∪ batch tombstones, so a
+    delete-before-insert's late insert never enters)."""
+    rows_t, d_t, h_t = f"{name}_rows", f"{name}_d", f"{name}_hist"
+    if fresh_tables:
+        for t in (rows_t, d_t, h_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {rows_t} (event_id BIGINT, event_type STRING,"
+            f" value_c BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {d_t} (event_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {h_t} (event_type STRING, value_c BIGINT, c BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_event_cdc_chunks(sf_dir, n_chunks, delete_mod=7)
+    schema = "side string, event_id long, ts timestamp, event_type string, value double"
+    feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def q_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t, merge in ((rows_t, None), (d_t, None), (h_t, _qhist_merge)):
+            _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
+        d_ins = df.filter(F.col("side") == "E").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        )
+        d_del = df.filter(F.col("side") == "E_DEL").select("event_id")
+        hist_d = (
+            live_epochs(s.table(d_t), s, d_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist_d.unionByName(d_del)
+        # deletes win at any arrival order: cleanse ΔE before it reaches
+        # either state table or the histogram
+        d_ins = d_ins.join(dead, "event_id", "left_anti")
+        rows_state = (
+            live_epochs(s.table(rows_t), s, rows_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        # first-seen deletes only (redelivery-idempotent), resolved to
+        # their row's (type, value) from pre-epoch state — O(|Δdel| +
+        # matches), the key-only tombstone's one state probe
+        first_del = d_del.distinct().join(hist_d, "event_id", "left_anti")
+        retired = rows_state.join(F.broadcast(first_del), "event_id", "left_semi")
+        partial = (
+            d_ins.select("event_type", "value_c", F.lit(1).alias("sign"))
+            .unionByName(
+                retired.select("event_type", "value_c", F.lit(-1).alias("sign"))
+            )
+            .groupBy("event_type", "value_c")
+            .agg(F.sum("sign").cast("long").alias("c"))
+        )
+        _ivm_write_epoch(s, partial, h_t, epoch_id)
+        _ivm_write_epoch(s, d_ins, rows_t, epoch_id)
+        _ivm_write_epoch(s, d_del, d_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(q_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _qhist_merge(df: DataFrame) -> DataFrame:
+    """Quantile-histogram fold merge: signed refcounts sum associatively;
+    zero-netted (type, value) pairs drop from the base (same argument as
+    the dc merge: folds absorb oldest-epoch prefixes, a retraction is
+    always epoch-later than its insert, so a zero net is a dead pair) —
+    state bounded by LIVE distinct values per group."""
+    return (
+        df.groupBy("event_type", "value_c")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .filter(F.col("c") != 0)
+    )
+
+
+def value_quantile_view(spark: SparkSession, name: str = "qmv") -> DataFrame:
+    """Invert the maintained histogram into exact interpolated
+    percentiles: frequency-weighted `percentile` over live refcounts is
+    the percentile of the expanded multiset — no event rescan, read cost
+    O(live distinct values). Columns match batch quantile semantics on
+    the cent-quantized value."""
+    live = live_epochs(spark.table(f"{name}_hist"), spark, f"{name}_hist")
+    h = (
+        live.groupBy("event_type", "value_c")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .filter(F.col("c") > 0)
+    )
+    return (
+        h.select("event_type", (F.col("value_c") / 100.0).alias("v"), "c")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(v, 0.5, c)"), 6).alias("p50"),
+            F.round(F.expr("percentile(v, 0.9, c)"), 6).alias("p90"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )

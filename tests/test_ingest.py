@@ -3258,3 +3258,78 @@ class TestSessionIvm:
         got = sorted(map(tuple, sessions_view(spark, "t_sessuo").collect()))
         want = sorted(map(tuple, duck.sql(EXTRA_ORACLES["sessionize_native"]).fetchall()))
         assert got == want and len(got) > 0
+
+
+class TestQuantileIvm:
+    """Retractable exact-quantile MV: key-only tombstones, refcount
+    histogram, zero-net fold drops."""
+
+    def _stage(self, tmp_path, chunks):
+        import os as _os
+
+        import pandas as pd
+
+        stage = tmp_path / "qstage"
+        stage.mkdir()
+        base = None
+        for i, rows in enumerate(chunks):
+            pdf = pd.DataFrame(rows, columns=["side", "event_id", "ts", "event_type", "value"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+            p = str(stage / f"part-{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            if base is None:
+                base = _os.stat(p).st_mtime
+            _os.utime(p, (base + i, base + i))
+        return str(stage)
+
+    def _replay(self, spark, stage, name, **kw):
+        from gmall_flink_200621_spark.streaming.ingest import run_quantile_ivm_stream
+
+        q = run_quantile_ivm_stream(spark, sf_dir="", stage_dir=stage, name=name, **kw)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("rows", "hist", "d"):
+            spark.catalog.refreshTable(f"{name}_{t}")
+
+    def test_delete_before_insert_and_zero_net_fold(self, spark, tmp_path):
+        """A tombstone arriving BEFORE its insert suppresses the late
+        insert entirely; an insert-then-delete pair nets to zero and the
+        fold physically drops the dead (type, value) pair from the base."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            value_quantile_view,
+        )
+
+        t0 = 1_700_000_000
+        stage = self._stage(
+            tmp_path,
+            [
+                # chunk 0: delete for id 5 (insert comes later) + insert id 7
+                [("E_DEL", 5, t0, "", 0.0), ("E", 7, t0, "view", 3.21)],
+                # chunk 1: late insert id 5 (must never land), survivor id 6,
+                # delete id 7 (retracts the 3.21 refcount)
+                [("E", 5, t0, "view", 9.99), ("E", 6, t0, "view", 1.0), ("E_DEL", 7, t0, "", 0.0)],
+                # chunk 2: one more survivor — its fold (tier cascade at
+                # refold_width=2) absorbs epoch 1's −1 into the base
+                # holding the +1, where the zero-net pair drops
+                [("E", 8, t0, "view", 2.0)],
+            ],
+        )
+        self._replay(spark, stage, "t_qmv", fold_every=1, refold_width=2)
+
+        rows = {
+            r.event_id
+            for r in live_epochs(spark.table("t_qmv_rows"), spark, "t_qmv_rows").collect()
+        }
+        # 5 never landed (delete-before-insert); 7's tombstoned row stays
+        # on disk until a purge — the HISTOGRAM is what retracts
+        assert rows == {6, 7, 8}
+        hist = live_epochs(spark.table("t_qmv_hist"), spark, "t_qmv_hist")
+        pairs = {(r.event_type, r.value_c, r.c) for r in hist.collect()}
+        # fold drops the zero-netted 3.21 pair; 9.99 never entered
+        assert pairs == {("view", 100, 1), ("view", 200, 1)}
+        got = [tuple(r) for r in value_quantile_view(spark, "t_qmv").collect()]
+        assert got == [("view", 1.5, 1.9, 2)]
