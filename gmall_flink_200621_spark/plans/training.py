@@ -1736,3 +1736,28 @@ def value_quantile_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["value_quantile_stream_view"] = value_quantile_stream_view
+
+
+def heavy_hitters_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable heavy-hitters sketch MV under the oracle gate: the
+    per-epoch Misra-Gries-style compression is an exact deterministic
+    rule (subtract the (k+1)-th largest batch count, keep survivors,
+    bank the subtraction as error mass) and folds are lossless key-sums,
+    so the DuckDB oracle replays the identical chunking and compression
+    and the driver hash-certifies the served (lower, upper) bounds —
+    a sketch under a full hash gate, not a bounded-error one."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import heavy_hitters_view, run_heavy_hitters_stream
+
+    name = f"q_hhmv_{sf_namespace(sf_dir)}"
+    q = run_heavy_hitters_stream(
+        spark, sf_dir, name=name, n_chunks=3, k=32, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_mg")
+    return heavy_hitters_view(spark, name)
+
+
+TRAINING_QUERIES["heavy_hitters_stream_view"] = heavy_hitters_stream_view

@@ -2567,8 +2567,46 @@ FROM s GROUP BY event_type
 """
 
 
+# Replay of the heavy-hitters stream's exact semantics: the same
+# ts-ordered integer-division chunk split as stage_event_chunks, the same
+# per-chunk compression (subtract the 33rd-largest count, keep survivors,
+# bank the subtraction), lossless merge, (lb, ub) read.
+HEAVY_HITTERS_VIEW = """
+WITH e AS (
+  SELECT CAST(props->>'k' AS INT) AS item_k, event_type,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+), chunked AS (
+  SELECT item_k, event_type,
+         CASE WHEN rn < n // 3 THEN 0 WHEN rn < (2 * n) // 3 THEN 1 ELSE 2 END AS ep
+  FROM e
+), counts AS (
+  SELECT ep, item_k, count(*) AS c
+  FROM chunked WHERE event_type = 'view' GROUP BY ep, item_k
+), ranked AS (
+  SELECT ep, item_k, c,
+         row_number() OVER (PARTITION BY ep ORDER BY c DESC, item_k ASC) AS r
+  FROM counts
+), t AS (
+  SELECT ep, coalesce(max(CASE WHEN r = 33 THEN c END), 0) AS t
+  FROM ranked GROUP BY ep
+), kept AS (
+  SELECT r.ep, r.item_k, r.c - t.t AS c
+  FROM ranked r JOIN t USING (ep) WHERE r.c > t.t
+), merged AS (
+  SELECT item_k, sum(c) AS c FROM kept GROUP BY item_k
+), errm AS (
+  SELECT coalesce(sum(t), 0) AS e FROM t
+)
+SELECT item_k, CAST(c AS BIGINT) AS c_lb, CAST(c + e AS BIGINT) AS c_ub
+FROM merged, errm WHERE c > 0
+"""
+
+
 TRAINING_ORACLES: dict[str, str] = {
     "hot_items_mv_stream_view": HOT_ITEMS_MV,
+    "heavy_hitters_stream_view": HEAVY_HITTERS_VIEW,
     "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
     "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,

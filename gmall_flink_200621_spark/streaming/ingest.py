@@ -4345,3 +4345,108 @@ def value_quantile_view(spark: SparkSession, name: str = "qmv") -> DataFrame:
             F.sum("c").cast("long").alias("n"),
         )
     )
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "hhmv",
+    n_chunks: int = 3,
+    k: int = 32,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """Stream-maintained HEAVY-HITTERS summary — the MERGEABLE-SKETCH
+    member with a deterministic Misra-Gries-style compression (Agarwal
+    et al. 2013's mergeable summaries, with the compression pinned to an
+    exact rule both engines can replay): each epoch counts its batch's
+    items exactly, subtracts the (k+1)-th largest count t from every
+    counter (dropping non-positives — at most k survivors), and records
+    t as the epoch's ERROR MASS in a null-key row. Compression is
+    per-epoch and NOWHERE else: the fold merge is a plain lossless
+    key-sum (counters and error rows alike), so the served result is
+    independent of fold timing/tree shape — which is exactly what makes
+    the sketch hash-certifiable against an oracle that replays the same
+    chunking.
+
+    Read contract: for every key, Σcounters is a LOWER bound on its true
+    count and Σcounters + Σt an UPPER bound (each epoch understates any
+    key by at most its t); any key with true count > Σt is guaranteed
+    present. State is ≤ k counters + 1 error row per live partial —
+    constant per epoch, collapsing under the sum-fold — versus the exact
+    top-k MV's group-grain rebase: this is the bounded-memory,
+    bounded-error end of the same tradeoff."""
+    mg_t = f"{name}_mg"
+    if fresh_tables:
+        _drop_table(spark, mg_t)
+        spark.sql(
+            f"CREATE TABLE {mg_t} (item_k INT, c BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    from ..sources.loaders import events_parquet_stream
+
+    stage = stage_dir or stage_event_chunks(sf_dir, n_chunks)
+    feed = events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
+
+    def hh_batch(df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        s = df.sparkSession
+        _maybe_fold(s, mg_t, epoch_id, fold_every, merge=_mg_merge, refold_width=refold_width)
+        counts = (
+            df.filter(F.col("event_type") == "view")
+            .select(F.get_json_object("props", "$.k").cast("int").alias("item_k"))
+            .groupBy("item_k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy(F.desc("c"), F.asc("item_k"))
+        ranked = counts.withColumn("_r", F.row_number().over(w))
+        t = ranked.filter(F.col("_r") == k + 1).select("c").collect()
+        t_val = int(t[0].c) if t else 0
+        kept = (
+            ranked.filter(F.col("c") > t_val)
+            .filter(F.col("_r") <= k)
+            .select("item_k", (F.col("c") - t_val).alias("c"))
+        )
+        err = s.createDataFrame([(None, t_val)], "item_k int, c long")
+        _ivm_write_epoch(s, kept.unionByName(err), mg_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(hh_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def _mg_merge(df: DataFrame) -> DataFrame:
+    """Heavy-hitters fold merge: LOSSLESS key-sum (null-key error rows
+    included) — compression only ever happens per-epoch, so the merged
+    summary (and hence the served bounds) is independent of fold timing
+    and tree shape."""
+    return df.groupBy("item_k").agg(F.sum("c").cast("long").alias("c"))
+
+
+def heavy_hitters_view(spark: SparkSession, name: str = "hhmv") -> DataFrame:
+    """Serve the merged summary: per-key lower bound (Σ surviving
+    counters), upper bound (+ the total error mass Σt), sorted
+    deterministically. Any key whose true count exceeds the error mass
+    is guaranteed a row; every bound is exact arithmetic over live
+    partials — no rescan of events, read cost O(k · live partials)."""
+    live = live_epochs(spark.table(f"{name}_mg"), spark, f"{name}_mg")
+    merged = live.groupBy("item_k").agg(F.sum("c").cast("long").alias("c"))
+    err = merged.filter(F.col("item_k").isNull()).select(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("_err")
+    )
+    return (
+        merged.filter(F.col("item_k").isNotNull())
+        .filter(F.col("c") > 0)
+        .crossJoin(F.broadcast(err))
+        .select(
+            "item_k",
+            F.col("c").alias("c_lb"),
+            (F.col("c") + F.col("_err")).alias("c_ub"),
+        )
+    )

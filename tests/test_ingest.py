@@ -3333,3 +3333,45 @@ class TestQuantileIvm:
         assert pairs == {("view", 100, 1), ("view", 200, 1)}
         got = [tuple(r) for r in value_quantile_view(spark, "t_qmv").collect()]
         assert got == [("view", 1.5, 1.9, 2)]
+
+
+class TestHeavyHittersStream:
+    """Mergeable heavy-hitters sketch: bounds contract and fold-shape
+    independence."""
+
+    def _replay(self, spark, sf_dir, name, **kw):
+        from gmall_flink_200621_spark.streaming.ingest import run_heavy_hitters_stream
+
+        q = run_heavy_hitters_stream(spark, sf_dir, name=name, **kw)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable(f"{name}_mg")
+
+    def test_bounds_contract_and_fold_independence(self, spark, sf_dir, duck):
+        """Every key's true count lies in [c_lb, c_ub]; every key with
+        true count above the total error mass is present; and the served
+        summary is identical with and without folds (compression is
+        per-epoch only — merge is lossless, so fold timing can't move
+        the bounds)."""
+        from gmall_flink_200621_spark.streaming.ingest import heavy_hitters_view
+
+        self._replay(spark, sf_dir, "t_hhn", n_chunks=3, k=32)
+        self._replay(spark, sf_dir, "t_hhf", n_chunks=3, k=32, fold_every=1, refold_width=2)
+        plain = sorted(map(tuple, heavy_hitters_view(spark, "t_hhn").collect()))
+        folded = sorted(map(tuple, heavy_hitters_view(spark, "t_hhf").collect()))
+        assert plain == folded and len(plain) > 0
+
+        truth = dict(
+            duck.sql(
+                """SELECT CAST(props->>'k' AS INT), count(*) FROM events
+                   WHERE event_type = 'view' GROUP BY 1"""
+            ).fetchall()
+        )
+        got = {r[0]: (r[1], r[2]) for r in plain}
+        err_mass = next(iter(got.values()))[1] - next(iter(got.values()))[0]
+        for k_, (lb, ub) in got.items():
+            assert lb <= truth[k_] <= ub, (k_, lb, truth[k_], ub)
+        for k_, n in truth.items():
+            if n > err_mass:
+                assert k_ in got, (k_, n, err_mass)
