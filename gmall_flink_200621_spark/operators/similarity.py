@@ -1401,6 +1401,80 @@ def knn_pq(
     return _pq_rank(scored, k)
 
 
+def hadamard_q(qcol, dim: int = DIM):
+    """Integer Walsh-Hadamard rotation of a quantized vector: r[i] =
+    Σⱼ (−1)^popcount(i∧j) · q[j], computed as an O(d²) matvec against
+    the ±1 matrix folded in as literals. Unnormalized (entries ±1, not
+    ±1/√d), so every output stays an EXACT int64 and both norms scale by
+    exactly d — cosine is invariant under any scaled orthogonal
+    transform, so downstream similarity semantics are unchanged.
+    Overflow-safe by Parseval/Cauchy–Schwarz: ‖r‖² = d·‖q‖² ≤ 64·2²⁴·…
+    ≈ 3·10¹⁷ < 2⁶³, and every partial dot-product sum is bounded by
+    ‖r_a‖·‖r_b‖."""
+    h = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(1 if bin(i & j).count("1") % 2 == 0 else -1)
+                    for j in range(dim)
+                ]
+            )
+            for i in range(dim)
+        ]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(qcol, F.element_at(h, i + 1), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def knn_pq_rotated(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    code_mod: int = PQ_CODE_MOD,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ over a ROTATED vector space — the rotation rung of the ANN
+    ladder (Ge et al., "Optimized Product Quantization", CVPR 2013: PQ's
+    quantization error depends on how variance distributes across the
+    subspace split; a rotation applied before splitting is the lever,
+    with the deterministic structured rotation — the paper's RR baseline,
+    also the Fast-JL transform — as the train-free member; full OPQ
+    alternates the rotation with the codebooks). Here the rotation is
+    the integer Walsh-Hadamard matrix: exact in the family's fixed-point
+    contract (no floats, no training), map-only O(d²) per row at encode
+    time, and cosine-invariant since both sides scale by exactly d.
+
+    On THIS corpus the data is isotropic — the distribution is
+    rotation-invariant, so the rotation buys nothing and measured recall
+    sits at plain knn_pq's noise level (0.28 / 0.28 vs pq's 0.32 / 0.40
+    at sf0.001 / sf0.01, pinned in ann_eval); the pin certifies the
+    mechanics, not superiority. On real embedding
+    corpora (correlated, energy concentrated in few directions) the
+    rotation is what rescues PQ from its worst case — OPQ Fig. 1 — which
+    is why the rung exists in every production PQ stack. Every stage
+    downstream of the rotation is knn_pq's own machinery; the DuckDB
+    oracle replays the rotation as the same ±1 matvec."""
+    e = _fan_out(embeddings).select(
+        "vec_id", quantize(F.col("embedding")).alias("q0")
+    )
+    e = (
+        e.select("vec_id", hadamard_q(F.col("q0")).alias("q"))
+        .withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .persist()
+    )
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    codes, cb = _pq_train_encode(e, code_mod, iters)
+    lut = _pq_query_luts(qs, cb)
+    scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+    return _pq_rank(scored, k)
+
+
 PQ_INDEX_CHUNKS = 3  # arrival chunks for the stream-maintained PQ index
 
 

@@ -278,6 +278,13 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_pq(_emb(spark, sf_dir))
 
 
+def knn_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ over the integer Walsh-Hadamard rotation (OPQ's train-free
+    structured-rotation rung, Ge et al. 2013) — see
+    operators/similarity.knn_pq_rotated."""
+    return V.knn_pq_rotated(_emb(spark, sf_dir))
+
+
 def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with residual encoding (FAISS IVFPQ, Jégou 2011 §V.A):
     codes quantize x − c(list) — see operators/similarity."""
@@ -813,6 +820,7 @@ TRAINING_QUERIES = {
     "knn_ivf_trained": knn_ivf_trained,
     "knn_rp": knn_rp,
     "knn_pq": knn_pq,
+    "knn_pq_rotated": knn_pq_rotated,
     "knn_sq8": knn_sq8,
     "knn_ivfsq8": knn_ivfsq8,
     "knn_ivfpq": knn_ivfpq,
@@ -892,6 +900,7 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multiprobe": V.knn_lsh_multiprobe,
         "ivfsq8": V.knn_ivfsq8,
         "pq": V.knn_pq,
+        "pq_rotated": V.knn_pq_rotated,
         "rp": V.knn_rp,
         "sq8": V.knn_sq8,
     }

@@ -1373,7 +1373,10 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 def _knn_pq_sql(
-    train_src: str = "sub", extra: list[str] | None = None, encode_src: str = "sub"
+    train_src: str = "sub",
+    extra: list[str] | None = None,
+    encode_src: str = "sub",
+    e_cte: str | None = None,
 ) -> str:
     """Product-quantization ADC oracle, generated from the SAME constants
     as operators/similarity.knn_pq: per-subspace codebooks (hash-bucket
@@ -1390,7 +1393,7 @@ def _knn_pq_sql(
         return _IDOT.format(n=PQ_SUBDIM, a=a, b=b)
 
     parts = [
-        f"e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings)",
+        e_cte or f"e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings)",
         f"sub AS (SELECT vec_id, gm.m AS m,"
         f" list_slice(q, gm.m*{PQ_SUBDIM}+1, gm.m*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv"
         f" FROM e CROSS JOIN generate_series(0, {PQ_M - 1}) AS gm(m))",
@@ -1448,6 +1451,33 @@ FROM ranked WHERE rank <= {KNN_K}
 
 KNN_PQ = f"""
 WITH {_knn_pq_sql()},
+scored AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+# Rotated PQ: the identical PQ pipeline over the integer Walsh-Hadamard
+# rotation r[i] = Σⱼ (−1)^popcount(i∧j)·q[j] — replayed here as the same
+# ±1 matvec (hm is the 64×64 sign matrix, built from bit_count).
+_ROTATED_E = f"""eraw AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+hm AS (
+  SELECT gi.i AS i, gj.j AS j,
+         CASE WHEN bit_count(CAST(gi.i & gj.j AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, {DIM - 1}) AS gi(i)
+  CROSS JOIN generate_series(0, {DIM - 1}) AS gj(j)),
+e AS (
+  SELECT vec_id, list(rv ORDER BY i) AS q FROM (
+    SELECT u.vec_id, h.i AS i, CAST(sum(h.s * u.qv) AS BIGINT) AS rv
+    FROM (SELECT vec_id, gj.j AS j, q[gj.j + 1] AS qv
+          FROM eraw CROSS JOIN generate_series(0, {DIM - 1}) AS gj(j)) u
+    JOIN hm h ON h.j = u.j GROUP BY 1, 2)
+  GROUP BY vec_id)"""
+
+KNN_PQ_ROTATED = f"""
+WITH {_knn_pq_sql(e_cte=_ROTATED_E)},
 scored AS (
   SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
   FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
@@ -2334,6 +2364,7 @@ def _ann_eval_sql() -> str:
         "lsh": KNN_LSH,
         "lsh_multiprobe": KNN_LSH_MULTIPROBE,
         "pq": KNN_PQ,
+        "pq_rotated": KNN_PQ_ROTATED,
         "rp": KNN_RP,
         "sq8": KNN_SQ8,
     }
@@ -2606,6 +2637,7 @@ FROM merged, errm WHERE c > 0
 
 TRAINING_ORACLES: dict[str, str] = {
     "hot_items_mv_stream_view": HOT_ITEMS_MV,
+    "knn_pq_rotated": KNN_PQ_ROTATED,
     "heavy_hitters_stream_view": HEAVY_HITTERS_VIEW,
     "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
     "top_customers_stream_view": TOP_CUSTOMERS_VIEW,

@@ -27,6 +27,9 @@ EXPECTED = {
         "lsh": (25, 25, 8, 0.32),
         "lsh_multiprobe": (25, 25, 15, 0.60),
         "pq": (25, 25, 8, 0.32),
+        # rotated PQ on isotropic data: rotation-invariant distribution,
+        # recall at pq's noise level — the pin certifies mechanics
+        "pq_rotated": (25, 25, 7, 0.28),
         "rp": (25, 25, 1, 0.04),
         "sq8": (25, 25, 23, 0.92),
     },
@@ -40,6 +43,7 @@ EXPECTED = {
         "lsh": (25, 25, 10, 0.40),
         "lsh_multiprobe": (25, 25, 16, 0.64),
         "pq": (25, 25, 10, 0.40),
+        "pq_rotated": (25, 25, 7, 0.28),
         "rp": (25, 25, 2, 0.08),
         "sq8": (25, 25, 24, 0.96),
     },

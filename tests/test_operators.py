@@ -1362,12 +1362,15 @@ class TestAnnEval:
         rows = {r.method: r for r in ann_eval(spark, sf_dir).collect()}
         assert set(rows) == {
             "ivf", "ivf_trained", "ivfpq", "ivfpq_refine", "ivfpq_residual",
-            "ivfsq8", "lsh", "lsh_multiprobe", "pq", "rp", "sq8",
+            "ivfsq8", "lsh", "lsh_multiprobe", "pq", "pq_rotated", "rp", "sq8",
         }
         small = sf_dir.endswith("sf0.001")
         assert rows["ivf"].recall == 1.0
         assert rows["ivf_trained"].recall == (0.56 if small else 0.60)
         assert rows["pq"].recall == (0.32 if small else 0.40)
+        # Hadamard-rotated PQ: the corpus is isotropic (rotation-invariant
+        # distribution), so rotation buys nothing here — noise-level vs pq
+        assert rows["pq_rotated"].recall == 0.28
         assert rows["ivfpq"].recall == rows["pq"].recall  # IVF recalls 1.0 here
         # residual encoding: parity at sf0.001, slightly below at sf0.01 —
         # the honest isotropic-corpus result (no clusters ⇒ no residual gain)
@@ -2758,3 +2761,40 @@ class TestRdivProperty:
         for n, d in cases:
             want = floor(Fraction(2 * n + d, 2 * d))  # exact round-half-up
             assert got[(n, d)] == want, (n, d, got[(n, d)], want)
+
+
+class TestHadamardRotation:
+    def test_parseval_and_involution(self, spark, sf_dir):
+        """The integer Hadamard rotation's exact algebra, on real corpus
+        vectors: ‖Hq‖² = d·‖q‖² for every row (Parseval — the scaled
+        orthogonality that makes cosine invariant), and H(Hq) = d·q
+        (H is d× its own inverse), all in exact int64."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            DIM,
+            _idot,
+            hadamard_q,
+            quantize,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .limit(50)
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        )
+        r = e.select(
+            "q",
+            hadamard_q(F.col("q")).alias("r"),
+        ).select(
+            (_idot(F.col("r"), F.col("r")) == F.lit(DIM) * _idot(F.col("q"), F.col("q"))).alias("parseval"),
+            F.zip_with(
+                hadamard_q(F.col("r")),
+                F.col("q"),
+                lambda a, b: a == b * DIM,
+            ).alias("inv"),
+        )
+        rows = r.collect()
+        assert all(x.parseval for x in rows)
+        assert all(all(x.inv) for x in rows)
