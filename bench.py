@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "knn_ivf_trained",
     "knn_rp",
     "knn_pq",
+    "knn_pq_rotated",
     "knn_sq8",
     "knn_ivfsq8",
     "knn_ivfpq",
