@@ -1096,3 +1096,33 @@ FROM events WHERE event_type = 'view'
 }
 
 EXTRA_ORACLES["sessionize_stream_view"] = EXTRA_ORACLES["sessionize_native"]
+
+
+def sessionize_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionization-MV replay followed by VERSION GC
+    (`purge_superseded_sessions` — drops only versions superseded by a
+    committed, non-replayable newer one; the newest epoch's inputs
+    survive), then the served sessions under the same batch oracle:
+    the driver hash-certifies the GC changes bytes, never results."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        purge_superseded_sessions,
+        run_session_ivm_stream,
+        sessions_view,
+    )
+
+    name = f"q_sessmvp_{sf_namespace(sf_dir)}"
+    q = run_session_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2,
+        gap_s=SESSION_GAP_S,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_sess")
+    purge_superseded_sessions(spark, name)
+    return sessions_view(spark, name)
+
+
+EXTRA_QUERIES["sessionize_purged_stream_view"] = sessionize_purged_stream_view
+EXTRA_ORACLES["sessionize_purged_stream_view"] = EXTRA_ORACLES["sessionize_native"]

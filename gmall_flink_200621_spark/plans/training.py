@@ -1770,3 +1770,32 @@ def heavy_hitters_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["heavy_hitters_stream_view"] = heavy_hitters_stream_view
+
+
+def value_quantile_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-MV replay followed by the PHYSICAL row purge
+    (`purge_quantile_rows` rewrites only partitions holding tombstoned
+    rows), then the served quantiles — same oracle as the un-purged
+    twin, so the driver hash-certifies that the purge changes bytes,
+    never results."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        purge_quantile_rows,
+        run_quantile_ivm_stream,
+        value_quantile_view,
+    )
+
+    name = f"q_qmvp_{sf_namespace(sf_dir)}"
+    q = run_quantile_ivm_stream(
+        spark, sf_dir, name=name, n_chunks=3, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("rows", "hist", "d"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    purge_quantile_rows(spark, name)
+    return value_quantile_view(spark, name)
+
+
+TRAINING_QUERIES["value_quantile_purged_stream_view"] = value_quantile_purged_stream_view

@@ -2640,6 +2640,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq_rotated": KNN_PQ_ROTATED,
     "heavy_hitters_stream_view": HEAVY_HITTERS_VIEW,
     "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
+    "value_quantile_purged_stream_view": VALUE_QUANTILE_VIEW,
     "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,

@@ -4450,3 +4450,110 @@ def heavy_hitters_view(spark: SparkSession, name: str = "hhmv") -> DataFrame:
             (F.col("c") + F.col("_err")).alias("c_ub"),
         )
     )
+
+
+def purge_quantile_rows(spark: SparkSession, name: str = "qmv") -> int:
+    """Physical purge for the quantile MV's row state: tombstoned rows
+    (kept so far only because key-only deletes are read-filtered, the
+    join-IVM discipline) are rewritten out of exactly the partitions
+    that hold them; fully-dead positive epochs drop as metadata, bases
+    only rewrite. Safe at any time: a purged row is never read again by
+    maintenance — its delete is no longer first-seen (the tombstone
+    stays), so the retire probe never looks it up, and the histogram
+    already carries its −1. Idempotent; returns partitions touched."""
+    rows_t, d_t = f"{name}_rows", f"{name}_d"
+    dead = live_epochs(spark.table(d_t), spark, d_t).select("event_id").distinct()
+    alive = live_epochs(spark.table(rows_t), spark, rows_t)
+    flagged = alive.join(F.broadcast(dead), "event_id", "left_semi")
+    per_epoch = (
+        flagged.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_dead"))
+        .join(
+            alive.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch"
+        )
+        .collect()
+    )
+    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
+    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+    for e in full_dead:
+        spark.sql(f"ALTER TABLE {rows_t} DROP IF EXISTS PARTITION (epoch={e})")
+    for e in dead_bases:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {rows_t} PARTITION (epoch={e})"
+            f" SELECT BIGINT(NULL), STRING(NULL), BIGINT(NULL) WHERE false"
+        )
+    if rewrite:
+        keep = (
+            alive.filter(F.col("epoch").isin(rewrite))
+            .join(F.broadcast(dead), "event_id", "left_anti")
+            .select("event_id", "event_type", "value_c", "epoch")
+            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").insertInto(rows_t, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(rows_t)
+    return len(full_dead) + len(dead_bases) + len(rewrite)
+
+
+def purge_superseded_sessions(spark: SparkSession, name: str = "sessmv") -> int:
+    """Version GC for the sessionization MV: drop session-list versions
+    superseded by a COMMITTED-SAFE newer version. Replay safety is the
+    whole design: the newest epoch L can always be replayed from its
+    checkpoint, and that replay reads each touched user's CURRENT
+    sessions from partitions ≠ L — so a version superseded only by ve=L
+    rows is replay INPUT and must survive. Purgeable = rows with
+    ve < (the user's newest version strictly below the newest live
+    epoch): the replay's max-ve filter lands on that committed version
+    whether or not older ones exist. Partition mechanics are the house
+    purge discipline (drop fully-superseded positive epochs, rewrite
+    mixed ones and bases). Idempotent; returns partitions touched."""
+    from pyspark.sql import Window
+
+    sess_t = f"{name}_sess"
+    alive = live_epochs(spark.table(sess_t), spark, sess_t)
+    max_e = alive.agg(F.max("ve")).collect()[0][0]
+    if max_e is None:
+        return 0
+    w = Window.partitionBy("user_id")
+    flagged = alive.withColumn(
+        "_safe_sup",
+        F.max(F.when(F.col("ve") < max_e, F.col("ve"))).over(w),
+    ).withColumn("_dead", F.col("ve") < F.col("_safe_sup"))
+    per_epoch = (
+        flagged.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("_dead"), 1)).alias("n_dead"),
+        )
+        .filter(F.col("n_dead") > 0)
+        .collect()
+    )
+    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
+    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+    for e in full_dead:
+        spark.sql(f"ALTER TABLE {sess_t} DROP IF EXISTS PARTITION (epoch={e})")
+    for e in dead_bases:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {sess_t} PARTITION (epoch={e})"
+            f" SELECT BIGINT(NULL), BIGINT(NULL), BIGINT(NULL),"
+            f" BIGINT(NULL), BIGINT(NULL) WHERE false"
+        )
+    if rewrite:
+        keep = (
+            flagged.filter(F.col("epoch").isin(rewrite) & ~F.col("_dead"))
+            .select("user_id", "start_s", "end_s", "n_events", "ve", "epoch")
+            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").insertInto(sess_t, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(sess_t)
+    return len(full_dead) + len(dead_bases) + len(rewrite)

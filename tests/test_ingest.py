@@ -3375,3 +3375,78 @@ class TestHeavyHittersStream:
         for k_, n in truth.items():
             if n > err_mass:
                 assert k_ in got, (k_, n, err_mass)
+
+
+class TestMvPurges:
+    """Physical GC for the quantile rows and session versions: bytes
+    change, served results don't; replay inputs survive."""
+
+    def test_quantile_rows_purge(self, spark, sf_dir, duck):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.plans.training_oracle import VALUE_QUANTILE_VIEW
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            purge_quantile_rows,
+            run_quantile_ivm_stream,
+            value_quantile_view,
+        )
+
+        q = run_quantile_ivm_stream(spark, sf_dir, name="t_qpg", n_chunks=3)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("rows", "hist", "d"):
+            spark.catalog.refreshTable(f"t_qpg_{t}")
+        dead = live_epochs(spark.table("t_qpg_d"), spark, "t_qpg_d").select("event_id").distinct()
+        n_dead_before = (
+            live_epochs(spark.table("t_qpg_rows"), spark, "t_qpg_rows")
+            .join(dead, "event_id", "left_semi").count()
+        )
+        assert n_dead_before > 0
+        assert purge_quantile_rows(spark, "t_qpg") > 0
+        after = live_epochs(spark.table("t_qpg_rows"), spark, "t_qpg_rows")
+        assert after.join(dead, "event_id", "left_semi").count() == 0
+        got = sorted(map(tuple, value_quantile_view(spark, "t_qpg").collect()))
+        want = sorted(map(tuple, duck.sql(VALUE_QUANTILE_VIEW).fetchall()))
+        assert got == want
+        assert purge_quantile_rows(spark, "t_qpg") == 0  # idempotent
+
+    def test_session_version_purge_keeps_replay_inputs(self, spark, sf_dir, duck):
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window
+
+        from gmall_flink_200621_spark.plans.extras import EXTRA_ORACLES, SESSION_GAP_S
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            purge_superseded_sessions,
+            run_session_ivm_stream,
+            sessions_view,
+            stage_event_chunks_unordered,
+        )
+
+        stage = stage_event_chunks_unordered(sf_dir, n_chunks=3)
+        q = run_session_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_spg", gap_s=SESSION_GAP_S)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_spg_sess")
+
+        before = live_epochs(spark.table("t_spg_sess"), spark, "t_spg_sess").count()
+        assert purge_superseded_sessions(spark, "t_spg") > 0
+        alive = live_epochs(spark.table("t_spg_sess"), spark, "t_spg_sess")
+        assert alive.count() < before
+
+        # replay-input invariant: for every user, the newest version
+        # strictly below the newest epoch (the committed fallback the
+        # last epoch's replay reads) is still present
+        w = Window.partitionBy("user_id")
+        max_e = alive.agg(F.max("ve")).collect()[0][0]
+        dead_left = alive.withColumn(
+            "_sup", F.max(F.when(F.col("ve") < max_e, F.col("ve"))).over(w)
+        ).filter(F.col("ve") < F.col("_sup")).count()
+        assert dead_left == 0  # everything purgeable is gone
+        got = sorted(map(tuple, sessions_view(spark, "t_spg").collect()))
+        want = sorted(map(tuple, duck.sql(EXTRA_ORACLES["sessionize_native"]).fetchall()))
+        assert got == want
+        assert purge_superseded_sessions(spark, "t_spg") == 0  # idempotent
