@@ -1799,3 +1799,35 @@ def value_quantile_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataF
 
 
 TRAINING_QUERIES["value_quantile_purged_stream_view"] = value_quantile_purged_stream_view
+
+
+def hot_items_mv_unordered_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-agg MV replayed OUT OF ORDER (hash-split chunks —
+    every epoch spans the full time range, so no arrival epoch can
+    metadata-expire whole and GC must take the rewrite path everywhere):
+    same oracle as the in-order twin, so the driver hash-certifies that
+    bucket maintenance, retention semantics and expiry are
+    arrival-order-independent — the retention cutoff is DATA time,
+    derived from the maintained buckets themselves."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        expire_window_buckets,
+        hot_window_view,
+        run_window_agg_stream,
+        stage_event_chunks_unordered,
+    )
+
+    name = f"q_hotwu_{sf_namespace(sf_dir)}"
+    stage = stage_event_chunks_unordered(sf_dir, n_chunks=3)
+    q = run_window_agg_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=1, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_buckets")
+    expire_window_buckets(spark, name, retention_s=7 * 86400)
+    return hot_window_view(spark, name, retention_s=7 * 86400)
+
+
+TRAINING_QUERIES["hot_items_mv_unordered_stream_view"] = hot_items_mv_unordered_stream_view

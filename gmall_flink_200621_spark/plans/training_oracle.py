@@ -2637,6 +2637,7 @@ FROM merged, errm WHERE c > 0
 
 TRAINING_ORACLES: dict[str, str] = {
     "hot_items_mv_stream_view": HOT_ITEMS_MV,
+    "hot_items_mv_unordered_stream_view": HOT_ITEMS_MV,
     "knn_pq_rotated": KNN_PQ_ROTATED,
     "heavy_hitters_stream_view": HEAVY_HITTERS_VIEW,
     "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
