@@ -1831,3 +1831,58 @@ def hot_items_mv_unordered_stream_view(spark: SparkSession, sf_dir: str) -> Data
 
 
 TRAINING_QUERIES["hot_items_mv_unordered_stream_view"] = hot_items_mv_unordered_stream_view
+
+
+def flat_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flat vector store as a CDC consumer under the oracle gate —
+    FAISS remove_ids for the search stack's semantic half: replay
+    embeddings as 4 side-tagged chunks (every vec_id % 9 == 5 gets a
+    V_DEL one chunk after its insert; the rule intersects the query set,
+    so a DELETED QUERY's rows must vanish too), then serve exact cosine
+    top-5 from surviving store rows. The oracle is knn_brute over
+    surviving vectors, so the driver hash-certifies tombstone cleansing
+    at any arrival order on both the corpus and the query side."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import flat_index_search, run_flat_index_cdc_stream
+
+    name = f"q_fcdc_{sf_namespace(sf_dir)}"
+    q = run_flat_index_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    return flat_index_search(spark, name, k=5)
+
+
+TRAINING_QUERIES["flat_index_delete_stream_view"] = flat_index_delete_stream_view
+
+
+def flat_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC flat store followed by the PHYSICAL purge
+    (`purge_flat_index` rewrites only partitions holding dead vectors),
+    then the same search under the same oracle — bytes change, served
+    neighbors don't."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        flat_index_search,
+        purge_flat_index,
+        run_flat_index_cdc_stream,
+    )
+
+    name = f"q_fcdcp_{sf_namespace(sf_dir)}"
+    q = run_flat_index_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    purge_flat_index(spark, name)
+    return flat_index_search(spark, name, k=5)
+
+
+TRAINING_QUERIES["flat_index_purged_stream_view"] = flat_index_purged_stream_view

@@ -2635,7 +2635,17 @@ FROM merged, errm WHERE c > 0
 """
 
 
+# knn_brute over SURVIVING vectors (vec_id % 9 == 5 deleted) — what the
+# CDC flat store must serve; queries are survivors too, so a deleted
+# query's rows vanish.
+KNN_BRUTE_SURVIVORS = KNN_BRUTE.replace(
+    "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+)
+
+
 TRAINING_ORACLES: dict[str, str] = {
+    "flat_index_delete_stream_view": KNN_BRUTE_SURVIVORS,
+    "flat_index_purged_stream_view": KNN_BRUTE_SURVIVORS,
     "hot_items_mv_stream_view": HOT_ITEMS_MV,
     "hot_items_mv_unordered_stream_view": HOT_ITEMS_MV,
     "knn_pq_rotated": KNN_PQ_ROTATED,

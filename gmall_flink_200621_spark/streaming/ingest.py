@@ -4557,3 +4557,195 @@ def purge_superseded_sessions(spark: SparkSession, name: str = "sessmv") -> int:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshTable(sess_t)
     return len(full_dead) + len(dead_bases) + len(rewrite)
+
+
+def stage_embedding_cdc_chunks(
+    sf_dir: str, n_chunks: int = 4, delete_mod: int = 9, delete_rem: int = 5
+) -> str:
+    """embeddings as a side-tagged CDC feed: inserts (side='V') chunked
+    by vec_id % n, plus a KEY-ONLY 'V_DEL' tombstone for every
+    vec_id % delete_mod == delete_rem, routed one chunk after its insert
+    (last chunk's deletes land in chunk 0 — delete-before-insert). The
+    default rule intersects the query set (vec_id 500 is both a query
+    and deleted at the test SFs), so the gate also certifies that a
+    deleted QUERY disappears from the served results."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_veccdc_")
+    pdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    base = None
+    for i in range(n_chunks):
+        ins = pdf[pdf["vec_id"] % n_chunks == i].copy()
+        ins["side"] = "V"
+        out = ins[["side", "vec_id", "embedding", "label"]]
+        d = pdf[
+            (pdf["vec_id"] % delete_mod == delete_rem)
+            & ((pdf["vec_id"] % n_chunks + 1) % n_chunks == i)
+        ].copy()
+        if len(d):
+            d["side"] = "V_DEL"
+            d["embedding"] = [np.zeros(0, dtype="float32")] * len(d)
+            d["label"] = np.int32(0)
+            out = pd.concat([out, d[["side", "vec_id", "embedding", "label"]]], ignore_index=True)
+        path = os.path.join(stage, f"part-{i}.parquet")
+        out.to_parquet(path, index=False)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
+    return stage
+
+
+def run_flat_index_cdc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "flatcdc",
+    n_chunks: int = 4,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """The flat vector store as a CDC CONSUMER — FAISS remove_ids() for
+    the search stack's semantic half (the lexical half already has its
+    delete twin in `run_bm25_index_stream`): V_DEL tombstones accumulate
+    in `<name>_del`, inserts are cleansed against live ∪ batch
+    tombstones before appending (delete wins at ANY arrival order,
+    delete-before-insert included), and `flat_index_search` anti-joins
+    live tombstones at read — so a deleted vector neither serves as a
+    neighbor NOR as a query. Same quantize/append/identity-fold shape as
+    `run_flat_index_stream`; `purge_flat_index` is the physical pass."""
+    from ..operators.similarity import _idot, quantize
+
+    vec_t, del_t = f"{name}_vec", f"{name}_del"
+    if fresh_tables:
+        for t in (vec_t, del_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {vec_t} (vec_id BIGINT, q ARRAY<BIGINT>, n2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {del_t} (vec_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_cdc_chunks(sf_dir, n_chunks)
+    feed = (
+        spark.readStream.schema("side string, vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def index_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t in (vec_t, del_t):
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+        d_del = df.filter(F.col("side") == "V_DEL").select("vec_id")
+        hist_d = (
+            live_epochs(s.table(del_t), s, del_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist_d.unionByName(d_del)
+        ins = (
+            df.filter(F.col("side") == "V")
+            .join(dead, "vec_id", "left_anti")
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        )
+        ins = ins.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        _ivm_write_epoch(s, ins.select("vec_id", "q", "n2"), vec_t, epoch_id)
+        _ivm_write_epoch(s, d_del, del_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def flat_index_search(
+    spark: SparkSession, name: str = "flatcdc", k: int = 5, query_mod: int = 100
+) -> DataFrame:
+    """Exact cosine top-k served from the maintained store (knn_brute's
+    own semantics and columns): surviving rows only — live tombstones
+    anti-joined — with queries drawn from the surviving store itself, so
+    a deleted query's result rows vanish too. Read cost O(|store|·|Q|)
+    scored pairs, the flat store's honest contract (recall 1.0; the
+    PQ/SQ8 indexes are the compressed members)."""
+    from pyspark.sql import Window
+
+    vec_t, del_t = f"{name}_vec", f"{name}_del"
+    dead = live_epochs(spark.table(del_t), spark, del_t).select("vec_id").distinct()
+    e = (
+        live_epochs(spark.table(vec_t), spark, vec_t)
+        .drop("epoch")
+        .join(F.broadcast(dead), "vec_id", "left_anti")
+    )
+    qs = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    from ..operators.similarity import _idot
+
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _idot(F.col("q"), F.col("qq"))
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def purge_flat_index(spark: SparkSession, name: str = "flatcdc") -> int:
+    """FAISS remove_ids made physical: rewrite only the store partitions
+    holding tombstoned vectors, drop fully-dead positive epochs, never a
+    base; tombstones stay (a late re-insert must still be cleansed).
+    Purge changes bytes, never served results (the read already
+    anti-joins). Idempotent; returns partitions touched."""
+    vec_t, del_t = f"{name}_vec", f"{name}_del"
+    dead = live_epochs(spark.table(del_t), spark, del_t).select("vec_id").distinct()
+    alive = live_epochs(spark.table(vec_t), spark, vec_t)
+    per_epoch = (
+        alive.join(F.broadcast(dead), "vec_id", "left_semi")
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+        .join(alive.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch")
+        .collect()
+    )
+    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
+    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+    for e in full_dead:
+        spark.sql(f"ALTER TABLE {vec_t} DROP IF EXISTS PARTITION (epoch={e})")
+    for e in dead_bases:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {vec_t} PARTITION (epoch={e})"
+            f" SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false"
+        )
+    if rewrite:
+        keep = (
+            alive.filter(F.col("epoch").isin(rewrite))
+            .join(F.broadcast(dead), "vec_id", "left_anti")
+            .select("vec_id", "q", "n2", "epoch")
+            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").insertInto(vec_t, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(vec_t)
+    return len(full_dead) + len(dead_bases) + len(rewrite)

@@ -3450,3 +3450,47 @@ class TestMvPurges:
         want = sorted(map(tuple, duck.sql(EXTRA_ORACLES["sessionize_native"]).fetchall()))
         assert got == want
         assert purge_superseded_sessions(spark, "t_spg") == 0  # idempotent
+
+
+class TestFlatIndexCdc:
+    """The flat vector store's delete path: any arrival order, physical
+    purge, deleted-query disappearance."""
+
+    def test_deletes_purge_and_deleted_query(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            flat_index_search,
+            live_epochs,
+            purge_flat_index,
+            run_flat_index_cdc_stream,
+        )
+
+        q = run_flat_index_cdc_stream(spark, sf_dir, name="t_fcdc", n_chunks=4)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("vec", "del"):
+            spark.catalog.refreshTable(f"t_fcdc_{t}")
+
+        res = flat_index_search(spark, "t_fcdc", k=5)
+        bad = res.filter(
+            (F.col("query_id") % 9 == 5) | (F.col("neighbor_id") % 9 == 5)
+        ).count()
+        assert bad == 0  # no deleted vector serves as query OR neighbor
+        before = sorted(map(tuple, res.collect()))
+        assert len(before) > 0
+
+        # the delete-before-insert case exists in the staging (last
+        # chunk's inserts get their tombstone in chunk 0) — those keys
+        # must never have entered the store at all
+        dead = live_epochs(spark.table("t_fcdc_del"), spark, "t_fcdc_del")
+        store = live_epochs(spark.table("t_fcdc_vec"), spark, "t_fcdc_vec")
+        # delete-after-insert rows remain on disk pre-purge (read-filtered)
+        assert store.join(dead.select("vec_id"), "vec_id", "left_semi").count() > 0
+        assert purge_flat_index(spark, "t_fcdc") > 0
+        store2 = live_epochs(spark.table("t_fcdc_vec"), spark, "t_fcdc_vec")
+        assert store2.join(dead.select("vec_id"), "vec_id", "left_semi").count() == 0
+        after = sorted(map(tuple, flat_index_search(spark, "t_fcdc", k=5).collect()))
+        assert after == before  # purge changes bytes, not results
+        assert purge_flat_index(spark, "t_fcdc") == 0  # idempotent
