@@ -1886,3 +1886,34 @@ def flat_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 TRAINING_QUERIES["flat_index_purged_stream_view"] = flat_index_purged_stream_view
+
+
+def top_customers_by_status_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED top-K retraction MV under the oracle gate — the
+    fully-DISTRIBUTED variant of top_customers_stream_view: one ranking
+    per order status, so candidate maintenance, the eviction-bound
+    update, the validity test and the selective per-group rebase are all
+    window/join operations with no driver-side scalars (the shape that
+    survives a million groups). Same deletes-staged replay; the oracle
+    is the batch per-status top-5 over surviving orders."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+        top_customers_by_group_view,
+    )
+
+    name = f"q_tkgview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False, maintain_topk_grouped=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_tkg")
+    return top_customers_by_group_view(spark, name, k=5)
+
+
+TRAINING_QUERIES["top_customers_by_status_stream_view"] = top_customers_by_status_stream_view

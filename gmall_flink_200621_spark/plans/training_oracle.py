@@ -2653,6 +2653,22 @@ TRAINING_ORACLES: dict[str, str] = {
     "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
     "value_quantile_purged_stream_view": VALUE_QUANTILE_VIEW,
     "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
+    "top_customers_by_status_stream_view": """
+WITH tot AS (
+  SELECT o.o_orderstatus, o.o_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                  AS DECIMAL(18,6))) AS rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 7 <> 0
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT o_orderstatus, o_custkey, CAST(rev AS DOUBLE) AS revenue,
+         CAST(row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY rev DESC, o_custkey ASC) AS INT) AS rank
+  FROM tot
+)
+SELECT o_orderstatus, o_custkey, revenue, rank FROM ranked WHERE rank <= 5
+""",
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,
     "doc_chunks": DOC_CHUNKS,

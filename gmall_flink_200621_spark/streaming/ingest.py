@@ -1914,6 +1914,7 @@ def run_join_ivm_stream(
     maintain_max: bool = False,
     maintain_distinct: bool = False,
     maintain_topk: int | None = None,
+    maintain_topk_grouped: int | None = None,
 ):
     """Incrementally-maintained JOIN view — the delta-rule member of the
     MV family (the others maintain aggregates, fixed points, or indexes;
@@ -1996,6 +1997,8 @@ def run_join_ivm_stream(
     mx_t = f"{name}_mx" if maintain_max else None
     dc_t = f"{name}_dc" if maintain_distinct else None
     tk_t = f"{name}_tk" if maintain_topk else None
+    tkg_t = f"{name}_tkg" if maintain_topk_grouped else None
+    aggg_t = f"{name}_aggg" if maintain_topk_grouped else None
     if maintain_topk and not maintain_agg:
         raise ValueError("maintain_topk rides on the aggregate MV partials")
     if fresh_tables:
@@ -2005,6 +2008,7 @@ def run_join_ivm_stream(
         for t in (
             o_t, l_t, v_t, d_t, ld_t, u_t,
             f"{name}_agg", f"{name}_mx", f"{name}_dc", f"{name}_tk",
+            f"{name}_tkg", f"{name}_aggg",
         ):
             _drop_table(spark, t)
         spark.sql(
@@ -2040,6 +2044,16 @@ def run_join_ivm_stream(
                 f" b DECIMAL(18,6), rebased BOOLEAN, ve BIGINT)"
                 f" USING parquet PARTITIONED BY (epoch BIGINT)"
             )
+        if tkg_t:
+            spark.sql(
+                f"CREATE TABLE {aggg_t} (grp STRING, o_custkey BIGINT, n BIGINT,"
+                f" rev DECIMAL(18,6)) USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
+            spark.sql(
+                f"CREATE TABLE {tkg_t} (grp STRING, o_custkey BIGINT,"
+                f" rev DECIMAL(18,6), b DECIMAL(18,6), rebased BOOLEAN, ve BIGINT)"
+                f" USING parquet PARTITIONED BY (epoch BIGINT)"
+            )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
             f" o_orderstatus STRING, o_version BIGINT)"
@@ -2070,6 +2084,7 @@ def run_join_ivm_stream(
             df, epoch_id, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
             ld_t=ld_t, mx_t=mx_t, u_t=u_t, dc_t=dc_t,
             tk_t=tk_t, topk_k=maintain_topk or 0,
+            tkg_t=tkg_t, aggg_t=aggg_t, topkg_k=maintain_topk_grouped or 0,
         )
 
     w = feed.writeStream.foreachBatch(ivm_batch).queryName(f"{name}_q")
@@ -2106,6 +2121,9 @@ def _ivm_epoch(
     dc_t: str | None = None,
     tk_t: str | None = None,
     topk_k: int = 0,
+    tkg_t: str | None = None,
+    aggg_t: str | None = None,
+    topkg_k: int = 0,
 ) -> None:
     """One delta-rule micro-batch, idempotent under last-epoch replay:
     the state reads exclude the in-flight epoch (`epoch != epoch_id`
@@ -2169,7 +2187,7 @@ def _ivm_epoch(
     # same replay gate as the probes (window ≤ epoch−1 only); mx_t is
     # deliberately NOT folded (see docstring)
     for t in (o_t, l_t, v_t) + tuple(
-        x for x in (d_t, ld_t, u_t, agg_t, dc_t, tk_t) if x
+        x for x in (d_t, ld_t, u_t, agg_t, dc_t, tk_t, tkg_t, aggg_t) if x
     ):
         merge = None
         if t == agg_t:
@@ -2180,6 +2198,10 @@ def _ivm_epoch(
             merge = _ivm_dc_merge
         elif t == tk_t:
             merge = _ivm_tk_merge
+        elif t == tkg_t:
+            merge = _ivm_tkg_merge
+        elif t == aggg_t:
+            merge = _ivm_aggg_merge
         _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
     if u_t is not None:
         # upsert resolve: O and O_UPD are both VERSIONS of the key; within
@@ -2320,7 +2342,7 @@ def _ivm_epoch(
     has_ld = d_ldel is not None and not d_ldel.isEmpty()
     has_upd = d_u is not None and not d_u.isEmpty()
     retired = post_live = None
-    if (agg_t or mx_t or dc_t) and (has_od or has_ld or has_upd):
+    if (agg_t or mx_t or dc_t or tkg_t) and (has_od or has_ld or has_upd):
         pre_v = (
             live_epochs(s.table(v_t), s, v_t)
             .filter(F.col("epoch") != epoch_id)
@@ -2406,6 +2428,26 @@ def _ivm_epoch(
         _ivm_write_epoch(s, partial, agg_t, epoch_id)
         if tk_t is not None:
             _ivm_topk_epoch(s, partial, agg_t, tk_t, topk_k, epoch_id)
+    if tkg_t is not None:
+        signed_g = d_v.select(
+            F.col("o_orderstatus").alias("grp"), "o_custkey", "revenue",
+            F.lit(1).alias("sign"),
+        )
+        if retired is not None:
+            signed_g = signed_g.unionByName(
+                retired.select(
+                    F.col("o_orderstatus").alias("grp"), "o_custkey", "revenue",
+                    F.lit(-1).alias("sign"),
+                )
+            )
+        partial_g = signed_g.groupBy("grp", "o_custkey").agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(F.col("sign") * F.col("revenue").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("rev"),
+        )
+        _ivm_write_epoch(s, partial_g, aggg_t, epoch_id)
+        _ivm_topk_grouped_epoch(s, partial_g, aggg_t, tkg_t, topkg_k, epoch_id)
     if mx_t is not None:
         # insert partial: max over ΔV per customer (inserts only raise a
         # max, so per-epoch max partials merge exactly at read)
@@ -2594,6 +2636,194 @@ def _ivm_topk_epoch(
         "o_custkey long, rev decimal(18,6), b decimal(18,6), rebased boolean, ve long",
     )
     _ivm_write_epoch(s, out, tk_t, epoch_id)
+
+
+def _ivm_aggg_merge(df: DataFrame) -> DataFrame:
+    """Grouped aggregate fold merge: (grp, customer)-grain signed sums."""
+    return df.groupBy("grp", "o_custkey").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(18,6)").alias("rev"),
+    )
+
+
+def _ivm_tkg_merge(df: DataFrame) -> DataFrame:
+    """Grouped top-K fold merge: versioned PER GROUP — keep each group's
+    newest version's rows (sentinel marker rows included)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp")
+    return (
+        df.withColumn("_mv", F.max("ve").over(w))
+        .filter(F.col("ve") == F.col("_mv"))
+        .drop("_mv")
+    )
+
+
+def _ivm_topk_grouped_epoch(
+    s: SparkSession, partial_g: DataFrame, aggg_t: str, tkg_t: str, k: int, epoch_id: int
+) -> None:
+    """The GROUPED top-K retraction MV — `_ivm_topk_epoch`'s design with
+    the per-epoch decision kept ENTIRELY distributed: with one ranking
+    per group there is no bounded scalar to collect, so candidate
+    ranking, the eviction-bound update, the validity test AND the
+    selective rebase are all window/join operations — the shape that
+    survives a million groups on a cluster, where the global variant's
+    driver-side M+1-row peek would not.
+
+    Per epoch, for TOUCHED groups only (a group's ranking can only
+    change when one of its keys is touched): pool = previous candidates
+    minus touched keys ∪ touched keys' current totals; rank per group;
+    keep M = 4K; b' = greatest(b, largest evicted total). Groups whose
+    K-th candidate no longer clears b' REBASE from the (grp, customer)
+    aggregate partials — left-semi-filtered to exactly the violated
+    groups, so rebase IO is O(violated groups' MV rows), never the whole
+    MV. Every touched group also writes a SENTINEL row (NULL customer)
+    carrying (b, ve): a group whose candidates all retract still
+    versions forward instead of serving a stale older set. Untouched
+    groups keep their previous version; reads and folds pick each
+    group's newest (`_ivm_tkg_merge`)."""
+    from pyspark.sql import Window
+
+    m = 4 * k
+    live_g = (
+        live_epochs(s.table(aggg_t), s, aggg_t)
+        .filter(F.col("epoch") != epoch_id)
+        .drop("epoch")
+    )
+    tkg_live = (
+        live_epochs(s.table(tkg_t), s, tkg_t)
+        .filter(F.col("epoch") != epoch_id)
+        .drop("epoch")
+    )
+    w_g = Window.partitionBy("grp")
+    prev = (
+        tkg_live.withColumn("_mv", F.max("ve").over(w_g))
+        .filter(F.col("ve") == F.col("_mv"))
+        .drop("_mv", "ve", "rebased")
+    )
+    touched_k = partial_g.select("grp", "o_custkey")
+    touched_g = partial_g.select("grp").distinct()
+
+    cur_touched = (
+        live_g.join(F.broadcast(touched_k), ["grp", "o_custkey"], "left_semi")
+        .select("grp", "o_custkey", "n", "rev")
+        .unionByName(partial_g)
+        .groupBy("grp", "o_custkey")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("rev").cast("decimal(18,6)").alias("rev"),
+        )
+        .filter(F.col("n") > 0)
+        .select("grp", "o_custkey", "rev")
+    )
+    b_prev = prev.groupBy("grp").agg(F.max("b").alias("b_prev"))
+    pool = (
+        prev.filter(F.col("o_custkey").isNotNull())
+        .select("grp", "o_custkey", "rev")
+        .join(F.broadcast(touched_g), "grp", "left_semi")
+        .join(F.broadcast(touched_k), ["grp", "o_custkey"], "left_anti")
+        .unionByName(cur_touched)
+    )
+    w_rank = Window.partitionBy("grp").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = pool.withColumn("_r", F.row_number().over(w_rank))
+    stats = (
+        touched_g.join(  # spine: a touched group with an EMPTY pool must
+            # still version forward (decide + sentinel), not serve stale rows
+            ranked.groupBy("grp").agg(
+                F.max(F.when(F.col("_r") == m + 1, F.col("rev"))).alias("evicted_max"),
+                F.max(F.when(F.col("_r") == k, F.col("rev"))).alias("kth"),
+            ),
+            "grp",
+            "left",
+        )
+        .join(b_prev, "grp", "left")
+        .select(
+            "grp",
+            F.greatest("b_prev", "evicted_max").alias("b_new"),
+            "kth",
+        )
+        .withColumn(
+            "_valid",
+            F.col("b_new").isNull()
+            | (F.col("kth").isNotNull() & (F.col("kth") > F.col("b_new"))),
+        )
+    )
+    valid_g = stats.filter(F.col("_valid")).select("grp", "b_new")
+    violated_g = stats.filter(~F.col("_valid")).select("grp")
+
+    kept_valid = (
+        ranked.filter(F.col("_r") <= m)
+        .join(F.broadcast(valid_g), "grp")
+        .select("grp", "o_custkey", "rev", F.col("b_new").alias("b"),
+                F.lit(False).alias("rebased"))
+    )
+    full_v = (
+        live_g.select("grp", "o_custkey", "n", "rev")
+        .unionByName(partial_g)
+        .join(F.broadcast(violated_g), "grp", "left_semi")
+        .groupBy("grp", "o_custkey")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("rev").cast("decimal(18,6)").alias("rev"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("_r", F.row_number().over(w_rank))
+    )
+    b_rebase = full_v.groupBy("grp").agg(
+        F.max(F.when(F.col("_r") == m + 1, F.col("rev"))).alias("b")
+    )
+    kept_rebased = (
+        full_v.filter(F.col("_r") <= m)
+        .join(b_rebase, "grp", "left")
+        .select("grp", "o_custkey", "rev", "b", F.lit(True).alias("rebased"))
+    )
+    # sentinel: every touched group versions forward even if it kept
+    # zero candidates (all retracted) — carries the group's new bound
+    bounds = valid_g.select("grp", F.col("b_new").alias("b")).unionByName(
+        violated_g.join(b_rebase, "grp", "left").select("grp", "b")
+    )
+    sentinels = bounds.select(
+        "grp",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("decimal(18,6)").alias("rev"),
+        "b",
+        F.lit(None).cast("boolean").alias("rebased"),
+    )
+    out = (
+        kept_valid.unionByName(kept_rebased)
+        .unionByName(sentinels)
+        .withColumn("ve", F.lit(epoch_id).cast("long"))
+        .select("grp", "o_custkey", "rev", "b", "rebased", "ve")
+    )
+    _ivm_write_epoch(s, out, tkg_t, epoch_id)
+
+
+def top_customers_by_group_view(
+    spark: SparkSession, name: str = "orderwide", k: int = 5
+) -> DataFrame:
+    """Serve the grouped maintained top-K: each group's newest version,
+    re-ranked (≤ M rows per group), cut to K — sentinel rows dropped
+    after version selection. Read cost O(groups · M); the group-grain
+    aggregate MV and the fact tables are never touched."""
+    from pyspark.sql import Window
+
+    tkg = live_epochs(spark.table(f"{name}_tkg"), spark, f"{name}_tkg")
+    w_g = Window.partitionBy("grp")
+    cur = (
+        tkg.withColumn("_mv", F.max("ve").over(w_g))
+        .filter((F.col("ve") == F.col("_mv")) & F.col("o_custkey").isNotNull())
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    return (
+        cur.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias("o_orderstatus"),
+            "o_custkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "rank",
+        )
+    )
 
 
 def top_customers_by_rev_view(

@@ -3494,3 +3494,91 @@ class TestFlatIndexCdc:
         after = sorted(map(tuple, flat_index_search(spark, "t_fcdc", k=5).collect()))
         assert after == before  # purge changes bytes, not results
         assert purge_flat_index(spark, "t_fcdc") == 0  # idempotent
+
+
+class TestTopkGroupedIvm:
+    """Grouped top-K: group-local rebase, sentinel versioning, stale-serve
+    prevention."""
+
+    def test_group_local_rebase_and_sentinel(self, spark, sf_dir, duck, tmp_path):
+        """Chunk 1 deletes EVERY order of one group's candidates (status
+        'O'): that group must rebase; the other groups' versions stay at
+        epoch 0 (their rankings can't change untouched); and the final
+        per-group top-5 equals the batch rank over survivors."""
+        import os as _os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_join_ivm_stream,
+            top_customers_by_group_view,
+        )
+
+        helper = TestTopkIvm()
+        o, li, all_rows = helper._feed_frames(sf_dir)
+        stage0 = helper._stage(tmp_path, [all_rows])
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage0, name="t_tkgs",
+            maintain_agg=False, maintain_topk_grouped=5,
+        )
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+        spark.catalog.refreshTable("t_tkgs_tkg")
+        cand_o = {
+            r.o_custkey
+            for r in spark.table("t_tkgs_tkg")
+            .filter("grp = 'O' AND o_custkey IS NOT NULL").collect()
+        }
+        assert len(cand_o) == 20  # M = 4K
+
+        dead_orders = o[(o["o_custkey"].isin(cand_o)) & (o["o_orderstatus"] == "O")][
+            "o_orderkey"
+        ]
+        dels = pd.DataFrame(
+            {
+                "side": "O_DEL", "o_orderkey": dead_orders, "o_custkey": 0,
+                "o_orderstatus": "", "l_orderkey": 0, "l_linenumber": 0,
+                "l_quantity": 0.0, "l_extendedprice": 0.0, "l_discount": 0.0,
+            }
+        ).astype(all_rows.dtypes.to_dict())
+        (tmp_path / "two").mkdir()
+        stage = helper._stage(tmp_path / "two", [all_rows, dels])
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_tkgr",
+            maintain_agg=False, maintain_topk_grouped=5,
+        )
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+        spark.catalog.refreshTable("t_tkgr_tkg")
+
+        e1 = spark.table("t_tkgr_tkg").filter("epoch = 1")
+        assert e1.filter("grp = 'O' AND rebased").count() > 0  # group rebased
+        assert e1.filter("grp <> 'O'").count() == 0  # others untouched
+
+        ck_list = ",".join(str(k) for k in sorted(cand_o))
+        want = sorted(
+            map(
+                tuple,
+                duck.sql(
+                    f"""
+            WITH tot AS (
+              SELECT o.o_orderstatus, o.o_custkey,
+                     sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                              AS DECIMAL(18,6))) AS rev
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE NOT (o.o_custkey IN ({ck_list}) AND o.o_orderstatus = 'O')
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT o_orderstatus, o_custkey, CAST(rev AS DOUBLE) AS revenue,
+                     CAST(row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY rev DESC, o_custkey ASC) AS INT) AS rank
+              FROM tot
+            ) SELECT * FROM ranked WHERE rank <= 5
+            """
+                ).fetchall(),
+            )
+        )
+        got = sorted(
+            map(tuple, top_customers_by_group_view(spark, "t_tkgr", 5).collect())
+        )
+        assert got == want
