@@ -2556,28 +2556,40 @@ def _ivm_topk_epoch(
     above b. Inserts raise candidate totals and never threaten the
     invariant; retractions shrink them, and when the K-th total sinks
     to ≤ b the epoch REBASES: one O(group-grain MV) re-rank rebuilds the
-    pool and resets b to the M-th total (every excluded key sorts after
-    it, ties broken by key). Amortized cost: O(|touched| + M) per epoch,
-    with rare MV-sized rebases only under delete pressure near the
-    boundary — never a fact-table scan.
+    pool and resets b to the (M+1)-th total — the LARGEST EXCLUDED key's
+    total, so b is exactly the non-candidate bound and boundary ties
+    cannot force a rebase every epoch. Amortized cost:
+    O(|touched| + M) per epoch, with rare MV-sized rebases only under
+    delete pressure near the boundary — never a fact-table scan.
+
+    Every epoch also writes a SENTINEL row (NULL customer) carrying
+    (b, ve): an epoch that retracts every candidate still versions the
+    set forward to empty instead of leaving max(ve) pointing at the
+    pre-retraction rows (the stale-serve hazard the grouped twin's
+    sentinels exist for).
 
     Replay-deterministic like every other partial: inputs are pre-epoch
     live state (agg partials and the previous candidate set, both read
     with `epoch != epoch_id`) plus this batch's own partial frame. The
-    per-epoch decision collects only bounded frames (M+1 rows)."""
+    previous candidate set is bounded (≤ M+1 rows per live version), so
+    ONE collect serves the version pick, the bound and the prior
+    candidates together; the pool ranking collects M+1 rows."""
     m = 4 * k
     live_agg = (
         live_epochs(s.table(agg_t), s, agg_t)
         .filter(F.col("epoch") != epoch_id)
         .drop("epoch")
     )
-    tk_live = (
+    tk_rows = (
         live_epochs(s.table(tk_t), s, tk_t)
         .filter(F.col("epoch") != epoch_id)
         .drop("epoch")
+        .collect()  # bounded: ≤ (M+1) rows per live version
     )
-    pv = tk_live.agg(F.max("ve")).collect()[0][0]
-    prev = tk_live.filter(F.col("ve") == F.lit(pv)) if pv is not None else None
+    pv = max((r.ve for r in tk_rows), default=None)
+    prev_rows = [r for r in tk_rows if r.ve == pv] if pv is not None else []
+    b_prev = max((r.b for r in prev_rows if r.b is not None), default=None)
+    prev_cand_rows = [(r.o_custkey, r.rev) for r in prev_rows if r.o_custkey is not None]
 
     touched = partial.select("o_custkey").distinct()
     cur_touched = (
@@ -2606,16 +2618,18 @@ def _ivm_topk_epoch(
             .select("o_custkey", "rev")
         )
         rows = full.orderBy(F.desc("rev"), F.asc("o_custkey")).limit(m + 1).collect()
-        cands, b = rows[:m], (rows[m - 1].rev if len(rows) > m else None)
+        # b = the largest EXCLUDED total — exactly the non-candidate bound
+        cands, b = rows[:m], (rows[m].rev if len(rows) > m else None)
         return cands, b, True
 
-    if prev is None:
+    if pv is None:
         cands, b, rebased = full_rerank()
     else:
-        b_prev = prev.agg(F.max("b")).collect()[0][0]
+        prev_cand = s.createDataFrame(
+            prev_cand_rows, "o_custkey long, rev decimal(18,6)"
+        )
         pool = (
-            prev.select("o_custkey", "rev")
-            .join(F.broadcast(touched), "o_custkey", "left_anti")
+            prev_cand.join(F.broadcast(touched), "o_custkey", "left_anti")
             .unionByName(cur_touched)
         )
         rows = pool.orderBy(F.desc("rev"), F.asc("o_custkey")).limit(m + 1).collect()
@@ -2632,7 +2646,8 @@ def _ivm_topk_epoch(
             cands, b, rebased = full_rerank()
 
     out = s.createDataFrame(
-        [(r.o_custkey, r.rev, b, rebased, epoch_id) for r in cands],
+        [(r.o_custkey, r.rev, b, rebased, epoch_id) for r in cands]
+        + [(None, None, b, None, epoch_id)],  # sentinel: always version forward
         "o_custkey long, rev decimal(18,6), b decimal(18,6), rebased boolean, ve long",
     )
     _ivm_write_epoch(s, out, tk_t, epoch_id)
@@ -2838,7 +2853,9 @@ def top_customers_by_rev_view(
 
     tk = live_epochs(spark.table(f"{name}_tk"), spark, f"{name}_tk")
     mx = tk.agg(F.max("ve")).collect()[0][0]
-    cur = tk.filter(F.col("ve") == F.lit(mx))
+    # sentinel rows (NULL customer) exist so an all-retracted epoch still
+    # versions forward — drop them after the version pick
+    cur = tk.filter((F.col("ve") == F.lit(mx)) & F.col("o_custkey").isNotNull())
     w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
     return (
         cur.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -4042,6 +4059,57 @@ def purge_bm25_index(spark: SparkSession, name: str = "bmidx") -> int:
     return touched
 
 
+def _gc_partitions(
+    spark: SparkSession,
+    table: str,
+    flagged: DataFrame,
+    kept_cols: list[str],
+    empty_select: str,
+) -> int:
+    """Shared partition-GC mechanics for the MV purge/expiry passes:
+    `flagged` = the table's LIVE rows with a boolean `_dead` column.
+    Fully-dead POSITIVE epochs drop as catalog metadata; fully-dead
+    BASES are overwritten EMPTY (never dropped — a base's window-top
+    carries the fold watermark liveness reads from, and a zero-row
+    dynamic overwrite would never touch it, hence `empty_select`);
+    mixed partitions rewrite in place without their dead rows. What
+    counts as dead — and whether purging it is replay-safe — is the
+    CALLER's contract; this owns only the partition mechanics.
+    Returns partitions touched."""
+    per_epoch = (
+        flagged.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("_dead"), 1)).alias("n_dead"),
+        )
+        .filter(F.col("n_dead") > 0)
+        .collect()  # one row per live partition — metadata-scale
+    )
+    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
+    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
+    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
+    for e in full_dead:
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (epoch={e})")
+    for e in dead_bases:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {table} PARTITION (epoch={e}) {empty_select}"
+        )
+    if rewrite:
+        keep = (
+            flagged.filter(F.col("epoch").isin(rewrite) & ~F.col("_dead"))
+            .select(*kept_cols, "epoch")
+            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").insertInto(table, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(table)
+    return len(full_dead) + len(dead_bases) + len(rewrite)
+
+
 def run_window_agg_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -4135,59 +4203,27 @@ def _wagg_cutoff(spark: SparkSession, name: str, retention_s: int) -> int | None
 
 
 def expire_window_buckets(spark: SparkSession, name: str, retention_s: int) -> int:
-    """PHYSICAL retention GC for the windowed-agg MV: drop every LIVE
-    partition whose buckets are all older than the cutoff (metadata-only
-    DROP PARTITION — for an in-order feed that is the common case:
-    whole old arrival epochs expire together), and rewrite mixed
-    partitions in place without their expired rows. Bases are only ever
-    REWRITTEN, never dropped — dropping a base would rewind the fold
-    watermark that `live_epochs` liveness is computed from. Returns the
-    number of partitions touched. Idempotent and crash-tolerant: the
-    served view applies the same cutoff filter, so a half-finished pass
-    only means some dead buckets wait for the next one."""
+    """PHYSICAL retention GC for the windowed-agg MV: every live
+    partition sheds its buckets older than the cutoff — whole-dead
+    positive epochs as metadata drops (the common case for an in-order
+    feed: old arrival epochs expire together), bases and mixed
+    partitions by in-place rewrite (`_gc_partitions`). Replay-safe at
+    any time: maintenance never reads the bucket table, and the served
+    view applies the same cutoff filter, so a half-finished pass only
+    means some dead buckets wait for the next one. Idempotent; returns
+    partitions touched."""
     b_t = f"{name}_buckets"
     cutoff = _wagg_cutoff(spark, name, retention_s)
     if cutoff is None:
         return 0
-    alive = live_epochs(spark.table(b_t), spark, b_t)
-    per_epoch = (
-        alive.groupBy("epoch")
-        .agg(
-            F.count(F.lit(1)).alias("n_all"),
-            F.count(F.when(F.col("bucket_end") <= F.lit(cutoff), 1)).alias("n_dead"),
-        )
-        .filter(F.col("n_dead") > 0)
-        .collect()  # one row per live partition — metadata-scale
+    flagged = live_epochs(spark.table(b_t), spark, b_t).withColumn(
+        "_dead", F.col("bucket_end") <= F.lit(cutoff)
     )
-    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
-    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
-    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
-    for e in full_dead:
-        spark.sql(f"ALTER TABLE {b_t} DROP IF EXISTS PARTITION (epoch={e})")
-    for e in dead_bases:
-        # an all-expired BASE can't be dropped (its window-top carries the
-        # fold watermark liveness reads from) and a dynamic overwrite with
-        # zero rows never touches it — overwrite it EMPTY, explicitly
-        spark.sql(
-            f"INSERT OVERWRITE TABLE {b_t} PARTITION (epoch={e})"
-            f" SELECT BIGINT(NULL) AS bucket_end, INT(NULL) AS item_k,"
-            f" BIGINT(NULL) AS cnt WHERE false"
-        )
-    if rewrite:
-        keep = (
-            alive.filter(F.col("epoch").isin(rewrite))
-            .filter(F.col("bucket_end") > F.lit(cutoff))
-            .select("bucket_end", "item_k", "cnt", "epoch")
-            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            keep.write.mode("overwrite").insertInto(b_t, overwrite=True)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.catalog.refreshTable(b_t)
-    return len(full_dead) + len(dead_bases) + len(rewrite)
+    return _gc_partitions(
+        spark, b_t, flagged, ["bucket_end", "item_k", "cnt"],
+        "SELECT BIGINT(NULL) AS bucket_end, INT(NULL) AS item_k,"
+        " BIGINT(NULL) AS cnt WHERE false",
+    )
 
 
 def hot_window_view(
@@ -4412,7 +4448,7 @@ def stage_event_cdc_chunks(
     CDC topic emits — for every event_id % delete_mod == 0, routed one
     chunk after its insert by the +1 rule (the last chunk's deletes land
     in chunk 0: delete-before-insert)."""
-    import pyarrow as pa
+    import pandas as pd
     import pyarrow.parquet as pq
 
     stage = tempfile.mkdtemp(prefix="spark_graft_evcdc_")
@@ -4430,7 +4466,7 @@ def stage_event_cdc_chunks(
             d["side"] = "E_DEL"
             d["event_type"] = ""
             d["value"] = 0.0
-            out = __import__("pandas").concat(
+            out = pd.concat(
                 [out, d[["side", "event_id", "ts", "event_type", "value"]]],
                 ignore_index=True,
             )
@@ -4686,47 +4722,33 @@ def purge_quantile_rows(spark: SparkSession, name: str = "qmv") -> int:
     """Physical purge for the quantile MV's row state: tombstoned rows
     (kept so far only because key-only deletes are read-filtered, the
     join-IVM discipline) are rewritten out of exactly the partitions
-    that hold them; fully-dead positive epochs drop as metadata, bases
-    only rewrite. Safe at any time: a purged row is never read again by
-    maintenance — its delete is no longer first-seen (the tombstone
-    stays), so the retire probe never looks it up, and the histogram
-    already carries its −1. Idempotent; returns partitions touched."""
+    that hold them (`_gc_partitions`).
+
+    REPLAY GUARD: only rows whose tombstone appears OUTSIDE the newest
+    live positive epoch are purgeable. The newest epoch is the one a
+    checkpoint restart can replay, and its replay re-derives the −1
+    histogram partial by probing rows_t for its FIRST-SEEN deletes — a
+    row purged on the strength of a newest-epoch-only tombstone would
+    make that probe come up empty and the replayed partial lose the
+    retraction. Tombstones in older positive epochs or in folded bases
+    are committed (folds only ever cover ≤ epoch−1), so their rows'
+    retractions can never be recomputed; for those the purge is safe at
+    any time. Idempotent; returns partitions touched."""
     rows_t, d_t = f"{name}_rows", f"{name}_d"
-    dead = live_epochs(spark.table(d_t), spark, d_t).select("event_id").distinct()
-    alive = live_epochs(spark.table(rows_t), spark, rows_t)
-    flagged = alive.join(F.broadcast(dead), "event_id", "left_semi")
-    per_epoch = (
-        flagged.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_dead"))
-        .join(
-            alive.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch"
-        )
-        .collect()
+    pos = [e for e in _partition_epochs(spark, d_t) if e >= 0]
+    d_live = live_epochs(spark.table(d_t), spark, d_t)
+    if pos:
+        d_live = d_live.filter(F.col("epoch") != max(pos))
+    dead = d_live.select("event_id").distinct()
+    flagged = (
+        live_epochs(spark.table(rows_t), spark, rows_t)
+        .join(F.broadcast(dead.withColumn("_dead", F.lit(True))), "event_id", "left")
+        .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
     )
-    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
-    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
-    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
-    for e in full_dead:
-        spark.sql(f"ALTER TABLE {rows_t} DROP IF EXISTS PARTITION (epoch={e})")
-    for e in dead_bases:
-        spark.sql(
-            f"INSERT OVERWRITE TABLE {rows_t} PARTITION (epoch={e})"
-            f" SELECT BIGINT(NULL), STRING(NULL), BIGINT(NULL) WHERE false"
-        )
-    if rewrite:
-        keep = (
-            alive.filter(F.col("epoch").isin(rewrite))
-            .join(F.broadcast(dead), "event_id", "left_anti")
-            .select("event_id", "event_type", "value_c", "epoch")
-            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            keep.write.mode("overwrite").insertInto(rows_t, overwrite=True)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.catalog.refreshTable(rows_t)
-    return len(full_dead) + len(dead_bases) + len(rewrite)
+    return _gc_partitions(
+        spark, rows_t, flagged, ["event_id", "event_type", "value_c"],
+        "SELECT BIGINT(NULL), STRING(NULL), BIGINT(NULL) WHERE false",
+    )
 
 
 def purge_superseded_sessions(spark: SparkSession, name: str = "sessmv") -> int:
@@ -4753,40 +4775,12 @@ def purge_superseded_sessions(spark: SparkSession, name: str = "sessmv") -> int:
         "_safe_sup",
         F.max(F.when(F.col("ve") < max_e, F.col("ve"))).over(w),
     ).withColumn("_dead", F.col("ve") < F.col("_safe_sup"))
-    per_epoch = (
-        flagged.groupBy("epoch")
-        .agg(
-            F.count(F.lit(1)).alias("n_all"),
-            F.count(F.when(F.col("_dead"), 1)).alias("n_dead"),
-        )
-        .filter(F.col("n_dead") > 0)
-        .collect()
+    return _gc_partitions(
+        spark, sess_t, flagged,
+        ["user_id", "start_s", "end_s", "n_events", "ve"],
+        "SELECT BIGINT(NULL), BIGINT(NULL), BIGINT(NULL),"
+        " BIGINT(NULL), BIGINT(NULL) WHERE false",
     )
-    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
-    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
-    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
-    for e in full_dead:
-        spark.sql(f"ALTER TABLE {sess_t} DROP IF EXISTS PARTITION (epoch={e})")
-    for e in dead_bases:
-        spark.sql(
-            f"INSERT OVERWRITE TABLE {sess_t} PARTITION (epoch={e})"
-            f" SELECT BIGINT(NULL), BIGINT(NULL), BIGINT(NULL),"
-            f" BIGINT(NULL), BIGINT(NULL) WHERE false"
-        )
-    if rewrite:
-        keep = (
-            flagged.filter(F.col("epoch").isin(rewrite) & ~F.col("_dead"))
-            .select("user_id", "start_s", "end_s", "n_events", "ve", "epoch")
-            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            keep.write.mode("overwrite").insertInto(sess_t, overwrite=True)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.catalog.refreshTable(sess_t)
-    return len(full_dead) + len(dead_bases) + len(rewrite)
 
 
 def stage_embedding_cdc_chunks(
@@ -4940,42 +4934,19 @@ def flat_index_search(
 
 def purge_flat_index(spark: SparkSession, name: str = "flatcdc") -> int:
     """FAISS remove_ids made physical: rewrite only the store partitions
-    holding tombstoned vectors, drop fully-dead positive epochs, never a
-    base; tombstones stay (a late re-insert must still be cleansed).
-    Purge changes bytes, never served results (the read already
-    anti-joins). Idempotent; returns partitions touched."""
+    holding tombstoned vectors (`_gc_partitions`); tombstones stay (a
+    late re-insert must still be cleansed). Replay-safe at any time —
+    maintenance never probes the store, so no replayed epoch re-reads a
+    purged row. Purge changes bytes, never served results (the read
+    already anti-joins). Idempotent; returns partitions touched."""
     vec_t, del_t = f"{name}_vec", f"{name}_del"
     dead = live_epochs(spark.table(del_t), spark, del_t).select("vec_id").distinct()
-    alive = live_epochs(spark.table(vec_t), spark, vec_t)
-    per_epoch = (
-        alive.join(F.broadcast(dead), "vec_id", "left_semi")
-        .groupBy("epoch")
-        .agg(F.count(F.lit(1)).alias("n_dead"))
-        .join(alive.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_all")), "epoch")
-        .collect()
+    flagged = (
+        live_epochs(spark.table(vec_t), spark, vec_t)
+        .join(F.broadcast(dead.withColumn("_dead", F.lit(True))), "vec_id", "left")
+        .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
     )
-    full_dead = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch >= 0]
-    dead_bases = [r.epoch for r in per_epoch if r.n_dead == r.n_all and r.epoch < 0]
-    rewrite = [r.epoch for r in per_epoch if r.n_dead < r.n_all]
-    for e in full_dead:
-        spark.sql(f"ALTER TABLE {vec_t} DROP IF EXISTS PARTITION (epoch={e})")
-    for e in dead_bases:
-        spark.sql(
-            f"INSERT OVERWRITE TABLE {vec_t} PARTITION (epoch={e})"
-            f" SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false"
-        )
-    if rewrite:
-        keep = (
-            alive.filter(F.col("epoch").isin(rewrite))
-            .join(F.broadcast(dead), "vec_id", "left_anti")
-            .select("vec_id", "q", "n2", "epoch")
-            .localCheckpoint(eager=True)  # barrier: overwrite reads its own input
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            keep.write.mode("overwrite").insertInto(vec_t, overwrite=True)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.catalog.refreshTable(vec_t)
-    return len(full_dead) + len(dead_bases) + len(rewrite)
+    return _gc_partitions(
+        spark, vec_t, flagged, ["vec_id", "q", "n2"],
+        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false",
+    )

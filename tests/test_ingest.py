@@ -3123,7 +3123,9 @@ class TestTopkIvm:
         stage0 = self._stage(tmp_path, [all_rows])
         self._replay(spark, stage0, "t_tkseed")
         cand = {
-            r.o_custkey for r in spark.table("t_tkseed_tk").select("o_custkey").collect()
+            r.o_custkey
+            for r in spark.table("t_tkseed_tk").select("o_custkey").collect()
+            if r.o_custkey is not None  # drop the version-forward sentinel
         }
         assert len(cand) == 40
 
@@ -3398,7 +3400,8 @@ class TestMvPurges:
         q.awaitTermination()
         for t in ("rows", "hist", "d"):
             spark.catalog.refreshTable(f"t_qpg_{t}")
-        dead = live_epochs(spark.table("t_qpg_d"), spark, "t_qpg_d").select("event_id").distinct()
+        d_live = live_epochs(spark.table("t_qpg_d"), spark, "t_qpg_d")
+        dead = d_live.select("event_id").distinct()
         n_dead_before = (
             live_epochs(spark.table("t_qpg_rows"), spark, "t_qpg_rows")
             .join(dead, "event_id", "left_semi").count()
@@ -3406,7 +3409,26 @@ class TestMvPurges:
         assert n_dead_before > 0
         assert purge_quantile_rows(spark, "t_qpg") > 0
         after = live_epochs(spark.table("t_qpg_rows"), spark, "t_qpg_rows")
-        assert after.join(dead, "event_id", "left_semi").count() == 0
+        # REPLAY GUARD: rows tombstoned only by the newest (replayable)
+        # epoch's deletes survive the purge — they are that epoch's
+        # replay inputs; everything committed-dead is physically gone
+        newest = max(
+            int(r[0].split("=")[1])
+            for r in spark.sql("SHOW PARTITIONS t_qpg_d").collect()
+            if int(r[0].split("=")[1]) >= 0
+        )
+        committed_dead = (
+            d_live.filter(F.col("epoch") != newest).select("event_id").distinct()
+        )
+        newest_only_dead = dead.join(committed_dead, "event_id", "left_anti")
+        assert after.join(committed_dead, "event_id", "left_semi").count() == 0
+        assert (
+            after.join(newest_only_dead, "event_id", "left_semi").count()
+            == newest_only_dead.join(
+                live_epochs(spark.table("t_qpg_rows"), spark, "t_qpg_rows"),
+                "event_id", "left_semi",
+            ).count()
+        )
         got = sorted(map(tuple, value_quantile_view(spark, "t_qpg").collect()))
         want = sorted(map(tuple, duck.sql(VALUE_QUANTILE_VIEW).fetchall()))
         assert got == want
@@ -3582,3 +3604,34 @@ class TestTopkGroupedIvm:
             map(tuple, top_customers_by_group_view(spark, "t_tkgr", 5).collect())
         )
         assert got == want
+
+
+class TestTopkSentinel:
+    def test_all_retracted_epoch_serves_empty_not_stale(self, spark, sf_dir, tmp_path):
+        """An epoch that deletes EVERY customer's orders must version the
+        candidate set forward to EMPTY — without the sentinel row,
+        max(ve) would still point at the pre-retraction set and the view
+        would serve stale top-10 forever."""
+        import pandas as pd
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            run_join_ivm_stream,
+            top_customers_by_rev_view,
+        )
+
+        helper = TestTopkIvm()
+        o, li, all_rows = helper._feed_frames(sf_dir)
+        dels = pd.DataFrame(
+            {
+                "side": "O_DEL", "o_orderkey": o["o_orderkey"], "o_custkey": 0,
+                "o_orderstatus": "", "l_orderkey": 0, "l_linenumber": 0,
+                "l_quantity": 0.0, "l_extendedprice": 0.0, "l_discount": 0.0,
+            }
+        ).astype(all_rows.dtypes.to_dict())
+        stage = helper._stage(tmp_path, [all_rows, dels])
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_tksent", maintain_topk=10
+        )
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+        spark.catalog.refreshTable("t_tksent_tk")
+        assert top_customers_by_rev_view(spark, "t_tksent", 10).count() == 0
