@@ -185,6 +185,31 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "join_blowup_audit", "transition_matrix", "hot_items", "hot_items_sql",
         "hot_urls", "page_view",
     ]},
+    # ---- round 10 (CORRECTNESS_r10.json, 50/50) — freshest, sorts last ----
+    # The r11 window is then any never-driver-certified additions plus the
+    # stalest r06 names (the r06 tail: ref pipelines, TPCH mid-block, dedup).
+    **{n: 10 for n in [
+        "knn_brute_filtered", "knn_ivf_filtered", "knn_pq_rotated",
+        "wordpiece_encode_freq", "unigram_encode_freq", "unigram_encode",
+        "order_wide_line_delete_stream_view", "revenue_max_by_cust_stream_view",
+        "distinct_qty_by_cust_stream_view", "order_cust_wide_stream_view",
+        "revenue_by_nation_ivm_stream_view", "revenue_by_region_ivm_stream_view",
+        "bm25_index_stream_view", "bm25_index_delete_stream_view",
+        "hybrid_index_stream_view", "bm25_index_purged_stream_view",
+        "order_wide_cascade_stream_view", "order_wide_upsert_stream_view",
+        "revenue_by_cust_upsert_stream_view", "order_wide_asof_stream_view",
+        "hot_items_mv_stream_view", "top_customers_stream_view",
+        "value_quantile_stream_view", "heavy_hitters_stream_view",
+        "value_quantile_purged_stream_view", "hot_items_mv_unordered_stream_view",
+        "flat_index_delete_stream_view", "flat_index_purged_stream_view",
+        "top_customers_by_status_stream_view", "sessionize_stream_view",
+        "sessionize_purged_stream_view", "page_view_salted", "uv_exact",
+        "uv_approx", "market_by_channel", "ad_click_by_province",
+        "ad_click_blacklist", "ad_clicks_filtered", "login_fail",
+        "login_fail_n3", "login_fail_run", "order_timeout",
+        "order_receipt_join", "order_receipt_reconcile",
+        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    ]},
 }
 
 
