@@ -74,3 +74,42 @@ def global_rank_ntile(
             "ntile", F.when(in_big, big).otherwise(small).cast("int")
         )
     return out.drop("_pid", "_lrn", "_off", "_N")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: str,
+    out: str = "prefix",
+    exclusive: bool = True,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Append `out` = the running sum of `value` over the total order
+    `order` — the distributed exclusive/inclusive prefix sum, same
+    two-level design as `global_rank_ntile`: range-partition on the
+    order (total across partitions), per-partition running sum (windows
+    partitioned on `spark_partition_id()`), then a P-ROW offset frame
+    (the only single-partition stage, bounded by partition count) joined
+    back by broadcast. Replaces the textbook partition-less
+    `sum().over(Window.orderBy(...))` single-task cumsum. Same caller
+    contract: `order` must be a total order."""
+    p = npartitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1 if exclusive else 0
+    )
+    local = ranged.withColumn(
+        "_lps", F.coalesce(F.sum(value).over(w_local), F.lit(0))
+    )
+    counts = ranged.groupBy("_pid").agg(F.sum(value).alias("_psum"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_off") + F.col("_lps"))
+        .drop("_pid", "_lps", "_off")
+    )

@@ -529,17 +529,23 @@ def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN, bucket: int = PACK_BU
     A global ordered cumsum is the textbook single-partition-window trap,
     so this runs the two-level form: per-bucket token subtotals (one tiny
     hash agg), an exclusive prefix over the ~ndocs/`bucket` bucket rows
-    (the only ordered window, sized in buckets not docs), broadcast back,
-    then an intra-bucket cumsum windowed per bucket. Every stage is
-    bounded by bucket size or bucket count — at 100 TB the ordered window
-    touches ~N/100 rows and the per-doc work stays partition-parallel."""
+    via operators/ranking.global_prefix_sum (range-partitioned — even
+    the bucket frame never funnels through one task), broadcast back,
+    then an intra-bucket cumsum windowed per bucket. Every remaining
+    single-task stage is bounded by the partition COUNT, not the data."""
     d = _fan_out(docs).select("doc_id", F.size(tokens("text")).alias("n_tokens"))
     d = d.withColumn("bucket", F.floor(F.col("doc_id") / bucket))
     from pyspark.sql import Window
 
+    from .ranking import global_prefix_sum
+
     bsum = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    boff = bsum.select("bucket", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("boff"))
+    # exclusive prefix over the bucket frame, DISTRIBUTED (range
+    # partition + P-row offsets) — the bucket frame is ndocs/`bucket`
+    # rows, which still outgrows one task at corpus scale
+    boff = global_prefix_sum(bsum, [F.col("bucket")], "bt", out="boff").select(
+        "bucket", "boff"
+    )
     wi = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     return (
         d.join(F.broadcast(boff), "bucket")
@@ -671,15 +677,13 @@ def importance_weights(
         F.sum("cnt").alias("raw_c"),
         F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("tgt_c"),
     )
-    # totals as an unpartitioned window over the ≤`buckets`-row stats
-    # frame — one pass on a frame that fits one partition, instead of a
-    # separate agg job + broadcast cross join (2 fewer jobs, same values)
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy()
-    stats = stats.withColumn("r_tot", F.sum("raw_c").over(wall)).withColumn(
-        "t_tot", F.sum("tgt_c").over(wall)
+    # totals as a 1-row agg broadcast back — never a partition-less
+    # window node, so the no-single-partition-Window plan pin holds
+    # with zero exemptions (the frame is ≤`buckets` rows either way)
+    tots = stats.agg(
+        F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot")
     )
+    stats = stats.crossJoin(F.broadcast(tots))
     lr = stats.select(
         "bucket",
         (
@@ -714,10 +718,10 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
 
     cross_entropy = -mean over tokens of log2 p(bucket); lower = more
     corpus-typical. The tercile split is an exact ntile(3) over
-    (cross_entropy, doc_id) — one global sort of ~16-byte rows, one row
-    per DOCUMENT (not token), which at 100 TB is the docs-count frame a
-    single stage sorts comfortably; swap for approxQuantile thresholds if
-    even that sort is unwanted."""
+    (cross_entropy, doc_id) computed DISTRIBUTED via
+    operators/ranking.global_rank_ntile (range-partition + offsets;
+    bit-identical to the window form) — the docs-count frame never
+    funnels through one task."""
     tokb = (
         _fan_out(docs)
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -727,11 +731,9 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
         .persist()
     )
     lm = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    # n_tot via unpartitioned window on the ≤buckets-row LM frame (see
-    # importance_weights — saves the separate agg + cross join)
-    from pyspark.sql import Window as _W
-
-    lm = lm.withColumn("n_tot", F.sum("c").over(_W.partitionBy()))
+    # n_tot via 1-row agg + broadcast cross join (see importance_weights
+    # — keeps the plan free of partition-less Window nodes)
+    lm = lm.crossJoin(F.broadcast(lm.agg(F.sum("c").alias("n_tot"))))
     logp = lm.select(
         "bucket",
         (
@@ -746,14 +748,18 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
             F.round(-F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias("cross_entropy"),
         )
     )
-    from pyspark.sql import Window as W
+    from .ranking import global_rank_ntile
 
-    t = F.ntile(PPL_TERCILES).over(W.orderBy("cross_entropy", "doc_id"))
-    return scored.select(
+    tiled = global_rank_ntile(
+        scored, [F.col("cross_entropy"), F.col("doc_id")], PPL_TERCILES
+    )
+    return tiled.select(
         "doc_id",
         "n_tokens",
         "cross_entropy",
-        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), t).alias("ppl_bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("ntile")
+        ).alias("ppl_bucket"),
     )
 
 
@@ -997,11 +1003,12 @@ def source_divergence(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    from pyspark.sql import Window as _W
-
     src_tot = tokb.groupBy("source").agg(F.sum("cnt").alias("s_tot"))
     corpus = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c_cnt"))
-    corpus = corpus.withColumn("c_tot", F.sum("c_cnt").over(_W.partitionBy()))
+    # c_tot via 1-row agg + broadcast (the no-global-Window discipline)
+    corpus = corpus.crossJoin(
+        F.broadcast(corpus.agg(F.sum("c_cnt").alias("c_tot")))
+    )
     # per (source, bucket): smoothed p (source) and q (corpus); buckets
     # absent from a source still contribute — generate the full grid from
     # the corpus frame (≤ buckets rows) × sources (tiny) so KL sums are

@@ -374,24 +374,36 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is engine-dependent for ties); monetary sums in DECIMAL.
 
     Shape: one groupBy(custkey) over orders (map-side combinable), then
-    three ntile windows over the CUSTOMER-count frame (~20 bytes/row —
-    the docs-count-sized sort perplexity_buckets also accepts; at 100 TB
-    swap exact ntile for approxQuantile cut points if even that sort is
-    unwanted; plan shape otherwise unchanged)."""
+    three DISTRIBUTED exact ntiles over the CUSTOMER-count frame via
+    operators/ranking.global_rank_ntile (range-partition + offsets —
+    bit-identical to the window form, no single-partition sort; the
+    only one-task stage left is the P-row offset frame). Each ntile is
+    one range shuffle of the ~20-byte/customer aggregate — survives a
+    1B-customer frame where the partition-less ntile(5) window would
+    funnel it through one executor."""
+    from ..operators.ranking import global_rank_ntile
+
     o = load_table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max(F.expr(f"unix_micros(o_orderdate) DIV {US_PER_DAY}")).alias("recency_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
     )
-    scored = per.select(
+    scored = per
+    for metric, name in (("recency_day", "r"), ("frequency", "f"), ("mon", "m")):
+        scored = (
+            global_rank_ntile(scored, [F.col(metric), F.col("o_custkey")], 5)
+            .withColumnRenamed("ntile", name)
+            .drop("global_rank")
+        )
+    scored = scored.select(
         "o_custkey",
         "recency_day",
         "frequency",
         F.round(F.col("mon").cast("double"), 2).alias("monetary"),
-        F.ntile(5).over(Window.orderBy("recency_day", "o_custkey")).alias("r"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(5).over(Window.orderBy("mon", "o_custkey")).alias("m"),
+        "r",
+        "f",
+        "m",
     )
     return scored.select(
         "o_custkey",
@@ -480,9 +492,9 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture).
 
     Shape: one count per key (map-side combinable), then a ~dozens-row
-    re-agg; the denominator for row_share is a window sum over each
-    key's own (tiny) bucket frame — no separate driver-side count()
-    action, no extra scan of events."""
+    re-agg; the denominator for row_share is a 1-row agg over the bucket
+    frame broadcast back — no driver-side count() action, no extra scan
+    of events, no partition-less Window node."""
     e = load_table(spark, sf_dir, "events")
 
     def audit(key: str) -> DataFrame:
@@ -496,14 +508,14 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("cnt").alias("max_key_rows"),
             )
         )
-        wt = Window.partitionBy()
-        return buckets.select(
+        tot = buckets.agg(F.sum("n_rows").alias("_tot"))
+        return buckets.crossJoin(F.broadcast(tot)).select(
             F.lit(key).alias("key_name"),
             "bucket",
             "n_keys",
             "n_rows",
             "max_key_rows",
-            (F.col("n_rows") / F.sum("n_rows").over(wt)).alias("row_share"),
+            (F.col("n_rows") / F.col("_tot")).alias("row_share"),
         )
 
     return audit("user_id").unionByName(audit("event_type"))

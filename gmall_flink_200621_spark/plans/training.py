@@ -440,10 +440,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ranks are integers and the fused score is a fixed
     two-term sum of exact-rational doubles — no order-dependent float
     aggregation anywhere. Scale shape: ONE broadcast query vector (the
-    knn_brute query-subset posture); the semantic top-list window runs
-    over scored candidates (at extreme N, pre-prune per partition with
-    operators/topn's two-stage shape first); fusion is a full-outer
-    join of two candidate lists of ≤ RRF_SEM_K rows."""
+    knn_brute query-subset posture); the semantic top list is pruned
+    with orderBy().limit(RRF_SEM_K) — TakeOrderedAndProject, a
+    per-partition top-K then a K-row merge, never an all-N
+    single-partition Window — and the rank window runs only over that
+    ≤RRF_SEM_K-row bounded frame; fusion is a full-outer join of two
+    candidate lists of ≤ RRF_SEM_K rows, its final rank window equally
+    limit-bounded."""
     from pyspark.sql import Window
 
     from ..operators.similarity import _idot, quantize
@@ -468,8 +471,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsem = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     sem = (
-        cos.withColumn("r_sem", F.row_number().over(wsem))
-        .where(F.col("r_sem") <= RRF_SEM_K)
+        cos.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(RRF_SEM_K)
+        .withColumn("r_sem", F.row_number().over(wsem))
         .select(F.col("vec_id").alias("doc_id"), "r_sem")
     )
     fused = sem.join(lex, "doc_id", "outer").select(
@@ -483,8 +487,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .where(F.col("rank") <= RRF_TOPK)
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .withColumn("rank", F.row_number().over(wf))
         .select("doc_id", "r_lex", "r_sem", "rrf", F.col("rank").cast("int").alias("rank"))
     )
 
@@ -1380,6 +1385,103 @@ def revenue_by_region_ivm_stream_view(spark: SparkSession, sf_dir: str) -> DataF
 
 
 TRAINING_QUERIES["revenue_by_region_ivm_stream_view"] = revenue_by_region_ivm_stream_view
+
+
+def order_cust_wide_upsert_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TERNARY join IVM under the full CDC mix — inserts, O_DEL
+    tombstones and O_UPD upserts whose winning version MOVES the order
+    to a different existing customer (o_custkey % max(c_custkey) + 1),
+    so the new rows must re-join the CUSTOMER hop. Updates route +2
+    chunks after the insert: only chunk-0 keys' updates win under
+    arrival-epoch last-write-wins; chunk-1/2 keys' later inserts
+    supersede them (the out-of-order contract is IN the hash).
+    fold_every exercises o_version surviving the watermark fold."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_cust_wide_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_ocwuview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, update_mod=11
+    )
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d", f"{name}_u"):
+        spark.catalog.refreshTable(t)
+    return order_cust_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_cust_wide_upsert_stream_view"] = order_cust_wide_upsert_stream_view
+
+
+def revenue_by_nation_ivm_upsert_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ternary retractable per-NATION MV under the full CDC mix: a
+    winning upsert must retract the order's rows from the OLD customer's
+    nation and re-add them under the NEW one — cross-NATION revenue
+    movement, the failure mode a broken n-way retract-and-emit can't
+    hide from the per-nation hashes."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_by_nation_ivm_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_rbnuview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, update_mod=11
+    )
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_agg")
+    return revenue_by_nation_ivm_view(spark, name)
+
+
+TRAINING_QUERIES["revenue_by_nation_ivm_upsert_stream_view"] = (
+    revenue_by_nation_ivm_upsert_stream_view
+)
+
+
+def order_cust_wide_asof_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL on the ternary view: replay all 3 chunks inserts-only,
+    read AS OF epoch 1. Each three-way tuple lands in the epoch its
+    LATEST side arrived (customers chunk c_custkey % 3, orders
+    o_orderkey % 3, lines (l_orderkey + l_linenumber) % 3), so the
+    oracle is closed-form — tuples with greatest(all three chunks) ≤ 1 —
+    and the hash certifies the snapshot filter AND the exactly-one-epoch
+    emit placement of the THREE-dimensional later-side-emit rule."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_cust_wide_view_asof,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_ocwasof_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(sf_dir, n_chunks=3)
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, maintain_agg=False
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_v")
+    return order_cust_wide_view_asof(spark, 1, name)
+
+
+TRAINING_QUERIES["order_cust_wide_asof_stream_view"] = order_cust_wide_asof_stream_view
 
 
 def bm25_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2285,6 +2285,58 @@ WHERE o.o_orderkey % 7 <> 0
 GROUP BY n.n_regionkey
 """
 
+# ternary full-CDC-mix twins: updates route +2 chunks after the insert,
+# so only chunk-0 keys' updates win under arrival-epoch last-write-wins;
+# the winning attribute change MOVES the order to a different existing
+# customer (o_custkey % max(c_custkey) + 1) — cross-customer, and
+# usually cross-nation, revenue movement. Deletes stay terminal.
+_ORDERS3_UPSERT_EFF = """
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 3 = 0
+              THEN o_custkey % (SELECT max(c_custkey) FROM customer) + 1
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+"""
+
+ORDER_CUST_WIDE_UPSERT_VIEW = f"""
+WITH eff AS ({_ORDERS3_UPSERT_EFF})
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, c.c_nationkey,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM eff o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+"""
+
+REVENUE_BY_NATION_IVM_UPSERT_VIEW = f"""
+WITH eff AS ({_ORDERS3_UPSERT_EFF})
+SELECT c.c_nationkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM eff o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+GROUP BY c.c_nationkey
+"""
+
+# ternary time-travel twin: AS OF epoch 1 of the 3-chunk inserts-only
+# replay. Each three-way tuple is emitted in the epoch its LATEST side
+# arrived (customers chunk c_custkey % 3, orders o_orderkey % 3, lines
+# (l_orderkey + l_linenumber) % 3), so the snapshot is the closed-form
+# greatest-of-three filter — one hash certifies snapshot filtering AND
+# the 3-D later-side-emit placement of every tuple.
+ORDER_CUST_WIDE_ASOF_VIEW = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, c.c_nationkey,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE greatest(c.c_custkey % 3, o.o_orderkey % 3,
+               (l.l_orderkey + l.l_linenumber) % 3) <= 1
+"""
+
 DISTINCT_QTY_BY_CUST_VIEW = """
 SELECT o.o_custkey, CAST(count(DISTINCT l.l_quantity) AS BIGINT) AS n_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -2539,7 +2591,8 @@ UNIGRAM_ENCODE_FREQ = _unigram_encode_freq_sql()
 HOT_ITEMS_MV = """
 WITH e AS (
   SELECT CAST(props->>'k' AS INT) AS item_k, ts
-  FROM events WHERE event_type = 'view'
+  FROM events
+  WHERE event_type = 'view' AND CAST(props->>'k' AS INT) IS NOT NULL
 ), b AS (
   SELECT CAST(floor(epoch(time_bucket(INTERVAL 300 seconds, ts))) AS BIGINT) + 300 AS bucket_end,
          item_k, count(*) AS cnt
@@ -2614,7 +2667,8 @@ WITH e AS (
   FROM e
 ), counts AS (
   SELECT ep, item_k, count(*) AS c
-  FROM chunked WHERE event_type = 'view' GROUP BY ep, item_k
+  FROM chunked WHERE event_type = 'view' AND item_k IS NOT NULL
+  GROUP BY ep, item_k
 ), ranked AS (
   SELECT ep, item_k, c,
          row_number() OVER (PARTITION BY ep ORDER BY c DESC, item_k ASC) AS r
@@ -2741,7 +2795,10 @@ SELECT o_orderstatus, o_custkey, revenue, rank FROM ranked WHERE rank <= 5
     "revenue_max_by_cust_stream_view": REVENUE_MAX_BY_CUST_VIEW,
     "distinct_qty_by_cust_stream_view": DISTINCT_QTY_BY_CUST_VIEW,
     "order_cust_wide_stream_view": ORDER_CUST_WIDE_VIEW,
+    "order_cust_wide_upsert_stream_view": ORDER_CUST_WIDE_UPSERT_VIEW,
+    "order_cust_wide_asof_stream_view": ORDER_CUST_WIDE_ASOF_VIEW,
     "revenue_by_nation_ivm_stream_view": REVENUE_BY_NATION_IVM_VIEW,
+    "revenue_by_nation_ivm_upsert_stream_view": REVENUE_BY_NATION_IVM_UPSERT_VIEW,
     "revenue_by_region_ivm_stream_view": REVENUE_BY_REGION_IVM_VIEW,
     "order_wide_purged_stream_view": ORDER_WIDE_DELETE_VIEW,
     "order_wide_cascade_stream_view": ORDER_WIDE_VIEW,

@@ -3091,6 +3091,7 @@ def stage_cust_order_lineitem_chunks(
     sf_dir: str,
     n_chunks: int = 3,
     delete_mod: int | None = None,
+    update_mod: int | None = None,
 ) -> str:
     """Stage customer + orders + lineitem as ONE interleaved arrival feed
     for the THREE-way join IVM: three tables' inserts multiplexed through
@@ -3100,7 +3101,17 @@ def stage_cust_order_lineitem_chunks(
     handle occurs: customer-before-order, order-before-customer, lines
     before/with/after both. `delete_mod` adds O_DEL tombstones routed one
     chunk after the insert (last chunk's keys delete in chunk 0 —
-    delete-before-insert), same contract as the binary feed."""
+    delete-before-insert), same contract as the binary feed.
+
+    `update_mod=m` adds an `O_UPD` upsert for every order with
+    o_orderkey % m == 0, routed TWO chunks after the insert by
+    (key % n + 2) % n — the binary feed's contract, so only chunk-0
+    keys' updates WIN under arrival-epoch last-write-wins. The new
+    attribute is the ternary-specific hard case: o_custkey moves to
+    `o_custkey % max(c_custkey) + 1` — always a DIFFERENT, EXISTING
+    customer (keys are 1..N contiguous), so a winning upsert re-routes
+    the order's revenue through another customer's nation and a broken
+    retract-and-emit shows in the per-nation aggregate hashes."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3120,6 +3131,7 @@ def stage_cust_order_lineitem_chunks(
     c = pq.read_table(os.path.join(sf_dir, "customer.parquet")).to_pandas()
     o = pq.read_table(os.path.join(sf_dir, "orders.parquet")).to_pandas()
     li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet")).to_pandas()
+    max_ck = int(c["c_custkey"].max())
     stage = tempfile.mkdtemp(prefix="spark_graft_ivm3_")
     base = None
     for i in range(n_chunks):
@@ -3133,40 +3145,50 @@ def stage_cust_order_lineitem_chunks(
                 & ((o["o_orderkey"] % n_chunks + 1) % n_chunks == i)
             ]
             dk = list(d["o_orderkey"])
-        n_c, n_o, n_l, n_d = len(cc), len(oc), len(lc), len(dk)
+        up = o.iloc[0:0]
+        if update_mod:
+            up = o[
+                (o["o_orderkey"] % update_mod == 0)
+                & ((o["o_orderkey"] % n_chunks + 2) % n_chunks == i)
+            ]
+        n_c, n_o, n_l, n_d, n_u = len(cc), len(oc), len(lc), len(dk), len(up)
         cols = {
-            "side": ["C"] * n_c + ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d,
+            "side": ["C"] * n_c + ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d
+            + ["O_UPD"] * n_u,
             "c_custkey": pa.array(
-                list(cc["c_custkey"]) + [None] * (n_o + n_l + n_d), pa.int64()
+                list(cc["c_custkey"]) + [None] * (n_o + n_l + n_d + n_u), pa.int64()
             ),
             "c_nationkey": pa.array(
-                [int(x) for x in cc["c_nationkey"]] + [None] * (n_o + n_l + n_d),
+                [int(x) for x in cc["c_nationkey"]] + [None] * (n_o + n_l + n_d + n_u),
                 pa.int32(),
             ),
             "o_orderkey": pa.array(
-                [None] * n_c + list(oc["o_orderkey"]) + [None] * n_l + dk,
+                [None] * n_c + list(oc["o_orderkey"]) + [None] * n_l + dk
+                + list(up["o_orderkey"]),
                 pa.int64(),
             ),
             "o_custkey": pa.array(
-                [None] * n_c + list(oc["o_custkey"]) + [None] * (n_l + n_d),
+                [None] * n_c + list(oc["o_custkey"]) + [None] * (n_l + n_d)
+                + [int(x) % max_ck + 1 for x in up["o_custkey"]],
                 pa.int64(),
             ),
             "l_orderkey": pa.array(
-                [None] * (n_c + n_o) + list(lc["l_orderkey"]) + [None] * n_d,
+                [None] * (n_c + n_o) + list(lc["l_orderkey"]) + [None] * (n_d + n_u),
                 pa.int64(),
             ),
             "l_linenumber": pa.array(
                 [None] * (n_c + n_o)
                 + [int(x) for x in lc["l_linenumber"]]
-                + [None] * n_d,
+                + [None] * (n_d + n_u),
                 pa.int32(),
             ),
             "l_extendedprice": pa.array(
-                [None] * (n_c + n_o) + list(lc["l_extendedprice"]) + [None] * n_d,
+                [None] * (n_c + n_o) + list(lc["l_extendedprice"])
+                + [None] * (n_d + n_u),
                 pa.float64(),
             ),
             "l_discount": pa.array(
-                [None] * (n_c + n_o) + list(lc["l_discount"]) + [None] * n_d,
+                [None] * (n_c + n_o) + list(lc["l_discount"]) + [None] * (n_d + n_u),
                 pa.float64(),
             ),
         }
@@ -3211,20 +3233,33 @@ def run_join3_ivm_stream(
     maintainable at 100 TB fact scale. O_DEL tombstones and the
     retractable per-NATION aggregate MV (`<name>_agg` →
     `revenue_by_nation_ivm_view`) reuse the binary family's first-seen
-    retire discipline verbatim."""
+    retire discipline verbatim.
+
+    O_UPD UPSERTS are the binary family's arrival-epoch last-write-wins
+    design (`run_join_ivm_stream`'s UPSERTS paragraph) carried to n-way:
+    every O/O_UPD event stamps its arrival epoch as the `o_version` DATA
+    column, re-upserts log (key, epoch) to `<name>_u`, and readers keep
+    each key's newest version. The ternary-new consequence: a winning
+    upsert can change o_custkey, so the new rows must join through the
+    CUSTOMER hop again — term 2 joins the resolved ΔO against customer
+    state, term 1 covers a same-epoch new customer — and the retraction
+    pulls the old rows out of the OLD customer's nation while ΔV adds
+    them under the new one (cross-NATION movement, pinned by the
+    per-nation oracle). Time travel (`order_cust_wide_view_asof`) is the
+    same epoch-≤ composition as the binary AS-OF."""
     c_t, o_t, l_t = f"{name}_c", f"{name}_o", f"{name}_l"
-    v_t, d_t = f"{name}_v", f"{name}_d"
+    v_t, d_t, u_t = f"{name}_v", f"{name}_d", f"{name}_u"
     agg_t = f"{name}_agg" if maintain_agg else None
     if fresh_tables:
-        for t in (c_t, o_t, l_t, v_t, d_t, f"{name}_agg"):
+        for t in (c_t, o_t, l_t, v_t, d_t, u_t, f"{name}_agg"):
             _drop_table(spark, t)
         spark.sql(
             f"CREATE TABLE {c_t} (c_custkey BIGINT, c_nationkey INT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
-            f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT)"
-            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+            f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
+            f" o_version BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
             f"CREATE TABLE {l_t} (l_orderkey BIGINT, l_linenumber INT,"
@@ -3233,11 +3268,15 @@ def run_join3_ivm_stream(
         )
         spark.sql(
             f"CREATE TABLE {v_t} (o_orderkey BIGINT, l_linenumber INT,"
-            f" o_custkey BIGINT, c_nationkey INT, revenue DOUBLE)"
-            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+            f" o_custkey BIGINT, c_nationkey INT, revenue DOUBLE,"
+            f" o_version BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {u_t} (o_orderkey BIGINT, ue BIGINT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         if agg_t:
@@ -3256,7 +3295,8 @@ def run_join3_ivm_stream(
 
     def ivm3_batch(df: DataFrame, epoch_id: int) -> None:
         _ivm3_epoch(
-            df, epoch_id, c_t, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width
+            df, epoch_id, c_t, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
+            u_t=u_t,
         )
 
     w = feed.writeStream.foreachBatch(ivm3_batch).queryName(f"{name}_q")
@@ -3276,6 +3316,7 @@ def _ivm3_epoch(
     agg_t: str | None,
     fold_every: int | None,
     refold_width: int | None,
+    u_t: str | None = None,
 ) -> None:
     """One ternary delta-rule micro-batch — the later-side-emit triangle
     in three dimensions, under the same exactly-once discipline as
@@ -3293,13 +3334,44 @@ def _ivm3_epoch(
     O_DEL cleansing happens at the ORDER hop only: ΔO and O-state are
     anti-joined against live tombstones, and every term reaches
     lineitems through a cleansed order frame — so a deleted order's
-    rows never materialize regardless of which side arrived last."""
+    rows never materialize regardless of which side arrived last.
+
+    O_UPD upserts are the binary `_ivm_epoch` machinery verbatim, with
+    one n-way addition: every STATE-side appearance of the order input
+    (term 1's closure AND term 3) excludes keys touched by this batch's
+    resolved ΔO — a re-upserted key's full new row set re-emits through
+    the delta terms (2, or 1 for a same-epoch new customer), so a
+    superseded version must not co-emit anywhere. Retraction then pulls
+    the key's current pre-epoch rows (which carry the OLD o_custkey /
+    nation) out of the aggregate MV — the cross-customer movement
+    case."""
     s = df.sparkSession
-    for t in (c_t, o_t, l_t, v_t) + tuple(x for x in (d_t, agg_t) if x):
-        merge = _ivm3_agg_merge if t == agg_t else None
+    for t in (c_t, o_t, l_t, v_t) + tuple(x for x in (d_t, u_t, agg_t) if x):
+        merge = None
+        if t == agg_t:
+            merge = _ivm3_agg_merge
+        elif t == u_t:
+            merge = _ivm_u_merge
         _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
     d_c = df.filter(F.col("side") == "C").select("c_custkey", "c_nationkey")
-    d_o = df.filter(F.col("side") == "O").select("o_orderkey", "o_custkey")
+    if u_t is not None:
+        # upsert resolve: O and O_UPD are both versions of the key;
+        # within a batch O_UPD wins, then the greatest attribute struct —
+        # the binary family's deterministic in-batch tiebreak
+        d_o = (
+            df.filter(F.col("side").isin("O", "O_UPD"))
+            .select(
+                "o_orderkey",
+                F.when(F.col("side") == "O_UPD", F.lit(1)).otherwise(F.lit(0)).alias("prio"),
+                "o_custkey",
+            )
+            .groupBy("o_orderkey")
+            .agg(F.max(F.struct("prio", "o_custkey")).alias("m"))
+            .select("o_orderkey", F.col("m.o_custkey").alias("o_custkey"))
+        )
+    else:
+        d_o = df.filter(F.col("side") == "O").select("o_orderkey", "o_custkey")
+    d_o = d_o.withColumn("o_version", F.lit(epoch_id).cast("long"))
     d_l = df.filter(F.col("side") == "L").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
@@ -3312,6 +3384,21 @@ def _ivm3_epoch(
     l_state = (
         live_epochs(s.table(l_t), s, l_t).filter(F.col("epoch") != epoch_id).drop("epoch")
     )
+    u_lat = None
+    if u_t is not None:
+        u_lat = (
+            live_epochs(s.table(u_t), s, u_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+            .groupBy("o_orderkey")
+            .agg(F.max("ue").alias("ue"))
+        )
+        # last-write-wins: keep only each key's newest version in state
+        o_state = (
+            o_state.join(F.broadcast(u_lat), "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
     d_del = hist_o = None
     if d_t is not None:
         d_del = df.filter(F.col("side") == "O_DEL").select("o_orderkey")
@@ -3323,7 +3410,25 @@ def _ivm3_epoch(
         dead = hist_o.unionByName(d_del)
         d_o = d_o.join(dead, "o_orderkey", "left_anti")
         o_state = o_state.join(dead, "o_orderkey", "left_anti")
-    o_all = o_state.unionByName(d_o)
+
+    d_u = None
+    o_state_x = o_state
+    if u_t is not None and not d_o.isEmpty():
+        # a key is RE-upserted iff a current prior version exists (an
+        # O_UPD arriving before its insert simply inserts; the later
+        # insert supersedes it — last write wins)
+        d_u = (
+            o_state.select("o_orderkey")
+            .join(F.broadcast(d_o.select("o_orderkey")), "o_orderkey", "left_semi")
+            .distinct()
+            .withColumn("ue", F.lit(epoch_id).cast("long"))
+        )
+        # keys touched this batch are fully covered by the delta terms —
+        # exclude their (superseded) state versions from terms 1 and 3
+        o_state_x = o_state.join(
+            F.broadcast(d_o.select("o_orderkey")), "o_orderkey", "left_anti"
+        )
+    o_all = o_state_x.unionByName(d_o)
     l_all = l_state.unionByName(d_l)
 
     def proj(j: DataFrame) -> DataFrame:
@@ -3335,26 +3440,55 @@ def _ivm3_epoch(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
                 "revenue"
             ),
+            # each view row carries the version of the order row that
+            # emitted it — the read-side last-write-wins filter's key
+            "o_version",
         )
 
     mo1 = F.broadcast(d_c).join(o_all, F.col("c_custkey") == F.col("o_custkey"))
     t1 = proj(F.broadcast(mo1).join(l_all, F.col("o_orderkey") == F.col("l_orderkey")))
     mo2 = F.broadcast(d_o).join(c_state, F.col("o_custkey") == F.col("c_custkey"))
     t2 = proj(F.broadcast(mo2).join(l_all, F.col("o_orderkey") == F.col("l_orderkey")))
-    ol3 = F.broadcast(d_l).join(o_state, F.col("o_orderkey") == F.col("l_orderkey"))
+    ol3 = F.broadcast(d_l).join(o_state_x, F.col("o_orderkey") == F.col("l_orderkey"))
     t3 = proj(c_state.join(F.broadcast(ol3), F.col("c_custkey") == F.col("o_custkey")))
     d_v = t1.unionByName(t2).unionByName(t3)
 
+    has_od = d_del is not None and not d_del.isEmpty()
+    has_upd = d_u is not None and not d_u.isEmpty()
     retired = None
-    if agg_t is not None and d_del is not None and not d_del.isEmpty():
+    if agg_t is not None and (has_od or has_upd):
         pre_v = (
             live_epochs(s.table(v_t), s, v_t)
             .filter(F.col("epoch") != epoch_id)
             .drop("epoch")
         )
-        eligible = pre_v.join(hist_o, "o_orderkey", "left_anti")
-        fs_o = d_del.distinct().join(hist_o, "o_orderkey", "left_anti")
-        retired = eligible.join(F.broadcast(fs_o), "o_orderkey", "left_semi")
+        # rows superseded by an EARLIER upsert were retracted at that
+        # upsert's epoch — only each key's current version is in scope
+        if u_lat is not None:
+            pre_v = (
+                pre_v.join(F.broadcast(u_lat), "o_orderkey", "left")
+                .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+                .drop("ue")
+            )
+        eligible = pre_v
+        if hist_o is not None:
+            eligible = eligible.join(hist_o, "o_orderkey", "left_anti")
+        # each eligible row retires at most once: first-seen deletes win
+        # over same-batch upserts (d_o was delete-cleansed, so no new
+        # rows re-emit for a deleted key)
+        parts = []
+        rest = eligible
+        if has_od:
+            fs_o = d_del.distinct().join(hist_o, "o_orderkey", "left_anti")
+            parts.append(rest.join(F.broadcast(fs_o), "o_orderkey", "left_semi"))
+            rest = rest.join(F.broadcast(fs_o), "o_orderkey", "left_anti")
+        if has_upd:
+            uk = d_u.select("o_orderkey")
+            parts.append(rest.join(F.broadcast(uk), "o_orderkey", "left_semi"))
+            rest = rest.join(F.broadcast(uk), "o_orderkey", "left_anti")
+        retired = parts[0]
+        for p in parts[1:]:
+            retired = retired.unionByName(p)
     if agg_t is not None:
         signed = d_v.select("c_nationkey", "revenue", F.lit(1).alias("sign"))
         if retired is not None:
@@ -3374,6 +3508,10 @@ def _ivm3_epoch(
     _ivm_write_epoch(s, d_l, l_t, epoch_id)
     if d_t is not None:
         _ivm_write_epoch(s, d_del, d_t, epoch_id)
+    if u_t is not None:
+        if d_u is None:
+            d_u = s.createDataFrame([], "o_orderkey long, ue long")
+        _ivm_write_epoch(s, d_u, u_t, epoch_id)
 
 
 def _ivm3_agg_merge(df: DataFrame) -> DataFrame:
@@ -3387,14 +3525,63 @@ def _ivm3_agg_merge(df: DataFrame) -> DataFrame:
 
 def order_cust_wide_view(spark: SparkSession, name: str = "custwide") -> DataFrame:
     """The maintained three-way join view's live rows — equals the batch
-    customer ⋈ orders ⋈ lineitem projection over never-deleted orders.
-    Fold-aware via `live_epochs`; order tombstones anti-joined at read,
-    exactly like the binary view."""
+    customer ⋈ orders ⋈ lineitem projection over never-deleted orders
+    with each upserted order's newest version's attributes. Fold-aware
+    via `live_epochs`; order tombstones anti-joined and superseded
+    versions filtered at read, exactly like the binary view."""
     v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
     if spark.catalog.tableExists(f"{name}_d"):
         dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
         v = v.join(dead, "o_orderkey", "left_anti")
-    return v
+    if spark.catalog.tableExists(f"{name}_u"):
+        u_lat = (
+            live_epochs(spark.table(f"{name}_u"), spark, f"{name}_u")
+            .drop("epoch")
+            .groupBy("o_orderkey")
+            .agg(F.max("ue").alias("ue"))
+        )
+        v = (
+            v.join(F.broadcast(u_lat), "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
+    return v.drop("o_version")
+
+
+def order_cust_wide_view_asof(
+    spark: SparkSession, epoch: int, name: str = "custwide"
+) -> DataFrame:
+    """TIME-TRAVEL read of the ternary join view — the binary
+    `order_wide_view_asof` composition applied to three inputs: view
+    rows, tombstones and upsert-log entries with partition epoch ≤
+    `epoch`, then the live view's own read filters. Exact for epochs ≥
+    the fold watermark; below it the deltas were absorbed into a base
+    and the read refuses rather than answering from coarser state."""
+    wm = max((w for _, w in _base_tiers(_partition_epochs(spark, f"{name}_v"))), default=-1)
+    if epoch < wm:
+        raise ValueError(
+            f"epoch {epoch} predates the fold watermark {wm}: its deltas were "
+            f"absorbed into a base (run without fold_every to keep full history)"
+        )
+
+    def upto(table: str) -> DataFrame:
+        return (
+            live_epochs(spark.table(table), spark, table)
+            .filter(F.col("epoch") <= epoch)
+            .drop("epoch")
+        )
+
+    v = upto(f"{name}_v")
+    if spark.catalog.tableExists(f"{name}_d"):
+        v = v.join(upto(f"{name}_d"), "o_orderkey", "left_anti")
+    if spark.catalog.tableExists(f"{name}_u"):
+        u_lat = upto(f"{name}_u").groupBy("o_orderkey").agg(F.max("ue").alias("ue"))
+        v = (
+            v.join(F.broadcast(u_lat), "o_orderkey", "left")
+            .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
+            .drop("ue")
+        )
+    return v.drop("o_version")
 
 
 def revenue_by_nation_ivm_view(spark: SparkSession, name: str = "custwide") -> DataFrame:
@@ -3957,7 +4144,11 @@ def hybrid_index_search(
     rank — no corpus or embedding scan anywhere on the read path. The
     formulas are the batch `hybrid_search_rrf`'s own (integer ranks,
     fixed two-term double sum), so index-served fusion hash-matches the
-    batch operator exactly."""
+    batch operator exactly. Scale shape mirrors the batch twin: the
+    semantic arm prunes with orderBy().limit(RRF_SEM_K)
+    (TakeOrderedAndProject — per-partition top-K + K-row merge), so
+    both rank windows run over limit-bounded ≤RRF_SEM_K-row frames,
+    never the full live vector store."""
     from pyspark.sql import Window
 
     from ..operators.similarity import _idot
@@ -3988,8 +4179,9 @@ def hybrid_index_search(
     )
     wsem = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     sem = (
-        cos.withColumn("r_sem", F.row_number().over(wsem))
-        .where(F.col("r_sem") <= RRF_SEM_K)
+        cos.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(RRF_SEM_K)
+        .withColumn("r_sem", F.row_number().over(wsem))
         .select(F.col("vec_id").alias("doc_id"), "r_sem")
     )
     fused = sem.join(lex, "doc_id", "outer").select(
@@ -4003,8 +4195,9 @@ def hybrid_index_search(
     )
     wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .where(F.col("rank") <= RRF_TOPK)
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .withColumn("rank", F.row_number().over(wf))
         .select(
             "doc_id", "r_lex", "r_sem", "rrf", F.col("rank").cast("int").alias("rank")
         )
@@ -4169,6 +4362,9 @@ def run_window_agg_stream(
                 F.window("ts", "5 minutes").end.cast("long").alias("bucket_end"),
                 F.get_json_object("props", "$.k").cast("int").alias("item_k"),
             )
+            .filter(F.col("item_k").isNotNull())  # null keys sort
+            # engine-dependently (Spark NULLS FIRST vs DuckDB NULLS LAST)
+            # in the serve rank — excluded by contract, mirrored in oracle
             .groupBy("bucket_end", "item_k")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -4659,27 +4855,28 @@ def run_heavy_hitters_stream(
     feed = events_parquet_stream(spark, stage, maxFilesPerTrigger=1)
 
     def hh_batch(df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import Window
-
         s = df.sparkSession
         _maybe_fold(s, mg_t, epoch_id, fold_every, merge=_mg_merge, refold_width=refold_width)
         counts = (
             df.filter(F.col("event_type") == "view")
             .select(F.get_json_object("props", "$.k").cast("int").alias("item_k"))
+            .filter(F.col("item_k").isNotNull())  # null keys would pollute the
+            # null-key ERROR row and sort engine-dependently — excluded by
+            # contract (mirrored in the oracle's counts CTE)
             .groupBy("item_k")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.orderBy(F.desc("c"), F.asc("item_k"))
-        ranked = counts.withColumn("_r", F.row_number().over(w))
-        t = ranked.filter(F.col("_r") == k + 1).select("c").collect()
-        t_val = int(t[0].c) if t else 0
-        kept = (
-            ranked.filter(F.col("c") > t_val)
-            .filter(F.col("_r") <= k)
-            .select("item_k", (F.col("c") - t_val).alias("c"))
-        )
-        err = s.createDataFrame([(None, t_val)], "item_k int, c long")
-        _ivm_write_epoch(s, kept.unionByName(err), mg_t, epoch_id)
+        # top-(k+1) via TakeOrderedAndProject (per-partition top-K + a
+        # (k+1)-row merge) — never a partition-less row_number() window
+        # over the batch's full item-grain frame. The collect is bounded
+        # by the constant k+1; any row with c > t necessarily ranks ≤ k.
+        cand = counts.orderBy(F.desc("c"), F.asc("item_k")).limit(k + 1).collect()
+        t_val = int(cand[k].c) if len(cand) > k else 0
+        kept_rows = [
+            (int(r.item_k), int(r.c) - t_val) for r in cand if int(r.c) > t_val
+        ]
+        out = s.createDataFrame(kept_rows + [(None, t_val)], "item_k int, c long")
+        _ivm_write_epoch(s, out, mg_t, epoch_id)
 
     w = feed.writeStream.foreachBatch(hh_batch).queryName(f"{name}_q")
     if checkpoint_dir:
@@ -4774,7 +4971,14 @@ def purge_superseded_sessions(spark: SparkSession, name: str = "sessmv") -> int:
     flagged = alive.withColumn(
         "_safe_sup",
         F.max(F.when(F.col("ve") < max_e, F.col("ve"))).over(w),
-    ).withColumn("_dead", F.col("ve") < F.col("_safe_sup"))
+    ).withColumn(
+        # coalesce: _safe_sup is NULL for users whose only version is the
+        # newest epoch; NULL must read as alive (matching
+        # purge_quantile_rows / purge_flat_index), or a rewrite of a mixed
+        # partition would silently drop NULL-flagged rows via ~_dead
+        "_dead",
+        F.coalesce(F.col("ve") < F.col("_safe_sup"), F.lit(False)),
+    )
     return _gc_partitions(
         spark, sess_t, flagged,
         ["user_id", "start_s", "end_s", "n_events", "ve"],

@@ -73,6 +73,70 @@ def generate_rows(spark, sf_dir: str) -> list[tuple[str, str, str]]:
     return rows
 
 
+# Physical nodes that bound the row count flowing into a downstream
+# single-partition Window: explicit limits, Spark 4's inferred window-group
+# limits (InferWindowGroupLimit turns `row_number().over(orderBy) +
+# filter(rank <= k)` into per-partition TakeOrdered pruning), and the
+# engine's own range-partitioned ranking primitive, whose only global
+# window runs over the P-row per-partition offset frame (grouped by the
+# reserved `_pid` column — operators/ranking.py).
+_BOUNDING_NODES = (
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",
+)
+
+
+def _walk_plan(node):
+    """Depth-first physical-plan traversal that descends through AQE
+    wrappers (AdaptiveSparkPlanExec/QueryStageExec hide their subtree
+    from children())."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_plan(node.inputPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_plan(node.plan())
+        return
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_plan(ch.apply(i))
+
+
+def _subtree_bounded(node) -> bool:
+    """True if every row path into `node`'s subtree passes a bounding
+    node (limit / inferred group-limit) or the `_pid` offset aggregate —
+    i.e. the frame a global Window above it would sort is constant- or
+    partition-count-bounded, not data-sized. Approximation: existence
+    anywhere in the subtree (a limit on one join branch exempts the
+    whole subtree) — fine for a ratchet; the unbounded-everywhere case
+    it exists to catch has no limit anywhere."""
+    for n in _walk_plan(node):
+        cls = n.getClass().getSimpleName()
+        if cls in _BOUNDING_NODES:
+            return True
+        if cls.endswith("AggregateExec") and "_pid" in n.simpleString(30):
+            return True
+    return False
+
+
+def global_window_offenders(df) -> list[str]:
+    """Names of partition-less WindowExec nodes whose input subtree is
+    NOT frame-bounded — the `Exchange SinglePartition` + one-task-sort
+    scale cliff (pinned by tests/test_plan_shapes.py). Empty list =
+    every global window in the plan sorts a bounded frame."""
+    out = []
+    for n in _walk_plan(df._jdf.queryExecution().executedPlan()):
+        cls = n.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec") and n.partitionSpec().isEmpty():
+            if not _subtree_bounded(n.children().apply(0)):
+                out.append(n.simpleString(25))
+    return out
+
+
 def render(rows: list[tuple[str, str, str]], sf_dir: str) -> str:
     lines = [
         "# PLANS — physical-plan inventory (auto-generated by tools/plan_audit.py)",
