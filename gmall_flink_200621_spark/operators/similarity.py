@@ -1605,6 +1605,60 @@ def knn_ivfpq(
     return _pq_rank(scored, k)
 
 
+def knn_ivfpq_filtered(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    nprobe: int = FILTERED_NPROBE,
+    code_mod: int = PQ_CODE_MOD,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """FILTERED search on the COMPRESSED rung — the label predicate
+    applied in-scan on knn_ivfpq's ADC path (FAISS `IVFPQ` +
+    `IDSelector`): candidates from the probed inverted lists are
+    label-filtered BEFORE any LUT lookup, so the per-query top-k is
+    taken over eligible codes only. This is where production vector
+    stores actually run attribute-scoped search — the index that fits
+    RAM at 100 TB is the compressed one, so the filter must compose
+    with ADC, not force a fallback to exact vectors. Post-filtering the
+    unfiltered ADC top-k instead under-returns catastrophically
+    (`tests/test_ann_eval.py` pins the 1/25 eligible-pair collapse for
+    the family).
+
+    Construction = knn_ivfpq with two deltas, both FAISS-faithful: the
+    label rides the inverted index as assignment payload (no second
+    corpus join — FAISS stores the selector's ids alongside codes), and
+    the probe width is `FILTERED_NPROBE` (probe wider as the predicate
+    thins lists — the same production tuning rule as knn_ivf_filtered).
+    Recall is measured against `knn_brute_filtered` (the exact
+    pre-filter baseline), bounded above by knn_ivf_filtered's (same
+    candidates, approximate scores)."""
+    e = _fan_out(embeddings).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+
+    cents = _seed_cents(e, cent_mod)
+    # label is the only payload: codes join by vec_id as in knn_ivfpq
+    lists = _ivf_assign(e, cents, {"nlabel": "label"}, id_alias="vec_id")
+    probes = _ivf_probes(qs, cents, nprobe, extra={"qlabel": F.col("label")})
+
+    codes, cb = _pq_train_encode(e, code_mod, iters)
+    ix = lists.join(codes, "vec_id")  # inverted index rows WITH codes + label
+    lut = _pq_query_luts(qs, cb)
+    scored = (
+        probes.join(ix, "list_id")
+        .filter(
+            (F.col("nlabel") == F.col("qlabel"))
+            & (F.col("query_id") != F.col("vec_id"))
+        )
+        .join(F.broadcast(lut), "query_id")
+    )
+    return _pq_rank(scored, k)
+
+
 def knn_ivfpq_residual(
     embeddings: DataFrame,
     k: int = KNN_K,

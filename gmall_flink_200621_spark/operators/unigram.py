@@ -387,7 +387,15 @@ def unigram_encode(docs: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
             probs.setdefault(p, eps)
 
     def encode(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
+
+        def round6(x: float) -> float:
+            # mirror Spark/DuckDB round(double, 6) HALF_UP (Python round
+            # is half-even) — load-bearing since the vocab-as-input gate
+            # made this encoder hash-certified too
+            return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
         memo: dict[str, int] = {}
         for pdf in batches:
@@ -411,7 +419,7 @@ def unigram_encode(docs: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
                     "n_words": pd.Series(n_words, dtype="int32"),
                     "n_pieces": pd.Series(n_pieces, dtype="int64"),
                     "chars_per_piece": [
-                        round(c / p, 6) if p else 0.0
+                        round6(c / p) if p else 0.0
                         for c, p in zip(n_chars, n_pieces)
                     ],
                 }

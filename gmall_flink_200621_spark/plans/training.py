@@ -4,6 +4,8 @@ around operators/{dedup,similarity,textops}.py over the `documents` and
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -302,6 +304,13 @@ def knn_brute_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label corpus rows (pre-filter strategy, recall 1 over the
     eligible set). See operators/similarity.knn_brute_filtered."""
     return V.knn_brute_filtered(_emb(spark, sf_dir))
+
+
+def knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the compressed rung: label predicate in-scan on
+    the IVF-PQ ADC path, probes widened for the predicate's selectivity.
+    See operators/similarity.knn_ivfpq_filtered."""
+    return V.knn_ivfpq_filtered(_emb(spark, sf_dir))
 
 
 def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,10 +718,58 @@ def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp(_docs(spark, sf_dir))
 
 
+ORACLE_SIDECAR_DIR = "/tmp/spark_graft_oracle_vocab"
+
+
+def _write_oracle_sidecar(kind: str, sf_dir: str, cols: dict[str, list]) -> None:
+    """Write a trained vocabulary as ORACLE INPUT DATA — the gate design
+    for operators whose TRAINED artifact isn't SQL-derivable but whose
+    consuming step is: the Spark query (which the gate always runs
+    FIRST) writes the vocab to a per-SF parquet, and the DuckDB oracle
+    reads it back with a glob filtered on (doc count, total text chars)
+    — a corpus fingerprint the oracle derives from its OWN views (doc
+    count alone collides: sf0.001 and sf0.01 both carry 500 documents),
+    so concurrent verifies at different SFs each read their own file.
+    Writes are tempfile + os.replace (atomic on POSIX) and the content
+    is a deterministic function of the SF, so a same-SF race is
+    byte-identical either way."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs_t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    n_docs = docs_t.num_rows
+    import pyarrow.compute as pc
+
+    n_chars = int(pc.sum(pc.utf8_length(docs_t.column("text"))).as_py() or 0)
+    os.makedirs(ORACLE_SIDECAR_DIR, exist_ok=True)
+    n = len(next(iter(cols.values())))
+    table = pa.table(
+        {
+            **cols,
+            "n_docs": pa.array([n_docs] * n, pa.int64()),
+            "n_chars": pa.array([n_chars] * n, pa.int64()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".tmp", dir=ORACLE_SIDECAR_DIR)
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(
+        tmp, os.path.join(ORACLE_SIDECAR_DIR, f"{kind}_{n_docs}_{n_chars}.parquet")
+    )
+
+
 def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the consumed vocab is the iterative trainer's product;
-    # the encoder itself is a pure Arrow map, pinned token-for-token
-    # against a pure-Python longest-match reference in TestWordPiece
+    # HASH-GATED via the vocab-as-input design: the trained vocab is the
+    # iterative trainer's product (not SQL-derivable), but the ENCODE
+    # step is — so this query writes the trained vocab as an oracle
+    # sidecar parquet (`_write_oracle_sidecar`) and WORDPIECE_ENCODE
+    # replays the identical greedy longest-match walk (the _freq twin's
+    # recursive CTE) over that vocab read back as data. Also pinned
+    # token-for-token against a pure-Python reference in TestWordPiece.
     from ..operators.wordpiece import (
         wordpiece_base_vocab,
         wordpiece_encode as _wp_enc,
@@ -721,6 +778,7 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     vocab = wordpiece_base_vocab(docs) + [r.token for r in _wp_train(docs).collect()]
+    _write_oracle_sidecar("wp", sf_dir, {"piece": sorted(set(vocab))})
     return _wp_enc(docs, vocab)
 
 
@@ -765,10 +823,15 @@ def unigram_encode_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (same stance as wordpiece_encode): the consumed vocab is
-    # the EM trainer's product and the Viterbi scores go through libm
-    # log; exactness is pinned against a Python Viterbi in TestUnigramLm,
-    # and the DP engine itself is hash-certified by unigram_encode_freq.
+    # HASH-GATED via the vocab-as-input design (see wordpiece_encode):
+    # the EM-trained vocab writes to an oracle sidecar parquet and
+    # UNIGRAM_ENCODE replays the float Viterbi as an unrolled DP with
+    # DuckDB's ln() — bit-reproducible because both engines run the
+    # SAME recurrence (one int→double division per piece, one ln, one
+    # add per candidate, max with smallest-split-point tie-break) on the
+    # same host libm; the gate would surface any drift. Also pinned
+    # against a Python Viterbi in TestUnigramLm; the DP engine is
+    # independently certified by unigram_encode_freq's integer twin.
     from ..operators.unigram import (
         unigram_encode as _uni_enc,
         unigram_lm_vocab as _uni_train,
@@ -776,6 +839,11 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     vocab = [(r.piece, int(r.count_q)) for r in _uni_train(docs).collect()]
+    _write_oracle_sidecar(
+        "uni",
+        sf_dir,
+        {"piece": [p for p, _ in vocab], "count_q": [c for _, c in vocab]},
+    )
     return _uni_enc(docs, vocab)
 
 
@@ -819,6 +887,7 @@ TRAINING_QUERIES = {
     "knn_brute": knn_brute,
     "knn_brute_filtered": knn_brute_filtered,
     "knn_ivf_filtered": knn_ivf_filtered,
+    "knn_ivfpq_filtered": knn_ivfpq_filtered,
     "knn_lsh": knn_lsh,
     "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,

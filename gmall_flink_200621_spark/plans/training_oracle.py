@@ -1517,6 +1517,43 @@ scored AS (
 """
 
 
+# filtered IVF-PQ: the label predicate applied to candidates inside the
+# probed lists BEFORE ADC scoring (FAISS IVFPQ + IDSelector), probes
+# widened to FILTERED_NPROBE — knn_ivfpq's oracle with the label riding
+# the lists and the query rows
+KNN_IVFPQ_FILTERED = f"""
+WITH {_knn_pq_sql()},
+lab AS (SELECT vec_id, label FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
+lists AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT e2.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e2.vec_id
+             ORDER BY {_cosine_sql("e2.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e e2, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cent_id AS list_id FROM (
+    SELECT q0.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {_cosine_sql("q0.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e q0, cents c WHERE q0.vec_id % 100 = 0) WHERE rn <= {FILTERED_NPROBE}),
+cand AS (
+  SELECT p.query_id, l.vec_id
+  FROM probes p
+  JOIN lists l ON p.list_id = l.list_id
+  JOIN lab nl ON nl.vec_id = l.vec_id
+  JOIN lab ql ON ql.vec_id = p.query_id AND ql.label = nl.label
+  WHERE p.query_id <> l.vec_id),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+
 def _knn_ivfpq_residual_sql(tail: str = _PQ_RANK_TAIL) -> str:
     """Residual IVF-PQ oracle (operators/similarity.knn_ivfpq_residual,
     cell for cell): k-means-trained coarse lists (the `_kmeans_parts`
@@ -2507,6 +2544,144 @@ LEFT JOIN (
 """
 
 
+# TRAINED-vocab WordPiece encoder gate — the vocab-as-input design: the
+# Spark query (always run first by the gate) writes its trained vocab to
+# /tmp/spark_graft_oracle_vocab/wp_<ndocs>.parquet; this oracle reads it
+# back with a glob filtered by the SF's own document count (derived from
+# the oracle's views, so concurrent verifies at different SFs read their
+# own files) and replays the identical greedy longest-match walk — the
+# _freq twin's recursive CTE with the vocab CTE swapped for the sidecar.
+WORDPIECE_ENCODE = """
+WITH RECURSIVE
+doc_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+wf AS (SELECT w, count(*) AS freq FROM doc_words GROUP BY w),
+vocab AS (
+  SELECT piece
+  FROM read_parquet('/tmp/spark_graft_oracle_vocab/wp_*.parquet')
+  WHERE n_docs = (SELECT count(*) FROM documents)
+    AND n_chars = (SELECT sum(length(text)) FROM documents)
+),
+st AS (
+  SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS toks, false AS unk
+  FROM (SELECT DISTINCT w FROM wf)
+  UNION ALL
+  SELECT w,
+         CASE WHEN m.l IS NULL THEN length(w) + 1 ELSE pos + m.l END,
+         CASE WHEN m.l IS NULL THEN 1 ELSE toks + 1 END,
+         m.l IS NULL
+  FROM st LEFT JOIN LATERAL (
+    SELECT max(CASE WHEN st.pos = 1 THEN length(v.piece) ELSE length(v.piece) - 2 END) AS l
+    FROM vocab v
+    WHERE (st.pos = 1 AND v.piece NOT LIKE '##%'
+           AND v.piece = substr(st.w, st.pos, length(v.piece)))
+       OR (st.pos > 1 AND v.piece LIKE '##%'
+           AND substr(v.piece, 3) = substr(st.w, st.pos, length(v.piece) - 2))
+  ) m ON true
+  WHERE st.pos <= length(st.w) AND NOT st.unk
+),
+final AS (SELECT w, toks, unk FROM st WHERE pos = length(w) + 1)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_words, 0) AS INT) AS n_words,
+       CAST(coalesce(r.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+       CAST(coalesce(r.n_unk_words, 0) AS INT) AS n_unk_words,
+       CASE WHEN coalesce(r.n_wp_tokens, 0) > 0
+            THEN round(r.chars / r.n_wp_tokens, 6) ELSE 0.0 END AS chars_per_token
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_wp_tokens,
+         sum(CASE WHEN unk THEN 1 ELSE 0 END) AS n_unk_words,
+         CAST(sum(length(w)) AS DOUBLE) AS chars
+  FROM doc_words JOIN final USING (w)
+  GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
+def _unigram_encode_sql(max_w: int = 16, max_len: int = 4) -> str:
+    """TRAINED-vocab unigram-LM Viterbi gate — the float DP of
+    operators/unigram.viterbi_segment unrolled per position (the _freq
+    twin's chained-CTE mechanism with a DOUBLE score instead of the int
+    comb): candidates per position carry struct(s, −i, np) so the max
+    reproduces the Python scan's exact-float-equality smallest-split
+    tie-break, with the piece count riding as payload. Scores replay
+    the same arithmetic per candidate — one int→double division (or the
+    1/tot epsilon for zero-count survivors), one ln(), one add — so the
+    result is bit-identical on a shared host libm; the hash gate is the
+    detector if that assumption ever breaks. Vocab comes back from the
+    sidecar parquet (see WORDPIECE_ENCODE)."""
+    steps = []
+    for p in range(1, max_w + 1):
+        steps.append(
+            f"d{p} AS MATERIALIZED (\n"
+            f"  SELECT * FROM d{p - 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT w, {p} AS pos, struct_extract(m, 's') AS s,\n"
+            f"         struct_extract(m, 'np') AS np\n"
+            f"  FROM (\n"
+            f"    SELECT w, max({{'s': prev.s + ln(sc.p), 'negi': -prev.pos,"
+            f" 'np': prev.np + 1}}) AS m\n"
+            f"    FROM d{p - 1} prev JOIN sc\n"
+            f"      ON sc.piece = substr(prev.w, prev.pos + 1, {p} - prev.pos)\n"
+            f"    WHERE prev.pos BETWEEN {p} - {max_len} AND {p} - 1"
+            f" AND length(prev.w) >= {p}\n"
+            f"    GROUP BY w\n"
+            f"  )\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH
+doc_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+wf AS (SELECT w, count(*) AS freq FROM doc_words GROUP BY w),
+raw AS (
+  SELECT piece, count_q
+  FROM read_parquet('/tmp/spark_graft_oracle_vocab/uni_*.parquet')
+  WHERE n_docs = (SELECT count(*) FROM documents)
+    AND n_chars = (SELECT sum(length(text)) FROM documents)
+),
+tot AS (SELECT sum(count_q) AS t FROM raw),
+sc AS (
+  SELECT piece,
+         CASE WHEN count_q > 0 THEN count_q / CAST(t AS DOUBLE)
+              ELSE 1.0 / greatest(t, 1) END AS p
+  FROM raw, tot
+),
+d0 AS MATERIALIZED (
+  SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS s, 0 AS np
+  FROM (SELECT DISTINCT w FROM wf)),
+{chain},
+fin AS (
+  SELECT dw.w,
+         CASE WHEN t.np IS NULL THEN length(dw.w) ELSE t.np END AS n_pieces
+  FROM (SELECT DISTINCT w FROM wf) dw
+  LEFT JOIN (SELECT w, np FROM d{max_w} WHERE pos = length(w)) t USING (w)
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_words, 0) AS INT) AS n_words,
+       CAST(coalesce(r.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CASE WHEN coalesce(r.n_pieces, 0) > 0
+            THEN round(r.chars / r.n_pieces, 6) ELSE 0.0 END AS chars_per_piece
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words, sum(n_pieces) AS n_pieces,
+         CAST(sum(length(w)) AS DOUBLE) AS chars
+  FROM doc_words JOIN fin USING (w)
+  GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
+UNIGRAM_ENCODE = _unigram_encode_sql()
+
+
 def _unigram_encode_freq_sql(max_w: int = 16) -> str:
     """Unrolled integer-Viterbi DP (operators/unigram.py
     viterbi_segment_int): per distinct word, best[pos] under the
@@ -2724,7 +2899,9 @@ WITH tot AS (
 SELECT o_orderstatus, o_custkey, revenue, rank FROM ranked WHERE rank <= 5
 """,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
+    "wordpiece_encode": WORDPIECE_ENCODE,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,
+    "unigram_encode": UNIGRAM_ENCODE,
     "doc_chunks": DOC_CHUNKS,
     "corpus_mixture": CORPUS_MIXTURE,
     "mixture_temperature": MIXTURE_TEMPERATURE,
@@ -2767,6 +2944,7 @@ SELECT o_orderstatus, o_custkey, revenue, rank FROM ranked WHERE rank <= 5
     "knn_brute": KNN_BRUTE,
     "knn_brute_filtered": KNN_BRUTE_FILTERED,
     "knn_ivf_filtered": KNN_IVF_FILTERED,
+    "knn_ivfpq_filtered": KNN_IVFPQ_FILTERED,
     "knn_lsh": KNN_LSH,
     "knn_lsh_multiprobe": KNN_LSH_MULTIPROBE,
     "knn_ivf": KNN_IVF,

@@ -130,6 +130,15 @@ FILTERED_EXPECTED = {
     "sf0.01": {"filtered": (25, 25, 25, 1.0), "postfilter_common": 1},
 }
 
+# the compressed rung: in-scan label filter on the IVF-PQ ADC path.
+# Recall < ivf_filtered's 1.0 by construction (same candidate lists,
+# approximate scores) — the honest PQ price on this isotropic corpus,
+# pinned as a ratchet. Measured 2026-08-16, round 11.
+FILTERED_PQ_EXPECTED = {
+    "sf0.001": (25, 25, 16, 0.64),
+    "sf0.01": (25, 25, 12, 0.48),
+}
+
 
 def test_filtered_ann_recall_pinned(spark, sf_dir):
     """Filtered-search ratchet: knn_ivf_filtered's recall against the
@@ -165,3 +174,19 @@ def test_filtered_ann_recall_pinned(spark, sf_dir):
     # the structural claim, independent of the pinned constants: the
     # in-scan filter strategy dominates post-filtering
     assert n_common > post
+
+    # the compressed rung: knn_ivfpq_filtered ranks the SAME eligible
+    # candidates by ADC codes instead of exact vectors — recall is pinned
+    # (a ratchet), bounded above by the exact-scored ivf_filtered, and
+    # still dominates naive post-filtering by an order of magnitude
+    pqf = None
+    for sf, vals in FILTERED_PQ_EXPECTED.items():
+        if sf_dir.rstrip("/").endswith(sf):
+            pqf = vals
+    mq = V.knn_ivfpq_filtered(emb).select("query_id", "neighbor_id")
+    nm_q = mq.count()
+    nc_q = mq.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    got_q = (n_exact, nm_q, nc_q, round(nc_q / n_exact, 6))
+    assert got_q == pqf
+    assert nc_q <= n_common  # ADC never beats exact scoring of the same lists
+    assert nc_q > post

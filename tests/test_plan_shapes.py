@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _plan(df) -> str:
@@ -194,6 +195,78 @@ class TestAggregation:
             s = _plan(entry_mod.queries()[name](spark, sf_dir))
             assert "BatchEvalPython" not in s, name
             assert "ArrowEvalPython" not in s, name
+
+
+class TestNoGlobalWindows:
+    """The r10-verdict scale-cliff class: a partition-less Window over an
+    unbounded frame compiles to `Exchange SinglePartition` + a one-task
+    sort of the whole frame. tools/plan_audit.global_window_offenders is
+    the structural detector (frame-bounded = a Limit /
+    TakeOrderedAndProject / inferred WindowGroupLimit below, or the
+    ranking primitives' P-row `_pid` offset frame); the registry-wide pin
+    is transitive — PLANS.md regeneration stamps GLOBALWIN on offenders
+    and test_plans_md_matches_regenerated_inventory keeps the file fresh,
+    so test_plans_md_has_no_globalwin_mark failing means a query regressed
+    into the one-task-sort shape."""
+
+    def test_plans_md_has_no_globalwin_mark(self):
+        import os
+
+        with open(
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+        ) as f:
+            bad = [ln for ln in f.read().splitlines() if "GLOBALWIN" in ln and "|" in ln]
+        assert not bad, (
+            "partition-less unbounded Window in registry plans — rewrite via "
+            "orderBy().limit() / global_rank_ntile / global_prefix_sum or "
+            f"allowlist with a reason in tools/plan_audit.py: {bad}"
+        )
+
+    def test_rewritten_rank_sites_are_frame_bounded(self, spark, sf_dir):
+        """Direct (non-transitive) pin on the four r10-verdict sites plus
+        the r11 sweep's rewrites — the detector itself must see bounded
+        frames, not just PLANS.md prose."""
+        import __spark_entry__ as entry_mod
+
+        from tools.plan_audit import global_window_offenders
+
+        for name in [
+            "hybrid_search_rrf",
+            "rfm_segments",
+            "perplexity_buckets",
+            "sequence_pack",
+            "importance_weights",
+            "source_divergence",
+            "skew_audit",
+        ]:
+            df = entry_mod.queries()[name](spark, sf_dir)
+            assert global_window_offenders(df) == [], name
+
+    def test_detector_flags_the_antipattern(self, spark):
+        """The detector must actually fire on the shape it exists to
+        forbid (an unbounded global ntile) and stay quiet on the bounded
+        and partitioned forms."""
+        from pyspark.sql import Window
+
+        from tools.plan_audit import global_window_offenders
+
+        df = spark.range(1000).withColumn("g", F.col("id") % 7)
+        bad = df.withColumn("t", F.ntile(5).over(Window.orderBy("id")))
+        assert len(global_window_offenders(bad)) == 1
+        ok_part = df.withColumn(
+            "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+        )
+        assert global_window_offenders(ok_part) == []
+        ok_lim = (
+            df.orderBy("id")
+            .limit(10)
+            .withColumn("r", F.row_number().over(Window.orderBy("id")))
+        )
+        assert global_window_offenders(ok_lim) == []
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        ok_dist = global_rank_ntile(df, [F.col("id")], 5)
+        assert global_window_offenders(ok_dist) == []
 
 
 class TestIterativeLineage:

@@ -14,6 +14,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Partition-less unbounded Windows that are ACCEPTED, with why. The only
+# legitimate entries are frames provably bounded by something structural
+# detection can't see (grain, not limits). Everything else must go through
+# orderBy().limit() / global_rank_ntile / global_prefix_sum / a 1-row agg.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # lag() needs row adjacency (no limit applies); the frame is
+    # month-grain — bounded by the calendar range, not the data volume
+    "revenue_seasonality": "month-grain lag",
+}
+
 MARKS = [
     ("BHJ", "BroadcastHashJoin"),
     ("SMJ", "SortMergeJoin"),
@@ -67,6 +77,14 @@ def generate_rows(spark, sf_dir: str) -> list[tuple[str, str, str]]:
             c = plan.count(pat)
             if c:
                 marks.append(f"{label}×{c}")
+        off = global_window_offenders(df)
+        if off:
+            # single-task-sort scale cliff: forbidden (tests fail on the
+            # GLOBALWIN mark) unless explicitly allowlisted with a reason
+            if name in GLOBAL_WINDOW_ALLOWLIST:
+                marks.append(f"gwin-ok({GLOBAL_WINDOW_ALLOWLIST[name]})")
+            else:
+                marks.append(f"GLOBALWIN×{len(off)}")
         pushed = sorted(set(re.findall(r"PushedFilters: \[([^\]]+)\]", formatted)))
         pushed_note = "pushdown" if any(p.strip() for p in pushed) else ""
         rows.append((name, " ".join(marks) or "scan-only", pushed_note))
@@ -144,10 +162,13 @@ def render(rows: list[tuple[str, str, str]], sf_dir: str) -> str:
         f"Every `queries()` entry at `{sf_dir}`. Abbreviations: BHJ/SMJ/SHJ/BNLJ",
         "join strategies, agg=HashAggregate, win=Window, exch=Exchange,",
         "expand=Expand, py=row/arrow Python eval, pandas/mapPandas = the",
-        "explicitly-Arrow operators. Invariants enforced by",
+        "explicitly-Arrow operators. GLOBALWIN marks a partition-less",
+        "WindowExec over a non-frame-bounded subtree (the one-task-sort",
+        "scale cliff — forbidden; gwin-ok = allowlisted with reason).",
+        "Invariants enforced by",
         "tests/test_plan_shapes.py: no CartesianProduct in joins, no Python",
-        "eval in declarative plans, partial+final aggregation, pushdown on",
-        "selective scans, zero-Exchange bucketed fact joins.",
+        "eval in declarative plans, no GLOBALWIN, partial+final aggregation,",
+        "pushdown on selective scans, zero-Exchange bucketed fact joins.",
         "",
         "| query | physical operators | scan |",
         "|---|---|---|",
