@@ -2088,3 +2088,43 @@ def top_customers_by_status_stream_view(spark: SparkSession, sf_dir: str) -> Dat
 
 
 TRAINING_QUERIES["top_customers_by_status_stream_view"] = top_customers_by_status_stream_view
+
+
+def top_customers_by_status_purged_stream_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The grouped top-K MV after VERSION GC: same replay as
+    `top_customers_by_status_stream_view`, then
+    `purge_superseded_topk_groups` physically drops candidate-set
+    versions superseded by a committed-safe newer one (the
+    sessions/quantile newest-epoch replay guard), run TWICE to pin
+    idempotence — and the served result must be read-identical, so the
+    twin shares the unpurged gate's oracle. Purge changes bytes, not
+    results."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        purge_superseded_topk_groups,
+        run_join_ivm_stream,
+        stage_order_lineitem_chunks,
+        top_customers_by_group_view,
+    )
+
+    name = f"q_tkgpview_{sf_namespace(sf_dir)}"
+    stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+    q = run_join_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False, maintain_topk_grouped=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_tkg")
+    n1 = purge_superseded_topk_groups(spark, name)
+    n2 = purge_superseded_topk_groups(spark, name)  # idempotent second pass
+    assert n2 == 0, f"grouped top-K purge not idempotent: {n1} then {n2}"
+    return top_customers_by_group_view(spark, name, k=5)
+
+
+TRAINING_QUERIES["top_customers_by_status_purged_stream_view"] = (
+    top_customers_by_status_purged_stream_view
+)

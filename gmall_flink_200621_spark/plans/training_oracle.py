@@ -2872,17 +2872,7 @@ KNN_BRUTE_SURVIVORS = KNN_BRUTE.replace(
 )
 
 
-TRAINING_ORACLES: dict[str, str] = {
-    "flat_index_delete_stream_view": KNN_BRUTE_SURVIVORS,
-    "flat_index_purged_stream_view": KNN_BRUTE_SURVIVORS,
-    "hot_items_mv_stream_view": HOT_ITEMS_MV,
-    "hot_items_mv_unordered_stream_view": HOT_ITEMS_MV,
-    "knn_pq_rotated": KNN_PQ_ROTATED,
-    "heavy_hitters_stream_view": HEAVY_HITTERS_VIEW,
-    "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
-    "value_quantile_purged_stream_view": VALUE_QUANTILE_VIEW,
-    "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
-    "top_customers_by_status_stream_view": """
+TOP_CUSTOMERS_BY_STATUS_VIEW = """
 WITH tot AS (
   SELECT o.o_orderstatus, o.o_custkey,
          sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
@@ -2897,7 +2887,21 @@ WITH tot AS (
   FROM tot
 )
 SELECT o_orderstatus, o_custkey, revenue, rank FROM ranked WHERE rank <= 5
-""",
+"""
+
+
+TRAINING_ORACLES: dict[str, str] = {
+    "flat_index_delete_stream_view": KNN_BRUTE_SURVIVORS,
+    "flat_index_purged_stream_view": KNN_BRUTE_SURVIVORS,
+    "hot_items_mv_stream_view": HOT_ITEMS_MV,
+    "hot_items_mv_unordered_stream_view": HOT_ITEMS_MV,
+    "knn_pq_rotated": KNN_PQ_ROTATED,
+    "heavy_hitters_stream_view": HEAVY_HITTERS_VIEW,
+    "value_quantile_stream_view": VALUE_QUANTILE_VIEW,
+    "value_quantile_purged_stream_view": VALUE_QUANTILE_VIEW,
+    "top_customers_stream_view": TOP_CUSTOMERS_VIEW,
+    "top_customers_by_status_stream_view": TOP_CUSTOMERS_BY_STATUS_VIEW,
+    "top_customers_by_status_purged_stream_view": TOP_CUSTOMERS_BY_STATUS_VIEW,
     "wordpiece_encode_freq": WORDPIECE_ENCODE_FREQ,
     "wordpiece_encode": WORDPIECE_ENCODE,
     "unigram_encode_freq": UNIGRAM_ENCODE_FREQ,

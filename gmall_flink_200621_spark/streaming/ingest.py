@@ -4987,6 +4987,46 @@ def purge_superseded_sessions(spark: SparkSession, name: str = "sessmv") -> int:
     )
 
 
+def purge_superseded_topk_groups(spark: SparkSession, name: str = "orderwide") -> int:
+    """Version GC for the GROUPED top-K MV: candidate-set versions
+    accrete per (grp, ve) between folds — every touched group writes a
+    complete new set each epoch and older ones are only read-filtered.
+    Drop versions superseded by a COMMITTED-SAFE newer one, under the
+    sessions/quantile replay guard: the newest live epoch L can be
+    replayed from its checkpoint, and that replay reads each group's
+    CURRENT candidate set from partitions ≠ L (`_ivm_topk_grouped_epoch`'s
+    prev pick is max-ve) — so a version superseded only by ve=L rows is
+    replay INPUT and must survive. Purgeable = rows with ve < (the
+    group's newest version strictly below the newest live ve): the
+    replay's max-ve filter lands on that committed version whether or
+    not older ones exist. Sentinel rows version-travel with their set
+    and purge with it. Partition mechanics are the house discipline
+    (`_gc_partitions`). Idempotent; returns partitions touched."""
+    from pyspark.sql import Window
+
+    tkg_t = f"{name}_tkg"
+    alive = live_epochs(spark.table(tkg_t), spark, tkg_t)
+    max_e = alive.agg(F.max("ve")).collect()[0][0]
+    if max_e is None:
+        return 0
+    w = Window.partitionBy("grp")
+    flagged = alive.withColumn(
+        "_safe_sup",
+        F.max(F.when(F.col("ve") < max_e, F.col("ve"))).over(w),
+    ).withColumn(
+        # NULL _safe_sup (group's only version is the newest epoch) must
+        # read as alive — the purge_quantile_rows/sessions coalesce rule
+        "_dead",
+        F.coalesce(F.col("ve") < F.col("_safe_sup"), F.lit(False)),
+    )
+    return _gc_partitions(
+        spark, tkg_t, flagged,
+        ["grp", "o_custkey", "rev", "b", "rebased", "ve"],
+        "SELECT STRING(NULL), BIGINT(NULL), CAST(NULL AS DECIMAL(18,6)),"
+        " CAST(NULL AS DECIMAL(18,6)), BOOLEAN(NULL), BIGINT(NULL) WHERE false",
+    )
+
+
 def stage_embedding_cdc_chunks(
     sf_dir: str, n_chunks: int = 4, delete_mod: int = 9, delete_rem: int = 5
 ) -> str:

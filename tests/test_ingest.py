@@ -3474,6 +3474,52 @@ class TestMvPurges:
         assert purge_superseded_sessions(spark, "t_spg") == 0  # idempotent
 
 
+    def test_topk_group_version_purge_keeps_replay_inputs(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            live_epochs,
+            purge_superseded_topk_groups,
+            run_join_ivm_stream,
+            stage_order_lineitem_chunks,
+            top_customers_by_group_view,
+        )
+
+        stage = stage_order_lineitem_chunks(sf_dir, n_chunks=3, delete_mod=7)
+        q = run_join_ivm_stream(
+            spark, sf_dir="", stage_dir=stage, name="t_tkgp",
+            maintain_agg=False, maintain_topk_grouped=5,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.catalog.refreshTable("t_tkgp_tkg")
+
+        served_before = sorted(
+            map(tuple, top_customers_by_group_view(spark, "t_tkgp", k=5).collect())
+        )
+        before = live_epochs(spark.table("t_tkgp_tkg"), spark, "t_tkgp_tkg").count()
+        assert purge_superseded_topk_groups(spark, "t_tkgp") > 0
+        alive = live_epochs(spark.table("t_tkgp_tkg"), spark, "t_tkgp_tkg")
+        assert alive.count() < before
+
+        # replay-input invariant: for every group, the newest version
+        # strictly below the newest epoch (the committed fallback the
+        # last epoch's replay reads as `prev`) is still present
+        w = Window.partitionBy("grp")
+        max_e = alive.agg(F.max("ve")).collect()[0][0]
+        dead_left = alive.withColumn(
+            "_sup", F.max(F.when(F.col("ve") < max_e, F.col("ve"))).over(w)
+        ).filter(F.col("ve") < F.col("_sup")).count()
+        assert dead_left == 0  # everything purgeable is gone
+        served_after = sorted(
+            map(tuple, top_customers_by_group_view(spark, "t_tkgp", k=5).collect())
+        )
+        assert served_after == served_before  # purge changes bytes, not results
+        assert purge_superseded_topk_groups(spark, "t_tkgp") == 0  # idempotent
+
+
 class TestFlatIndexCdc:
     """The flat vector store's delete path: any arrival order, physical
     purge, deleted-query disappearance."""
