@@ -1281,6 +1281,58 @@ def knn_ivfsq8(
     return _ivf_rank(probes, assign, qv, k, "xh", "rn2", "cosine_sq8")
 
 
+def knn_ivfsq8_filtered(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    query_mod: int = 100,
+    cent_mod: int = IVF_CENT_MOD,
+    nprobe: int = FILTERED_NPROBE,
+) -> DataFrame:
+    """FILTERED search on the SQ8 compressed rung — the label predicate
+    applied in-scan on knn_ivfsq8's asymmetric-distance path (FAISS
+    IndexIVFScalarQuantizer + IDSelector), completing the filtered
+    family across both compressed representations (PQ codes:
+    `knn_ivfpq_filtered`). Same production tuning rule: probes widen to
+    FILTERED_NPROBE because the predicate thins every list. The label
+    rides the assignment payload next to the dequantized vector, so the
+    filter costs no extra join; recall vs `knn_brute_filtered` tracks
+    the unfiltered SQ8-vs-exact gap (per-dim 8-bit resolution, near-IVF
+    recall — the high-recall compressed option)."""
+    e = _fan_out(embeddings).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    ec = (
+        e.crossJoin(F.broadcast(_sq8_stats(e)))
+        .select("vec_id", "label", "q", "n2", F.transform("q", sq8_xhat_el).alias("xh"))
+        .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
+    )
+    cents = _seed_cents(e, cent_mod)
+    assign = _ivf_assign(ec, cents, {"xh": "xh", "rn2": "rn2", "nlabel": "label"})
+    qs = e.filter(F.col("vec_id") % query_mod == 0)
+    probes = _ivf_probes(qs, cents, nprobe, extra={"qlabel": F.col("label")})
+    qv = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    scored = (
+        probes.join(assign, "list_id")
+        .filter(
+            (F.col("nlabel") == F.col("qlabel"))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine_sq8",
+            _idot(F.col("qq"), F.col("xh"))
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("rn2").cast("double"))
+            ),
+        )
+    )
+    return _rank_topk(scored, k, "cosine_sq8")
+
+
 # ---------------------------------------------------------------- PQ / ADC
 
 PQ_M = 16  # subspaces (64 dims → 16 × 4)

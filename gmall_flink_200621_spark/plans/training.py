@@ -306,6 +306,13 @@ def knn_brute_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute_filtered(_emb(spark, sf_dir))
 
 
+def knn_ivfsq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the SQ8 compressed rung: label predicate in-scan
+    on the IVF-SQ8 asymmetric-distance path, probes widened.
+    See operators/similarity.knn_ivfsq8_filtered."""
+    return V.knn_ivfsq8_filtered(_emb(spark, sf_dir))
+
+
 def knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search on the compressed rung: label predicate in-scan on
     the IVF-PQ ADC path, probes widened for the predicate's selectivity.
@@ -888,6 +895,7 @@ TRAINING_QUERIES = {
     "knn_brute_filtered": knn_brute_filtered,
     "knn_ivf_filtered": knn_ivf_filtered,
     "knn_ivfpq_filtered": knn_ivfpq_filtered,
+    "knn_ivfsq8_filtered": knn_ivfsq8_filtered,
     "knn_lsh": knn_lsh,
     "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,
@@ -1551,6 +1559,76 @@ def order_cust_wide_asof_stream_view(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 TRAINING_QUERIES["order_cust_wide_asof_stream_view"] = order_cust_wide_asof_stream_view
+
+
+def order_cust_wide_dimupd_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ternary view under the FULL CDC mix including C_UPD DIMENSION
+    updates — the SCD-vs-IVM case: a winning customer update (new
+    nationkey = old + 1 mod 25) must retract every fact row already
+    joined through that customer and re-emit it with the new attributes,
+    at O(that customer's rows). Same +2-chunk routing, so only chunk-0
+    customers' updates win and chunk-1/2 customers' later inserts
+    supersede theirs — both arrival orders in the hash. Runs alongside
+    O_DEL tombstones and cross-customer O_UPD order upserts, so the
+    retire priority chain (delete > order-upsert > dim-update, each row
+    once) is exercised, and fold_every pins both version data columns
+    surviving the watermark fold."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        order_cust_wide_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_ocwcuview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, update_mod=11, cust_update_mod=13
+    )
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2,
+        maintain_agg=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_v", f"{name}_d", f"{name}_u", f"{name}_cu"):
+        spark.catalog.refreshTable(t)
+    return order_cust_wide_view(spark, name)
+
+
+TRAINING_QUERIES["order_cust_wide_dimupd_stream_view"] = order_cust_wide_dimupd_stream_view
+
+
+def revenue_by_nation_dimupd_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-NATION MV under dimension updates: a winning C_UPD moves
+    the customer's ENTIRE revenue mass from the old nation to the new
+    one — the aggregate-level signature of the SCD retract-and-emit,
+    which a broken dimension-hop retraction cannot hide from the
+    25-row per-nation hashes."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        revenue_by_nation_ivm_view,
+        run_join3_ivm_stream,
+        stage_cust_order_lineitem_chunks,
+    )
+
+    name = f"q_rbncuview_{sf_namespace(sf_dir)}"
+    stage = stage_cust_order_lineitem_chunks(
+        sf_dir, n_chunks=3, delete_mod=7, update_mod=11, cust_update_mod=13
+    )
+    q = run_join3_ivm_stream(
+        spark, sf_dir="", stage_dir=stage, name=name, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.catalog.refreshTable(f"{name}_agg")
+    return revenue_by_nation_ivm_view(spark, name)
+
+
+TRAINING_QUERIES["revenue_by_nation_dimupd_stream_view"] = (
+    revenue_by_nation_dimupd_stream_view
+)
 
 
 def bm25_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -671,6 +671,63 @@ SELECT query_id, neighbor_id, round(cosine_sq8, 6) AS cosine_sq8, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
 
+# filtered IVF-SQ8: the label predicate applied to candidates inside the
+# probed lists before asymmetric-distance scoring, probes widened to
+# FILTERED_NPROBE — KNN_IVFSQ8 with the label riding assign/probes
+KNN_IVFSQ8_FILTERED = f"""
+WITH e AS (SELECT vec_id, label, {_QVEC} AS q FROM embeddings),
+dims AS (
+  SELECT g.i AS pos, min(q[g.i]) AS mn, max(q[g.i]) - min(q[g.i]) AS st
+  FROM e, generate_series(1, {DIM}) AS g(i)
+  GROUP BY g.i
+),
+stats AS (SELECT list(mn ORDER BY pos) AS mn, list(st ORDER BY pos) AS step FROM dims),
+recon AS (
+  SELECT vec_id, xh, {_IDOT.format(n=DIM, a="xh", b="xh")} AS rn2 FROM (
+    SELECT vec_id,
+           list_transform(generate_series(1, {DIM}), i -> {_SQ8_XHAT}) AS xh
+    FROM e, stats)
+),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % {IVF_CENT_MOD} = 1),
+assign AS (
+  SELECT vec_id, label, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.label, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qlabel, cent_id AS list_id FROM (
+    SELECT qs.vec_id AS query_id, qs.label AS qlabel, c.cent_id,
+           row_number() OVER (PARTITION BY qs.vec_id
+                              ORDER BY {_cosine_sql("qs.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e qs, cents c WHERE qs.vec_id % 100 = 0
+  ) WHERE rn <= {FILTERED_NPROBE}
+),
+qs2 AS (
+  SELECT vec_id AS query_id, q AS qq, {_IDOT.format(n=DIM, a="q", b="q")} AS qn2
+  FROM e WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ({_IDOT.format(n=DIM, a="qv.qq", b="r.xh")})
+           / (sqrt(qv.qn2::DOUBLE) * sqrt(r.rn2::DOUBLE)) AS cosine_sq8
+  FROM probes p
+  JOIN assign a ON p.list_id = a.list_id AND a.label = p.qlabel
+  JOIN qs2 qv ON qv.query_id = p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sq8,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sq8 DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine_sq8, 6) AS cosine_sq8, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
 
 def _rp_proj_sql() -> str:
     """The 16 projected-and-downscaled components as a SQL list literal —
@@ -2358,6 +2415,41 @@ WHERE o.o_orderkey % 7 <> 0
 GROUP BY c.c_nationkey
 """
 
+# full mix WITH dimension updates: effective orders (cross-customer
+# O_UPD) ⋈ effective customers (C_UPD: nationkey+1 mod 25, winning only
+# for chunk-0 customers under the same +2-chunk routing)
+_CUST3_UPDATE_EFF = """
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 AND c_custkey % 3 = 0
+              THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey
+  FROM customer
+"""
+
+ORDER_CUST_WIDE_DIMUPD_VIEW = f"""
+WITH eff_o AS ({_ORDERS3_UPSERT_EFF}),
+eff_c AS ({_CUST3_UPDATE_EFF})
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, c.c_nationkey,
+       round(l.l_extendedprice * (1 - l.l_discount), 6) AS revenue
+FROM eff_o o
+JOIN eff_c c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+"""
+
+REVENUE_BY_NATION_DIMUPD_VIEW = f"""
+WITH eff_o AS ({_ORDERS3_UPSERT_EFF}),
+eff_c AS ({_CUST3_UPDATE_EFF})
+SELECT c.c_nationkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM eff_o o
+JOIN eff_c c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 7 <> 0
+GROUP BY c.c_nationkey
+"""
+
 # ternary time-travel twin: AS OF epoch 1 of the 3-chunk inserts-only
 # replay. Each three-way tuple is emitted in the epoch its LATEST side
 # arrived (customers chunk c_custkey % 3, orders o_orderkey % 3, lines
@@ -2949,6 +3041,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_brute_filtered": KNN_BRUTE_FILTERED,
     "knn_ivf_filtered": KNN_IVF_FILTERED,
     "knn_ivfpq_filtered": KNN_IVFPQ_FILTERED,
+    "knn_ivfsq8_filtered": KNN_IVFSQ8_FILTERED,
     "knn_lsh": KNN_LSH,
     "knn_lsh_multiprobe": KNN_LSH_MULTIPROBE,
     "knn_ivf": KNN_IVF,
@@ -2979,6 +3072,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "order_cust_wide_stream_view": ORDER_CUST_WIDE_VIEW,
     "order_cust_wide_upsert_stream_view": ORDER_CUST_WIDE_UPSERT_VIEW,
     "order_cust_wide_asof_stream_view": ORDER_CUST_WIDE_ASOF_VIEW,
+    "order_cust_wide_dimupd_stream_view": ORDER_CUST_WIDE_DIMUPD_VIEW,
+    "revenue_by_nation_dimupd_stream_view": REVENUE_BY_NATION_DIMUPD_VIEW,
     "revenue_by_nation_ivm_stream_view": REVENUE_BY_NATION_IVM_VIEW,
     "revenue_by_nation_ivm_upsert_stream_view": REVENUE_BY_NATION_IVM_UPSERT_VIEW,
     "revenue_by_region_ivm_stream_view": REVENUE_BY_REGION_IVM_VIEW,

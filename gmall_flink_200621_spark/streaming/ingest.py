@@ -3092,6 +3092,7 @@ def stage_cust_order_lineitem_chunks(
     n_chunks: int = 3,
     delete_mod: int | None = None,
     update_mod: int | None = None,
+    cust_update_mod: int | None = None,
 ) -> str:
     """Stage customer + orders + lineitem as ONE interleaved arrival feed
     for the THREE-way join IVM: three tables' inserts multiplexed through
@@ -3111,7 +3112,14 @@ def stage_cust_order_lineitem_chunks(
     `o_custkey % max(c_custkey) + 1` — always a DIFFERENT, EXISTING
     customer (keys are 1..N contiguous), so a winning upsert re-routes
     the order's revenue through another customer's nation and a broken
-    retract-and-emit shows in the per-nation aggregate hashes."""
+    retract-and-emit shows in the per-nation aggregate hashes.
+
+    `cust_update_mod=m` adds a `C_UPD` DIMENSION update for every
+    customer with c_custkey % m == 0 — new c_nationkey = (old + 1) % 25
+    — routed two chunks after the insert by the same rule. This is the
+    SCD-vs-IVM hard case: a dimension-side update must retract and
+    re-emit EVERY fact row already joined through that customer, at
+    O(that customer's rows), never a view rebuild."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3151,44 +3159,57 @@ def stage_cust_order_lineitem_chunks(
                 (o["o_orderkey"] % update_mod == 0)
                 & ((o["o_orderkey"] % n_chunks + 2) % n_chunks == i)
             ]
-        n_c, n_o, n_l, n_d, n_u = len(cc), len(oc), len(lc), len(dk), len(up)
+        cu = c.iloc[0:0]
+        if cust_update_mod:
+            cu = c[
+                (c["c_custkey"] % cust_update_mod == 0)
+                & ((c["c_custkey"] % n_chunks + 2) % n_chunks == i)
+            ]
+        n_c, n_o, n_l, n_d, n_u, n_cu = (
+            len(cc), len(oc), len(lc), len(dk), len(up), len(cu),
+        )
         cols = {
             "side": ["C"] * n_c + ["O"] * n_o + ["L"] * n_l + ["O_DEL"] * n_d
-            + ["O_UPD"] * n_u,
+            + ["O_UPD"] * n_u + ["C_UPD"] * n_cu,
             "c_custkey": pa.array(
-                list(cc["c_custkey"]) + [None] * (n_o + n_l + n_d + n_u), pa.int64()
+                list(cc["c_custkey"]) + [None] * (n_o + n_l + n_d + n_u)
+                + list(cu["c_custkey"]),
+                pa.int64(),
             ),
             "c_nationkey": pa.array(
-                [int(x) for x in cc["c_nationkey"]] + [None] * (n_o + n_l + n_d + n_u),
+                [int(x) for x in cc["c_nationkey"]] + [None] * (n_o + n_l + n_d + n_u)
+                + [(int(x) + 1) % 25 for x in cu["c_nationkey"]],
                 pa.int32(),
             ),
             "o_orderkey": pa.array(
                 [None] * n_c + list(oc["o_orderkey"]) + [None] * n_l + dk
-                + list(up["o_orderkey"]),
+                + list(up["o_orderkey"]) + [None] * n_cu,
                 pa.int64(),
             ),
             "o_custkey": pa.array(
                 [None] * n_c + list(oc["o_custkey"]) + [None] * (n_l + n_d)
-                + [int(x) % max_ck + 1 for x in up["o_custkey"]],
+                + [int(x) % max_ck + 1 for x in up["o_custkey"]] + [None] * n_cu,
                 pa.int64(),
             ),
             "l_orderkey": pa.array(
-                [None] * (n_c + n_o) + list(lc["l_orderkey"]) + [None] * (n_d + n_u),
+                [None] * (n_c + n_o) + list(lc["l_orderkey"])
+                + [None] * (n_d + n_u + n_cu),
                 pa.int64(),
             ),
             "l_linenumber": pa.array(
                 [None] * (n_c + n_o)
                 + [int(x) for x in lc["l_linenumber"]]
-                + [None] * (n_d + n_u),
+                + [None] * (n_d + n_u + n_cu),
                 pa.int32(),
             ),
             "l_extendedprice": pa.array(
                 [None] * (n_c + n_o) + list(lc["l_extendedprice"])
-                + [None] * (n_d + n_u),
+                + [None] * (n_d + n_u + n_cu),
                 pa.float64(),
             ),
             "l_discount": pa.array(
-                [None] * (n_c + n_o) + list(lc["l_discount"]) + [None] * (n_d + n_u),
+                [None] * (n_c + n_o) + list(lc["l_discount"])
+                + [None] * (n_d + n_u + n_cu),
                 pa.float64(),
             ),
         }
@@ -3248,14 +3269,14 @@ def run_join3_ivm_stream(
     per-nation oracle). Time travel (`order_cust_wide_view_asof`) is the
     same epoch-≤ composition as the binary AS-OF."""
     c_t, o_t, l_t = f"{name}_c", f"{name}_o", f"{name}_l"
-    v_t, d_t, u_t = f"{name}_v", f"{name}_d", f"{name}_u"
+    v_t, d_t, u_t, cu_t = f"{name}_v", f"{name}_d", f"{name}_u", f"{name}_cu"
     agg_t = f"{name}_agg" if maintain_agg else None
     if fresh_tables:
-        for t in (c_t, o_t, l_t, v_t, d_t, u_t, f"{name}_agg"):
+        for t in (c_t, o_t, l_t, v_t, d_t, u_t, cu_t, f"{name}_agg"):
             _drop_table(spark, t)
         spark.sql(
-            f"CREATE TABLE {c_t} (c_custkey BIGINT, c_nationkey INT)"
-            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+            f"CREATE TABLE {c_t} (c_custkey BIGINT, c_nationkey INT,"
+            f" c_version BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
             f"CREATE TABLE {o_t} (o_orderkey BIGINT, o_custkey BIGINT,"
@@ -3269,7 +3290,8 @@ def run_join3_ivm_stream(
         spark.sql(
             f"CREATE TABLE {v_t} (o_orderkey BIGINT, l_linenumber INT,"
             f" o_custkey BIGINT, c_nationkey INT, revenue DOUBLE,"
-            f" o_version BIGINT) USING parquet PARTITIONED BY (epoch BIGINT)"
+            f" o_version BIGINT, c_version BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
             f"CREATE TABLE {d_t} (o_orderkey BIGINT)"
@@ -3277,6 +3299,10 @@ def run_join3_ivm_stream(
         )
         spark.sql(
             f"CREATE TABLE {u_t} (o_orderkey BIGINT, ue BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {cu_t} (c_custkey BIGINT, cue BIGINT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         if agg_t:
@@ -3296,7 +3322,7 @@ def run_join3_ivm_stream(
     def ivm3_batch(df: DataFrame, epoch_id: int) -> None:
         _ivm3_epoch(
             df, epoch_id, c_t, o_t, l_t, v_t, d_t, agg_t, fold_every, refold_width,
-            u_t=u_t,
+            u_t=u_t, cu_t=cu_t,
         )
 
     w = feed.writeStream.foreachBatch(ivm3_batch).queryName(f"{name}_q")
@@ -3317,6 +3343,7 @@ def _ivm3_epoch(
     fold_every: int | None,
     refold_width: int | None,
     u_t: str | None = None,
+    cu_t: str | None = None,
 ) -> None:
     """One ternary delta-rule micro-batch — the later-side-emit triangle
     in three dimensions, under the same exactly-once discipline as
@@ -3344,16 +3371,44 @@ def _ivm3_epoch(
     superseded version must not co-emit anywhere. Retraction then pulls
     the key's current pre-epoch rows (which carry the OLD o_custkey /
     nation) out of the aggregate MV — the cross-customer movement
-    case."""
+    case.
+
+    C_UPD DIMENSION updates apply the identical design at the CUSTOMER
+    hop — the SCD-vs-IVM case: a winning dimension update RETRACTS every
+    fact row currently joined through that customer (they carry the old
+    c_nationkey) and term 1 re-emits the customer's full current row set
+    with the new attributes — O(that customer's rows), never a view
+    rebuild. Versioning is symmetric: `c_version` data column on
+    customer state and view rows, re-updates logged to `cu_t`, state and
+    retire scans keep each customer's newest version, and terms 2/3 use
+    customer state EXCLUDING this batch's ΔC keys (term 1 owns them)."""
     s = df.sparkSession
-    for t in (c_t, o_t, l_t, v_t) + tuple(x for x in (d_t, u_t, agg_t) if x):
+    for t in (c_t, o_t, l_t, v_t) + tuple(x for x in (d_t, u_t, cu_t, agg_t) if x):
         merge = None
         if t == agg_t:
             merge = _ivm3_agg_merge
         elif t == u_t:
             merge = _ivm_u_merge
+        elif t == cu_t:
+            merge = _ivm3_cu_merge
         _maybe_fold(s, t, epoch_id, fold_every, merge=merge, refold_width=refold_width)
-    d_c = df.filter(F.col("side") == "C").select("c_custkey", "c_nationkey")
+    if cu_t is not None:
+        # dimension-update resolve: C and C_UPD are both versions of the
+        # customer; within a batch C_UPD wins, then greatest attributes
+        d_c = (
+            df.filter(F.col("side").isin("C", "C_UPD"))
+            .select(
+                "c_custkey",
+                F.when(F.col("side") == "C_UPD", F.lit(1)).otherwise(F.lit(0)).alias("prio"),
+                "c_nationkey",
+            )
+            .groupBy("c_custkey")
+            .agg(F.max(F.struct("prio", "c_nationkey")).alias("m"))
+            .select("c_custkey", F.col("m.c_nationkey").alias("c_nationkey"))
+        )
+    else:
+        d_c = df.filter(F.col("side") == "C").select("c_custkey", "c_nationkey")
+    d_c = d_c.withColumn("c_version", F.lit(epoch_id).cast("long"))
     if u_t is not None:
         # upsert resolve: O and O_UPD are both versions of the key;
         # within a batch O_UPD wins, then the greatest attribute struct —
@@ -3399,6 +3454,21 @@ def _ivm3_epoch(
             .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
             .drop("ue")
         )
+    cu_lat = None
+    if cu_t is not None:
+        cu_lat = (
+            live_epochs(s.table(cu_t), s, cu_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+            .groupBy("c_custkey")
+            .agg(F.max("cue").alias("cue"))
+        )
+        # symmetric last-write-wins at the dimension hop
+        c_state = (
+            c_state.join(F.broadcast(cu_lat), "c_custkey", "left")
+            .filter(F.col("cue").isNull() | (F.col("c_version") == F.col("cue")))
+            .drop("cue")
+        )
     d_del = hist_o = None
     if d_t is not None:
         d_del = df.filter(F.col("side") == "O_DEL").select("o_orderkey")
@@ -3428,6 +3498,24 @@ def _ivm3_epoch(
         o_state_x = o_state.join(
             F.broadcast(d_o.select("o_orderkey")), "o_orderkey", "left_anti"
         )
+    d_cu = None
+    c_state_x = c_state
+    if cu_t is not None and not d_c.isEmpty():
+        # a customer is RE-updated iff a current prior version exists
+        # (a C_UPD arriving before its insert simply inserts; the later
+        # insert supersedes it)
+        d_cu = (
+            c_state.select("c_custkey")
+            .join(F.broadcast(d_c.select("c_custkey")), "c_custkey", "left_semi")
+            .distinct()
+            .withColumn("cue", F.lit(epoch_id).cast("long"))
+        )
+        # customers touched this batch are owned by term 1 (ΔC ⋈ the O
+        # closure re-emits their full row set) — exclude their superseded
+        # state versions from terms 2 and 3
+        c_state_x = c_state.join(
+            F.broadcast(d_c.select("c_custkey")), "c_custkey", "left_anti"
+        )
     o_all = o_state_x.unionByName(d_o)
     l_all = l_state.unionByName(d_l)
 
@@ -3440,42 +3528,54 @@ def _ivm3_epoch(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
                 "revenue"
             ),
-            # each view row carries the version of the order row that
-            # emitted it — the read-side last-write-wins filter's key
+            # each view row carries the versions of the order AND
+            # customer rows that emitted it — the read-side
+            # last-write-wins filters' keys
             "o_version",
+            "c_version",
         )
 
     mo1 = F.broadcast(d_c).join(o_all, F.col("c_custkey") == F.col("o_custkey"))
     t1 = proj(F.broadcast(mo1).join(l_all, F.col("o_orderkey") == F.col("l_orderkey")))
-    mo2 = F.broadcast(d_o).join(c_state, F.col("o_custkey") == F.col("c_custkey"))
+    mo2 = F.broadcast(d_o).join(c_state_x, F.col("o_custkey") == F.col("c_custkey"))
     t2 = proj(F.broadcast(mo2).join(l_all, F.col("o_orderkey") == F.col("l_orderkey")))
     ol3 = F.broadcast(d_l).join(o_state_x, F.col("o_orderkey") == F.col("l_orderkey"))
-    t3 = proj(c_state.join(F.broadcast(ol3), F.col("c_custkey") == F.col("o_custkey")))
+    t3 = proj(c_state_x.join(F.broadcast(ol3), F.col("c_custkey") == F.col("o_custkey")))
     d_v = t1.unionByName(t2).unionByName(t3)
 
     has_od = d_del is not None and not d_del.isEmpty()
     has_upd = d_u is not None and not d_u.isEmpty()
+    has_cupd = d_cu is not None and not d_cu.isEmpty()
     retired = None
-    if agg_t is not None and (has_od or has_upd):
+    if agg_t is not None and (has_od or has_upd or has_cupd):
         pre_v = (
             live_epochs(s.table(v_t), s, v_t)
             .filter(F.col("epoch") != epoch_id)
             .drop("epoch")
         )
-        # rows superseded by an EARLIER upsert were retracted at that
-        # upsert's epoch — only each key's current version is in scope
+        # rows superseded by an EARLIER upsert (either hop) were
+        # retracted at that epoch — only current versions are in scope
         if u_lat is not None:
             pre_v = (
                 pre_v.join(F.broadcast(u_lat), "o_orderkey", "left")
                 .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
                 .drop("ue")
             )
+        if cu_lat is not None:
+            cu_lat_v = cu_lat.withColumnRenamed("c_custkey", "o_custkey")
+            pre_v = (
+                pre_v.join(F.broadcast(cu_lat_v), "o_custkey", "left")
+                .filter(F.col("cue").isNull() | (F.col("c_version") == F.col("cue")))
+                .drop("cue")
+            )
         eligible = pre_v
         if hist_o is not None:
             eligible = eligible.join(hist_o, "o_orderkey", "left_anti")
         # each eligible row retires at most once: first-seen deletes win
         # over same-batch upserts (d_o was delete-cleansed, so no new
-        # rows re-emit for a deleted key)
+        # rows re-emit for a deleted key), order upserts over dimension
+        # updates (the order's rows fully re-emit under term 1/2 either
+        # way — priority only keeps the retraction single-counted)
         parts = []
         rest = eligible
         if has_od:
@@ -3486,6 +3586,10 @@ def _ivm3_epoch(
             uk = d_u.select("o_orderkey")
             parts.append(rest.join(F.broadcast(uk), "o_orderkey", "left_semi"))
             rest = rest.join(F.broadcast(uk), "o_orderkey", "left_anti")
+        if has_cupd:
+            ck = d_cu.select(F.col("c_custkey").alias("o_custkey"))
+            parts.append(rest.join(F.broadcast(ck), "o_custkey", "left_semi"))
+            rest = rest.join(F.broadcast(ck), "o_custkey", "left_anti")
         retired = parts[0]
         for p in parts[1:]:
             retired = retired.unionByName(p)
@@ -3512,6 +3616,10 @@ def _ivm3_epoch(
         if d_u is None:
             d_u = s.createDataFrame([], "o_orderkey long, ue long")
         _ivm_write_epoch(s, d_u, u_t, epoch_id)
+    if cu_t is not None:
+        if d_cu is None:
+            d_cu = s.createDataFrame([], "c_custkey long, cue long")
+        _ivm_write_epoch(s, d_cu, cu_t, epoch_id)
 
 
 def _ivm3_agg_merge(df: DataFrame) -> DataFrame:
@@ -3523,12 +3631,20 @@ def _ivm3_agg_merge(df: DataFrame) -> DataFrame:
     )
 
 
+def _ivm3_cu_merge(df: DataFrame) -> DataFrame:
+    """Dimension-update-log fold merge: readers only consume the
+    per-customer MAX(cue) — `_ivm_u_merge`'s contract at the customer
+    hop."""
+    return df.groupBy("c_custkey").agg(F.max("cue").alias("cue"))
+
+
 def order_cust_wide_view(spark: SparkSession, name: str = "custwide") -> DataFrame:
     """The maintained three-way join view's live rows — equals the batch
     customer ⋈ orders ⋈ lineitem projection over never-deleted orders
-    with each upserted order's newest version's attributes. Fold-aware
-    via `live_epochs`; order tombstones anti-joined and superseded
-    versions filtered at read, exactly like the binary view."""
+    with each upserted order's — and dimension-updated customer's —
+    newest version's attributes. Fold-aware via `live_epochs`; order
+    tombstones anti-joined and superseded versions of BOTH hops filtered
+    at read, exactly like the binary view."""
     v = live_epochs(spark.table(f"{name}_v"), spark, f"{name}_v").drop("epoch")
     if spark.catalog.tableExists(f"{name}_d"):
         dead = live_epochs(spark.table(f"{name}_d"), spark, f"{name}_d").drop("epoch")
@@ -3545,7 +3661,20 @@ def order_cust_wide_view(spark: SparkSession, name: str = "custwide") -> DataFra
             .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
             .drop("ue")
         )
-    return v.drop("o_version")
+    if spark.catalog.tableExists(f"{name}_cu"):
+        cu_lat = (
+            live_epochs(spark.table(f"{name}_cu"), spark, f"{name}_cu")
+            .drop("epoch")
+            .groupBy("c_custkey")
+            .agg(F.max("cue").alias("cue"))
+            .withColumnRenamed("c_custkey", "o_custkey")
+        )
+        v = (
+            v.join(F.broadcast(cu_lat), "o_custkey", "left")
+            .filter(F.col("cue").isNull() | (F.col("c_version") == F.col("cue")))
+            .drop("cue")
+        )
+    return v.drop("o_version", "c_version")
 
 
 def order_cust_wide_view_asof(
@@ -3581,7 +3710,19 @@ def order_cust_wide_view_asof(
             .filter(F.col("ue").isNull() | (F.col("o_version") == F.col("ue")))
             .drop("ue")
         )
-    return v.drop("o_version")
+    if spark.catalog.tableExists(f"{name}_cu"):
+        cu_lat = (
+            upto(f"{name}_cu")
+            .groupBy("c_custkey")
+            .agg(F.max("cue").alias("cue"))
+            .withColumnRenamed("c_custkey", "o_custkey")
+        )
+        v = (
+            v.join(F.broadcast(cu_lat), "o_custkey", "left")
+            .filter(F.col("cue").isNull() | (F.col("c_version") == F.col("cue")))
+            .drop("cue")
+        )
+    return v.drop("o_version", "c_version")
 
 
 def revenue_by_nation_ivm_view(spark: SparkSession, name: str = "custwide") -> DataFrame:

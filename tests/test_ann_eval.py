@@ -139,6 +139,14 @@ FILTERED_PQ_EXPECTED = {
     "sf0.01": (25, 25, 12, 0.48),
 }
 
+# the SQ8 rung keeps per-dim resolution, so its filtered recall matches
+# the exact-scored ivf_filtered at these SFs — the PQ-vs-SQ8 contrast
+# (0.48-0.64 vs 1.0) is the compression-resolution tradeoff, pinned.
+FILTERED_SQ8_EXPECTED = {
+    "sf0.001": (25, 25, 25, 1.0),
+    "sf0.01": (25, 25, 25, 1.0),
+}
+
 
 def test_filtered_ann_recall_pinned(spark, sf_dir):
     """Filtered-search ratchet: knn_ivf_filtered's recall against the
@@ -190,3 +198,16 @@ def test_filtered_ann_recall_pinned(spark, sf_dir):
     assert got_q == pqf
     assert nc_q <= n_common  # ADC never beats exact scoring of the same lists
     assert nc_q > post
+
+    # the SQ8 rung: per-dim 8-bit codes keep enough resolution that its
+    # filtered recall matches the exact-scored ivf_filtered here — the
+    # compression-resolution tradeoff vs the PQ rung, pinned
+    sq8f = None
+    for sf, vals in FILTERED_SQ8_EXPECTED.items():
+        if sf_dir.rstrip("/").endswith(sf):
+            sq8f = vals
+    ms = V.knn_ivfsq8_filtered(emb).select("query_id", "neighbor_id")
+    nm_s = ms.count()
+    nc_s = ms.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    assert (n_exact, nm_s, nc_s, round(nc_s / n_exact, 6)) == sq8f
+    assert nc_s >= nc_q  # SQ8 resolution dominates PQ codes on this corpus
