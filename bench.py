@@ -158,6 +158,11 @@ BENCH_QUERIES = [
     "unigram_lm_vocab",
     "wordpiece_encode_freq",
     "unigram_encode_freq",
+    "rfm_segments",
+    "knn_ivfpq_filtered",
+    "knn_ivfsq8_filtered",
+    "wordpiece_encode",
+    "unigram_encode",
 ]
 
 
