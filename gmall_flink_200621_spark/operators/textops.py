@@ -534,7 +534,9 @@ def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN, bucket: int = PACK_BU
     then an intra-bucket cumsum windowed per bucket. Every remaining
     single-task stage is bounded by the partition COUNT, not the data."""
     d = _fan_out(docs).select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-    d = d.withColumn("bucket", F.floor(F.col("doc_id") / bucket))
+    # persisted: the bucket-subtotal frame feeds global_prefix_sum (which
+    # reads it twice) AND the final join — one tokenize pass, not three
+    d = d.withColumn("bucket", F.floor(F.col("doc_id") / bucket)).persist()
     from pyspark.sql import Window
 
     from .ranking import global_prefix_sum
@@ -680,8 +682,11 @@ def importance_weights(
     # totals as a 1-row agg broadcast back — never a partition-less
     # window node, so the no-single-partition-Window plan pin holds
     # with zero exemptions (the frame is ≤`buckets` rows either way)
-    tots = stats.agg(
-        F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot")
+    # totals straight off the PERSISTED tokb (not via stats — that would
+    # recompute the bucket agg a second time): one cached pass each
+    tots = tokb.agg(
+        F.sum("cnt").alias("r_tot"),
+        F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("t_tot"),
     )
     stats = stats.crossJoin(F.broadcast(tots))
     lr = stats.select(
@@ -732,8 +737,9 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
     )
     lm = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c"))
     # n_tot via 1-row agg + broadcast cross join (see importance_weights
-    # — keeps the plan free of partition-less Window nodes)
-    lm = lm.crossJoin(F.broadcast(lm.agg(F.sum("c").alias("n_tot"))))
+    # — keeps the plan free of partition-less Window nodes); computed off
+    # the persisted tokb so the LM agg isn't run twice
+    lm = lm.crossJoin(F.broadcast(tokb.agg(F.sum("cnt").alias("n_tot"))))
     logp = lm.select(
         "bucket",
         (
@@ -747,6 +753,10 @@ def perplexity_buckets(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFram
             F.sum("cnt").cast("int").alias("n_tokens"),
             F.round(-F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 6).alias("cross_entropy"),
         )
+        # persisted: global_rank_ntile reads its input twice (range
+        # partition + per-partition counts) — without this the whole
+        # explode-join-agg lineage runs twice
+        .persist()
     )
     from .ranking import global_rank_ntile
 
@@ -1005,9 +1015,10 @@ def source_divergence(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame
     )
     src_tot = tokb.groupBy("source").agg(F.sum("cnt").alias("s_tot"))
     corpus = tokb.groupBy("bucket").agg(F.sum("cnt").alias("c_cnt"))
-    # c_tot via 1-row agg + broadcast (the no-global-Window discipline)
+    # c_tot via 1-row agg + broadcast (the no-global-Window discipline),
+    # off the persisted tokb so the bucket agg isn't run twice
     corpus = corpus.crossJoin(
-        F.broadcast(corpus.agg(F.sum("c_cnt").alias("c_tot")))
+        F.broadcast(tokb.agg(F.sum("cnt").alias("c_tot")))
     )
     # per (source, bucket): smoothed p (source) and q (corpus); buckets
     # absent from a source still contribute — generate the full grid from

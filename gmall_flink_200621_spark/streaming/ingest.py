@@ -3267,7 +3267,14 @@ def run_join3_ivm_stream(
     pulls the old rows out of the OLD customer's nation while ΔV adds
     them under the new one (cross-NATION movement, pinned by the
     per-nation oracle). Time travel (`order_cust_wide_view_asof`) is the
-    same epoch-≤ composition as the binary AS-OF."""
+    same epoch-≤ composition as the binary AS-OF.
+
+    C_UPD DIMENSION updates are the same design applied at the CUSTOMER
+    hop — the SCD-vs-IVM case (see `_ivm3_epoch`): a winning dimension
+    update retracts every fact row joined through that customer and
+    re-emits the full current set with the new attributes, O(that
+    customer's rows); `c_version` + the `<name>_cu` log mirror the
+    order-side machinery symmetrically."""
     c_t, o_t, l_t = f"{name}_c", f"{name}_o", f"{name}_l"
     v_t, d_t, u_t, cu_t = f"{name}_v", f"{name}_d", f"{name}_u", f"{name}_cu"
     agg_t = f"{name}_agg" if maintain_agg else None

@@ -2299,6 +2299,95 @@ class TestJoinIvm:
             os.utime(p, (base + i, base + i))
         return stage
 
+    def test_join3_ivm_dimension_update_retract_and_emit(self, spark, tmp_path):
+        """Planted C_UPD semantics: (a) update-after-insert WINS — every
+        fact row joined through the customer retracts from the old
+        nation and re-emits with the new one; (b) update-BEFORE-insert
+        is superseded by the later insert (last write wins); (c) an
+        untouched customer's rows and aggregate are byte-unaffected."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from gmall_flink_200621_spark.streaming.ingest import (
+            order_cust_wide_view,
+            revenue_by_nation_ivm_view,
+            run_join3_ivm_stream,
+        )
+
+        schema = pa.schema(
+            [
+                ("side", pa.string()),
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int32()),
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+
+        def row(side, ck=None, nk=None, ok=None, ock=None, lk=None, ln=None, px=None):
+            return {
+                "side": side, "c_custkey": ck, "c_nationkey": nk,
+                "o_orderkey": ok, "o_custkey": ock, "l_orderkey": lk,
+                "l_linenumber": ln, "l_extendedprice": px,
+                "l_discount": 0.0 if side == "L" else None,
+            }
+
+        chunk0 = [
+            row("C", ck=1, nk=100),
+            row("O", ok=10, ock=1),
+            row("L", lk=10, ln=1, px=100.0),
+            row("L", lk=10, ln=2, px=30.0),
+            row("C_UPD", ck=2, nk=999),  # update BEFORE insert — must lose
+            row("C", ck=3, nk=300),  # untouched control
+            row("O", ok=31, ock=3),
+            row("L", lk=31, ln=1, px=5.0),
+        ]
+        chunk1 = [
+            row("C_UPD", ck=1, nk=101),  # winning dim update: both of 10's
+            # rows retract from nation 100 and re-emit under 101
+            row("C", ck=2, nk=200),  # later insert supersedes the C_UPD
+            row("O", ok=20, ock=2),
+            row("L", lk=20, ln=1, px=50.0),
+        ]
+        stage = str(tmp_path / "cu3stage")
+        os.makedirs(stage)
+        base = None
+        for i, rows in enumerate((chunk0, chunk1)):
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq_.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+            base = base or os.stat(p).st_mtime
+            os.utime(p, (base + i, base + i))
+
+        q = run_join3_ivm_stream(spark, sf_dir="", stage_dir=stage, name="t_ivm3cu")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ivm3cu_v", "t_ivm3cu_cu", "t_ivm3cu_agg"):
+            spark.catalog.refreshTable(t)
+        got = sorted(
+            (r.o_orderkey, r.l_linenumber, r.o_custkey, r.c_nationkey, r.revenue)
+            for r in order_cust_wide_view(spark, "t_ivm3cu").collect()
+        )
+        assert got == [
+            (10, 1, 1, 101, 100.0),  # re-emitted with the new nation
+            (10, 2, 1, 101, 30.0),
+            (20, 1, 2, 200, 50.0),  # the losing C_UPD left no trace
+            (31, 1, 3, 300, 5.0),  # untouched
+        ]
+        agg = {
+            r.c_nationkey: (r.n_items, r.revenue)
+            for r in revenue_by_nation_ivm_view(spark, "t_ivm3cu").collect()
+        }
+        # nation 100 netted to zero (retracted wholesale) and dropped;
+        # 101 carries the full re-emitted mass; 999 never materialized
+        assert agg == {101: (2, 130.0), 200: (1, 50.0), 300: (1, 5.0)}
+
     def test_join3_ivm_arrival_orders_and_retraction(self, spark, tmp_path):
         """Ternary delta rule, planted: every relative arrival order of a
         tuple's three sides emits it exactly once, delete-before-insert
