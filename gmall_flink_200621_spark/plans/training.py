@@ -1686,6 +1686,69 @@ def bm25_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame
 TRAINING_QUERIES["bm25_index_delete_stream_view"] = bm25_index_delete_stream_view
 
 
+def dedup_lsh_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-DUP index as a CDC consumer under the oracle gate: the
+    3-chunk document replay carries D_DEL tombstones for every
+    doc_id % 7 == 0 (7 is coprime to the 3 chunks, so tombstones spread
+    across ALL chunks and delete-before-insert genuinely occurs:
+    chunk-2 keys delete in chunk 0),
+    inserts cleansed against live tombstones, pairs retracted at read
+    when either side died. The oracle is batch MinHash-LSH over
+    SURVIVING documents — certifying a dedup index that FORGETS:
+    deleted docs neither suppress future near-dups nor appear in served
+    pairs, at any delete arrival order, across folds."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import neardup_pairs_view, run_neardup_cdc_stream
+
+    name = f"q_ndcdcd_{sf_namespace(sf_dir)}"
+    q = run_neardup_cdc_stream(
+        spark, sf_dir, n_chunks=3, name=name, delete_mod=7,
+        fold_every=2, refold_width=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_bands", f"{name}_shsets", f"{name}_pairs", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    return neardup_pairs_view(spark, name)
+
+
+TRAINING_QUERIES["dedup_lsh_index_delete_stream_view"] = dedup_lsh_index_delete_stream_view
+
+
+def dedup_lsh_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup CDC index after PHYSICAL purge: dead docs' bands,
+    shingle sets and dead-sided pairs rewritten out of exactly the
+    partitions that hold them (newest-epoch replay guard — see
+    `purge_neardup_dead`), run twice to pin idempotence; the served
+    pairs must be read-identical, so the twin shares the delete gate's
+    oracle. Purge changes bytes, not results."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        neardup_pairs_view,
+        purge_neardup_dead,
+        run_neardup_cdc_stream,
+    )
+
+    name = f"q_ndcdcp_{sf_namespace(sf_dir)}"
+    q = run_neardup_cdc_stream(
+        spark, sf_dir, n_chunks=3, name=name, delete_mod=7,
+        fold_every=2, refold_width=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_bands", f"{name}_shsets", f"{name}_pairs", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    n1 = purge_neardup_dead(spark, name)
+    n2 = purge_neardup_dead(spark, name)
+    assert n1 > 0 and n2 == 0, f"near-dup purge not idempotent: {n1} then {n2}"
+    return neardup_pairs_view(spark, name)
+
+
+TRAINING_QUERIES["dedup_lsh_index_purged_stream_view"] = dedup_lsh_index_purged_stream_view
+
+
 def hybrid_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SEARCH STACK maintained incrementally, under the oracle
     gate: the BM25 inverted index (3-chunk doc replay) and the flat

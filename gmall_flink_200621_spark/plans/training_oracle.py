@@ -206,6 +206,16 @@ WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {JACCARD_THRESHOLD}
 # connected components over the LSH pair graph: recursive CTE computes, for
 # every doc, the min doc_id reachable through dup edges — exact equality
 # with the Spark min-label-propagation fixpoint
+# the near-dup CDC twins: batch MinHash-LSH over SURVIVING documents
+# (doc_id % 7 <> 0 — 7 is coprime to the 3 chunks, so the staged
+# tombstones spread across all chunks and delete-before-insert occurs);
+# deletes only lower shingle df, so the uncapped-stream == capped-batch
+# identity carries over from the insert-only family
+DEDUP_MINHASH_LSH_SURVIVORS = DEDUP_MINHASH_LSH.replace(
+    "AS t FROM documents)", "AS t FROM documents WHERE doc_id % 7 <> 0)"
+)
+
+
 DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 pairs AS ({DEDUP_MINHASH_LSH}),
@@ -3021,6 +3031,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "sparse_cosine_pairs": SPARSE_COSINE_PAIRS,
     "bigram_lm_score": BIGRAM_LM_SCORE,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
+    "dedup_lsh_index_delete_stream_view": DEDUP_MINHASH_LSH_SURVIVORS,
+    "dedup_lsh_index_purged_stream_view": DEDUP_MINHASH_LSH_SURVIVORS,
     "minhash_signatures": MINHASH_SIGNATURES,
     "simhash_fingerprints": SIMHASH_FINGERPRINTS,
     "dedup_simhash": DEDUP_SIMHASH,

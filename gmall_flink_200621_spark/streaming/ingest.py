@@ -349,6 +349,172 @@ def run_neardup_ingest_stream(
     return w.start()
 
 
+def run_neardup_cdc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    name: str = "ndcdc",
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    reset_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+    delete_mod: int = 6,
+):
+    """The incremental near-dup detector as a CDC CONSUMER — the curation
+    corpus is not append-only (takedowns, re-crawls, license pulls), and
+    a dedup index that can't forget keeps suppressing against ghosts.
+    Same maintenance as `run_neardup_ingest_stream` plus `side='D_DEL'`
+    key-only tombstones in `<name>_del`:
+
+    - ΔD (the batch's inserts) is CLEANSED against live tombstones
+      (historical ∪ this batch's) before entering state or probing — a
+      delete wins at ANY arrival order, including delete-before-insert:
+      the late insert never enters the band index, so its pairs never
+      materialize.
+    - State-side probes are deliberately NOT cleansed: a pair found
+      while both docs were alive is retracted by the READ
+      (`neardup_pairs_view` anti-joins live tombstones on both sides),
+      which covers post-insert deletes without rewriting history;
+      `purge_neardup_dead` later retires the bytes.
+    - Redelivered deletes are idempotent (anti-joins; the tombstone
+      write is a dynamic epoch overwrite).
+
+    Served contract: `neardup_pairs_view` == batch `dedup_minhash_lsh`
+    over SURVIVING documents (oracle-gated; the insert path's
+    uncapped-shingle caveat carries over — deletes only LOWER shingle
+    df, so a cap-free corpus stays cap-free)."""
+    bands_t, shs_t = f"{name}_bands", f"{name}_shsets"
+    pairs_t, del_t = f"{name}_pairs", f"{name}_del"
+    if reset_tables:
+        for t in (bands_t, shs_t, pairs_t, del_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {bands_t} (doc_id BIGINT, bi INT, bv STRING, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {shs_t} (doc_id BIGINT, shs ARRAY<BIGINT>, n_sh INT, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {pairs_t} (id_a BIGINT, id_b BIGINT, jaccard DOUBLE, epoch BIGINT) USING parquet PARTITIONED BY (epoch)"
+        )
+        spark.sql(
+            f"CREATE TABLE {del_t} (doc_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_document_cdc_chunks(sf_dir, n_chunks, delete_mod)
+    schema = (
+        "side string, doc_id long, text string, lang string,"
+        " source string, n_chars long"
+    )
+    feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+
+    def ndcdc_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t in (bands_t, shs_t, pairs_t, del_t):
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+        d_del = df.filter(F.col("side") == "D_DEL").select("doc_id")
+        hist = (
+            live_epochs(s.table(del_t), s, del_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist.unionByName(d_del)
+        ins = (
+            df.filter(F.col("side") == "D")
+            .drop("side")
+            .join(dead, "doc_id", "left_anti")
+        )
+        _neardup_epoch(ins, epoch_id, bands_t, shs_t, pairs_t)
+        _ivm_write_epoch(s, d_del, del_t, epoch_id)
+
+    w = feed.writeStream.foreachBatch(ndcdc_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def neardup_pairs_view(spark: SparkSession, name: str = "ndcdc") -> DataFrame:
+    """Serve the maintained near-dup pairs over SURVIVORS: live pairs
+    with both sides alive (tombstones anti-joined on id_a AND id_b) —
+    equals batch `dedup_minhash_lsh` over never-deleted documents. Read
+    cost O(pairs), never a corpus or shingle rescan."""
+    pairs = live_epochs(spark.table(f"{name}_pairs"), spark, f"{name}_pairs").drop(
+        "epoch"
+    )
+    if spark.catalog.tableExists(f"{name}_del"):
+        dead = (
+            live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+            .drop("epoch")
+            .distinct()
+        )
+        pairs = pairs.join(
+            dead.withColumnRenamed("doc_id", "id_a"), "id_a", "left_anti"
+        ).join(dead.withColumnRenamed("doc_id", "id_b"), "id_b", "left_anti")
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def purge_neardup_dead(spark: SparkSession, name: str = "ndcdc") -> int:
+    """Physically retire dead docs from the near-dup index — bands and
+    shingle sets of tombstoned docs, and pairs with a dead side — via
+    the house partition mechanics (`_gc_partitions`). REPLAY GUARD (the
+    purge_quantile_rows discipline): only docs whose tombstone sits
+    OUTSIDE the newest live positive epoch are purgeable — the newest
+    epoch's checkpoint replay re-probes band/shingle state, and purging
+    on the strength of a newest-epoch-only tombstone would make the
+    replayed pairs partition differ from the original bytes. Tombstones
+    themselves are KEPT (a late re-insert of a deleted doc must still be
+    cleansed). Idempotent; returns partitions touched."""
+    del_t = f"{name}_del"
+    if not spark.catalog.tableExists(del_t):
+        return 0
+    pos = [e for e in _partition_epochs(spark, del_t) if e >= 0]
+    d_live = live_epochs(spark.table(del_t), spark, del_t)
+    if pos:
+        d_live = d_live.filter(F.col("epoch") != max(pos))
+    dead = d_live.select("doc_id").distinct().withColumn("_dd", F.lit(True))
+    touched = 0
+    for t, cols, empty in (
+        (
+            f"{name}_bands",
+            ["doc_id", "bi", "bv"],
+            "SELECT BIGINT(NULL), INT(NULL), STRING(NULL) WHERE false",
+        ),
+        (
+            f"{name}_shsets",
+            ["doc_id", "shs", "n_sh"],
+            "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), INT(NULL) WHERE false",
+        ),
+    ):
+        flagged = (
+            live_epochs(spark.table(t), spark, t)
+            .join(F.broadcast(dead), "doc_id", "left")
+            .withColumn("_dead", F.coalesce(F.col("_dd"), F.lit(False)))
+            .drop("_dd")
+        )
+        touched += _gc_partitions(spark, t, flagged, cols, empty)
+    pairs_t = f"{name}_pairs"
+    da = dead.select(F.col("doc_id").alias("id_a"), F.col("_dd").alias("_da"))
+    db = dead.select(F.col("doc_id").alias("id_b"), F.col("_dd").alias("_db"))
+    flagged_p = (
+        live_epochs(spark.table(pairs_t), spark, pairs_t)
+        .join(F.broadcast(da), "id_a", "left")
+        .join(F.broadcast(db), "id_b", "left")
+        .withColumn(
+            "_dead",
+            F.coalesce(F.col("_da"), F.lit(False))
+            | F.coalesce(F.col("_db"), F.lit(False)),
+        )
+        .drop("_da", "_db")
+    )
+    touched += _gc_partitions(
+        spark, pairs_t, flagged_p, ["id_a", "id_b", "jaccard"],
+        "SELECT BIGINT(NULL), BIGINT(NULL), DOUBLE(NULL) WHERE false",
+    )
+    return touched
+
+
 def stage_embedding_chunks(sf_dir: str, n_chunks: int = 4) -> str:
     """embeddings.parquet split into n_chunks files ordered by vec_id —
     the chunked-arrival source for the vector streams (same mtime-pinning

@@ -193,6 +193,74 @@ class TestNearDupIngest:
         chunk = n // 4
         assert any(a // chunk != min(b // chunk, 3) for (a, b) in got)
 
+    def test_neardup_cdc_deletes_and_purge(self, spark, sf_dir):
+        """The near-dup index FORGETS: D_DEL tombstones make the served
+        pairs equal batch dedup_minhash_lsh over SURVIVORS; dead docs
+        never suppress or produce pairs. delete_mod=7 (coprime to the
+        3 chunks, unlike the gate's 6) spreads tombstones across all
+        chunks, so delete-BEFORE-insert genuinely occurs (chunk-2 keys
+        delete in chunk 0). Physical purge is read-identical and
+        idempotent, and the replay guard keeps newest-epoch tombstones'
+        state rows on disk."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.dedup import dedup_minhash_lsh
+        from gmall_flink_200621_spark.sources.loaders import load_table
+        from gmall_flink_200621_spark.streaming.ingest import (
+            neardup_pairs_view,
+            purge_neardup_dead,
+            run_neardup_cdc_stream,
+        )
+
+        q = run_neardup_cdc_stream(
+            spark, sf_dir, n_chunks=3, name="t_ndcdc", delete_mod=7,
+            fold_every=2, refold_width=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("t_ndcdc_bands", "t_ndcdc_shsets", "t_ndcdc_pairs", "t_ndcdc_del"):
+            spark.catalog.refreshTable(t)
+        got = sorted(map(tuple, neardup_pairs_view(spark, "t_ndcdc").collect()))
+        survivors = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 != 0
+        )
+        want = sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in dedup_minhash_lsh(survivors).collect()
+        )
+        assert got == want and got
+        # no served pair touches a dead doc
+        assert all(a % 7 != 0 and b % 7 != 0 for a, b, _ in got)
+        n1 = purge_neardup_dead(spark, "t_ndcdc")
+        n2 = purge_neardup_dead(spark, "t_ndcdc")
+        assert n1 > 0 and n2 == 0
+        for t in ("t_ndcdc_bands", "t_ndcdc_shsets", "t_ndcdc_pairs"):
+            spark.catalog.refreshTable(t)
+        after = sorted(map(tuple, neardup_pairs_view(spark, "t_ndcdc").collect()))
+        assert after == got  # purge changes bytes, not results
+        # committed dead docs (tombstone outside the newest live positive
+        # del epoch, or in a folded base) physically gone from the band
+        # index; tombstones themselves kept for late re-inserts
+        from gmall_flink_200621_spark.streaming.ingest import (
+            _partition_epochs,
+            live_epochs,
+        )
+
+        pos = [e for e in _partition_epochs(spark, "t_ndcdc_del") if e >= 0]
+        committed_dead = live_epochs(
+            spark.table("t_ndcdc_del"), spark, "t_ndcdc_del"
+        )
+        if pos:
+            committed_dead = committed_dead.filter(F.col("epoch") != max(pos))
+        committed_dead = committed_dead.select("doc_id").distinct()
+        assert committed_dead.count() > 0
+        leftover = (
+            live_epochs(spark.table("t_ndcdc_bands"), spark, "t_ndcdc_bands")
+            .join(committed_dead, "doc_id", "left_semi")
+            .count()
+        )
+        assert leftover == 0
+
     def test_folded_replay_equals_batch_lsh(self, spark, sf_dir):
         """fold_every=2: the band/shingle state folds into tiered bases
         mid-replay and the cross-batch probes read through live_epochs —
