@@ -1135,6 +1135,77 @@ def knn_pq_index_refine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["knn_pq_index_view"] = knn_pq_index_view
+
+
+def knn_pq_index_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained PQ index as a CDC consumer under the oracle gate —
+    FAISS remove_ids() on the compressed index: the 4-chunk embedding
+    CDC replay carries V_DEL tombstones (vec_id % 9 == 5, routed +1
+    chunk — delete-before-insert occurs), the codebook stays frozen on
+    the first chunk's cleansed inserts, and the search anti-joins live
+    tombstones. Queries are survivors too, so a deleted vector is
+    neither neighbor nor query; the oracle replays the same frozen
+    training + survivor scoring in SQL."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import pq_index_cdc_search, run_pq_index_cdc_stream
+
+    name = f"q_pqcdcd_{sf_namespace(sf_dir)}"
+    q = run_pq_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    return pq_index_cdc_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_pq_index_delete_view"] = knn_pq_index_delete_view
+
+
+def knn_pq_index_purged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC PQ index after PHYSICAL purge (`purge_pq_index_dead`, run
+    twice to pin idempotence): dead codes rewritten out of exactly the
+    partitions holding them, the frozen codebook untouched; served
+    search must be read-identical, so the twin shares the delete gate's
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        pq_index_cdc_search,
+        purge_pq_index_dead,
+        run_pq_index_cdc_stream,
+    )
+
+    name = f"q_pqcdcp_{sf_namespace(sf_dir)}"
+    q = run_pq_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    n1 = purge_pq_index_dead(spark, name)
+    n2 = purge_pq_index_dead(spark, name)
+    assert n1 > 0 and n2 == 0, f"PQ-index purge not idempotent: {n1} then {n2}"
+    spark.catalog.refreshTable(f"{name}_codes")
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    return pq_index_cdc_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_pq_index_purged_view"] = knn_pq_index_purged_view
 TRAINING_QUERIES["knn_pq_index_refine_view"] = knn_pq_index_refine_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view

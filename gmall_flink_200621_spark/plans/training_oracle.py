@@ -1746,6 +1746,35 @@ scored AS (
 
 KNN_PQ_INDEX = _knn_pq_index_sql()
 
+
+def _knn_pq_index_cdc_sql() -> str:
+    """CDC twin of the maintained-PQ-index oracle: the feed is
+    stage_embedding_cdc_chunks (4 modulo chunks, V_DEL for vec_id % 9 ==
+    5 routed +1 chunk), so the codebook trains on chunk 0 = vec_id % 4
+    == 0 — ALL of it, including later-deleted keys: no chunk-0 key's
+    tombstone routes to chunk 0 ((k%4+1)%4 = 1 for them), and the frozen
+    contract means deletes never retrain anyway. Scoring then excludes
+    dead vectors on BOTH sides (neither neighbor nor query) — read-
+    equivalent to the stream's cleanse-at-insert + anti-join-at-read,
+    at every arrival order."""
+    extra = [
+        "trained AS (SELECT vec_id FROM e WHERE vec_id % 4 = 0)",
+        "sub_t AS (SELECT s.vec_id, s.m, s.sv FROM sub s JOIN trained t ON s.vec_id = t.vec_id)",
+    ]
+    return f"""
+WITH {_knn_pq_sql("sub_t", extra)},
+scored AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE l.query_id <> k.vec_id
+    AND k.vec_id % 9 <> 5 AND l.query_id % 9 <> 5
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+
+KNN_PQ_INDEX_CDC = _knn_pq_index_cdc_sql()
+
 # IndexRefineFlat over the maintained index: the same first-chunk-trained
 # codebook + full-corpus codes, ADC top-REFINE_C shortlist, exact re-rank
 # (the refine tail reuses e/qn from the shared PQ CTE block)
@@ -3068,6 +3097,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivfpq_refine": KNN_IVFPQ_REFINE,
     "ann_eval": ANN_EVAL,
     "knn_pq_index_view": KNN_PQ_INDEX,
+    "knn_pq_index_delete_view": KNN_PQ_INDEX_CDC,
+    "knn_pq_index_purged_view": KNN_PQ_INDEX_CDC,
     "knn_pq_index_refine_view": KNN_PQ_INDEX_REFINE,
     "knn_graph": KNN_GRAPH,
     "pagerank_knn": PAGERANK_KNN,

@@ -5490,6 +5490,146 @@ def flat_index_search(
     )
 
 
+def run_pq_index_cdc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "pqcdc",
+    n_chunks: int = 4,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """The stream-maintained PQ index as a CDC CONSUMER — FAISS
+    `remove_ids()` on the COMPRESSED index, completing the delete story
+    across every maintained index family (BM25, flat store, near-dup
+    LSH, now PQ codes). Same train-on-first-batch-then-freeze contract
+    as `run_pq_index_stream` — deletes NEVER retrain the codebook
+    (neither does FAISS: stored codes would silently re-mean) — with
+    V_DEL tombstones in `<name>_del`:
+
+    - inserts are cleansed against live ∪ batch tombstones before
+      encoding (delete wins at any arrival order; a delete-before-insert
+      key never produces codes);
+    - the codebook trains on the first NON-EMPTY cleansed batch (the
+      head-check re-arms until then — an all-deleted first chunk just
+      defers training);
+    - `pq_index_cdc_search` anti-joins live tombstones at read, so a
+      deleted vector's codes stop serving immediately;
+    - `purge_pq_index_dead` physically retires dead codes — replay-safe
+      at any time, since per-epoch maintenance never probes the codes
+      table (each epoch encodes only its own batch)."""
+    from ..operators.similarity import (
+        PQ_CODE_MOD,
+        PQ_ITERS,
+        _pq_encode,
+        _pq_subvectors,
+        _pq_train,
+        quantize,
+    )
+
+    cb_t, codes_t, del_t = f"{name}_codebook", f"{name}_codes", f"{name}_del"
+    if fresh_tables:
+        for t in (cb_t, codes_t, del_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {cb_t} (m INT, code BIGINT, cv ARRAY<BIGINT>, cn2 BIGINT)"
+            f" USING parquet"
+        )
+        spark.sql(
+            f"CREATE TABLE {codes_t} (vec_id BIGINT, codes ARRAY<BIGINT>, rn2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {del_t} (vec_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_cdc_chunks(sf_dir, n_chunks)
+    feed = (
+        spark.readStream.schema("side string, vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def index_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t in (codes_t, del_t):
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+        d_del = df.filter(F.col("side") == "V_DEL").select("vec_id")
+        hist_d = (
+            live_epochs(s.table(del_t), s, del_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist_d.unionByName(d_del)
+        e = (
+            df.filter(F.col("side") == "V")
+            .join(dead, "vec_id", "left_anti")
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        )
+        sub = _pq_subvectors(e).persist()
+        if not s.table(cb_t).head(1) and sub.head(1):
+            _pq_train(sub, PQ_CODE_MOD, PQ_ITERS).select(
+                "m", "code", "cv", "cn2"
+            ).write.mode("overwrite").insertInto(cb_t, overwrite=True)
+            s.catalog.refreshTable(cb_t)
+        codes = _pq_encode(sub, s.table(cb_t))
+        _ivm_write_epoch(s, codes.select("vec_id", "codes", "rn2"), codes_t, epoch_id)
+        _ivm_write_epoch(s, d_del, del_t, epoch_id)
+        sub.unpersist()
+
+    w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def pq_index_cdc_search(
+    spark: SparkSession, queries_e, name: str = "pqcdc", k: int | None = None
+) -> DataFrame:
+    """`pq_index_search` with the CDC read contract: stored codes
+    anti-join live tombstones before scoring, so a deleted vector never
+    serves as a neighbor (callers pass survivor queries, completing the
+    neither-neighbor-nor-query rule)."""
+    from ..operators.similarity import KNN_K, _pq_query_luts, _pq_rank
+
+    lut = _pq_query_luts(queries_e, spark.table(f"{name}_codebook"))
+    codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select(
+        "vec_id", "codes", "rn2"
+    )
+    dead = (
+        live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+        .select("vec_id")
+        .distinct()
+    )
+    codes = codes.join(dead, "vec_id", "left_anti")
+    scored = codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+    return _pq_rank(scored, k or KNN_K)
+
+
+def purge_pq_index_dead(spark: SparkSession, name: str = "pqcdc") -> int:
+    """FAISS remove_ids made physical on the code index: rewrite only
+    the code partitions holding tombstoned vectors (`_gc_partitions`);
+    tombstones stay (a late re-insert must still be cleansed); the
+    frozen codebook is untouched by design. Replay-safe at any time —
+    per-epoch maintenance never probes the codes table. Purge changes
+    bytes, never served results. Idempotent; returns partitions
+    touched."""
+    codes_t, del_t = f"{name}_codes", f"{name}_del"
+    dead = live_epochs(spark.table(del_t), spark, del_t).select("vec_id").distinct()
+    flagged = (
+        live_epochs(spark.table(codes_t), spark, codes_t)
+        .join(F.broadcast(dead.withColumn("_dead", F.lit(True))), "vec_id", "left")
+        .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
+    )
+    return _gc_partitions(
+        spark, codes_t, flagged, ["vec_id", "codes", "rn2"],
+        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false",
+    )
+
+
 def purge_flat_index(spark: SparkSession, name: str = "flatcdc") -> int:
     """FAISS remove_ids made physical: rewrite only the store partitions
     holding tombstoned vectors (`_gc_partitions`); tombstones stay (a
