@@ -480,16 +480,21 @@ class TestRound5Shapes:
         assert s.count("BroadcastNestedLoopJoin") == 1
         assert "SortMergeJoin" not in s and "CartesianProduct" not in s
 
-    def test_perplexity_buckets_lm_is_broadcast_single_docframe_sort(self, spark, sf_dir):
+    def test_perplexity_buckets_lm_is_broadcast_no_global_sort(self, spark, sf_dir):
         """The hashed-unigram LM comes back as a broadcast (≤ buckets
-        rows); exactly two Windows exist — the totals sum over the
-        ≤buckets-row LM frame and the tercile ntile over one-row-per-doc
-        scalars — and the token frame itself is never sort-merge-joined."""
+        rows), the token frame is never sort-merge-joined, and — since
+        the r11 de-windowing — the tercile split runs DISTRIBUTED via
+        global_rank_ntile: no partition-less Window over an unbounded
+        frame remains (the old pin asserted exactly two Windows, one of
+        them the one-task docframe ntile this rewrite exists to kill)."""
         from gmall_flink_200621_spark.plans.training import perplexity_buckets
 
-        s = _plan(perplexity_buckets(spark, sf_dir))
+        from tools.plan_audit import global_window_offenders
+
+        df = perplexity_buckets(spark, sf_dir)
+        s = _plan(df)
         assert "SortMergeJoin" not in s and s.count("BroadcastHashJoin") >= 1
-        assert s.count("Window") == 2
+        assert global_window_offenders(df) == []
 
     def test_tfidf_df_join_is_not_hint_broadcast(self, spark, sf_dir):
         """The document-frequency frame is VOCABULARY-sized — the code
