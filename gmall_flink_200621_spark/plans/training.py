@@ -1103,6 +1103,49 @@ def knn_pq_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["ann_eval"] = ann_eval
+
+
+def filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-search family audit — `ann_eval`'s discipline for the
+    attribute-scoped rungs: recall of each in-scan filtered method
+    against `knn_brute_filtered` (the exact pre-filter baseline, recall
+    1 over the eligible set by construction). The ladder is the
+    compression-resolution story a deployment picks from: exact-scored
+    IVF keeps recall 1.0 at FILTERED_NPROBE here, SQ8's per-dim codes
+    match it, PQ's coarse codes pay measurably — live numbers, not
+    docstring claims."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    exact = V.knn_brute_filtered(emb).select("query_id", "neighbor_id").persist()
+    n_exact = exact.count()
+    methods = {
+        "ivf_filtered": V.knn_ivf_filtered,
+        "ivfpq_filtered": V.knn_ivfpq_filtered,
+        "ivfsq8_filtered": V.knn_ivfsq8_filtered,
+    }
+    rows = []
+    for name, op in sorted(methods.items()):
+        m = op(emb).select("query_id", "neighbor_id")
+        rows.append(
+            m.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .crossJoin(m.agg(F.count(F.lit(1)).alias("n_method")))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(n_exact).cast("long").alias("n_exact"),
+                F.col("n_method").cast("long"),
+                F.col("n_common").cast("long"),
+                F.round(F.col("n_common") / F.lit(n_exact), 6).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+TRAINING_QUERIES["filtered_eval"] = filtered_eval
 def knn_pq_index_refine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-maintained PQ index searched through the EXACT-REFINE
     path (FAISS IndexRefineFlat composed with the MV): the replay runs

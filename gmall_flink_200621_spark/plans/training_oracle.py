@@ -2607,6 +2607,36 @@ SELECT '{name}' AS method,
 ANN_EVAL = _ann_eval_sql()
 
 
+def _filtered_eval_sql() -> str:
+    """Filtered-search family audit, hash-gated: recall of each in-scan
+    filtered method against the exact pre-filter baseline
+    (KNN_BRUTE_FILTERED) — the compression-resolution ladder (exact-IVF
+    1.0, SQ8 ≈ 1.0, PQ codes lower) as a driver-certified query instead
+    of a pytest constant."""
+    methods = {
+        "ivf_filtered": KNN_IVF_FILTERED,
+        "ivfpq_filtered": KNN_IVFPQ_FILTERED,
+        "ivfsq8_filtered": KNN_IVFSQ8_FILTERED,
+    }
+    arms = []
+    for name in sorted(methods):
+        arms.append(f"""
+SELECT '{name}' AS method,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ({methods[name]}) m) AS n_method,
+       (SELECT count(*) FROM ({methods[name]}) m
+        JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id) AS n_common,
+       round((SELECT count(*) FROM ({methods[name]}) m
+              JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id)
+             / (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall"""
+        )
+    u = "\nUNION ALL\n".join(arms)
+    return f"WITH ex AS ({KNN_BRUTE_FILTERED})\n{u}"
+
+
+FILTERED_EVAL = _filtered_eval_sql()
+
+
 # WordPiece greedy longest-match encoder over the CLOSED-FORM frequency
 # vocabulary (operators/wordpiece.py wordpiece_freq_vocab: positional
 # pieces ≤ 3 chars with cnt·20 ≥ total word occurrences — integer
@@ -3096,6 +3126,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
     "knn_ivfpq_refine": KNN_IVFPQ_REFINE,
     "ann_eval": ANN_EVAL,
+    "filtered_eval": FILTERED_EVAL,
     "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_pq_index_delete_view": KNN_PQ_INDEX_CDC,
     "knn_pq_index_purged_view": KNN_PQ_INDEX_CDC,
