@@ -44,13 +44,24 @@ def global_rank_ntile(
     in the module docstring. Column names `_pid`/`_lrn`/`_off`/`_N` are
     reserved internally and dropped."""
     p = npartitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint is LOAD-BEARING: the rank pass and the P-row count
+    # pass below both consume `ranged`, and two independent evaluations
+    # of the range exchange can sample DIFFERENT partition boundaries
+    # (observed at sf0.1: the column-pruned count subtree saw different
+    # AQE-coalesced input partitions than the rank subtree → different
+    # reservoir samples → `_pid` keyed offsets to the wrong partitions →
+    # ntile(5) emitting 6). Materializing once pins one set of
+    # boundaries for both consumers; the frame is the caller-contract
+    # ~16-25-byte rows, so the extra write is noise.
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order)
     local = ranged.withColumn("_lrn", F.row_number().over(w_local))
 
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid",
@@ -94,8 +105,12 @@ def global_prefix_sum(
     `sum().over(Window.orderBy(...))` single-task cumsum. Same caller
     contract: `order` must be a total order."""
     p = npartitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # single evaluation of the range exchange — same load-bearing
+    # boundary-consistency materialization as global_rank_ntile
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1 if exclusive else 0

@@ -242,6 +242,41 @@ class TestNoGlobalWindows:
             df = entry_mod.queries()[name](spark, sf_dir)
             assert global_window_offenders(df) == [], name
 
+    def test_ranking_primitive_materializes_range_exchange_once(self, spark):
+        """The r11 sf0.1 incident pin: global_rank_ntile's rank pass and
+        P-row count pass both consume the range-partitioned frame, and
+        two INDEPENDENT evaluations of that exchange can sample
+        different boundaries (column-pruned subtrees saw different
+        AQE-coalesced inputs → offsets keyed to the wrong partitions →
+        ntile(5) emitted 6). The primitive must pin ONE set of
+        boundaries by materializing the ranged frame — its plan
+        therefore bottoms out in a checkpoint leaf (ExistingRDD), not
+        two live RangePartitioning exchanges — and chained ntiles stay
+        in range with exact bucket sizes."""
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        df = spark.range(50_000).select(
+            F.col("id"),
+            (F.col("id") % 37).alias("a"),
+            (F.col("id") % 11).alias("b"),
+        )
+        out = df
+        for metric, name in (("a", "r"), ("b", "f")):
+            out = (
+                global_rank_ntile(out, [F.col(metric), F.col("id")], 5)
+                .withColumnRenamed("ntile", name)
+                .drop("global_rank")
+            )
+        s = _plan(out)
+        assert "ExistingRDD" in s  # the localCheckpoint leaf
+        assert "rangepartitioning" not in s.lower() or s.lower().count(
+            "rangepartitioning"
+        ) == 0  # no live range exchange left to re-sample
+        sizes_r = {r["r"]: r["count"] for r in out.groupBy("r").count().collect()}
+        sizes_f = {r["f"]: r["count"] for r in out.groupBy("f").count().collect()}
+        assert sizes_r == {i: 10_000 for i in range(1, 6)}
+        assert sizes_f == {i: 10_000 for i in range(1, 6)}
+
     def test_detector_flags_the_antipattern(self, spark):
         """The detector must actually fire on the shape it exists to
         forbid (an unbounded global ntile) and stay quiet on the bounded
