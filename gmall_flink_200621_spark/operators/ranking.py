@@ -10,10 +10,15 @@ and ntile buckets with no corpus-sized single-partition stage:
 
 1. `repartitionByRange(P, order)` — one shuffle; ordering is now TOTAL
    across partitions (partition i's rows all precede partition i+1's).
+   The ranged frame is MATERIALIZED (localCheckpoint) because steps 2
+   and 3 both consume it: two independent evaluations of a range
+   exchange can sample different boundaries (the r11 sf0.1 incident —
+   see global_rank_ntile's inline note), and offsets keyed to one set
+   of boundaries must meet ranks computed on the same set.
 2. per-partition row_number via a Window partitioned on
-   `spark_partition_id()` — a second shuffle of the same frame (hash on
-   pid, P balanced groups, all JVM; ~16-byte rows for the decile
-   callers), never a single task.
+   `spark_partition_id()` — a second shuffle of the materialized frame
+   (hash on pid, P balanced groups, all JVM; ~16-byte rows for the
+   decile callers), never a single task.
 3. per-partition counts (P rows) → cumulative offsets + grand total via
    a window over that P-ROW frame (the only single-partition stage left,
    bounded by the partition count, not the data).
