@@ -36,7 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. names absent from _LAST_DRIVER_ROUND (new this round) sort first;
 #   2. then ascending by the round of the most recent CORRECTNESS_r{N}.json
 #      green row, so the stalest certifications re-enter the window and every
-#      query cycles through the driver gate every ceil(167/50) ≈ 4 rounds.
+#      query cycles through the driver gate every ceil(|registry|/50) rounds
+#      (~5 at the round-11 size of 240).
 # Maintenance: after each round, bump _LAST_DRIVER_ROUND[name] for every name
 # in that round's CORRECTNESS_r{N}.json window.
 _LAST_DRIVER_ROUND: dict[str, int] = {
