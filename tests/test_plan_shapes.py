@@ -593,8 +593,11 @@ class TestDistributedNtile:
 
     def test_no_corpus_sized_single_partition_stage(self, spark):
         """The scale property the helper exists for: the DATA flows
-        through a rangepartitioning exchange + a spark_partition_id()-
-        keyed window, never an Exchange SinglePartition; the only
+        through the range partitioning (materialized behind the
+        checkpoint leaf since the r11 boundary-consistency fix — the
+        final plan bottoms out in ExistingRDD, with the range exchange
+        executed once at checkpoint time) + a spark_partition_id()-keyed
+        window, never an Exchange SinglePartition; the only
         single-partition stage reads the P-row per-partition count
         frame (its subtree aggregates on _pid). No global ntile window
         node anywhere."""
@@ -606,7 +609,7 @@ class TestDistributedNtile:
             (F.col("id") * 2_654_435_761 % 1_000_003).alias("v"), "id"
         )
         s = _plan(global_rank_ntile(df, [F.desc("v"), F.asc("id")], n=10))
-        assert "rangepartitioning" in s
+        assert "ExistingRDD" in s  # the materialized ranged frame
         assert "ntile(" not in s
         # exactly one SinglePartition exchange, and it sits under the
         # offsets computation (an aggregate keyed on _pid), not the data
@@ -616,7 +619,8 @@ class TestDistributedNtile:
 
     def test_decile_queries_have_no_datawide_single_partition_sort(self, spark, sf_dir):
         """spend_deciles and revenue_pareto route through the helper: the
-        customer/user aggregate must hit rangepartitioning, and every
+        customer/user aggregate flows into the helper's materialized
+        range partitioning (the ExistingRDD checkpoint leaf), and every
         remaining SinglePartition stage feeds off either the _pid counts
         or a ≤10-row decile aggregate."""
         from gmall_flink_200621_spark.plans.analytics import revenue_pareto
@@ -624,7 +628,7 @@ class TestDistributedNtile:
 
         for q in (spend_deciles, revenue_pareto):
             s = _plan(q(spark, sf_dir))
-            assert "rangepartitioning" in s, q.__name__
+            assert "ExistingRDD" in s, q.__name__
             assert "ntile(" not in s, q.__name__
 
 
