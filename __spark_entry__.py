@@ -211,6 +211,32 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "order_receipt_join", "order_receipt_reconcile",
         "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     ]},
+    # ---- round 11 (CORRECTNESS_r11.json, 50/50) — freshest, sorts last ----
+    # The r12 window is then any never-driver-certified additions plus the
+    # stalest r06 names (the r06 tail: windows/streaming refs, dedup family).
+    **{n: 11 for n in [
+        "knn_ivfpq_filtered", "knn_ivfsq8_filtered", "filtered_eval",
+        "knn_pq_index_delete_view", "knn_pq_index_purged_view",
+        "order_cust_wide_upsert_stream_view",
+        "revenue_by_nation_ivm_upsert_stream_view",
+        "order_cust_wide_asof_stream_view",
+        "order_cust_wide_dimupd_stream_view",
+        "revenue_by_nation_dimupd_stream_view",
+        "dedup_lsh_index_delete_stream_view",
+        "dedup_lsh_index_purged_stream_view",
+        "top_customers_by_status_purged_stream_view",
+        "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q15", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+        "customer_running_spend", "revenue_by_nation", "top_customers",
+        "sales_rollup", "promo_revenue_share", "order_priority_by_segment",
+        "doc_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
+        "knn_ivf_trained", "knn_rp", "tokenizer_fertility",
+        "source_minhash_setops", "ltv_cohorts", "revenue_pareto",
+        "spend_gini", "cdc_compaction", "login_fail_relaxed",
+        "last_click_before_purchase", "browse_abandon",
+        "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q16",
+        "tpch_q20", "kmeans_embeddings",
+    ]},
 }
 
 
