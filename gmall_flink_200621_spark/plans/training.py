@@ -1900,6 +1900,95 @@ def hybrid_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_QUERIES["hybrid_index_stream_view"] = hybrid_index_stream_view
 
 
+def hybrid_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full search stack as a CDC consumer under the oracle gate —
+    the read side of the index-delete story CLOSED AT THE FUSION layer:
+    the BM25 index replays documents with D_DEL tombstones (doc_id % 6
+    == 0, routed +1 chunk — delete-before-insert occurs) and the flat
+    vector store replays embeddings with V_DEL tombstones (vec_id % 9 ==
+    5, same routing), then the hybrid RRF query is served entirely from
+    the two tombstone-cleansed indexes. The oracle is batch
+    `hybrid_search_rrf` over SURVIVORS on both sides, so the driver
+    hash-certifies that a takedown disappears from the FUSED ranking —
+    and that every survivor's fused score shifts through BOTH arms (the
+    lexical side's df/N/avgdl all move; the semantic side's rank list
+    recloses over the surviving store) at any delete arrival order,
+    across folds."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        hybrid_index_search,
+        run_bm25_index_stream,
+        run_flat_index_cdc_stream,
+    )
+
+    ns = sf_namespace(sf_dir)
+    bm, fl = f"q_hybmd_{ns}", f"q_hyfld_{ns}"
+    q1 = run_bm25_index_stream(
+        spark, sf_dir, name=bm, n_chunks=3, fold_every=2, refold_width=2, cdc=True
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    q2 = run_flat_index_cdc_stream(
+        spark, sf_dir, name=fl, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    for t in (f"{bm}_post", f"{bm}_dl", f"{bm}_st", f"{bm}_del",
+              f"{fl}_vec", f"{fl}_del"):
+        spark.catalog.refreshTable(t)
+    return hybrid_index_search(spark, bm, fl)
+
+
+TRAINING_QUERIES["hybrid_index_delete_stream_view"] = hybrid_index_delete_stream_view
+
+
+def hybrid_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC search stack after PHYSICAL purge on BOTH indexes
+    (`purge_bm25_index` + `purge_flat_index`, each run twice to pin
+    idempotence): dead postings/lengths and dead vectors rewritten out
+    of exactly the partitions holding them, tombstones kept, stats
+    partials untouched (already retracted by the signed rows). The
+    served fusion must be read-identical, so the twin shares the delete
+    gate's oracle — search-stack compaction changes bytes, never the
+    fused ranking."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        hybrid_index_search,
+        purge_bm25_index,
+        purge_flat_index,
+        run_bm25_index_stream,
+        run_flat_index_cdc_stream,
+    )
+
+    ns = sf_namespace(sf_dir)
+    bm, fl = f"q_hybmp_{ns}", f"q_hyflp_{ns}"
+    q1 = run_bm25_index_stream(
+        spark, sf_dir, name=bm, n_chunks=3, fold_every=2, refold_width=2, cdc=True
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    q2 = run_flat_index_cdc_stream(
+        spark, sf_dir, name=fl, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    for t in (f"{bm}_post", f"{bm}_dl", f"{bm}_st", f"{bm}_del",
+              f"{fl}_vec", f"{fl}_del"):
+        spark.catalog.refreshTable(t)
+    b1, b2 = purge_bm25_index(spark, bm), purge_bm25_index(spark, bm)
+    f1, f2 = purge_flat_index(spark, fl), purge_flat_index(spark, fl)
+    assert b1 > 0 and b2 == 0, f"BM25 purge not idempotent: {b1} then {b2}"
+    assert f1 > 0 and f2 == 0, f"flat purge not idempotent: {f1} then {f2}"
+    return hybrid_index_search(spark, bm, fl)
+
+
+TRAINING_QUERIES["hybrid_index_purged_stream_view"] = hybrid_index_purged_stream_view
+
+
 def bm25_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC BM25 index replay followed by the PHYSICAL purge pass
     (`purge_bm25_index` rewrites only partitions holding dead docs'

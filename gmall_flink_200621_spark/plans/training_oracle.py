@@ -1112,9 +1112,18 @@ FROM per p JOIN fps f USING (fp)
 GROUP BY 1
 """
 
-HYBRID_SEARCH_RRF = f"""
-WITH lex AS (SELECT doc_id, rank AS r_lex FROM ({BM25_SEARCH}) bq),
-e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+def _hybrid_rrf_sql(lex_sql: str, vec_where: str = "TRUE") -> str:
+    """Hybrid-RRF oracle, parameterized by the two survivor contracts:
+    `lex_sql` is the BM25 arm (the plain search for the batch/index
+    twins, the survivors variant for the CDC twins — a doc delete moves
+    df/N/avgdl, so every lexical rank can shift) and `vec_where` filters
+    the embedding rows feeding the semantic arm (a vector delete
+    recloses the cosine top list over survivors). The fused ranking is
+    recomputed from scratch over survivors — exactly what the
+    tombstone-cleansed index read must serve."""
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS r_lex FROM ({lex_sql}) bq),
+e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings WHERE {vec_where}),
 qv AS (SELECT q AS qq FROM e WHERE vec_id = {RRF_QUERY_VEC}),
 cosr AS (
   SELECT e.vec_id, {_cosine_sql("e.q", "qv.qq")} AS cosine
@@ -1135,6 +1144,15 @@ SELECT doc_id, r_lex, r_sem, rrf,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
 FROM fused QUALIFY rank <= {RRF_TOPK}
 """
+
+
+HYBRID_SEARCH_RRF = _hybrid_rrf_sql(BM25_SEARCH)
+
+# the CDC search stack's contract: both arms recomputed over survivors
+# (docs: % BM25_DEL_MOD <> 0; vectors: % 9 <> 5 — the flat store's rule)
+HYBRID_INDEX_DELETE_VIEW = _hybrid_rrf_sql(
+    BM25_INDEX_DELETE_VIEW, "vec_id % 9 <> 5"
+)
 
 COMPONENTS_KNN = f"""
 WITH RECURSIVE
@@ -3162,6 +3180,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "bm25_index_stream_view": BM25_SEARCH,
     "bm25_index_delete_stream_view": BM25_INDEX_DELETE_VIEW,
     "hybrid_index_stream_view": HYBRID_SEARCH_RRF,
+    "hybrid_index_delete_stream_view": HYBRID_INDEX_DELETE_VIEW,
+    "hybrid_index_purged_stream_view": HYBRID_INDEX_DELETE_VIEW,
     "bm25_index_purged_stream_view": BM25_INDEX_DELETE_VIEW,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,

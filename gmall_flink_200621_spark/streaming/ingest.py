@@ -4474,6 +4474,17 @@ def hybrid_index_search(
     e = live_epochs(spark.table(f"{vec_name}_vec"), spark, f"{vec_name}_vec").drop(
         "epoch"
     )
+    if spark.catalog.tableExists(f"{vec_name}_del"):
+        # CDC-maintained store: live tombstones cleanse the semantic arm
+        # (the lexical arm's bm25_index_search already anti-joins its own
+        # del table), so a takedown vanishes from the FUSED ranking and
+        # every survivor's r_sem/rrf shifts to the surviving store
+        dead_v = (
+            live_epochs(spark.table(f"{vec_name}_del"), spark, f"{vec_name}_del")
+            .select("vec_id")
+            .distinct()
+        )
+        e = e.join(F.broadcast(dead_v), "vec_id", "left_anti")
     qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
