@@ -1250,6 +1250,96 @@ def knn_pq_index_purged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAINING_QUERIES["knn_pq_index_purged_view"] = knn_pq_index_purged_view
 TRAINING_QUERIES["knn_pq_index_refine_view"] = knn_pq_index_refine_view
+
+
+def knn_pq_index_filtered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search on the MAINTAINED compressed index under the
+    oracle gate — production attribute-scoped search: the PQ-CDC replay
+    (V_DEL vec_id % 9 == 5, frozen first-chunk codebook) stores the
+    label payload alongside every code row, and the read applies the
+    query's label predicate IN-SCAN on the tombstone-cleansed ADC path
+    (`pq_index_filtered_search` — the `knn_ivfpq_filtered` design moved
+    onto the stream-maintained store). Queries are same-rule survivors
+    carrying their labels. The oracle replays frozen training + ADC
+    scoring restricted to same-label survivors on both sides, so the
+    driver hash-certifies the filter composes with deletes AND
+    compression — not a post-filter of an unfiltered top-k."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import pq_index_filtered_search, run_pq_index_cdc_stream
+
+    name = f"q_pqcdcf_{sf_namespace(sf_dir)}"
+    q = run_pq_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    return pq_index_filtered_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_pq_index_filtered_view"] = knn_pq_index_filtered_view
+
+
+def pq_index_filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the index-served filtered search — the
+    `filtered_eval` rung the maintained store was missing: the PQ-CDC
+    filtered read measured against `knn_brute_filtered` over SURVIVOR
+    embeddings (the exact pre-filter baseline on the same eligible set
+    the index is allowed to serve from). n_exact evaluates INSIDE the
+    plan (cross-joined 1-row aggregate, like the DuckDB oracle's `ex`
+    subquery), so re-executing the frame after data changes never mixes
+    snapshots. PQ codes pay a measured recall price vs the exact
+    baseline — a live number under the hash gate, not a docstring
+    claim."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import pq_index_filtered_search, run_pq_index_cdc_stream
+
+    name = f"q_pqcdcfe_{sf_namespace(sf_dir)}"
+    q = run_pq_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    m = pq_index_filtered_search(spark, qs, name).select("query_id", "neighbor_id")
+    surv = _emb(spark, sf_dir).filter(F.col("vec_id") % 9 != 5)
+    exact = V.knn_brute_filtered(surv).select("query_id", "neighbor_id")
+    return (
+        m.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+        .crossJoin(m.agg(F.count(F.lit(1)).cast("long").alias("n_method")))
+        .select(
+            F.lit("pq_index_filtered").alias("method"),
+            "n_exact",
+            "n_method",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+TRAINING_QUERIES["pq_index_filtered_eval"] = pq_index_filtered_eval
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
 

@@ -1765,7 +1765,7 @@ scored AS (
 KNN_PQ_INDEX = _knn_pq_index_sql()
 
 
-def _knn_pq_index_cdc_sql() -> str:
+def _knn_pq_index_cdc_sql(filtered: bool = False) -> str:
     """CDC twin of the maintained-PQ-index oracle: the feed is
     stage_embedding_cdc_chunks (4 modulo chunks, V_DEL for vec_id % 9 ==
     5 routed +1 chunk), so the codebook trains on chunk 0 = vec_id % 4
@@ -1774,16 +1774,27 @@ def _knn_pq_index_cdc_sql() -> str:
     contract means deletes never retrain anyway. Scoring then excludes
     dead vectors on BOTH sides (neither neighbor nor query) — read-
     equivalent to the stream's cleanse-at-insert + anti-join-at-read,
-    at every arrival order."""
+    at every arrival order. `filtered=True` adds the label conjunct on
+    the scored pairs (candidate label == query label), mirroring
+    `pq_index_filtered_search`'s in-scan predicate on the stored label
+    payload."""
     extra = [
         "trained AS (SELECT vec_id FROM e WHERE vec_id % 4 = 0)",
         "sub_t AS (SELECT s.vec_id, s.m, s.sv FROM sub s JOIN trained t ON s.vec_id = t.vec_id)",
     ]
+    lab_cte = ",\nlab AS (SELECT vec_id, label FROM embeddings)" if filtered else ""
+    lab_join = (
+        """
+  JOIN lab nl ON nl.vec_id = k.vec_id
+  JOIN lab ql ON ql.vec_id = l.query_id AND ql.label = nl.label"""
+        if filtered
+        else ""
+    )
     return f"""
-WITH {_knn_pq_sql("sub_t", extra)},
+WITH {_knn_pq_sql("sub_t", extra)}{lab_cte},
 scored AS (
   SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
-  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code{lab_join}
   WHERE l.query_id <> k.vec_id
     AND k.vec_id % 9 <> 5 AND l.query_id % 9 <> 5
   GROUP BY 1, 2),
@@ -1792,6 +1803,25 @@ scored AS (
 
 
 KNN_PQ_INDEX_CDC = _knn_pq_index_cdc_sql()
+KNN_PQ_INDEX_CDC_FILTERED = _knn_pq_index_cdc_sql(filtered=True)
+
+# knn_brute_filtered over SURVIVORS — the exact pre-filter baseline on
+# the eligible set the CDC-maintained index is allowed to serve from
+KNN_BRUTE_FILTERED_SURVIVORS = KNN_BRUTE_FILTERED.replace(
+    "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+)
+
+PQ_INDEX_FILTERED_EVAL = f"""
+WITH ex AS ({KNN_BRUTE_FILTERED_SURVIVORS})
+SELECT 'pq_index_filtered' AS method,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ({KNN_PQ_INDEX_CDC_FILTERED}) m) AS n_method,
+       (SELECT count(*) FROM ({KNN_PQ_INDEX_CDC_FILTERED}) m
+        JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id) AS n_common,
+       round((SELECT count(*) FROM ({KNN_PQ_INDEX_CDC_FILTERED}) m
+              JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id)
+             / (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall
+"""
 
 # IndexRefineFlat over the maintained index: the same first-chunk-trained
 # codebook + full-corpus codes, ADC top-REFINE_C shortlist, exact re-rank
@@ -3147,6 +3177,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "filtered_eval": FILTERED_EVAL,
     "knn_pq_index_view": KNN_PQ_INDEX,
     "knn_pq_index_delete_view": KNN_PQ_INDEX_CDC,
+    "knn_pq_index_filtered_view": KNN_PQ_INDEX_CDC_FILTERED,
+    "pq_index_filtered_eval": PQ_INDEX_FILTERED_EVAL,
     "knn_pq_index_purged_view": KNN_PQ_INDEX_CDC,
     "knn_pq_index_refine_view": KNN_PQ_INDEX_REFINE,
     "knn_graph": KNN_GRAPH,

@@ -5548,8 +5548,12 @@ def run_pq_index_cdc_stream(
             f"CREATE TABLE {cb_t} (m INT, code BIGINT, cv ARRAY<BIGINT>, cn2 BIGINT)"
             f" USING parquet"
         )
+        # label rides the code rows as the filter payload (FAISS stores
+        # selector ids alongside codes) — attribute-scoped search reads
+        # it in-scan, never via a second corpus join
         spark.sql(
-            f"CREATE TABLE {codes_t} (vec_id BIGINT, codes ARRAY<BIGINT>, rn2 BIGINT)"
+            f"CREATE TABLE {codes_t}"
+            f" (vec_id BIGINT, codes ARRAY<BIGINT>, rn2 BIGINT, label INT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
@@ -5578,7 +5582,7 @@ def run_pq_index_cdc_stream(
         e = (
             df.filter(F.col("side") == "V")
             .join(dead, "vec_id", "left_anti")
-            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
         )
         sub = _pq_subvectors(e).persist()
         if not s.table(cb_t).head(1) and sub.head(1):
@@ -5586,8 +5590,13 @@ def run_pq_index_cdc_stream(
                 "m", "code", "cv", "cn2"
             ).write.mode("overwrite").insertInto(cb_t, overwrite=True)
             s.catalog.refreshTable(cb_t)
-        codes = _pq_encode(sub, s.table(cb_t))
-        _ivm_write_epoch(s, codes.select("vec_id", "codes", "rn2"), codes_t, epoch_id)
+        # re-attach the label payload after encoding — batch-grain join
+        codes = _pq_encode(sub, s.table(cb_t)).join(
+            e.select("vec_id", "label"), "vec_id"
+        )
+        _ivm_write_epoch(
+            s, codes.select("vec_id", "codes", "rn2", "label"), codes_t, epoch_id
+        )
         _ivm_write_epoch(s, d_del, del_t, epoch_id)
         sub.unpersist()
 
@@ -5620,6 +5629,48 @@ def pq_index_cdc_search(
     return _pq_rank(scored, k or KNN_K)
 
 
+def pq_index_filtered_search(
+    spark: SparkSession, queries_e, name: str = "pqcdc", k: int | None = None
+) -> DataFrame:
+    """FILTERED search served from the MAINTAINED compressed index —
+    `knn_ivfpq_filtered`'s in-scan design (FAISS IVFPQ + IDSelector) on
+    the PQ-CDC store: the label predicate lands on the stored code rows
+    BEFORE the ADC lookup, composed with the tombstone anti-join, so an
+    attribute-scoped query reads only same-label survivor codes (never a
+    post-filter of an unfiltered top-k, which under-returns whenever the
+    true same-label neighbors rank below k globally). `queries_e` must
+    carry (vec_id, q, n2, label); callers pass survivor queries,
+    completing the neither-neighbor-nor-query delete rule.
+
+    Scale shape: per-query LUTs + label broadcast; the code table scans
+    once with the label conjunct folded into the broadcast-join
+    condition, cutting ADC-scored rows to |codes|/|labels| per query —
+    the production path for tenant-scoped search on a compressed store."""
+    from ..operators.similarity import KNN_K, _pq_query_luts, _pq_rank
+
+    lut = _pq_query_luts(queries_e, spark.table(f"{name}_codebook")).join(
+        queries_e.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        ),
+        "query_id",
+    )
+    codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select(
+        "vec_id", "codes", "rn2", "label"
+    )
+    dead = (
+        live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+        .select("vec_id")
+        .distinct()
+    )
+    codes = codes.join(dead, "vec_id", "left_anti")
+    scored = codes.join(
+        F.broadcast(lut),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("query_id") != F.col("vec_id")),
+    )
+    return _pq_rank(scored, k or KNN_K)
+
+
 def purge_pq_index_dead(spark: SparkSession, name: str = "pqcdc") -> int:
     """FAISS remove_ids made physical on the code index: rewrite only
     the code partitions holding tombstoned vectors (`_gc_partitions`);
@@ -5636,8 +5687,9 @@ def purge_pq_index_dead(spark: SparkSession, name: str = "pqcdc") -> int:
         .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
     )
     return _gc_partitions(
-        spark, codes_t, flagged, ["vec_id", "codes", "rn2"],
-        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false",
+        spark, codes_t, flagged, ["vec_id", "codes", "rn2", "label"],
+        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL),"
+        " CAST(NULL AS INT) WHERE false",
     )
 
 
