@@ -55,13 +55,22 @@ def global_rank_ntile(
     # (observed at sf0.1: the column-pruned count subtree saw different
     # AQE-coalesced input partitions than the rank subtree → different
     # reservoir samples → `_pid` keyed offsets to the wrong partitions →
-    # ntile(5) emitting 6). Materializing once pins one set of
-    # boundaries for both consumers; the frame is the caller-contract
-    # ~16-25-byte rows, so the extra write is noise.
+    # ntile(5) emitting 6). The checkpoint pins ONE set of boundaries:
+    # the RDD computes once at first action and every consumer (same
+    # action or later ones) reads the same materialized blocks.
+    # eager=False keeps plan CONSTRUCTION side-effect free — composing
+    # then discarding this frame runs no Spark job; the upstream
+    # pipeline executes on first action only. Tradeoffs the caller
+    # inherits (both eager and lazy): blocks live on executor-local
+    # storage and lineage is truncated, so losing an executor AFTER
+    # materialization fails the job unrecoverably (fail-loud beats the
+    # silent rank divergence above), and the materialized bytes are
+    # proportional to `df` — pass AGGREGATE-grain frames (the decile
+    # callers' ~16-25-byte rows), not fact-grain ones.
     ranged = (
         df.repartitionByRange(p, *order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order)
     local = ranged.withColumn("_lrn", F.row_number().over(w_local))
@@ -111,11 +120,12 @@ def global_prefix_sum(
     contract: `order` must be a total order."""
     p = npartitions or df.sparkSession.sparkContext.defaultParallelism
     # single evaluation of the range exchange — same load-bearing
-    # boundary-consistency materialization as global_rank_ntile
+    # boundary-consistency materialization (and same lazy/executor-loss
+    # contract) as global_rank_ntile
     ranged = (
         df.repartitionByRange(p, *order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1 if exclusive else 0
