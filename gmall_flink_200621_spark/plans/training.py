@@ -5,6 +5,7 @@ around operators/{dedup,similarity,textops}.py over the `documents` and
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -725,7 +726,31 @@ def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp(_docs(spark, sf_dir))
 
 
-ORACLE_SIDECAR_DIR = "/tmp/spark_graft_oracle_vocab"
+# per-user scoping: /tmp is world-writable and shared — another user
+# pre-owning a fixed path would break os.makedirs/os.replace, and two
+# users' stale files would union into each other's oracle vocab CTEs
+ORACLE_SIDECAR_DIR = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_oracle_vocab_{os.getuid()}"
+)
+# corpus content fingerprint: Σ per-doc int(md5(text)[:15 hex], 16),
+# folded mod 2^62 so it stores in one int64 column — DuckDB computes the
+# identical value from its own `documents` view (md5 + hex cast), so a
+# (n_docs, n_chars) collision between different corpora can no longer
+# union both matching sidecar files into the oracle's vocab CTE
+SIDECAR_FP_MOD = 1 << 62
+
+
+def _corpus_fp(texts) -> int:
+    import hashlib
+
+    return (
+        sum(
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            for t in texts
+            if t is not None
+        )
+        % SIDECAR_FP_MOD
+    )
 
 
 def _write_oracle_sidecar(kind: str, sf_dir: str, cols: dict[str, list]) -> None:
@@ -733,15 +758,16 @@ def _write_oracle_sidecar(kind: str, sf_dir: str, cols: dict[str, list]) -> None
     for operators whose TRAINED artifact isn't SQL-derivable but whose
     consuming step is: the Spark query (which the gate always runs
     FIRST) writes the vocab to a per-SF parquet, and the DuckDB oracle
-    reads it back with a glob filtered on (doc count, total text chars)
-    — a corpus fingerprint the oracle derives from its OWN views (doc
-    count alone collides: sf0.001 and sf0.01 both carry 500 documents),
-    so concurrent verifies at different SFs each read their own file.
-    Writes are tempfile + os.replace (atomic on POSIX) and the content
-    is a deterministic function of the SF, so a same-SF race is
-    byte-identical either way."""
-    import tempfile
-
+    reads it back with a glob filtered on (doc count, total text chars,
+    corpus content hash) — a fingerprint the oracle derives from its
+    OWN views (doc count alone collides: sf0.001 and sf0.01 both carry
+    500 documents; the md5-sum term pins the CONTENT, not just the
+    shape), so concurrent verifies at different SFs each read their own
+    file. Writes are tempfile + os.replace (atomic on POSIX) and the
+    content is a deterministic function of the SF, so a same-SF race is
+    byte-identical either way. The dir is per-user (see
+    ORACLE_SIDECAR_DIR) — stale files from other users can't interfere
+    or accumulate into the glob."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -752,6 +778,7 @@ def _write_oracle_sidecar(kind: str, sf_dir: str, cols: dict[str, list]) -> None
     import pyarrow.compute as pc
 
     n_chars = int(pc.sum(pc.utf8_length(docs_t.column("text"))).as_py() or 0)
+    n_fp = _corpus_fp(docs_t.column("text").to_pylist())
     os.makedirs(ORACLE_SIDECAR_DIR, exist_ok=True)
     n = len(next(iter(cols.values())))
     table = pa.table(
@@ -759,6 +786,7 @@ def _write_oracle_sidecar(kind: str, sf_dir: str, cols: dict[str, list]) -> None
             **cols,
             "n_docs": pa.array([n_docs] * n, pa.int64()),
             "n_chars": pa.array([n_chars] * n, pa.int64()),
+            "n_fp": pa.array([n_fp] * n, pa.int64()),
         }
     )
     fd, tmp = tempfile.mkstemp(suffix=".tmp", dir=ORACLE_SIDECAR_DIR)
@@ -846,6 +874,25 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     vocab = [(r.piece, int(r.count_q)) for r in _uni_train(docs).collect()]
+    # the DuckDB twin (_unigram_encode_sql) unrolls the Viterbi DP to a
+    # fixed depth: 16 word positions × 4-char max piece. A longer word
+    # would silently fall back to np=length(w) in the oracle while Spark
+    # runs full Viterbi — a confusing hash mismatch instead of a clear
+    # cap violation — so check both caps HERE, where they can fail loud.
+    max_piece = max(len(p) for p, _ in vocab)
+    assert max_piece <= 4, (
+        f"unigram vocab piece length {max_piece} exceeds the oracle's "
+        f"4-char DP unroll — regenerate _unigram_encode_sql(max_len=...)"
+    )
+    max_word = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.max(F.length("w")))
+        .collect()[0][0]
+    )
+    assert max_word is not None and max_word <= 16, (
+        f"corpus word length {max_word} exceeds the oracle's 16-position "
+        f"DP unroll — regenerate _unigram_encode_sql(max_w=...)"
+    )
     _write_oracle_sidecar(
         "uni",
         sf_dir,
@@ -1118,7 +1165,12 @@ def filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     exact = V.knn_brute_filtered(emb).select("query_id", "neighbor_id").persist()
-    n_exact = exact.count()
+    # n_exact evaluates INSIDE the plan (cross-joined 1-row aggregate,
+    # the DuckDB oracle's `ex` subquery shape) — no construction-time
+    # count(), so re-executing the returned frame after data changes
+    # never mixes snapshots, and an empty exact baseline surfaces as a
+    # visible n_exact=0 row (null recall) instead of a baked-in constant
+    ex_n = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     methods = {
         "ivf_filtered": V.knn_ivf_filtered,
         "ivfpq_filtered": V.knn_ivfpq_filtered,
@@ -1129,14 +1181,15 @@ def filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = op(emb).select("query_id", "neighbor_id")
         rows.append(
             m.join(exact, ["query_id", "neighbor_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-            .crossJoin(m.agg(F.count(F.lit(1)).alias("n_method")))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+            .crossJoin(ex_n)
+            .crossJoin(m.agg(F.count(F.lit(1)).cast("long").alias("n_method")))
             .select(
                 F.lit(name).alias("method"),
-                F.lit(n_exact).cast("long").alias("n_exact"),
-                F.col("n_method").cast("long"),
-                F.col("n_common").cast("long"),
-                F.round(F.col("n_common") / F.lit(n_exact), 6).alias("recall"),
+                "n_exact",
+                "n_method",
+                "n_common",
+                F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
             )
         )
     out = rows[0]

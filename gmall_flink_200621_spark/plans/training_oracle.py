@@ -26,7 +26,25 @@ from ..operators.dedup import (
     SIMHASH_BITS,
 )
 from ..operators.classifier import PERC_ITERS, PERC_POS_LANG
-from .training import RRF_K, RRF_QUERY_VEC, RRF_SEM_K, RRF_TOPK
+from .training import (
+    ORACLE_SIDECAR_DIR,
+    RRF_K,
+    RRF_QUERY_VEC,
+    RRF_SEM_K,
+    RRF_TOPK,
+    SIDECAR_FP_MOD,
+)
+
+# sidecar-file match predicate: the oracle derives the full corpus
+# fingerprint — (count, total chars, md5-sum content hash) — from its
+# OWN documents view, so it reads exactly the file the Spark query
+# (which the gate always runs first) wrote for this corpus, and a
+# (n_docs, n_chars) collision between different corpora can't union a
+# second vocab file into the CTE
+_SIDECAR_MATCH = f"""n_docs = (SELECT count(*) FROM documents)
+    AND n_chars = (SELECT sum(length(text)) FROM documents)
+    AND n_fp = (SELECT CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                            % {SIDECAR_FP_MOD} AS BIGINT) FROM documents)"""
 from ..operators.graph import (
     LP_ITERS,
     LP_SEED_MOD,
@@ -2755,11 +2773,12 @@ LEFT JOIN (
 
 # TRAINED-vocab WordPiece encoder gate — the vocab-as-input design: the
 # Spark query (always run first by the gate) writes its trained vocab to
-# /tmp/spark_graft_oracle_vocab/wp_<ndocs>.parquet; this oracle reads it
-# back with a glob filtered by the SF's own document count (derived from
-# the oracle's views, so concurrent verifies at different SFs read their
-# own files) and replays the identical greedy longest-match walk — the
-# _freq twin's recursive CTE with the vocab CTE swapped for the sidecar.
+# ORACLE_SIDECAR_DIR/wp_<ndocs>_<nchars>.parquet; this oracle reads it
+# back with a glob filtered by the _SIDECAR_MATCH corpus fingerprint
+# (derived from the oracle's own views, so concurrent verifies at
+# different SFs read their own files) and replays the identical greedy
+# longest-match walk — the _freq twin's recursive CTE with the vocab CTE
+# swapped for the sidecar.
 WORDPIECE_ENCODE = """
 WITH RECURSIVE
 doc_words AS (
@@ -2770,9 +2789,8 @@ doc_words AS (
 wf AS (SELECT w, count(*) AS freq FROM doc_words GROUP BY w),
 vocab AS (
   SELECT piece
-  FROM read_parquet('/tmp/spark_graft_oracle_vocab/wp_*.parquet')
-  WHERE n_docs = (SELECT count(*) FROM documents)
-    AND n_chars = (SELECT sum(length(text)) FROM documents)
+  FROM read_parquet('__SIDECAR_DIR__/wp_*.parquet')
+  WHERE __SIDECAR_MATCH__
 ),
 st AS (
   SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS toks, false AS unk
@@ -2808,6 +2826,10 @@ LEFT JOIN (
   GROUP BY doc_id
 ) r USING (doc_id)
 """
+
+WORDPIECE_ENCODE = WORDPIECE_ENCODE.replace(
+    "__SIDECAR_DIR__", ORACLE_SIDECAR_DIR
+).replace("__SIDECAR_MATCH__", _SIDECAR_MATCH)
 
 
 def _unigram_encode_sql(max_w: int = 16, max_len: int = 4) -> str:
@@ -2852,9 +2874,8 @@ doc_words AS (
 wf AS (SELECT w, count(*) AS freq FROM doc_words GROUP BY w),
 raw AS (
   SELECT piece, count_q
-  FROM read_parquet('/tmp/spark_graft_oracle_vocab/uni_*.parquet')
-  WHERE n_docs = (SELECT count(*) FROM documents)
-    AND n_chars = (SELECT sum(length(text)) FROM documents)
+  FROM read_parquet('{ORACLE_SIDECAR_DIR}/uni_*.parquet')
+  WHERE {_SIDECAR_MATCH}
 ),
 tot AS (SELECT sum(count_q) AS t FROM raw),
 sc AS (

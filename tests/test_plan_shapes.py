@@ -303,6 +303,34 @@ class TestNoGlobalWindows:
         ok_dist = global_rank_ntile(df, [F.col("id")], 5)
         assert global_window_offenders(ok_dist) == []
 
+    def test_detector_ignores_limit_on_broadcast_build_side(self, spark):
+        """A limit on the BROADCAST (build) branch of a join must not
+        vouch for an unbounded probe side: `limited_dim ⋈ fact` flowing
+        into a global window is still the one-task-sort cliff
+        (`_bounded_walk` follows only the streamed child of broadcast
+        joins). The bounded shape — limit on the STREAMED side — stays
+        unflagged. Residual approximation, by design: shuffled joins
+        (SMJ/SHJ) still exempt on either side, since neither input alone
+        statically bounds their output multiplicity; no registry plan
+        relies on that exemption."""
+        from pyspark.sql import Window
+
+        from tools.plan_audit import global_window_offenders
+
+        fact = spark.range(100_000).withColumn("k", F.col("id") % 100)
+        dim = spark.range(1000).select(F.col("id").alias("k")).orderBy("k").limit(5)
+        bad = fact.join(F.broadcast(dim), "k").withColumn(
+            "r", F.row_number().over(Window.orderBy("id"))
+        )
+        assert len(global_window_offenders(bad)) == 1
+        ok = (
+            fact.orderBy("id")
+            .limit(5)
+            .join(F.broadcast(dim), "k")
+            .withColumn("r", F.row_number().over(Window.orderBy("id")))
+        )
+        assert global_window_offenders(ok) == []
+
 
 class TestIterativeLineage:
     def test_dedup_clusters_plan_constant_in_iterations(self, spark):

@@ -124,15 +124,47 @@ def _walk_plan(node):
         yield from _walk_plan(ch.apply(i))
 
 
+def _bounded_walk(node):
+    """`_walk_plan` restricted to the ROW-PRODUCING path: broadcast
+    joins descend only their STREAMED child, so a `limit(K)` sitting on
+    a broadcast (build) branch can't vouch for an unbounded probe side —
+    the `limited_dim JOIN unbounded_fact` shape a global Window above
+    must still flag. Shuffled joins (SMJ/SHJ) keep the both-sides
+    approximation: their output multiplicity isn't statically bounded by
+    either input alone, and every legitimate bounded plan in the
+    registry bounds the probe side of a BROADCAST join (the
+    TakeOrdered → rank-window shape), so the looser rule there is a
+    documented residual, not a load-bearing exemption (see
+    tests/test_plan_shapes.py::TestNoGlobalWindows)."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _bounded_walk(node.inputPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _bounded_walk(node.plan())
+        return
+    if cls in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
+        streamed = (
+            node.right()
+            if node.buildSide().toString() == "BuildLeft"
+            else node.left()
+        )
+        yield from _bounded_walk(streamed)
+        return
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _bounded_walk(ch.apply(i))
+
+
 def _subtree_bounded(node) -> bool:
-    """True if every row path into `node`'s subtree passes a bounding
-    node (limit / inferred group-limit) or the `_pid` offset aggregate —
-    i.e. the frame a global Window above it would sort is constant- or
-    partition-count-bounded, not data-sized. Approximation: existence
-    anywhere in the subtree (a limit on one join branch exempts the
-    whole subtree) — fine for a ratchet; the unbounded-everywhere case
-    it exists to catch has no limit anywhere."""
-    for n in _walk_plan(node):
+    """True if the row-producing path into `node`'s subtree passes a
+    bounding node (limit / inferred group-limit) or the `_pid` offset
+    aggregate — i.e. the frame a global Window above it would sort is
+    constant- or partition-count-bounded, not data-sized. Broadcast
+    joins contribute only their streamed side (see `_bounded_walk`);
+    shuffled joins remain an existence approximation."""
+    for n in _bounded_walk(node):
         cls = n.getClass().getSimpleName()
         if cls in _BOUNDING_NODES:
             return True
