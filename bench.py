@@ -166,10 +166,37 @@ BENCH_QUERIES = [
 ]
 
 
+def _provenance_start() -> dict:
+    """Run provenance (r11 verdict item 4): two consecutive rounds of
+    byte-flat seconds drift were attributed to ambient host load by
+    narrative — record the evidence inside the artifact instead, so a
+    cross-round seconds ratio is auditable against the load the run
+    actually saw. loadavg is sampled at start and end (bench_compare
+    prints both next to the ratio); git SHA + UTC timestamps pin WHICH
+    tree produced the committed numbers."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — provenance must never fail the bench
+        sha = None
+    return {
+        "git_sha": sha,
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from gmall_flink_200621_spark.session import get_spark
 
+    provenance = _provenance_start()
     spark = get_spark("bench")
     queries = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in queries]
@@ -299,8 +326,12 @@ def main() -> None:
     per_query = {n: round(v, 3) for n, v in per_query.items()}
     per_query_median = {n: round(v, 3) for n, v in per_query_median.items()}
 
+    provenance["ended_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    provenance["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
+        "provenance": provenance,
         "metric": "bench_total",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
@@ -354,6 +385,12 @@ def main() -> None:
         "passes": N_PASSES,
         "sf": detail["sf"],
         "detail": detail_name,
+        # 1-min loadavg at run start/end — the drift-audit headline;
+        # full provenance (SHA, UTC stamps, 5/15-min loads) in detail
+        "load": [
+            provenance["loadavg_start"][0],
+            provenance["loadavg_end"][0],
+        ],
         "queries": {k: per_query[k] for k in headliners if k in per_query},
     }
     line = json.dumps(compact)

@@ -100,7 +100,21 @@ def main() -> None:
     rows.sort(reverse=True)
     bad = [r for r in rows if r[0] > thr]
     print(f"common {len(common)}  added {sorted(set(nq) - set(oq))}  removed {sorted(set(oq) - set(nq))}")
-    print(f"total(common): {sum(oq[k] for k in common):.2f}s -> {sum(nq[k] for k in common):.2f}s")
+    tot_o, tot_n = sum(oq[k] for k in common), sum(nq[k] for k in common)
+    ratio = f" ({tot_n / tot_o:.3f}x)" if tot_o else ""
+    print(f"total(common): {tot_o:.2f}s -> {tot_n:.2f}s{ratio}")
+    # run provenance (r12+): the load context a seconds ratio must be
+    # read against — byte-flat drift under high ambient load is host
+    # noise, the same drift at idle load is a real regression signal
+    for tag, d in (("old", old), ("new", new)):
+        p = d.get("provenance")
+        if isinstance(p, dict):
+            print(
+                f"  {tag}: sha={str(p.get('git_sha'))[:12]}"
+                f" start={p.get('started_utc')}"
+                f" loadavg {p.get('loadavg_start')} -> {p.get('loadavg_end')}"
+                f" cpus={p.get('cpus')}"
+            )
     print(f"{'delta':>8s}  {'old':>7s} {'new':>7s}  query")
     for d, k, a, b in rows[:15]:
         flag = "  <-- REGRESSION" if d > thr else ""
