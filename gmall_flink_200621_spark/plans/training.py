@@ -1393,6 +1393,70 @@ def pq_index_filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["pq_index_filtered_eval"] = pq_index_filtered_eval
+
+
+def knn_graph_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED corpus k-NN graph under vector CDC, under
+    the oracle gate: the 4-chunk embedding replay (V_DEL vec_id % 9 ==
+    5, routed +1 chunk — delete-before-insert occurs) incrementally
+    bands arrivals, scores only the pairs each epoch introduces against
+    the live band index, and retracts dead-sided edges at read. The
+    oracle is batch `knn_graph` over SURVIVORS, so the driver
+    hash-certifies the maintained graph == a full rebuild over the
+    surviving corpus — including neighbors that were crowded out of a
+    top-k while a later-deleted vector was alive (the unpruned stored
+    pair scores make them recallable; a pruned graph index could not
+    serve this without re-scoring). Unifies the vector-CDC and graph
+    families: components/label-prop/triangles/PageRank can now consume
+    an incrementally-maintained edge list."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import knn_graph_cdc_view, run_knn_graph_cdc_stream
+
+    name = f"q_kngcdc_{sf_namespace(sf_dir)}"
+    q = run_knn_graph_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "band", "edge", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    return knn_graph_cdc_view(spark, name)
+
+
+TRAINING_QUERIES["knn_graph_stream_view"] = knn_graph_stream_view
+
+
+def knn_graph_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC k-NN graph after PHYSICAL purge (`purge_knn_graph_dead`,
+    run twice to pin idempotence): dead vectors' store/band rows and
+    dead-sided edges rewritten out of exactly the partitions holding
+    them, tombstones kept. The served graph must be read-identical, so
+    the twin shares the delete gate's oracle — graph compaction changes
+    bytes, never neighbors."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        knn_graph_cdc_view,
+        purge_knn_graph_dead,
+        run_knn_graph_cdc_stream,
+    )
+
+    name = f"q_kngcdcp_{sf_namespace(sf_dir)}"
+    q = run_knn_graph_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "band", "edge", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    n1 = purge_knn_graph_dead(spark, name)
+    n2 = purge_knn_graph_dead(spark, name)
+    assert n1 > 0 and n2 == 0, f"knn-graph purge not idempotent: {n1} then {n2}"
+    return knn_graph_cdc_view(spark, name)
+
+
+TRAINING_QUERIES["knn_graph_purged_stream_view"] = knn_graph_purged_stream_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
 

@@ -1034,6 +1034,12 @@ SELECT src_id, nbr_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
+# batch knn_graph over SURVIVORS (vec_id % 9 == 5 deleted) — what the
+# stream-maintained graph must serve after tombstone retraction
+KNN_GRAPH_SURVIVORS = KNN_GRAPH.replace(
+    "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+)
+
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 _BM25_PIVOT = ",\n         ".join(
@@ -3200,6 +3206,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq_index_delete_view": KNN_PQ_INDEX_CDC,
     "knn_pq_index_filtered_view": KNN_PQ_INDEX_CDC_FILTERED,
     "pq_index_filtered_eval": PQ_INDEX_FILTERED_EVAL,
+    "knn_graph_stream_view": KNN_GRAPH_SURVIVORS,
+    "knn_graph_purged_stream_view": KNN_GRAPH_SURVIVORS,
     "knn_pq_index_purged_view": KNN_PQ_INDEX_CDC,
     "knn_pq_index_refine_view": KNN_PQ_INDEX_REFINE,
     "knn_graph": KNN_GRAPH,

@@ -5693,6 +5693,275 @@ def purge_pq_index_dead(spark: SparkSession, name: str = "pqcdc") -> int:
     )
 
 
+def run_knn_graph_cdc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "kngcdc",
+    n_chunks: int = 4,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """STREAM-MAINTAINED corpus k-NN graph under vector CDC — the
+    substrate graph-based ANN (HNSW-class) and the graph operators
+    (components/label-prop/triangles/PageRank) consume, kept incremental
+    instead of rebuilt: per epoch the maintainer bands the cleansed
+    arrivals (`sign_band_frame`, the batch operator's own LSH), joins
+    them against the LIVE band index to find every bucket-mate pair with
+    ≥1 new member, and scores those pairs exactly (the per-bucket int64
+    numpy matmul — the same documented Arrow exception as batch
+    `knn_graph`). Four epoch-partitioned tables, each O(batch·bucket) to
+    maintain: `<name>_vec` (quantized vectors + norms), `<name>_band`
+    (the LSH band index), `<name>_edge` (UNDIRECTED scored candidate
+    pairs, id_a < id_b), `<name>_del` (V_DEL tombstones).
+
+    The edge table stores the FULL same-bucket candidate-pair scores —
+    deliberately NOT pre-pruned to per-src top-k: under deletes, a
+    neighbor that was crowded out of a top-k at scoring time must be
+    RECALLABLE when the crowding vector dies (the graph-index delete
+    problem; a pruned index would need bucket re-scoring). Storing
+    Σbucket² scored pairs is the same volume the batch operator scores
+    per rebuild — paid once per pair here, and bounded at scale by the
+    banding selectivity (deepen `rows` as N grows), so a delete is pure
+    read-side retraction and `knn_graph_cdc_view` serves the exact batch
+    graph over survivors at any arrival order.
+
+    Coverage argument: a surviving pair (a, b) sharing a band bucket is
+    scored exactly at epoch max(arrival(a), arrival(b)) — within-batch
+    pairs by the self-side of the join, cross-epoch pairs by the
+    band-index side — so the union of epochs is the union of all
+    same-bucket survivor pairs, the batch operator's candidate set.
+    Unlike batch `knn_graph` this maintainer carries no bucket-cap
+    splitter: the cap's sub-bucket assignment depends on FULL bucket
+    membership, which changes as the stream grows — a production
+    deployment holds bucket sizes with deeper bands (the same lever the
+    cap backstops), and the per-epoch group the matmul sees is already
+    (batch ∩ bucket) × bucket, not bucket²."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import (
+        LSH_PLANES,
+        LSH_SIGN_BANDS,
+        _idot,
+        quantize,
+        sign_band_frame,
+    )
+
+    bands, rows_b = LSH_SIGN_BANDS, LSH_PLANES // 2
+    vec_t, band_t = f"{name}_vec", f"{name}_band"
+    edge_t, del_t = f"{name}_edge", f"{name}_del"
+    if fresh_tables:
+        for t in (vec_t, band_t, edge_t, del_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {vec_t} (vec_id BIGINT, q ARRAY<BIGINT>, n2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {band_t} (vec_id BIGINT, bi INT, bv BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {edge_t} (id_a BIGINT, id_b BIGINT, cosine DOUBLE)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {del_t} (vec_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_cdc_chunks(sf_dir, n_chunks)
+    feed = (
+        spark.readStream.schema("side string, vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if len(pdf) < 2 or not pdf["is_new"].any():
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+        g = m @ m.T  # exact int64 dots (same bound as batch knn_graph)
+        rt = np.sqrt(pdf["n2"].to_numpy().astype(np.float64))
+        cos = g / (rt[:, None] * rt[None, :])
+        new = pdf["is_new"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = new[iu] | new[ju]  # only pairs this epoch introduces
+        if not mask.any():
+            return empty
+        ia, ib = ids[iu[mask]], ids[ju[mask]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": cos[iu[mask], ju[mask]],
+            }
+        )
+
+    def index_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t in (vec_t, band_t, edge_t, del_t):
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+        d_del = df.filter(F.col("side") == "V_DEL").select("vec_id")
+        hist_d = (
+            live_epochs(s.table(del_t), s, del_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist_d.unionByName(d_del)
+        e = (
+            df.filter(F.col("side") == "V")
+            .join(dead, "vec_id", "left_anti")
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .withColumn("n2", _idot(F.col("q"), F.col("q")))
+            .persist()
+        )
+        bnew = sign_band_frame(e, bands, rows_b)  # (vec_id, bi, bv), persisted
+        # candidate groups: live historical members of the buckets this
+        # batch touches (tombstone-cleansed — dead vectors stop making
+        # NEW edges immediately) plus the batch members themselves
+        touched = bnew.select("bi", "bv").distinct()
+        hist_b = (
+            live_epochs(s.table(band_t), s, band_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+            .join(dead, "vec_id", "left_anti")
+            .join(F.broadcast(touched), ["bi", "bv"], "left_semi")
+        )
+        hist_v = (
+            live_epochs(s.table(vec_t), s, vec_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        members = (
+            hist_b.join(hist_v, "vec_id")
+            .withColumn("is_new", F.lit(False))
+            .unionByName(bnew.join(e, "vec_id").withColumn("is_new", F.lit(True)))
+        )
+        pairs = members.groupBy("bi", "bv").applyInPandas(
+            bucket_pairs, "id_a long, id_b long, cosine double"
+        )
+        # a pair sharing several bands carries the identical cosine —
+        # max() is dedup, not selection (cross-epoch replays dedup at read)
+        edges = pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+        _ivm_write_epoch(s, edges.select("id_a", "id_b", "cosine"), edge_t, epoch_id)
+        _ivm_write_epoch(s, e.select("vec_id", "q", "n2"), vec_t, epoch_id)
+        _ivm_write_epoch(s, bnew.select("vec_id", "bi", "bv"), band_t, epoch_id)
+        _ivm_write_epoch(s, d_del, del_t, epoch_id)
+        bnew.unpersist()
+        e.unpersist()
+
+    w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def knn_graph_cdc_view(
+    spark: SparkSession, name: str = "kngcdc", k: int | None = None
+) -> DataFrame:
+    """The maintained k-NN graph served over survivors: live edges with
+    EITHER side tombstoned are retracted (read-side delete — the stored
+    unpruned pair scores make the crowded-out neighbors recallable with
+    no re-scoring), the undirected pairs expand to both directions, and
+    the per-src exact top-k ranks over the candidate union — batch
+    `knn_graph`'s own ordering and columns, so the gate hash-certifies
+    index-served == rebuild-over-survivors."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import KNN_GRAPH_K
+
+    dead = (
+        live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+        .select("vec_id")
+        .distinct()
+    )
+    e = (
+        live_epochs(spark.table(f"{name}_edge"), spark, f"{name}_edge")
+        .drop("epoch")
+        .join(F.broadcast(dead.withColumnRenamed("vec_id", "id_a")), "id_a", "left_anti")
+        .join(F.broadcast(dead.withColumnRenamed("vec_id", "id_b")), "id_b", "left_anti")
+    )
+    sym = e.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("nbr_id"), "cosine"
+    ).unionByName(
+        e.select(F.col("id_b").alias("src_id"), F.col("id_a").alias("nbr_id"), "cosine")
+    )
+    # replay-safe dedup (a redelivered epoch re-emits identical scores)
+    uniq = sym.groupBy("src_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        uniq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (k or KNN_GRAPH_K))
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def purge_knn_graph_dead(spark: SparkSession, name: str = "kngcdc") -> int:
+    """Physical delete pass for the maintained k-NN graph: rewrite only
+    the vector/band/edge partitions holding dead-sided rows
+    (`_gc_partitions` per table); tombstones stay (late re-inserts must
+    still be cleansed). Replay-safe: per-epoch maintenance reads the
+    band/vec tables only through the same tombstone anti-join, so a
+    purged row was already invisible. Purge changes bytes, never the
+    served graph. Idempotent; returns partitions touched."""
+    dead = (
+        live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+        .select("vec_id")
+        .distinct()
+    )
+    touched = 0
+    for t, cols, empty in (
+        (
+            f"{name}_vec",
+            ["vec_id", "q", "n2"],
+            "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false",
+        ),
+        (
+            f"{name}_band",
+            ["vec_id", "bi", "bv"],
+            "SELECT BIGINT(NULL), CAST(NULL AS INT), BIGINT(NULL) WHERE false",
+        ),
+    ):
+        flagged = (
+            live_epochs(spark.table(t), spark, t)
+            .join(F.broadcast(dead.withColumn("_dead", F.lit(True))), "vec_id", "left")
+            .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
+        )
+        touched += _gc_partitions(spark, t, flagged, cols, empty)
+    et = f"{name}_edge"
+    da = dead.select(F.col("vec_id").alias("id_a")).withColumn("_da", F.lit(True))
+    db = dead.select(F.col("vec_id").alias("id_b")).withColumn("_db", F.lit(True))
+    flagged = (
+        live_epochs(spark.table(et), spark, et)
+        .join(F.broadcast(da), "id_a", "left")
+        .join(F.broadcast(db), "id_b", "left")
+        .withColumn(
+            "_dead",
+            F.coalesce(F.col("_da"), F.lit(False))
+            | F.coalesce(F.col("_db"), F.lit(False)),
+        )
+        .drop("_da", "_db")
+    )
+    touched += _gc_partitions(
+        spark, et, flagged, ["id_a", "id_b", "cosine"],
+        "SELECT BIGINT(NULL), BIGINT(NULL), CAST(NULL AS DOUBLE) WHERE false",
+    )
+    return touched
+
+
 def purge_flat_index(spark: SparkSession, name: str = "flatcdc") -> int:
     """FAISS remove_ids made physical: rewrite only the store partitions
     holding tombstoned vectors (`_gc_partitions`); tombstones stay (a
