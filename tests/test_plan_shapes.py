@@ -277,6 +277,41 @@ class TestNoGlobalWindows:
         assert sizes_r == {i: 10_000 for i in range(1, 6)}
         assert sizes_f == {i: 10_000 for i in range(1, 6)}
 
+    def test_ranking_results_partition_count_invariant(self, spark):
+        """The incident class was AQE-coalesce-DEPENDENT: boundary
+        samples moved with the partition layout. The fix must make
+        results invariant to shuffle-partition count, the npartitions
+        arg and advisory sizes — same ranks, same ntiles, bit-for-bit,
+        under every layout."""
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        df = spark.range(20_000).select(
+            (F.col("id") * 2_654_435_761 % 999_983).alias("v"), "id"
+        )
+        def run(shuffle: str, advisory: str, nparts: int | None):
+            prev_s = spark.conf.get("spark.sql.shuffle.partitions")
+            prev_a = spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+            try:
+                out = global_rank_ntile(
+                    df, [F.desc("v"), F.asc("id")], n=7, npartitions=nparts
+                )
+                return sorted(map(tuple, out.collect()))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_s)
+                spark.conf.set(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_a
+                )
+
+        base = run("32", "64m", None)
+        assert run("5", "64m", None) == base
+        assert run("131", "1m", None) == base
+        assert run("32", "64m", 13) == base
+        assert run("32", "1m", 3) == base
+
     def test_detector_flags_the_antipattern(self, spark):
         """The detector must actually fire on the shape it exists to
         forbid (an unbounded global ntile) and stay quiet on the bounded

@@ -182,6 +182,48 @@ def main() -> None:
 
     probes["iterative joins (pagerank 3-regular)"] = pagerank_synthetic
 
+    def rfm_chain_k(k: int) -> DataFrame:
+        # the decile/pareto/gini/rfm consumer shape at k× orders: one
+        # per-customer aggregate (the grain contract the ranking
+        # primitive's materialization depends on), then THREE chained
+        # global_rank_ntile passes (rfm_segments' exact structure).
+        # Expected alpha ≈ 1: each pass is a range shuffle + pid window
+        # over |customers| rows; the materialized checkpoint is the
+        # aggregate-grain frame, never the fact rows (bytes reported
+        # separately below).
+        from gmall_flink_200621_spark.operators.ranking import global_rank_ntile
+
+        orders = load_table(spark, sf_dir, "orders")
+        parts = [
+            orders.select(
+                (F.col("o_custkey") + i * 10_000_000).alias("cust"),
+                "o_totalprice",
+                "o_orderdate",
+            )
+            for i in range(k)
+        ]
+        o = parts[0]
+        for p in parts[1:]:
+            o = o.unionByName(p)
+        agg = o.groupBy("cust").agg(
+            F.max("o_orderdate").alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum("o_totalprice").alias("m"),
+        )
+        out = agg
+        for metric, nm in (("r", "rt"), ("f", "ft"), ("m", "mt")):
+            out = (
+                global_rank_ntile(out, [F.col(metric), F.col("cust")], 5)
+                .withColumnRenamed("ntile", nm)
+                .drop("global_rank")
+            )
+        return out
+
+    probes["chained ntile x3 (rfm shape)"] = rfm_chain_k
+
+    ranking_only = "--ranking-only" in sys.argv
+    if ranking_only:
+        probes = {}
     print(f"{'query':42s} " + " ".join(f"t({k}x)" for k in KS) + "   alpha")
     for name, build in probes.items():
         build(1).write.format("noop").mode("overwrite").save()  # codegen warmup
@@ -200,6 +242,73 @@ def main() -> None:
         print(
             f"{name:42s} " + " ".join(f"{t:5.2f}" for t in ts) + f"   {alpha:5.2f}"
         )
+
+    # ---- ranking-primitive materialization probes (r11 verdict #5) ----
+    # (a) the localCheckpoint bytes must track the AGGREGATE-grain frame
+    # (|customers| rows), not the replicated fact rows — measured from
+    # the live RDD storage infos right after an action, before cleanup;
+    # (b) results must be partition-count-invariant: the r11 incident
+    # class was AQE-coalesce-dependent boundary sampling, so the chain
+    # re-runs under different shuffle-partition counts, npartitions and
+    # advisory sizes, and the full-result hash must not move.
+    def _all_storage_bytes() -> int:
+        sc = spark.sparkContext._jsc.sc()
+        return sum(
+            i.memSize() + i.diskSize() for i in sc.getRDDStorageInfo()
+        )
+
+    def _chain_hash(k: int) -> int:
+        df = rfm_chain_k(k)
+        cols = [F.col(c).cast("string") for c in df.columns]
+        # pmod before sum: raw xxhash64 values overflow a long sum under
+        # ANSI mode; 2^31-bounded terms keep the sum < 2^53 at any k here
+        return df.select(
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(1 << 31))).alias("h")
+        ).first()["h"]
+
+    def _release_all() -> None:
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+
+    print("\nranking-primitive checkpoint bytes (aggregate-grain contract):")
+    ckpt = {}
+    _release_all()  # the timing loop's last run leaves its blocks live
+    for k in KS:
+        df = rfm_chain_k(k)
+        n_agg = df.count()  # action materializes the lazy checkpoints
+        ckpt[k] = _all_storage_bytes()
+        print(
+            f"  k={k:3d}  agg rows={n_agg:9d}  checkpoint+persist bytes="
+            f"{ckpt[k]/2**20:8.2f} MiB  ({ckpt[k]/max(n_agg,1):6.1f} B/row)"
+        )
+        _release_all()
+    print("  verdict: bytes/row should be ~flat across k (frame-proportional)")
+
+    print("\nranking-primitive partition-count invariance (k=10):")
+    base = None
+    for tag, conf in (
+        ("shuffle=32 advisory=64m", {"spark.sql.shuffle.partitions": "32",
+                                     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m"}),
+        ("shuffle=7  advisory=64m", {"spark.sql.shuffle.partitions": "7",
+                                     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m"}),
+        ("shuffle=131 advisory=1m", {"spark.sql.shuffle.partitions": "131",
+                                     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m"}),
+    ):
+        prev = {kk: spark.conf.get(kk, None) for kk in conf}
+        for kk, vv in conf.items():
+            spark.conf.set(kk, vv)
+        try:
+            h = _chain_hash(10)
+        finally:
+            for kk, vv in prev.items():
+                if vv is not None:
+                    spark.conf.set(kk, vv)
+        ok = "" if base is None or h == base else "  <-- DIVERGED"
+        base = base if base is not None else h
+        print(f"  {tag}: hash={h}{ok}")
+        _release_all()
+    print("  verdict: all hashes identical = boundary sampling pinned")
 
 
 if __name__ == "__main__":
