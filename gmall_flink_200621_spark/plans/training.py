@@ -1457,6 +1457,91 @@ def knn_graph_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["knn_graph_purged_stream_view"] = knn_graph_purged_stream_view
+
+
+def _quantized(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
+    from ..operators.similarity import _idot, quantize
+
+    e = _emb(spark, sf_dir)
+    if where is not None:
+        e = e.filter(where)
+    e = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    return e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+
+
+def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search (HNSW-class, single-layer deterministic
+    beam variant) over the corpus k-NN graph — the serving-time rung the
+    ANN ladder gains on top of the LSH/IVF/PQ families: fixed entry
+    points, GRAPH_ANN_HOPS beam-search rounds over the symmetrized
+    edges, exact re-scoring, no corpus scan after graph construction.
+    Fully deterministic (ties (cosine desc, id asc) everywhere), so the
+    DuckDB oracle replays the identical walk hop-for-hop and the driver
+    HASH-gates the whole search path, not just a recall bound. See
+    operators/similarity.graph_ann_search."""
+    edges = V.knn_graph(_emb(spark, sf_dir)).select("src_id", "nbr_id")
+    e = _quantized(spark, sf_dir).persist()
+    return V.graph_ann_search(e, edges)
+
+
+TRAINING_QUERIES["knn_graph_ann"] = knn_graph_ann
+
+
+def graph_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the graph-ANN rung vs `knn_brute` — ann_eval's
+    discipline for the graph path: the measured price of beam search
+    over an LSH-built k-NN graph against the exact baseline, as a
+    hash-gated live number (n_exact in-plan, the oracle's ex-subquery
+    shape)."""
+    edges = V.knn_graph(_emb(spark, sf_dir)).select("src_id", "nbr_id")
+    e = _quantized(spark, sf_dir).persist()
+    m = V.graph_ann_search(e, edges).select("query_id", "neighbor_id")
+    exact = V.knn_brute(_emb(spark, sf_dir)).select("query_id", "neighbor_id")
+    return (
+        m.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+        .crossJoin(m.agg(F.count(F.lit(1)).cast("long").alias("n_method")))
+        .select(
+            F.lit("graph_ann").alias("method"),
+            "n_exact",
+            "n_method",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+TRAINING_QUERIES["graph_ann_eval"] = graph_ann_eval
+
+
+def knn_graph_ann_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN served from the STREAM-MAINTAINED k-NN graph under
+    deletes — the full production loop closed: vector CDC maintains the
+    graph incrementally (`run_knn_graph_cdc_stream`), tombstones retract
+    dead-sided edges at read, and the SAME deterministic beam search
+    runs over the maintained survivor graph with survivor entry points
+    and queries. The oracle replays graph construction + the walk over
+    survivors from scratch, so the hash certifies serve-from-maintained
+    == rebuild-and-search at any delete arrival order."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import knn_graph_cdc_view, run_knn_graph_cdc_stream
+
+    name = f"q_kngann_{sf_namespace(sf_dir)}"
+    q = run_knn_graph_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "band", "edge", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    edges = knn_graph_cdc_view(spark, name).select("src_id", "nbr_id")
+    e = _quantized(spark, sf_dir, where=F.col("vec_id") % 9 != 5).persist()
+    return V.graph_ann_search(e, edges)
+
+
+TRAINING_QUERIES["knn_graph_ann_stream_view"] = knn_graph_ann_stream_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
 

@@ -1041,6 +1041,84 @@ KNN_GRAPH_SURVIVORS = KNN_GRAPH.replace(
 )
 
 
+def _graph_ann_sql(vec_where: str = "TRUE") -> str:
+    """Graph-ANN beam-search oracle (operators/similarity.
+    graph_ann_search, hop for hop): the k-NN graph CTEs build the edge
+    list, then GRAPH_ANN_HOPS unrolled rounds each expand the beam by
+    its symmetrized neighbors, re-score exactly, and keep the top
+    GRAPH_ANN_BEAM per query by (cosine desc, cand asc) — fully
+    deterministic, so the final top-k hash-matches the Spark walk.
+    `vec_where` scopes the whole universe (corpus, graph, entry points,
+    queries) to survivors for the maintained-graph twin."""
+    from ..operators.similarity import (
+        GRAPH_ANN_BEAM,
+        GRAPH_ANN_HOPS,
+        GRAPH_ANN_SEED_MOD,
+    )
+
+    ctes = _KNN_GRAPH_CTES.replace(
+        "AS q FROM embeddings)", f"AS q FROM embeddings WHERE {vec_where})"
+    )
+    parts = [
+        f"ge AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K})",
+        "sym AS (SELECT src_id, nbr_id FROM ge"
+        " UNION ALL SELECT nbr_id, src_id FROM ge)",
+        "qs AS (SELECT vec_id AS query_id FROM e WHERE vec_id % 100 = 0)",
+        f"seeds AS (SELECT vec_id AS cand FROM e WHERE vec_id % {GRAPH_ANN_SEED_MOD} = 1)",
+        "c0 AS (SELECT query_id, cand FROM qs, seeds)",
+    ]
+    for i in range(GRAPH_ANN_HOPS + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT d.query_id, d.cand, {_cosine_sql("qv.q", "cv.q")} AS cosine
+  FROM (SELECT DISTINCT query_id, cand FROM c{i}) d
+  JOIN e cv ON cv.vec_id = d.cand
+  JOIN e qv ON qv.vec_id = d.query_id
+  WHERE d.cand <> d.query_id)"""
+        )
+        parts.append(
+            f"""b{i} AS (
+  SELECT query_id, cand, cosine FROM (
+    SELECT query_id, cand, cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, cand ASC) AS rn
+    FROM s{i}) WHERE rn <= {GRAPH_ANN_BEAM})"""
+        )
+        if i < GRAPH_ANN_HOPS:
+            parts.append(
+                f"""c{i + 1} AS (
+  SELECT query_id, cand FROM b{i}
+  UNION ALL
+  SELECT b{i}.query_id, sym.nbr_id AS cand FROM b{i} JOIN sym ON b{i}.cand = sym.src_id)"""
+            )
+    body = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+{body}
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT query_id, cand AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, cand ASC) AS INT) AS rank
+  FROM b{GRAPH_ANN_HOPS}) WHERE rank <= {KNN_K}
+"""
+
+
+KNN_GRAPH_ANN = _graph_ann_sql()
+KNN_GRAPH_ANN_SURVIVORS = _graph_ann_sql("vec_id % 9 <> 5")
+
+GRAPH_ANN_EVAL = f"""
+WITH ex AS ({KNN_BRUTE})
+SELECT 'graph_ann' AS method,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ({KNN_GRAPH_ANN}) m) AS n_method,
+       (SELECT count(*) FROM ({KNN_GRAPH_ANN}) m
+        JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id) AS n_common,
+       round((SELECT count(*) FROM ({KNN_GRAPH_ANN}) m
+              JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id)
+             / (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall
+"""
+
+
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 _BM25_PIVOT = ",\n         ".join(
     f"MAX(CASE WHEN term = '{t}' THEN c END) AS c{i}" for i, t in enumerate(BM25_QUERY)
@@ -3208,6 +3286,9 @@ TRAINING_ORACLES: dict[str, str] = {
     "pq_index_filtered_eval": PQ_INDEX_FILTERED_EVAL,
     "knn_graph_stream_view": KNN_GRAPH_SURVIVORS,
     "knn_graph_purged_stream_view": KNN_GRAPH_SURVIVORS,
+    "knn_graph_ann": KNN_GRAPH_ANN,
+    "graph_ann_eval": GRAPH_ANN_EVAL,
+    "knn_graph_ann_stream_view": KNN_GRAPH_ANN_SURVIVORS,
     "knn_pq_index_purged_view": KNN_PQ_INDEX_CDC,
     "knn_pq_index_refine_view": KNN_PQ_INDEX_REFINE,
     "knn_graph": KNN_GRAPH,
