@@ -2459,6 +2459,78 @@ def knn_sq8_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_QUERIES["knn_sq8_index_view"] = knn_sq8_index_view
 
 
+def knn_sq8_index_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained SQ8 index as a CDC consumer under the oracle gate
+    — FAISS remove_ids() on the scalar-quantized index, the FIFTH and
+    last maintained index family to gain the delete story: the 4-chunk
+    embedding CDC replay carries V_DEL tombstones (vec_id % 9 == 5,
+    routed +1 chunk — delete-before-insert occurs), the per-dim ranges
+    stay frozen on the first chunk's cleansed inserts, and the search
+    anti-joins live tombstones. Queries are survivors too; the oracle
+    replays frozen training + survivor scoring (same clamp semantics)
+    in SQL."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_sq8_index_cdc_stream, sq8_index_search
+
+    name = f"q_sq8cdcd_{sf_namespace(sf_dir)}"
+    q = run_sq8_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_stats", f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    return sq8_index_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_sq8_index_delete_view"] = knn_sq8_index_delete_view
+
+
+def knn_sq8_index_purged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC SQ8 index after PHYSICAL purge (`purge_sq8_index_dead`,
+    run twice to pin idempotence): dead codes rewritten out of exactly
+    the partitions holding them, the frozen ranges untouched; served
+    search must be read-identical, so the twin shares the delete gate's
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        purge_sq8_index_dead,
+        run_sq8_index_cdc_stream,
+        sq8_index_search,
+    )
+
+    name = f"q_sq8cdcp_{sf_namespace(sf_dir)}"
+    q = run_sq8_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_stats", f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    n1 = purge_sq8_index_dead(spark, name)
+    n2 = purge_sq8_index_dead(spark, name)
+    assert n1 > 0 and n2 == 0, f"SQ8-index purge not idempotent: {n1} then {n2}"
+    spark.catalog.refreshTable(f"{name}_codes")
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    return sq8_index_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_sq8_index_purged_view"] = knn_sq8_index_purged_view
+
+
 def hot_items_mv_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WINDOWED aggregate MV under the oracle gate — the reference's
     flagship hot-items query (HotItemApp.java:54-64) served from a

@@ -591,19 +591,28 @@ _SQ8_XHAT = (
 )
 
 
-def _knn_sq8_sql(train_src: str = "e") -> str:
+def _knn_sq8_sql(train_src: str = "e", cdc: bool = False) -> str:
     """SQ8 oracle, parameterized by the quantizer's training source:
-    the full corpus (`e`, batch knn_sq8) or the first arrival chunk
-    (`e_t`, the frozen stream index — `_knn_pq_index_sql`'s contract)."""
+    the full corpus (`e`, batch knn_sq8), the first arrival chunk
+    (`e_t`, the frozen stream index — `_knn_pq_index_sql`'s contract),
+    or the CDC feed's chunk 0 (`cdc=True`: modulo chunks, train on
+    vec_id % 4 == 0 — all of it, no chunk-0 key's tombstone routes to
+    chunk 0, the `_knn_pq_index_cdc_sql` argument; scoring then
+    excludes dead vectors on both sides)."""
     from ..operators.similarity import PQ_INDEX_CHUNKS
 
     extra = ""
-    if train_src != "e":
+    if cdc:
+        extra = f"{train_src} AS (SELECT * FROM e WHERE vec_id % 4 = 0),\n"
+    elif train_src != "e":
         extra = (
             f"{train_src} AS (SELECT * FROM e QUALIFY"
             f" row_number() OVER (ORDER BY vec_id)"
             f" <= count(*) OVER () // {PQ_INDEX_CHUNKS}),\n"
         )
+    surv = (
+        "\n    AND query_id % 9 <> 5 AND c.vec_id % 9 <> 5" if cdc else ""
+    )
     return f"""
 WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
 {extra}dims AS (
@@ -627,7 +636,7 @@ scored AS (
          ({_IDOT.format(n=DIM, a="qq", b="c.xh")})
            / (sqrt(qn2::DOUBLE) * sqrt(c.rn2::DOUBLE)) AS cosine_sq8
   FROM qs, recon c
-  WHERE query_id <> c.vec_id
+  WHERE query_id <> c.vec_id{surv}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine_sq8,
@@ -641,6 +650,7 @@ FROM ranked WHERE rank <= {KNN_K}
 
 KNN_SQ8 = _knn_sq8_sql()
 KNN_SQ8_INDEX = _knn_sq8_sql(train_src="e_t")
+KNN_SQ8_INDEX_CDC = _knn_sq8_sql(train_src="e_t", cdc=True)
 
 # IVF-SQ8 composite: KNN_IVF's cents/assign/probes CTEs verbatim + the
 # SQ8 dims/stats/enc block; scoring joins the dequantized recon frame
@@ -3274,6 +3284,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_pq": KNN_PQ,
     "knn_sq8": KNN_SQ8,
     "knn_sq8_index_view": KNN_SQ8_INDEX,
+    "knn_sq8_index_delete_view": KNN_SQ8_INDEX_CDC,
+    "knn_sq8_index_purged_view": KNN_SQ8_INDEX_CDC,
     "knn_ivfsq8": KNN_IVFSQ8,
     "knn_ivfpq": KNN_IVFPQ,
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,

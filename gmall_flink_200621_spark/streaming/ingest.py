@@ -4140,6 +4140,15 @@ def sq8_index_search(
     codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select(
         "vec_id", "xh", "rn2"
     )
+    if spark.catalog.tableExists(f"{name}_del"):
+        # CDC-maintained index: live tombstones cleanse the read path
+        # (callers pass survivor queries — neither neighbor nor query)
+        dead = (
+            live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+            .select("vec_id")
+            .distinct()
+        )
+        codes = codes.join(F.broadcast(dead), "vec_id", "left_anti")
     scored = codes.join(F.broadcast(qs), F.col("query_id") != F.col("vec_id")).withColumn(
         "cosine_sq8",
         _idot(F.col("qq"), F.col("xh"))
@@ -5690,6 +5699,108 @@ def purge_pq_index_dead(spark: SparkSession, name: str = "pqcdc") -> int:
         spark, codes_t, flagged, ["vec_id", "codes", "rn2", "label"],
         "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL),"
         " CAST(NULL AS INT) WHERE false",
+    )
+
+
+def run_sq8_index_cdc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "sq8cdc",
+    n_chunks: int = 4,
+    stage_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    fresh_tables: bool = True,
+    fold_every: int | None = None,
+    refold_width: int | None = None,
+):
+    """The stream-maintained SQ8 index as a CDC CONSUMER — FAISS
+    `remove_ids()` on the scalar-quantized index, completing the delete
+    story across ALL FIVE maintained index families (BM25, flat store,
+    near-dup LSH, PQ codes, now SQ8 codes). Same train-on-first-
+    non-empty-cleansed-batch-then-FREEZE contract as
+    `run_sq8_index_stream` (deletes never retrain the per-dim ranges —
+    stored codes would silently re-mean), with V_DEL tombstones in
+    `<name>_del`: inserts cleansed against live ∪ batch tombstones
+    before encoding (delete wins at any arrival order),
+    `sq8_index_search` anti-joins live tombstones at read, and
+    `purge_sq8_index_dead` physically retires dead codes (replay-safe:
+    per-epoch maintenance never probes the codes table)."""
+    from ..operators.similarity import _idot, _sq8_stats, quantize, sq8_xhat_el
+
+    stats_t, codes_t, del_t = f"{name}_stats", f"{name}_codes", f"{name}_del"
+    if fresh_tables:
+        for t in (stats_t, codes_t, del_t):
+            _drop_table(spark, t)
+        spark.sql(
+            f"CREATE TABLE {stats_t} (mn ARRAY<BIGINT>, step ARRAY<BIGINT>) USING parquet"
+        )
+        spark.sql(
+            f"CREATE TABLE {codes_t} (vec_id BIGINT, xh ARRAY<BIGINT>, rn2 BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+        spark.sql(
+            f"CREATE TABLE {del_t} (vec_id BIGINT)"
+            f" USING parquet PARTITIONED BY (epoch BIGINT)"
+        )
+
+    stage = stage_dir or stage_embedding_cdc_chunks(sf_dir, n_chunks)
+    feed = (
+        spark.readStream.schema("side string, vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def index_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        for t in (codes_t, del_t):
+            _maybe_fold(s, t, epoch_id, fold_every, refold_width=refold_width)
+        d_del = df.filter(F.col("side") == "V_DEL").select("vec_id")
+        hist_d = (
+            live_epochs(s.table(del_t), s, del_t)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        dead = hist_d.unionByName(d_del)
+        e = (
+            df.filter(F.col("side") == "V")
+            .join(dead, "vec_id", "left_anti")
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .persist()
+        )
+        if not s.table(stats_t).head(1) and e.head(1):
+            _sq8_stats(e).write.mode("overwrite").insertInto(stats_t, overwrite=True)
+            s.catalog.refreshTable(stats_t)
+        enc = (
+            e.crossJoin(F.broadcast(s.table(stats_t)))
+            .select("vec_id", F.transform("q", sq8_xhat_el).alias("xh"))
+            .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
+        )
+        _ivm_write_epoch(s, enc.select("vec_id", "xh", "rn2"), codes_t, epoch_id)
+        _ivm_write_epoch(s, d_del, del_t, epoch_id)
+        e.unpersist()
+
+    w = feed.writeStream.foreachBatch(index_batch).queryName(f"{name}_q")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def purge_sq8_index_dead(spark: SparkSession, name: str = "sq8cdc") -> int:
+    """FAISS remove_ids made physical on the SQ8 code index: rewrite
+    only the code partitions holding tombstoned vectors; tombstones
+    stay; the frozen ranges are untouched by design. Replay-safe —
+    maintenance never probes the codes table. Idempotent; returns
+    partitions touched."""
+    codes_t, del_t = f"{name}_codes", f"{name}_del"
+    dead = live_epochs(spark.table(del_t), spark, del_t).select("vec_id").distinct()
+    flagged = (
+        live_epochs(spark.table(codes_t), spark, codes_t)
+        .join(F.broadcast(dead.withColumn("_dead", F.lit(True))), "vec_id", "left")
+        .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
+    )
+    return _gc_partitions(
+        spark, codes_t, flagged, ["vec_id", "xh", "rn2"],
+        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false",
     )
 
 
