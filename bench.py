@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "knn_lsh_multiprobe",
     "knn_brute_filtered",
     "knn_ivf_filtered",
+    "knn_graph_ann",
     "token_counts",
     "corpus_prep",
     "sessionize_native",

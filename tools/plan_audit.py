@@ -22,6 +22,15 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # lag() needs row adjacency (no limit applies); the frame is
     # month-grain — bounded by the calendar range, not the data volume
     "revenue_seasonality": "month-grain lag",
+    # the cumulative-share windows read the groupBy("decile") aggregate —
+    # a ≤10-row frame by the ntile domain, which the detector can't
+    # prove statically (the r12 streamed-side tightening removed the
+    # accidental proof via the ranking primitive's _pid agg sitting on a
+    # broadcast BUILD side). Directly pinned by
+    # tests/test_plan_shapes.py::test_decile_queries_have_no_datawide_
+    # single_partition_sort (every SinglePartition subtree aggregates on
+    # decile or _pid).
+    "revenue_pareto": "10-row decile aggregate",
 }
 
 MARKS = [
