@@ -550,11 +550,20 @@ def graph_ann_search(
     construction — the property that makes graph ANN the default at
     serving time. Recall is audited in `graph_ann_eval`; determinism
     makes the whole walk hash-gateable, not just bounded."""
+    # checkpointed (lazily): every hop joins the symmetrized edge list —
+    # without lineage truncation the per-hop plan re-embeds the ENTIRE
+    # graph-construction subtree (LSH banding + bucket matmuls) once per
+    # hop (measured 20 s vs ~3 s at sf0.1 for hops=5), and the compounded
+    # plan TREE itself grows geometrically (a default-heap session OOMs
+    # just rendering its explain string). localCheckpoint truncates to a
+    # leaf; eager=False keeps plan construction side-effect free — the
+    # ranking-primitive contract (executor loss after materialization
+    # fails loud; the frame is |E| edge pairs, graph-sized not corpus-sized)
     sym = edges.select("src_id", "nbr_id").unionByName(
         edges.select(
             F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
         )
-    )
+    ).localCheckpoint(eager=False)
     qs = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -592,14 +601,19 @@ def graph_ann_search(
     seeds = e.filter(F.col("vec_id") % seed_mod == 1).select(
         F.col("vec_id").alias("cand")
     )
-    b = score_top(qs.select("query_id").crossJoin(F.broadcast(seeds)), beam)
+    # each beam checkpoints (lazily): hop i's plan otherwise nests hop
+    # i-1's whole plan (windows + joins compound ×hops); the frames are
+    # |Q|·beam rows — leaf-sized
+    b = score_top(
+        qs.select("query_id").crossJoin(F.broadcast(seeds)), beam
+    ).localCheckpoint(eager=False)
     for _ in range(hops):
         nbrs = b.join(
             sym, b["cand"] == sym["src_id"]
         ).select("query_id", F.col("nbr_id").alias("cand"))
         b = score_top(
             b.select("query_id", "cand").unionByName(nbrs), beam
-        )
+        ).localCheckpoint(eager=False)
     return _rank_topk(
         b.select("query_id", F.col("cand").alias("neighbor_id"), "cosine"), k, "cosine"
     )
