@@ -1,0 +1,122 @@
+"""Pins for the round-12 graph families: the CDC-maintained k-NN graph's
+delete-recall semantics and the graph-ANN search's plan/layout contracts.
+
+The tri-SF oracle gates certify end-to-end equality with batch-over-
+survivors on the real corpus; these tests pin the SPECIFIC semantics the
+designs exist for, on planted inputs where the interesting case is
+guaranteed to occur.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _stage_planted_cdc(vectors: dict[int, np.ndarray], deletes: list[int]) -> str:
+    """Two-chunk CDC feed: chunk 0 inserts every vector, chunk 1 carries
+    the V_DEL tombstones — the post-insert delete arrival order."""
+    stage = tempfile.mkdtemp(prefix="spark_graft_kngtest_")
+    ins = pd.DataFrame(
+        {
+            "side": ["V"] * len(vectors),
+            "vec_id": list(vectors),
+            "embedding": [v.astype("float32") for v in vectors.values()],
+            "label": np.int32(0),
+        }
+    )
+    dels = pd.DataFrame(
+        {
+            "side": ["V_DEL"] * len(deletes),
+            "vec_id": deletes,
+            "embedding": [np.zeros(0, dtype="float32")] * len(deletes),
+            "label": np.int32(0),
+        }
+    )
+    base = None
+    for i, pdf in enumerate((ins, dels)):
+        p = os.path.join(stage, f"part-{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        if base is None:
+            base = os.stat(p).st_mtime
+        os.utime(p, (base + i, base + i))
+    return stage
+
+
+class TestKnnGraphCdcRecall:
+    def test_deleted_crowder_recalls_runner_up(self, spark):
+        """THE reason the maintained graph stores unpruned pair scores:
+        while X is alive, S's top-3 is {X, A, B} and Y is crowded out;
+        after X's tombstone lands, Y must appear at rank 3 WITHOUT any
+        re-scoring — a per-src-top-k-pruned index could not serve this.
+        Vectors are near-parallel (identical LSH buckets by construction)
+        with strictly ordered cosines to S."""
+        from gmall_flink_200621_spark.streaming.ingest import (
+            knn_graph_cdc_view,
+            run_knn_graph_cdc_stream,
+        )
+
+        rng = {}
+        base = np.ones(64, dtype=np.float64)
+        # cosine(S, base + eps*e1) strictly decreases with eps
+        for vid, eps in ((1, 0.0), (2, 0.5), (3, 1.0), (4, 1.5), (5, 2.0)):
+            v = base.copy()
+            v[1] += eps
+            rng[vid] = v / np.linalg.norm(v)
+        stage = _stage_planted_cdc(rng, deletes=[2])  # X = vec_id 2
+
+        name = f"t_kngrec_{os.getpid()}"
+        q = run_knn_graph_cdc_stream(
+            spark, sf_dir="", stage_dir=stage, name=name, fresh_tables=True
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("vec", "band", "edge", "del"):
+            spark.catalog.refreshTable(f"{name}_{t}")
+
+        got = {
+            r["rank"]: r["nbr_id"]
+            for r in knn_graph_cdc_view(spark, name).filter(F.col("src_id") == 1).collect()
+        }
+        # X (=2) is dead; the runner-up Y (=5) must be recalled at rank 3
+        assert got == {1: 3, 2: 4, 3: 5}, got
+        # and X serves nowhere — neither as src nor as neighbor
+        full = knn_graph_cdc_view(spark, name)
+        assert full.filter((F.col("src_id") == 2) | (F.col("nbr_id") == 2)).count() == 0
+
+
+class TestGraphAnnContracts:
+    def test_partition_layout_invariance(self, spark, sf_dir):
+        """The walk's result must not depend on the shuffle layout (the
+        same invariance contract as the ranking primitive — beams are
+        checkpoint-materialized, boundaries never re-sample)."""
+        import __spark_entry__ as entry_mod
+
+        def run(shuffle: str):
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+            try:
+                out = entry_mod.queries()["knn_graph_ann"](spark, sf_dir)
+                return sorted(map(tuple, out.collect()))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        assert run("4") == run("11")
+
+    def test_plan_is_leaf_bounded_not_geometric(self, spark, sf_dir):
+        """The r12 incident pin: without per-hop lineage truncation the
+        plan tree re-embeds the graph-construction subtree once per hop
+        and its explain string grows geometrically (a default-heap
+        session OOMed just rendering it). The final plan must bottom out
+        in checkpoint leaves and render in bounded space."""
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["knn_graph_ann"](spark, sf_dir)
+        s = df._jdf.queryExecution().optimizedPlan().treeString()
+        assert "LogicalRDD" in s  # the per-hop checkpoint leaves
+        assert len(s) < 200_000, f"plan string {len(s)} chars — lineage compounding"
