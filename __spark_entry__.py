@@ -237,6 +237,29 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q16",
         "tpch_q20", "kmeans_embeddings",
     ]},
+    # ---- round 12 (CORRECTNESS_r12.json, 50/50) — freshest, sorts last ----
+    # The r13 window is then any never-driver-certified additions plus the
+    # stalest r06 names (remaining r06 tail: ref streaming views, windows).
+    **{n: 12 for n in [
+        "knn_pq_index_filtered_view", "pq_index_filtered_eval",
+        "knn_graph_stream_view", "knn_graph_purged_stream_view",
+        "knn_graph_ann", "graph_ann_eval", "knn_graph_ann_stream_view",
+        "hybrid_index_delete_stream_view", "hybrid_index_purged_stream_view",
+        "knn_sq8_index_delete_view", "knn_sq8_index_purged_view",
+        "semdedup", "sequence_pack", "dedup_minhash_lsh",
+        "minhash_signatures", "simhash_fingerprints", "dedup_simhash",
+        "dedup_clusters", "dedup_substring", "doc_stats", "lang_id",
+        "rolling_fingerprint", "token_counts", "corpus_prep",
+        "doc_repetition", "dedup_containment", "corpus_profile",
+        "corpus_stats_stream_view", "corpus_sample", "corpus_split",
+        "decontaminate", "shingle_novelty", "top_terms",
+        "corpus_sample_stratified", "knn_pq", "knn_ivfpq",
+        "embedding_centroids", "bigram_stats", "mixture_temperature",
+        "ann_eval", "knn_pq_index_view", "late_arrival_audit",
+        "user_churn_sets", "funnel_conversion", "sales_cube",
+        "spend_deciles", "retention_cohorts", "cdc_stream_view",
+        "scd2_stream_view", "zorder_layout_audit",
+    ]},
 }
 
 
