@@ -458,7 +458,12 @@ def knn_graph(
     import pandas as pd
 
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
-    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).persist()
+    # lazy localCheckpoint, not persist(): this frame feeds banding AND
+    # the bucket matmuls, but a persist() is CacheManager-pinned past the
+    # query's lifetime — graph consumers invoke knn_graph repeatedly in a
+    # full gate run, so the blocks must be GC-reclaimable (ContextCleaner
+    # drops checkpoint blocks once the frame is unreachable)
+    e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).localCheckpoint(eager=False)
     stacked = sign_band_frame(e, bands, rows)
     bucketed = _capped_buckets(e, stacked, bands, rows, bucket_cap)
 
@@ -517,7 +522,7 @@ def knn_graph(
 # the budget-recall dial a deployment turns).
 GRAPH_ANN_BEAM = 32  # beam width per query (≥ KNN_K)
 GRAPH_ANN_HOPS = 5  # expansion rounds — graph diameter budget
-GRAPH_ANN_SEED_MOD = 37  # entry points: vec_id % mod == 1
+GRAPH_ANN_ENTRY_PROBES = 4  # coarse-quantizer lists probed for entry points
 
 
 def graph_ann_search(
@@ -526,20 +531,26 @@ def graph_ann_search(
     k: int = KNN_K,
     beam: int = GRAPH_ANN_BEAM,
     hops: int = GRAPH_ANN_HOPS,
-    seed_mod: int = GRAPH_ANN_SEED_MOD,
+    entry_probes: int = GRAPH_ANN_ENTRY_PROBES,
     query_mod: int = 100,
 ) -> DataFrame:
     """GRAPH-based ANN search — the HNSW-class production default
     (Malkov & Yashunin 2018, single-layer greedy variant), served from a
     k-NN graph instead of an inverted or quantized index: every query
-    starts at a fixed entry set (vec_id % seed_mod == 1 — deterministic,
-    so both engines walk the identical path), and `hops` rounds of beam
-    search each expand the current beam by its graph neighbors (both
-    edge directions), exactly re-score the union, and keep the top
-    `beam` by (cosine desc, id asc). cand_i ⊇ beam_{i-1}, so beam
-    quality is monotone; the final top-k is the answer. `e` carries
-    (vec_id, q, n2); `edges` is a directional per-src top-k edge list
-    (batch `knn_graph`'s output or the CDC-maintained
+    enters the graph through the house COARSE QUANTIZER (the HNSW
+    upper-hierarchy's cheapest approximation — `_seed_cents` +
+    the `_ivf_assign`/`_ivf_probes` scaffold knn_ivf uses): entry
+    candidates are the members of the query's `entry_probes` nearest
+    centroid lists, so the walk starts in the query's own region
+    instead of at uniform fixed seeds (which cost ~0.06 recall at the
+    same walk budget — see graph_ann_eval history). `hops` rounds of
+    beam search then each expand the current beam by its graph
+    neighbors (both edge directions), exactly re-score the union, and
+    keep the top `beam` by (cosine desc, id asc) — all deterministic,
+    so both engines walk the identical path. cand_i ⊇ beam_{i-1}, so
+    beam quality is monotone; the final top-k is the answer. `e`
+    carries (vec_id, q, n2); `edges` is a directional per-src top-k
+    edge list (batch `knn_graph`'s output or the CDC-maintained
     `knn_graph_cdc_view`), symmetrized here.
 
     Scale shape: the frontier frames are |Q|·beam rows; each hop is one
@@ -598,15 +609,21 @@ def graph_ann_search(
             .drop("_r")
         )
 
-    seeds = e.filter(F.col("vec_id") % seed_mod == 1).select(
-        F.col("vec_id").alias("cand")
-    )
+    # coarse-quantizer entry: the query's entry_probes nearest centroid
+    # lists (broadcast centroids — one probe row per (query, list)), then
+    # their member vectors as entry candidates. Entry cost per query is
+    # ~entry_probes·N/nlists candidate rows into the SAME exact scorer
+    # the hops use; at scale the centroid table is index-sized and the
+    # member fetch is one inverted-list read, never a corpus scan.
+    cents = _seed_cents(e, IVF_CENT_MOD)
+    qvecs = e.filter(F.col("vec_id") % query_mod == 0)
+    probes = _ivf_probes(qvecs, cents, entry_probes)
+    assign = _ivf_assign(e, cents, payload={}, id_alias="cand")
+    c0 = probes.join(assign, "list_id").select("query_id", "cand")
     # each beam checkpoints (lazily): hop i's plan otherwise nests hop
     # i-1's whole plan (windows + joins compound ×hops); the frames are
     # |Q|·beam rows — leaf-sized
-    b = score_top(
-        qs.select("query_id").crossJoin(F.broadcast(seeds)), beam
-    ).localCheckpoint(eager=False)
+    b = score_top(c0, beam).localCheckpoint(eager=False)
     for _ in range(hops):
         nbrs = b.join(
             sym, b["cand"] == sym["src_id"]

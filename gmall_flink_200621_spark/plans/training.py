@@ -792,9 +792,46 @@ def _write_oracle_sidecar(kind: str, sf_dir: str, cols: dict[str, list]) -> None
     fd, tmp = tempfile.mkstemp(suffix=".tmp", dir=ORACLE_SIDECAR_DIR)
     os.close(fd)
     pq.write_table(table, tmp)
+    # the filename carries the FULL fingerprint (docs, chars, content
+    # hash) so two corpora colliding on (n_docs, n_chars) — e.g. the
+    # driver's sf0.001/sf0.01 pair both at 500 docs — write DISTINCT
+    # files and coexist; the oracle's _SIDECAR_MATCH WHERE clause picks
+    # the right one out of the glob either way
     os.replace(
-        tmp, os.path.join(ORACLE_SIDECAR_DIR, f"{kind}_{n_docs}_{n_chars}.parquet")
+        tmp,
+        os.path.join(
+            ORACLE_SIDECAR_DIR, f"{kind}_{n_docs}_{n_chars}_{n_fp}.parquet"
+        ),
     )
+    _prune_oracle_sidecars(kind)
+
+
+# the per-uid dir accumulates one file per (kind, corpus) forever across
+# rounds; keep the freshest few per kind — enough for the three test SFs
+# plus concurrent verifies — and age the rest out on each write
+SIDECAR_KEEP_PER_KIND = 8
+
+
+def _prune_oracle_sidecars(kind: str) -> None:
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(ORACLE_SIDECAR_DIR, f"{kind}_*.parquet"))
+    if len(files) <= SIDECAR_KEEP_PER_KIND:
+        return
+    # sort newest-first by mtime; a file raced away by a concurrent
+    # prune is fine to skip
+    def _mtime(p: str) -> float:
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
+    files.sort(key=_mtime, reverse=True)
+    for stale in files[SIDECAR_KEEP_PER_KIND:]:
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
 
 
 def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,20 +916,25 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would silently fall back to np=length(w) in the oracle while Spark
     # runs full Viterbi — a confusing hash mismatch instead of a clear
     # cap violation — so check both caps HERE, where they can fail loud.
+    # ValueError, not assert: these guards exist to fail LOUD, and
+    # assert is stripped under `python -O` — which would silently revert
+    # to the confusing-hash-mismatch failure mode they prevent
     max_piece = max(len(p) for p, _ in vocab)
-    assert max_piece <= 4, (
-        f"unigram vocab piece length {max_piece} exceeds the oracle's "
-        f"4-char DP unroll — regenerate _unigram_encode_sql(max_len=...)"
-    )
+    if max_piece > 4:
+        raise ValueError(
+            f"unigram vocab piece length {max_piece} exceeds the oracle's "
+            f"4-char DP unroll — regenerate _unigram_encode_sql(max_len=...)"
+        )
     max_word = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .agg(F.max(F.length("w")))
         .collect()[0][0]
     )
-    assert max_word is not None and max_word <= 16, (
-        f"corpus word length {max_word} exceeds the oracle's 16-position "
-        f"DP unroll — regenerate _unigram_encode_sql(max_w=...)"
-    )
+    if max_word is None or max_word > 16:
+        raise ValueError(
+            f"corpus word length {max_word} exceeds the oracle's 16-position "
+            f"DP unroll — regenerate _unigram_encode_sql(max_w=...)"
+        )
     _write_oracle_sidecar(
         "uni",
         sf_dir,
@@ -1460,13 +1502,25 @@ TRAINING_QUERIES["knn_graph_purged_stream_view"] = knn_graph_purged_stream_view
 
 
 def _quantized(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
+    """Quantized (vec_id, q, n2) frame for the graph-ANN family,
+    returned MATERIALIZED via lazy localCheckpoint rather than persist():
+    every consumer reads it across all beam hops, but a persist() here
+    outlives the query — the CacheManager pins cached plans until an
+    explicit unpersist, so a full 251-query gate run would accumulate
+    one leaked quantized corpus per graph-ANN entry. localCheckpoint
+    blocks are ContextCleaner-reclaimed as soon as the gate drops the
+    returned DataFrame; eager=False keeps construction side-effect free
+    (the operators/ranking.py contract — executor loss after
+    materialization fails loud, acceptable for a deterministic scan)."""
     from ..operators.similarity import _idot, quantize
 
     e = _emb(spark, sf_dir)
     if where is not None:
         e = e.filter(where)
     e = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
-    return e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+    return e.withColumn("n2", _idot(F.col("q"), F.col("q"))).localCheckpoint(
+        eager=False
+    )
 
 
 def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,7 +1534,7 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     HASH-gates the whole search path, not just a recall bound. See
     operators/similarity.graph_ann_search."""
     edges = V.knn_graph(_emb(spark, sf_dir)).select("src_id", "nbr_id")
-    e = _quantized(spark, sf_dir).persist()
+    e = _quantized(spark, sf_dir)
     return V.graph_ann_search(e, edges)
 
 
@@ -1494,7 +1548,7 @@ def graph_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated live number (n_exact in-plan, the oracle's ex-subquery
     shape)."""
     edges = V.knn_graph(_emb(spark, sf_dir)).select("src_id", "nbr_id")
-    e = _quantized(spark, sf_dir).persist()
+    e = _quantized(spark, sf_dir)
     m = V.graph_ann_search(e, edges).select("query_id", "neighbor_id")
     exact = V.knn_brute(_emb(spark, sf_dir)).select("query_id", "neighbor_id")
     return (
@@ -1537,11 +1591,51 @@ def knn_graph_ann_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("vec", "band", "edge", "del"):
         spark.catalog.refreshTable(f"{name}_{t}")
     edges = knn_graph_cdc_view(spark, name).select("src_id", "nbr_id")
-    e = _quantized(spark, sf_dir, where=F.col("vec_id") % 9 != 5).persist()
+    e = _quantized(spark, sf_dir, where=F.col("vec_id") % 9 != 5)
     return V.graph_ann_search(e, edges)
 
 
 TRAINING_QUERIES["knn_graph_ann_stream_view"] = knn_graph_ann_stream_view
+
+
+def components_knn_cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components COMPOSED ON the stream-maintained k-NN graph
+    — the claim "components/label-prop/triangles/PageRank can consume a
+    maintained edge list" turned into a hash gate: vector CDC replays
+    4 chunks with V_DEL (vec_id % 9 == 5) through
+    `run_knn_graph_cdc_stream`, `knn_graph_cdc_view` retracts dead-sided
+    edges at read, and the SAME min-label hop + pointer-jump CC operator
+    batch `components_knn` uses runs over the maintained survivor edges
+    and survivor vertices. The oracle rebuilds the graph + transitive
+    closure over survivors from scratch, so the hash certifies
+    DELETE-CORRECT TRANSITIVE-CLOSURE RETRACTION — the hard case where
+    removing a bridge vector must SPLIT a component, which a maintainer
+    that only dropped the bridge's own rows (but kept any stale derived
+    connectivity) would get wrong. The planted-bridge split itself is
+    pinned in tests/test_graph_cdc.py."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import knn_graph_cdc_view, run_knn_graph_cdc_stream
+
+    name = f"q_ccknng_{sf_namespace(sf_dir)}"
+    q = run_knn_graph_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "band", "edge", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    edges = knn_graph_cdc_view(spark, name).select("src_id", "nbr_id")
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 9 != 5)
+    verts = emb.select(F.col("vec_id").alias("doc_id"), F.lit("").alias("text"))
+    pairs = edges.select(F.col("src_id").alias("id_a"), F.col("nbr_id").alias("id_b"))
+    out = D.dedup_clusters(verts, pairs=pairs)
+    return out.select(
+        F.col("doc_id").alias("vertex_id"), F.col("canonical_id").alias("component_id")
+    )
+
+
+TRAINING_QUERIES["components_knn_cdc_stream_view"] = components_knn_cdc_stream_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
 
@@ -2281,6 +2375,103 @@ def hybrid_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFra
 TRAINING_QUERIES["hybrid_index_purged_stream_view"] = hybrid_index_purged_stream_view
 
 
+def hybrid_pq_index_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search stack with the semantic arm served from the
+    COMPRESSED (PQ) store, under the oracle gate — the serving-memory
+    story at 100 TB: the flat vector store is ~32× the PQ codes, so the
+    production hybrid scans ADC codes, not vectors. BM25 replays
+    documents (insert-only), the PQ index replays embeddings
+    (first-chunk-frozen codebook), and `hybrid_pq_index_search` fuses
+    the lexical top list with the ADC top list by the batch RRF
+    formula. The oracle re-derives the frozen codebook + full-corpus
+    codes and recomputes the SAME integer LUT-sum arithmetic for the
+    semantic ranks (the knn_pq oracle pattern), so the driver
+    hash-certifies fusion-over-compression end-to-end — including every
+    rank shift the lossy codes introduce vs the flat-store hybrid."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        hybrid_pq_index_search,
+        run_bm25_index_stream,
+        run_pq_index_stream,
+    )
+
+    ns = sf_namespace(sf_dir)
+    bm, pq = f"q_hypqbm_{ns}", f"q_hypqpq_{ns}"
+    q1 = run_bm25_index_stream(
+        spark, sf_dir, name=bm, n_chunks=3, fold_every=2, refold_width=2
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    q2 = run_pq_index_stream(spark, sf_dir, name=pq, fold_every=2, refold_width=2)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    for t in (f"{bm}_post", f"{bm}_dl", f"{bm}_st",
+              f"{pq}_codebook", f"{pq}_codes"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qv = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+        F.col("vec_id") == RRF_QUERY_VEC
+    )
+    return hybrid_pq_index_search(spark, qv, bm, pq)
+
+
+TRAINING_QUERIES["hybrid_pq_index_stream_view"] = hybrid_pq_index_stream_view
+
+
+def hybrid_pq_index_delete_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-arm search stack as a CDC consumer — the delete
+    twin `hybrid_pq_index_stream_view` needs to be production-complete:
+    BM25 replays documents with D_DEL tombstones (doc_id % 6 == 0,
+    routed +1 chunk) and the PQ-CDC store replays embeddings with V_DEL
+    tombstones (vec_id % 9 == 5), codebook frozen on chunk 0's cleansed
+    inserts. The fused query reads both tombstone-cleansed indexes —
+    `hybrid_pq_index_search` anti-joins the PQ tombstones in the
+    semantic arm. The oracle recomputes frozen training + ADC ranks
+    restricted to survivors on both arms, so the driver hash-certifies
+    a takedown vanishes from the FUSED ranking at any arrival order
+    while the survivors' ranks reclose over the surviving codes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import (
+        hybrid_pq_index_search,
+        run_bm25_index_stream,
+        run_pq_index_cdc_stream,
+    )
+
+    ns = sf_namespace(sf_dir)
+    bm, pq = f"q_hypqbmd_{ns}", f"q_hypqpqd_{ns}"
+    q1 = run_bm25_index_stream(
+        spark, sf_dir, name=bm, n_chunks=3, fold_every=2, refold_width=2, cdc=True
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    q2 = run_pq_index_cdc_stream(spark, sf_dir, name=pq, fold_every=2, refold_width=2)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    for t in (f"{bm}_post", f"{bm}_dl", f"{bm}_st", f"{bm}_del",
+              f"{pq}_codebook", f"{pq}_codes", f"{pq}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qv = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).filter(
+        F.col("vec_id") == RRF_QUERY_VEC
+    )
+    return hybrid_pq_index_search(spark, qv, bm, pq)
+
+
+TRAINING_QUERIES["hybrid_pq_index_delete_stream_view"] = (
+    hybrid_pq_index_delete_stream_view
+)
+
+
 def bm25_index_purged_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC BM25 index replay followed by the PHYSICAL purge pass
     (`purge_bm25_index` rewrites only partitions holding dead docs'
@@ -2529,6 +2720,93 @@ def knn_sq8_index_purged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES["knn_sq8_index_purged_view"] = knn_sq8_index_purged_view
+
+
+def knn_sq8_index_filtered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search on the MAINTAINED SQ8 index under the oracle gate
+    — `knn_pq_index_filtered_view`'s attribute-scoped design on the
+    scalar-quantized store, completing the in-scan filtered story across
+    maintained families: the SQ8-CDC replay (V_DEL vec_id % 9 == 5,
+    frozen first-chunk ranges) stores the label payload alongside every
+    code row, and the read applies the query's label predicate IN-SCAN
+    on the tombstone-cleansed asymmetric-scoring path
+    (`sq8_index_filtered_search`). Queries are same-rule survivors
+    carrying their labels. The oracle replays frozen training +
+    dequantized scoring restricted to same-label survivors on both
+    sides, so the driver hash-certifies the filter composes with deletes
+    AND quantization — not a post-filter of an unfiltered top-k."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_sq8_index_cdc_stream, sq8_index_filtered_search
+
+    name = f"q_sq8cdcfv_{sf_namespace(sf_dir)}"
+    q = run_sq8_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_stats", f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    return sq8_index_filtered_search(spark, qs, name)
+
+
+TRAINING_QUERIES["knn_sq8_index_filtered_view"] = knn_sq8_index_filtered_view
+
+
+def sq8_index_filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the SQ8-served filtered search vs
+    `knn_brute_filtered` over SURVIVOR embeddings — pq_index_filtered_
+    eval's discipline for the scalar-quantized family: the measured
+    price of 8-bit codes on attribute-scoped search against the exact
+    pre-filter baseline on the same eligible set, as a hash-gated live
+    number (n_exact in-plan, the oracle's ex-subquery shape)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _idot, quantize
+    from ..session import sf_namespace
+    from ..streaming.ingest import run_sq8_index_cdc_stream, sq8_index_filtered_search
+
+    name = f"q_sq8cdcfe_{sf_namespace(sf_dir)}"
+    q = run_sq8_index_cdc_stream(spark, sf_dir, name=name, fold_every=2, refold_width=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in (f"{name}_stats", f"{name}_codes", f"{name}_del"):
+        spark.catalog.refreshTable(t)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    qs = (
+        e.withColumn("n2", _idot(F.col("q"), F.col("q")))
+        .filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5))
+    )
+    m = sq8_index_filtered_search(spark, qs, name).select("query_id", "neighbor_id")
+    surv = _emb(spark, sf_dir).filter(F.col("vec_id") % 9 != 5)
+    exact = V.knn_brute_filtered(surv).select("query_id", "neighbor_id")
+    return (
+        m.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+        .crossJoin(m.agg(F.count(F.lit(1)).cast("long").alias("n_method")))
+        .select(
+            F.lit("sq8_index_filtered").alias("method"),
+            "n_exact",
+            "n_method",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+TRAINING_QUERIES["sq8_index_filtered_eval"] = sq8_index_filtered_eval
 
 
 def hot_items_mv_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:

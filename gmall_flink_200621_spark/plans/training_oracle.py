@@ -591,14 +591,17 @@ _SQ8_XHAT = (
 )
 
 
-def _knn_sq8_sql(train_src: str = "e", cdc: bool = False) -> str:
+def _knn_sq8_sql(train_src: str = "e", cdc: bool = False, filtered: bool = False) -> str:
     """SQ8 oracle, parameterized by the quantizer's training source:
     the full corpus (`e`, batch knn_sq8), the first arrival chunk
     (`e_t`, the frozen stream index — `_knn_pq_index_sql`'s contract),
     or the CDC feed's chunk 0 (`cdc=True`: modulo chunks, train on
     vec_id % 4 == 0 — all of it, no chunk-0 key's tombstone routes to
     chunk 0, the `_knn_pq_index_cdc_sql` argument; scoring then
-    excludes dead vectors on both sides)."""
+    excludes dead vectors on both sides). `filtered=True` adds the
+    label conjunct on the scored pairs (candidate label == query
+    label), mirroring `sq8_index_filtered_search`'s in-scan predicate
+    on the stored label payload."""
     from ..operators.similarity import PQ_INDEX_CHUNKS
 
     extra = ""
@@ -613,8 +616,18 @@ def _knn_sq8_sql(train_src: str = "e", cdc: bool = False) -> str:
     surv = (
         "\n    AND query_id % 9 <> 5 AND c.vec_id % 9 <> 5" if cdc else ""
     )
+    lab_cte = (
+        ",\nlab AS (SELECT vec_id, label FROM embeddings)" if filtered else ""
+    )
+    lab_src = "\n       , lab nl, lab ql" if filtered else ""
+    lab_where = (
+        "\n    AND nl.vec_id = c.vec_id AND ql.vec_id = query_id"
+        "\n    AND ql.label = nl.label"
+        if filtered
+        else ""
+    )
     return f"""
-WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+WITH e AS (SELECT vec_id, {_QVEC} AS q FROM embeddings){lab_cte},
 {extra}dims AS (
   SELECT g.i AS pos, min(q[g.i]) AS mn, max(q[g.i]) - min(q[g.i]) AS st
   FROM {train_src}, generate_series(1, {DIM}) AS g(i)
@@ -635,8 +648,8 @@ scored AS (
   SELECT query_id, c.vec_id AS neighbor_id,
          ({_IDOT.format(n=DIM, a="qq", b="c.xh")})
            / (sqrt(qn2::DOUBLE) * sqrt(c.rn2::DOUBLE)) AS cosine_sq8
-  FROM qs, recon c
-  WHERE query_id <> c.vec_id{surv}
+  FROM qs, recon c{lab_src}
+  WHERE query_id <> c.vec_id{surv}{lab_where}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine_sq8,
@@ -651,6 +664,7 @@ FROM ranked WHERE rank <= {KNN_K}
 KNN_SQ8 = _knn_sq8_sql()
 KNN_SQ8_INDEX = _knn_sq8_sql(train_src="e_t")
 KNN_SQ8_INDEX_CDC = _knn_sq8_sql(train_src="e_t", cdc=True)
+KNN_SQ8_INDEX_CDC_FILTERED = _knn_sq8_sql(train_src="e_t", cdc=True, filtered=True)
 
 # IVF-SQ8 composite: KNN_IVF's cents/assign/probes CTEs verbatim + the
 # SQ8 dims/stats/enc block; scoring joins the dequantized recon frame
@@ -1054,16 +1068,20 @@ KNN_GRAPH_SURVIVORS = KNN_GRAPH.replace(
 def _graph_ann_sql(vec_where: str = "TRUE") -> str:
     """Graph-ANN beam-search oracle (operators/similarity.
     graph_ann_search, hop for hop): the k-NN graph CTEs build the edge
-    list, then GRAPH_ANN_HOPS unrolled rounds each expand the beam by
-    its symmetrized neighbors, re-score exactly, and keep the top
-    GRAPH_ANN_BEAM per query by (cosine desc, cand asc) — fully
-    deterministic, so the final top-k hash-matches the Spark walk.
-    `vec_where` scopes the whole universe (corpus, graph, entry points,
-    queries) to survivors for the maintained-graph twin."""
+    list, the coarse-quantizer CTEs replay the IVF entry selection
+    (seed centroids, argmax assignment, top-entry_probes probes — the
+    KNN_IVF cents/assign/probes shapes), then GRAPH_ANN_HOPS unrolled
+    rounds each expand the beam by its symmetrized neighbors, re-score
+    exactly, and keep the top GRAPH_ANN_BEAM per query by (cosine desc,
+    cand asc) — fully deterministic, so the final top-k hash-matches
+    the Spark walk. `vec_where` scopes the whole universe (corpus,
+    graph, centroids, entry points, queries) to survivors for the
+    maintained-graph twin."""
     from ..operators.similarity import (
         GRAPH_ANN_BEAM,
+        GRAPH_ANN_ENTRY_PROBES,
         GRAPH_ANN_HOPS,
-        GRAPH_ANN_SEED_MOD,
+        IVF_CENT_MOD,
     )
 
     ctes = _KNN_GRAPH_CTES.replace(
@@ -1074,8 +1092,26 @@ def _graph_ann_sql(vec_where: str = "TRUE") -> str:
         "sym AS (SELECT src_id, nbr_id FROM ge"
         " UNION ALL SELECT nbr_id, src_id FROM ge)",
         "qs AS (SELECT vec_id AS query_id FROM e WHERE vec_id % 100 = 0)",
-        f"seeds AS (SELECT vec_id AS cand FROM e WHERE vec_id % {GRAPH_ANN_SEED_MOD} = 1)",
-        "c0 AS (SELECT query_id, cand FROM qs, seeds)",
+        # coarse-quantizer entry (graph_ann_search's _seed_cents +
+        # _ivf_assign/_ivf_probes): candidates = members of the query's
+        # nearest entry_probes centroid lists
+        f"gcents AS (SELECT vec_id AS cent_id, q AS cq FROM e"
+        f" WHERE vec_id % {IVF_CENT_MOD} = 1)",
+        f"""gassign AS (
+  SELECT vec_id AS cand, cent_id AS list_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e, gcents c) WHERE rn = 1)""",
+        f"""gprobes AS (
+  SELECT query_id, cent_id AS list_id FROM (
+    SELECT qv.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY qv.vec_id
+             ORDER BY {_cosine_sql("qv.q", "c.cq")} DESC, c.cent_id ASC) AS rn
+    FROM e qv, gcents c WHERE qv.vec_id % 100 = 0
+  ) WHERE rn <= {GRAPH_ANN_ENTRY_PROBES})""",
+        "c0 AS (SELECT p.query_id, a.cand FROM gprobes p"
+        " JOIN gassign a ON p.list_id = a.list_id)",
     ]
     for i in range(GRAPH_ANN_HOPS + 1):
         parts.append(
@@ -1281,6 +1317,17 @@ reach(v, lab) AS (
 )
 SELECT v AS vertex_id, CAST(min(lab) AS BIGINT) AS component_id FROM reach GROUP BY 1
 """
+
+# batch components over SURVIVORS (vec_id % 9 == 5 deleted) — the full
+# rebuild the CDC-maintained graph + CC composition must reproduce:
+# graph construction, vertex universe, and transitive closure all scoped
+# to the surviving corpus
+COMPONENTS_KNN_SURVIVORS = COMPONENTS_KNN.replace(
+    "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+).replace(
+    "SELECT vec_id, vec_id FROM embeddings",
+    "SELECT vec_id, vec_id FROM embeddings WHERE vec_id % 9 <> 5",
+)
 
 EMBEDDING_NORM_AUDIT = f"""
 WITH e AS (
@@ -1931,6 +1978,81 @@ SELECT 'pq_index_filtered' AS method,
        (SELECT count(*) FROM ({KNN_PQ_INDEX_CDC_FILTERED}) m
         JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id) AS n_common,
        round((SELECT count(*) FROM ({KNN_PQ_INDEX_CDC_FILTERED}) m
+              JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id)
+             / (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall
+"""
+
+def _hybrid_pq_rrf_sql(lex_sql: str, cdc: bool = False) -> str:
+    """Hybrid-RRF oracle with the SEMANTIC arm recomputed through the
+    PQ index's ADC arithmetic (`_knn_pq_sql`'s frozen-codebook CTEs —
+    integer LUT sums, exact HUGEINT→DOUBLE widening), mirroring
+    `hybrid_pq_index_search`: candidate ranks come from cosine_pq over
+    the stored codes, NOT exact cosines, so every rank shift the lossy
+    codes introduce is part of the certified result. `cdc=True` trains
+    on the CDC feed's chunk 0 (vec_id % 4 = 0 — `_knn_pq_index_cdc_sql`
+    's argument) and restricts scored candidates to survivors
+    (vec_id % 9 <> 5), read-equivalent to the stream's
+    cleanse-at-insert + anti-join-at-read; the lexical arm's survivor
+    story rides in through `lex_sql`."""
+    from ..operators.similarity import PQ_INDEX_CHUNKS
+
+    if cdc:
+        extra = [
+            "trained AS (SELECT vec_id FROM e WHERE vec_id % 4 = 0)",
+            "sub_t AS (SELECT s.vec_id, s.m, s.sv FROM sub s"
+            " JOIN trained t ON s.vec_id = t.vec_id)",
+        ]
+        surv = f"\n    AND k.vec_id % 9 <> 5"
+    else:
+        extra = [
+            f"trained AS (SELECT vec_id FROM e QUALIFY"
+            f" row_number() OVER (ORDER BY vec_id) <= count(*) OVER ()"
+            f" // {PQ_INDEX_CHUNKS})",
+            "sub_t AS (SELECT s.vec_id, s.m, s.sv FROM sub s"
+            " JOIN trained t ON s.vec_id = t.vec_id)",
+        ]
+        surv = ""
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS r_lex FROM ({lex_sql}) bq),
+{_knn_pq_sql("sub_t", extra)},
+padc AS (
+  SELECT k.vec_id, sum(l.dot) AS adot, sum(k.cn2) AS rn2
+  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+  WHERE l.query_id = {RRF_QUERY_VEC} AND k.vec_id <> {RRF_QUERY_VEC}{surv}
+  GROUP BY 1),
+cosr AS (
+  SELECT p.vec_id,
+         p.adot / (sqrt(qn.qn2::DOUBLE) * sqrt(p.rn2::DOUBLE)) AS cosine_pq
+  FROM padc p JOIN qn ON qn.query_id = {RRF_QUERY_VEC}),
+sem AS (
+  SELECT vec_id AS doc_id, r_sem FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine_pq DESC, vec_id ASC) AS r_sem
+    FROM cosr) WHERE r_sem <= {RRF_SEM_K}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + s.r_sem), 0.0) AS rrf
+  FROM sem s FULL OUTER JOIN lex l ON s.doc_id = l.doc_id
+)
+SELECT doc_id, r_lex, r_sem, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM fused QUALIFY rank <= {RRF_TOPK}
+"""
+
+
+HYBRID_PQ_INDEX_VIEW = _hybrid_pq_rrf_sql(BM25_SEARCH)
+HYBRID_PQ_INDEX_DELETE_VIEW = _hybrid_pq_rrf_sql(BM25_INDEX_DELETE_VIEW, cdc=True)
+
+
+SQ8_INDEX_FILTERED_EVAL = f"""
+WITH ex AS ({KNN_BRUTE_FILTERED_SURVIVORS})
+SELECT 'sq8_index_filtered' AS method,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ({KNN_SQ8_INDEX_CDC_FILTERED}) m) AS n_method,
+       (SELECT count(*) FROM ({KNN_SQ8_INDEX_CDC_FILTERED}) m
+        JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id) AS n_common,
+       round((SELECT count(*) FROM ({KNN_SQ8_INDEX_CDC_FILTERED}) m
               JOIN ex ON m.query_id = ex.query_id AND m.neighbor_id = ex.neighbor_id)
              / (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall
 """
@@ -3286,6 +3408,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_sq8_index_view": KNN_SQ8_INDEX,
     "knn_sq8_index_delete_view": KNN_SQ8_INDEX_CDC,
     "knn_sq8_index_purged_view": KNN_SQ8_INDEX_CDC,
+    "knn_sq8_index_filtered_view": KNN_SQ8_INDEX_CDC_FILTERED,
+    "sq8_index_filtered_eval": SQ8_INDEX_FILTERED_EVAL,
     "knn_ivfsq8": KNN_IVFSQ8,
     "knn_ivfpq": KNN_IVFPQ,
     "knn_ivfpq_residual": KNN_IVFPQ_RESIDUAL,
@@ -3328,6 +3452,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "perceptron_lang": PERCEPTRON_LANG,
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,
+    "components_knn_cdc_stream_view": COMPONENTS_KNN_SURVIVORS,
     "bm25_search": BM25_SEARCH,
     # the index-served search must equal the batch scan bit-for-bit —
     # same oracle by design
@@ -3336,6 +3461,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "hybrid_index_stream_view": HYBRID_SEARCH_RRF,
     "hybrid_index_delete_stream_view": HYBRID_INDEX_DELETE_VIEW,
     "hybrid_index_purged_stream_view": HYBRID_INDEX_DELETE_VIEW,
+    "hybrid_pq_index_stream_view": HYBRID_PQ_INDEX_VIEW,
+    "hybrid_pq_index_delete_stream_view": HYBRID_PQ_INDEX_DELETE_VIEW,
     "bm25_index_purged_stream_view": BM25_INDEX_DELETE_VIEW,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE,

@@ -39,6 +39,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.similarity import KNN_GRAPH_BUCKET_CAP as _KNN_GRAPH_CAP_DEFAULT
+
 QUALITY_MIN = 0.5  # same gates as plans/training.corpus_prep
 LANG_KEEP = "en"
 CDC_BUCKETS = 64  # hash buckets partitioning the maintained state tables
@@ -4538,6 +4540,91 @@ def hybrid_index_search(
     )
 
 
+def hybrid_pq_index_search(
+    spark: SparkSession,
+    queries_e,
+    bm_name: str = "bmidx",
+    pq_name: str = "pqidx",
+) -> DataFrame:
+    """The search stack with its semantic arm served from the
+    COMPRESSED store — at 100 TB the flat vector store does not fit
+    serving memory; the PQ codes (~32× smaller) are the arm a
+    production deployment actually scans, and this fuses the BM25
+    lexical top list with the PQ index's ADC top list by the same
+    reciprocal-rank formula as `hybrid_index_search`. `queries_e` is
+    the query VECTOR frame (vec_id, q, n2) — one row, the demo query;
+    queries are inputs at serving time, never read from the index. The
+    semantic candidate list ranks by ADC cosine (integer LUT sums over
+    the frozen codebook — `knn_pq`'s arithmetic exactly, which the
+    DuckDB oracle replays), pruned with orderBy().limit(RRF_SEM_K)
+    before its rank window; fusion windows run over limit-bounded
+    frames only. If the store carries a `_del` table (PQ-CDC), live
+    tombstones cleanse the arm — a takedown vanishes from the FUSED
+    ranking and every survivor's r_sem recloses over surviving codes."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import PQ_M, _pq_query_luts
+    from ..plans.training import RRF_K, RRF_SEM_K, RRF_TOPK
+
+    lex = bm25_index_search(spark, bm_name).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    lut = _pq_query_luts(queries_e, spark.table(f"{pq_name}_codebook"))
+    codes = live_epochs(spark.table(f"{pq_name}_codes"), spark, f"{pq_name}_codes").select(
+        "vec_id", "codes", "rn2"
+    )
+    if spark.catalog.tableExists(f"{pq_name}_del"):
+        dead = (
+            live_epochs(spark.table(f"{pq_name}_del"), spark, f"{pq_name}_del")
+            .select("vec_id")
+            .distinct()
+        )
+        codes = codes.join(F.broadcast(dead), "vec_id", "left_anti")
+    adot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(F.element_at("luts", m + 1), F.element_at("codes", m + 1)),
+    )
+    cos = (
+        codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cosine_pq",
+            adot
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("rn2").cast("double"))
+            ),
+        )
+        .select("vec_id", "cosine_pq")
+    )
+    wsem = Window.orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+    sem = (
+        cos.orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+        .limit(RRF_SEM_K)
+        .withColumn("r_sem", F.row_number().over(wsem))
+        .select(F.col("vec_id").alias("doc_id"), "r_sem")
+    )
+    fused = sem.join(lex, "doc_id", "outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .withColumn("rank", F.row_number().over(wf))
+        .select(
+            "doc_id", "r_lex", "r_sem", "rrf", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def purge_bm25_index(spark: SparkSession, name: str = "bmidx") -> int:
     """Physically retire tombstoned documents from the BM25 index — the
     search-stack VACUUM: rewrite only the postings/length partitions
@@ -5734,8 +5821,12 @@ def run_sq8_index_cdc_stream(
         spark.sql(
             f"CREATE TABLE {stats_t} (mn ARRAY<BIGINT>, step ARRAY<BIGINT>) USING parquet"
         )
+        # label rides the code rows as the filter payload (FAISS stores
+        # selector ids alongside codes) — attribute-scoped search reads
+        # it in-scan, never via a second corpus join
         spark.sql(
-            f"CREATE TABLE {codes_t} (vec_id BIGINT, xh ARRAY<BIGINT>, rn2 BIGINT)"
+            f"CREATE TABLE {codes_t}"
+            f" (vec_id BIGINT, xh ARRAY<BIGINT>, rn2 BIGINT, label INT)"
             f" USING parquet PARTITIONED BY (epoch BIGINT)"
         )
         spark.sql(
@@ -5764,7 +5855,7 @@ def run_sq8_index_cdc_stream(
         e = (
             df.filter(F.col("side") == "V")
             .join(dead, "vec_id", "left_anti")
-            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
             .persist()
         )
         if not s.table(stats_t).head(1) and e.head(1):
@@ -5772,10 +5863,12 @@ def run_sq8_index_cdc_stream(
             s.catalog.refreshTable(stats_t)
         enc = (
             e.crossJoin(F.broadcast(s.table(stats_t)))
-            .select("vec_id", F.transform("q", sq8_xhat_el).alias("xh"))
+            .select("vec_id", "label", F.transform("q", sq8_xhat_el).alias("xh"))
             .withColumn("rn2", _idot(F.col("xh"), F.col("xh")))
         )
-        _ivm_write_epoch(s, enc.select("vec_id", "xh", "rn2"), codes_t, epoch_id)
+        _ivm_write_epoch(
+            s, enc.select("vec_id", "xh", "rn2", "label"), codes_t, epoch_id
+        )
         _ivm_write_epoch(s, d_del, del_t, epoch_id)
         e.unpersist()
 
@@ -5799,8 +5892,66 @@ def purge_sq8_index_dead(spark: SparkSession, name: str = "sq8cdc") -> int:
         .withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
     )
     return _gc_partitions(
-        spark, codes_t, flagged, ["vec_id", "xh", "rn2"],
-        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL) WHERE false",
+        spark, codes_t, flagged, ["vec_id", "xh", "rn2", "label"],
+        "SELECT BIGINT(NULL), CAST(NULL AS ARRAY<BIGINT>), BIGINT(NULL),"
+        " CAST(NULL AS INT) WHERE false",
+    )
+
+
+def sq8_index_filtered_search(
+    spark: SparkSession, queries_e, name: str = "sq8cdc", k: int | None = None
+) -> DataFrame:
+    """FILTERED search on the MAINTAINED SQ8 index — the in-scan design
+    `pq_index_filtered_search` carries (FAISS IDSelector on the
+    quantized store), completing the filtered story across maintained
+    families: the label predicate lands on the stored code rows BEFORE
+    the asymmetric scoring, composed with the tombstone anti-join, so an
+    attribute-scoped query scores only same-label survivor codes (never
+    a post-filter of an unfiltered top-k, which under-returns whenever
+    the true same-label neighbors rank below k globally). `queries_e`
+    must carry (vec_id, q, n2, label); callers pass survivor queries.
+
+    Scale shape: queries broadcast with their labels; the code table
+    scans once with the label conjunct folded into the broadcast-join
+    condition, cutting scored rows to |codes|/|labels| per query — the
+    production path for tenant-scoped search on a quantized store."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import KNN_K, _idot
+
+    qs = queries_e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+        F.col("label").alias("qlabel"),
+    )
+    codes = live_epochs(spark.table(f"{name}_codes"), spark, f"{name}_codes").select(
+        "vec_id", "xh", "rn2", "label"
+    )
+    dead = (
+        live_epochs(spark.table(f"{name}_del"), spark, f"{name}_del")
+        .select("vec_id")
+        .distinct()
+    )
+    codes = codes.join(F.broadcast(dead), "vec_id", "left_anti")
+    scored = codes.join(
+        F.broadcast(qs),
+        (F.col("label") == F.col("qlabel")) & (F.col("query_id") != F.col("vec_id")),
+    ).withColumn(
+        "cosine_sq8",
+        _idot(F.col("qq"), F.col("xh"))
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sq8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (k or KNN_K))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_sq8", 6).alias("cosine_sq8"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -5814,6 +5965,7 @@ def run_knn_graph_cdc_stream(
     fresh_tables: bool = True,
     fold_every: int | None = None,
     refold_width: int | None = None,
+    bucket_cap: int | None = _KNN_GRAPH_CAP_DEFAULT,
 ):
     """STREAM-MAINTAINED corpus k-NN graph under vector CDC — the
     substrate graph-based ANN (HNSW-class) and the graph operators
@@ -5844,12 +5996,22 @@ def run_knn_graph_cdc_stream(
     pairs by the self-side of the join, cross-epoch pairs by the
     band-index side — so the union of epochs is the union of all
     same-bucket survivor pairs, the batch operator's candidate set.
-    Unlike batch `knn_graph` this maintainer carries no bucket-cap
-    splitter: the cap's sub-bucket assignment depends on FULL bucket
-    membership, which changes as the stream grows — a production
-    deployment holds bucket sizes with deeper bands (the same lever the
-    cap backstops), and the per-epoch group the matmul sees is already
-    (batch ∩ bucket) × bucket, not bucket²."""
+
+    Hot-bucket backstop (`bucket_cap`, default the batch operator's
+    KNN_GRAPH_BUCKET_CAP): a scored group larger than the cap — a
+    near-duplicate-saturated bucket that no sign depth splits, the
+    pathology batch `_capped_buckets` stage 2 exists for — is
+    deterministically hash-split on vec_id inside the pandas group and
+    scored within residues, bounding every matmul at ~cap² and per-group
+    work at O(B·cap). The batch cap's stage-1 (deeper sign re-banding)
+    is deliberately NOT mirrored here: its sub-bucket width depends on
+    full bucket membership, which changes as the stream grows — the
+    production lever for chronically hot buckets is deeper `rows_b`
+    banding; the cap is the can't-OOM guarantee. Below the cap (every
+    test-SF bucket, by orders of magnitude) the maintainer is
+    byte-identical to the uncapped path, so the oracle gates stay
+    hash-green; above it, only same-band pairs straddling a residue are
+    skipped, and other bands still propose them."""
     import numpy as np
     import pandas as pd
 
@@ -5891,12 +6053,11 @@ def run_knn_graph_cdc_stream(
         .parquet(stage)
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-        )
-        if len(pdf) < 2 or not pdf["is_new"].any():
-            return empty
+    empty_pairs = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
         g = m @ m.T  # exact int64 dots (same bound as batch knn_graph)
@@ -5906,7 +6067,7 @@ def run_knn_graph_cdc_stream(
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = new[iu] | new[ju]  # only pairs this epoch introduces
         if not mask.any():
-            return empty
+            return empty_pairs
         ia, ib = ids[iu[mask]], ids[ju[mask]]
         return pd.DataFrame(
             {
@@ -5915,6 +6076,35 @@ def run_knn_graph_cdc_stream(
                 "cosine": cos[iu[mask], ju[mask]],
             }
         )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2 or not pdf["is_new"].any():
+            return empty_pairs
+        if bucket_cap is None or len(pdf) <= bucket_cap:
+            return _score_group(pdf)
+        # hot-bucket backstop (batch `_capped_buckets` stage-2 parity):
+        # a near-duplicate-saturated bucket that no sign depth splits
+        # would otherwise give this group an unbounded B×B matmul and an
+        # unbounded stored edge set. Deterministically hash-split the
+        # group on vec_id (Knuth multiplicative mix — id-only, so a
+        # vector lands in the same residue whenever the epoch's split
+        # width matches) and score within residues: each matmul is
+        # ≤ ~cap², total work O(B·cap) not O(B²). Lossy ONLY above cap,
+        # and only for pairs straddling a residue IN THIS BAND — other
+        # bands still propose them; below the cap (every test-SF bucket,
+        # by orders of magnitude) the path is byte-identical to the
+        # uncapped maintainer, which keeps the oracle gates hash-green.
+        nsub = -(-len(pdf) // bucket_cap)
+        mix = (
+            pdf["vec_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(1 << 32)
+        sub = (mix % np.uint64(nsub)).astype(np.int64)
+        parts = [
+            _score_group(pdf[sub == s])
+            for s in range(nsub)
+            if (sub == s).sum() >= 2
+        ]
+        return pd.concat(parts, ignore_index=True) if parts else empty_pairs
 
     def index_batch(df: DataFrame, epoch_id: int) -> None:
         s = df.sparkSession

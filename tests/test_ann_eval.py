@@ -211,3 +211,34 @@ def test_filtered_ann_recall_pinned(spark, sf_dir):
     nc_s = ms.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
     assert (n_exact, nm_s, nc_s, round(nc_s / n_exact, 6)) == sq8f
     assert nc_s >= nc_q  # SQ8 resolution dominates PQ codes on this corpus
+
+
+# graph-ANN recall ratchet (VERDICT r12 item #6): with coarse-quantizer
+# entry points (the query's GRAPH_ANN_ENTRY_PROBES nearest IVF lists —
+# the HNSW upper-hierarchy approximation) the beam starts in the query's
+# own region and recall rises from the fixed-uniform-seed era's
+# 0.64/0.48 to exact at the test SFs — the WALK budget (beam·hops·deg)
+# is unchanged; only entry placement moved. Measured 2026-08-16, r13.
+GRAPH_ANN_EXPECTED = {
+    "sf0.001": (25, 25, 25, 1.0),
+    "sf0.01": (25, 25, 25, 1.0),
+}
+
+
+def test_graph_ann_recall_pinned(spark, sf_dir):
+    """The graph-ANN rung's recall vs brute, pinned as a ratchet: a
+    future change to entry selection, beam ordering, or the k-NN graph
+    build that silently degrades the walk fails HERE, not in a
+    docstring. The oracle-parity gate certifies the walk hop-for-hop;
+    this pins its measured quality."""
+    import __spark_entry__ as entry_mod
+
+    want = None
+    for sf, vals in GRAPH_ANN_EXPECTED.items():
+        if sf_dir.rstrip("/").endswith(sf):
+            want = vals
+    if want is None:
+        pytest.skip(f"no pinned graph_ann constants for {sf_dir}")
+    row = entry_mod.queries()["graph_ann_eval"](spark, sf_dir).collect()[0]
+    got = (row.n_exact, row.n_method, row.n_common, float(row.recall))
+    assert got == want, got

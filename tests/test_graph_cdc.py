@@ -120,3 +120,69 @@ class TestGraphAnnContracts:
         s = df._jdf.queryExecution().optimizedPlan().treeString()
         assert "LogicalRDD" in s  # the per-hop checkpoint leaves
         assert len(s) < 200_000, f"plan string {len(s)} chars — lineage compounding"
+
+
+class TestKnnGraphCdcBucketCap:
+    def test_planted_hot_bucket_is_split_and_bounded(self, spark):
+        """Stream-side parity for the batch `_capped_buckets` pathology
+        pin: 300 EXACT duplicates (identical LSH signs at any depth — no
+        banding splits them) land in one bucket in a single epoch. With
+        cap=32 the maintainer must hash-split the scored group into
+        vec_id residues — bounding the matmul and the stored edge set at
+        O(B·cap) instead of B² — while every duplicate still serves a
+        full fan-out of cosine≈1 neighbors from the maintained view."""
+        from gmall_flink_200621_spark.operators.similarity import (
+            DIM,
+            KNN_GRAPH_K,
+            LSH_SIGN_BANDS,
+        )
+        from gmall_flink_200621_spark.streaming.ingest import (
+            knn_graph_cdc_view,
+            run_knn_graph_cdc_stream,
+        )
+
+        rng = np.random.RandomState(11)
+        base = rng.uniform(-0.5, 0.5, DIM)
+        vecs = {i: base.copy() for i in range(300)}
+        vecs.update(
+            {1000 + i: rng.uniform(-0.5, 0.5, DIM) for i in range(50)}
+        )
+        stage = _stage_planted_cdc(vecs, deletes=[])
+
+        cap = 32
+        name = f"t_kngcap_{os.getpid()}"
+        q = run_knn_graph_cdc_stream(
+            spark,
+            sf_dir="",
+            stage_dir=stage,
+            name=name,
+            fresh_tables=True,
+            bucket_cap=cap,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("vec", "band", "edge", "del"):
+            spark.catalog.refreshTable(f"{name}_{t}")
+
+        # boundedness: uncapped, the duplicate bucket stores C(300,2) ≈
+        # 44.8k pairs; capped residues (~10 groups of ~30) store ≤
+        # bands · nsub · C(cap,2) — assert an order of magnitude under
+        # the uncapped volume
+        dup_pairs = (
+            spark.table(f"{name}_edge")
+            .filter((F.col("id_a") < 300) & (F.col("id_b") < 300))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        nsub = -(-300 // cap)
+        assert 0 < dup_pairs <= LSH_SIGN_BANDS * nsub * cap * (cap - 1) // 2, dup_pairs
+        assert dup_pairs < 44850 / 4, dup_pairs
+
+        # serving quality: every duplicate keeps a full fan-out of
+        # ~identical neighbors through the residue split
+        g = knn_graph_cdc_view(spark, name).toPandas()
+        dup = g[g.src_id < 300]
+        assert (dup.groupby("src_id").size() == KNN_GRAPH_K).all()
+        assert (dup.cosine > 0.999999).all()
