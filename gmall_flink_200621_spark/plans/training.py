@@ -1636,6 +1636,56 @@ def components_knn_cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 TRAINING_QUERIES["components_knn_cdc_stream_view"] = components_knn_cdc_stream_view
+
+
+def _cdc_graph_edges(spark: SparkSession, sf_dir: str, tag: str):
+    """Shared setup for the graph-operator-over-maintained-graph gates:
+    run the 4-chunk V_DEL replay, return (survivor edge list, survivor
+    embeddings). Each gate keeps its own table namespace (`tag`), so
+    concurrent verifies never share state."""
+    from ..session import sf_namespace
+    from ..streaming.ingest import knn_graph_cdc_view, run_knn_graph_cdc_stream
+
+    name = f"q_{tag}_{sf_namespace(sf_dir)}"
+    q = run_knn_graph_cdc_stream(
+        spark, sf_dir, name=name, n_chunks=4, fold_every=2, refold_width=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    for t in ("vec", "band", "edge", "del"):
+        spark.catalog.refreshTable(f"{name}_{t}")
+    edges = knn_graph_cdc_view(spark, name).select("src_id", "nbr_id")
+    surv = _emb(spark, sf_dir).filter(F.col("vec_id") % 9 != 5)
+    return edges, surv
+
+
+def knn_triangles_cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count / clustering coefficient COMPOSED ON the
+    CDC-maintained k-NN graph — with components, the second member of
+    the graph-operator family certified over the maintained edge list:
+    deleting a vector must retract every triangle through it and move
+    its neighbors' clustering coefficients, which the oracle pins by
+    rebuilding graph + wedges over survivors from scratch."""
+    edges, surv = _cdc_graph_edges(spark, sf_dir, "triknng")
+    return G.triangle_count(edges, surv.select("vec_id"))
+
+
+TRAINING_QUERIES["knn_triangles_cdc_stream_view"] = knn_triangles_cdc_stream_view
+
+
+def label_prop_knn_cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation COMPOSED ON the CDC-maintained k-NN graph —
+    the third graph operator certified over the maintained edge list:
+    a deleted seed stops voting and a deleted bridge stops carrying
+    labels across regions, so every propagated label re-derives over
+    the survivor graph; the oracle replays the LP_ITERS majority-vote
+    rounds over a from-scratch survivor rebuild."""
+    edges, surv = _cdc_graph_edges(spark, sf_dir, "lpknng")
+    return G.label_propagation(edges, surv.select("vec_id", "label"))
+
+
+TRAINING_QUERIES["label_prop_knn_cdc_stream_view"] = label_prop_knn_cdc_stream_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
 

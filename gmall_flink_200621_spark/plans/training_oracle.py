@@ -1328,7 +1328,6 @@ COMPONENTS_KNN_SURVIVORS = COMPONENTS_KNN.replace(
     "SELECT vec_id, vec_id FROM embeddings",
     "SELECT vec_id, vec_id FROM embeddings WHERE vec_id % 9 <> 5",
 )
-
 EMBEDDING_NORM_AUDIT = f"""
 WITH e AS (
   SELECT vec_id,
@@ -1424,6 +1423,23 @@ SELECT b.vertex_id, b.true_label, CAST(b.is_seed AS INT) AS is_seed,
        CASE WHEN l.label = b.true_label THEN 1 ELSE 0 END AS correct
 FROM base b JOIN lab{LP_ITERS} l USING (vertex_id)
 """
+
+# triangles / label-prop over SURVIVORS — same composition contract as
+# COMPONENTS_KNN_SURVIVORS: graph construction AND vertex universe both
+# scoped to the surviving corpus (the maintained-graph read's contract)
+KNN_TRIANGLES_SURVIVORS = KNN_TRIANGLES.replace(
+    "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+).replace(
+    "SELECT DISTINCT vec_id FROM embeddings",
+    "SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 9 <> 5",
+)
+
+LABEL_PROPAGATION_KNN_SURVIVORS = LABEL_PROPAGATION_KNN.replace(
+    "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+).replace(
+    "  FROM embeddings\n)",
+    "  FROM embeddings WHERE vec_id % 9 <> 5\n)",
+)
 
 
 def _perceptron_ctes(iters: int) -> str:
@@ -3453,6 +3469,8 @@ TRAINING_ORACLES: dict[str, str] = {
     "knn_triangles": KNN_TRIANGLES,
     "components_knn": COMPONENTS_KNN,
     "components_knn_cdc_stream_view": COMPONENTS_KNN_SURVIVORS,
+    "knn_triangles_cdc_stream_view": KNN_TRIANGLES_SURVIVORS,
+    "label_prop_knn_cdc_stream_view": LABEL_PROPAGATION_KNN_SURVIVORS,
     "bm25_search": BM25_SEARCH,
     # the index-served search must equal the batch scan bit-for-bit —
     # same oracle by design

@@ -186,3 +186,88 @@ class TestKnnGraphCdcBucketCap:
         dup = g[g.src_id < 300]
         assert (dup.groupby("src_id").size() == KNN_GRAPH_K).all()
         assert (dup.cosine > 0.999999).all()
+
+
+class TestKnnGraphCdcBridgeSplit:
+    """The transitive-closure retraction pin for graph operators composed
+    on the maintained graph: deleting a BRIDGE vector must SPLIT a
+    component — the case a maintainer that dropped only the bridge's own
+    rows but kept stale derived connectivity would get wrong."""
+
+    @staticmethod
+    def _planted_corpus():
+        """Two 4-vector clusters + per-cluster edge members + a bridge X,
+        laid out on a small angular arc in dims (0,1) over a constant
+        positive base (near-parallel vectors — every pair shares LSH
+        bands, so the candidate set is complete and the geometry alone
+        decides the graph). Top-3 lists: core members stay in-cluster;
+        X's own top-3 reaches BOTH edge members, so X is the only path
+        between the clusters."""
+        import math
+
+        def vec(theta_deg: float) -> np.ndarray:
+            v = np.ones(64, dtype=np.float64)
+            t = math.radians(theta_deg)
+            v[0] += 30.0 * math.cos(t)
+            v[1] += 30.0 * math.sin(t)
+            return v
+
+        vecs = {}
+        for i, th in enumerate((0.0, 0.2, 0.4, 0.6)):  # cluster A core
+            vecs[1 + i] = vec(th)
+        vecs[5] = vec(2.0)  # a_edge
+        vecs[21] = vec(4.5)  # X, the bridge
+        vecs[15] = vec(7.0)  # b_edge
+        for i, th in enumerate((8.4, 8.6, 8.8, 9.0)):  # cluster B core
+            vecs[11 + i] = vec(th)
+        return vecs
+
+    @staticmethod
+    def _components(edges: list[tuple[int, int]], verts: list[int]) -> int:
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return len({find(v) for v in verts})
+
+    def _run(self, spark, vecs, deletes, tag):
+        from gmall_flink_200621_spark.streaming.ingest import (
+            knn_graph_cdc_view,
+            run_knn_graph_cdc_stream,
+        )
+
+        stage = _stage_planted_cdc(vecs, deletes=deletes)
+        name = f"t_kngbr{tag}_{os.getpid()}"
+        q = run_knn_graph_cdc_stream(
+            spark, sf_dir="", stage_dir=stage, name=name, fresh_tables=True
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        for t in ("vec", "band", "edge", "del"):
+            spark.catalog.refreshTable(f"{name}_{t}")
+        edges = [
+            (r.src_id, r.nbr_id)
+            for r in knn_graph_cdc_view(spark, name).collect()
+        ]
+        return edges
+
+    def test_deleting_bridge_splits_component(self, spark):
+        vecs = self._planted_corpus()
+        # alive: X's top-3 spans both edge members — one component
+        alive = self._run(spark, vecs, deletes=[], tag="a")
+        assert self._components(alive, list(vecs)) == 1, sorted(alive)
+        # X tombstoned: every X-sided edge retracts at read, the edge
+        # members re-close into their own clusters, the component SPLITS
+        dead = self._run(spark, vecs, deletes=[21], tag="d")
+        survivors = [v for v in vecs if v != 21]
+        assert all(21 not in e for e in dead), sorted(dead)
+        assert self._components(dead, survivors) == 2, sorted(dead)
