@@ -1686,6 +1686,22 @@ def label_prop_knn_cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 TRAINING_QUERIES["label_prop_knn_cdc_stream_view"] = label_prop_knn_cdc_stream_view
+
+
+def pagerank_knn_cdc_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank COMPOSED ON the CDC-maintained k-NN graph — the fourth
+    and last graph operator certified over the maintained edge list
+    (COVERAGE.md's composition claim, now a hash gate family-wide): a
+    deleted hub stops both receiving and donating rank mass, so every
+    survivor's fixed-point integer rank re-derives over the survivor
+    graph; the oracle replays the PR_ITERS damped iterations over a
+    from-scratch survivor rebuild with the batch operator's own
+    integer arithmetic."""
+    edges, surv = _cdc_graph_edges(spark, sf_dir, "prknng")
+    return G.pagerank(edges, surv.select("vec_id"))
+
+
+TRAINING_QUERIES["pagerank_knn_cdc_stream_view"] = pagerank_knn_cdc_stream_view
 TRAINING_QUERIES["pagerank_stream_view"] = pagerank_stream_view
 TRAINING_QUERIES["dedup_clusters_stream_view"] = dedup_clusters_stream_view
 

@@ -1442,6 +1442,19 @@ LABEL_PROPAGATION_KNN_SURVIVORS = LABEL_PROPAGATION_KNN.replace(
 )
 
 
+def _pagerank_knn_survivors() -> str:
+    """PAGERANK_KNN scoped to survivors — deferred to a function because
+    PAGERANK_KNN is defined later in the module; resolved at
+    TRAINING_ORACLES build time."""
+    return PAGERANK_KNN.replace(
+        "AS q FROM embeddings)", "AS q FROM embeddings WHERE vec_id % 9 <> 5)"
+    ).replace(
+        "SELECT DISTINCT vec_id AS vertex_id FROM embeddings",
+        "SELECT DISTINCT vec_id AS vertex_id FROM embeddings"
+        " WHERE vec_id % 9 <> 5",
+    )
+
+
 def _perceptron_ctes(iters: int) -> str:
     """Unrolled batch-perceptron chain mirroring
     operators/classifier.perceptron_lang: w{i} is a single row of four
@@ -3471,6 +3484,7 @@ TRAINING_ORACLES: dict[str, str] = {
     "components_knn_cdc_stream_view": COMPONENTS_KNN_SURVIVORS,
     "knn_triangles_cdc_stream_view": KNN_TRIANGLES_SURVIVORS,
     "label_prop_knn_cdc_stream_view": LABEL_PROPAGATION_KNN_SURVIVORS,
+    "pagerank_knn_cdc_stream_view": _pagerank_knn_survivors(),
     "bm25_search": BM25_SEARCH,
     # the index-served search must equal the batch scan bit-for-bit —
     # same oracle by design
