@@ -522,7 +522,16 @@ def knn_graph(
 # the budget-recall dial a deployment turns).
 GRAPH_ANN_BEAM = 32  # beam width per query (≥ KNN_K)
 GRAPH_ANN_HOPS = 5  # expansion rounds — graph diameter budget
-GRAPH_ANN_ENTRY_PROBES = 4  # coarse-quantizer lists probed for entry points
+# beam seeds = the query's nearest entry-probe CENTROIDS (graph nodes).
+# Scoring the centroid table already touches every centroid per query, so
+# seeding at beam-width costs nothing extra and maximizes entry diversity.
+GRAPH_ANN_ENTRY_PROBES = 32
+# the WALK graph's out-degree — the recall lever (HNSW's M): deg 3 caps
+# beam search at 0.60 recall on the isotropic test corpus (the walk
+# converges to a local optimum regardless of hops); deg 8 reaches 0.88 at
+# sf0.01 (measured, ratchet-pinned). Only the ANN rung pays the denser
+# graph — other graph consumers keep KNN_GRAPH_K.
+GRAPH_ANN_DEG = 8
 
 
 def graph_ann_search(
@@ -538,12 +547,14 @@ def graph_ann_search(
     (Malkov & Yashunin 2018, single-layer greedy variant), served from a
     k-NN graph instead of an inverted or quantized index: every query
     enters the graph through the house COARSE QUANTIZER (the HNSW
-    upper-hierarchy's cheapest approximation — `_seed_cents` +
-    the `_ivf_assign`/`_ivf_probes` scaffold knn_ivf uses): entry
-    candidates are the members of the query's `entry_probes` nearest
-    centroid lists, so the walk starts in the query's own region
-    instead of at uniform fixed seeds (which cost ~0.06 recall at the
-    same walk budget — see graph_ann_eval history). `hops` rounds of
+    upper-hierarchy's cheapest approximation — `_seed_cents` + the
+    `_ivf_probes` scaffold knn_ivf uses): the query scores the
+    index-sized centroid table and the beam seeds AT its `entry_probes`
+    nearest centroids — seed vectors are corpus vectors, hence graph
+    nodes — so the walk starts in the query's own region instead of at
+    uniform fixed seeds, and the hops descend to the exact neighborhood
+    from there (recall 0.48 → see test_ann_eval ratchet at the same
+    walk budget). `hops` rounds of
     beam search then each expand the current beam by its graph
     neighbors (both edge directions), exactly re-score the union, and
     keep the top `beam` by (cosine desc, id asc) — all deterministic,
@@ -609,17 +620,22 @@ def graph_ann_search(
             .drop("_r")
         )
 
-    # coarse-quantizer entry: the query's entry_probes nearest centroid
-    # lists (broadcast centroids — one probe row per (query, list)), then
-    # their member vectors as entry candidates. Entry cost per query is
-    # ~entry_probes·N/nlists candidate rows into the SAME exact scorer
-    # the hops use; at scale the centroid table is index-sized and the
-    # member fetch is one inverted-list read, never a corpus scan.
+    # coarse-quantizer entry — the HNSW upper-layer descent: score the
+    # query against the centroid table ONLY (seed vectors, index-sized —
+    # N/cent_mod rows, never the corpus) and enter the graph AT the
+    # entry_probes nearest centroids, which are corpus vectors and hence
+    # graph nodes; the walk's own hops do the local refinement from
+    # there. Serve cost = |Q|·|centroids| dots + the flat beam·hops·deg
+    # walk — measured SERVE-FLAT under 40× corpus growth by
+    # tools/ann_serve_scale_curve.py (the first cut joined the probed
+    # lists' MEMBERS via a corpus×centroid argmax assignment at serve
+    # time — an O(N·nlists) pass per call, 46× at 40× corpus; list
+    # membership is maintenance state, not serve work).
     cents = _seed_cents(e, IVF_CENT_MOD)
     qvecs = e.filter(F.col("vec_id") % query_mod == 0)
-    probes = _ivf_probes(qvecs, cents, entry_probes)
-    assign = _ivf_assign(e, cents, payload={}, id_alias="cand")
-    c0 = probes.join(assign, "list_id").select("query_id", "cand")
+    c0 = _ivf_probes(qvecs, cents, entry_probes).select(
+        "query_id", F.col("list_id").alias("cand")
+    )
     # each beam checkpoints (lazily): hop i's plan otherwise nests hop
     # i-1's whole plan (windows + joins compound ×hops); the frames are
     # |Q|·beam rows — leaf-sized

@@ -1533,7 +1533,9 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the identical walk hop-for-hop and the driver
     HASH-gates the whole search path, not just a recall bound. See
     operators/similarity.graph_ann_search."""
-    edges = V.knn_graph(_emb(spark, sf_dir)).select("src_id", "nbr_id")
+    edges = V.knn_graph(_emb(spark, sf_dir), k=V.GRAPH_ANN_DEG).select(
+        "src_id", "nbr_id"
+    )
     e = _quantized(spark, sf_dir)
     return V.graph_ann_search(e, edges)
 
@@ -1547,7 +1549,9 @@ def graph_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an LSH-built k-NN graph against the exact baseline, as a
     hash-gated live number (n_exact in-plan, the oracle's ex-subquery
     shape)."""
-    edges = V.knn_graph(_emb(spark, sf_dir)).select("src_id", "nbr_id")
+    edges = V.knn_graph(_emb(spark, sf_dir), k=V.GRAPH_ANN_DEG).select(
+        "src_id", "nbr_id"
+    )
     e = _quantized(spark, sf_dir)
     m = V.graph_ann_search(e, edges).select("query_id", "neighbor_id")
     exact = V.knn_brute(_emb(spark, sf_dir)).select("query_id", "neighbor_id")
@@ -1590,7 +1594,9 @@ def knn_graph_ann_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     for t in ("vec", "band", "edge", "del"):
         spark.catalog.refreshTable(f"{name}_{t}")
-    edges = knn_graph_cdc_view(spark, name).select("src_id", "nbr_id")
+    edges = knn_graph_cdc_view(spark, name, k=V.GRAPH_ANN_DEG).select(
+        "src_id", "nbr_id"
+    )
     e = _quantized(spark, sf_dir, where=F.col("vec_id") % 9 != 5)
     return V.graph_ann_search(e, edges)
 

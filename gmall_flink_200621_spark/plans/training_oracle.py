@@ -1079,6 +1079,7 @@ def _graph_ann_sql(vec_where: str = "TRUE") -> str:
     maintained-graph twin."""
     from ..operators.similarity import (
         GRAPH_ANN_BEAM,
+        GRAPH_ANN_DEG,
         GRAPH_ANN_ENTRY_PROBES,
         GRAPH_ANN_HOPS,
         IVF_CENT_MOD,
@@ -1088,30 +1089,27 @@ def _graph_ann_sql(vec_where: str = "TRUE") -> str:
         "AS q FROM embeddings)", f"AS q FROM embeddings WHERE {vec_where})"
     )
     parts = [
-        f"ge AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {KNN_GRAPH_K})",
+        # the ANN rung walks a DENSER graph than the other consumers:
+        # rank <= GRAPH_ANN_DEG (HNSW's M — the recall lever), while
+        # components/LP/PR/triangles keep KNN_GRAPH_K
+        f"ge AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= {GRAPH_ANN_DEG})",
         "sym AS (SELECT src_id, nbr_id FROM ge"
         " UNION ALL SELECT nbr_id, src_id FROM ge)",
         "qs AS (SELECT vec_id AS query_id FROM e WHERE vec_id % 100 = 0)",
         # coarse-quantizer entry (graph_ann_search's _seed_cents +
-        # _ivf_assign/_ivf_probes): candidates = members of the query's
-        # nearest entry_probes centroid lists
+        # _ivf_probes — the HNSW upper-layer descent): the beam seeds AT
+        # the query's entry_probes nearest centroids, which are corpus
+        # vectors and hence graph nodes; no corpus-wide assignment at
+        # serve time
         f"gcents AS (SELECT vec_id AS cent_id, q AS cq FROM e"
         f" WHERE vec_id % {IVF_CENT_MOD} = 1)",
-        f"""gassign AS (
-  SELECT vec_id AS cand, cent_id AS list_id FROM (
-    SELECT e.vec_id, c.cent_id,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cosine_sql("e.q", "c.cq")} DESC, c.cent_id ASC) AS rn
-    FROM e, gcents c) WHERE rn = 1)""",
-        f"""gprobes AS (
-  SELECT query_id, cent_id AS list_id FROM (
+        f"""c0 AS (
+  SELECT query_id, cent_id AS cand FROM (
     SELECT qv.vec_id AS query_id, c.cent_id,
            row_number() OVER (PARTITION BY qv.vec_id
              ORDER BY {_cosine_sql("qv.q", "c.cq")} DESC, c.cent_id ASC) AS rn
     FROM e qv, gcents c WHERE qv.vec_id % 100 = 0
   ) WHERE rn <= {GRAPH_ANN_ENTRY_PROBES})""",
-        "c0 AS (SELECT p.query_id, a.cand FROM gprobes p"
-        " JOIN gassign a ON p.list_id = a.list_id)",
     ]
     for i in range(GRAPH_ANN_HOPS + 1):
         parts.append(

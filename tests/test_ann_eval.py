@@ -213,15 +213,19 @@ def test_filtered_ann_recall_pinned(spark, sf_dir):
     assert nc_s >= nc_q  # SQ8 resolution dominates PQ codes on this corpus
 
 
-# graph-ANN recall ratchet (VERDICT r12 item #6): with coarse-quantizer
-# entry points (the query's GRAPH_ANN_ENTRY_PROBES nearest IVF lists —
-# the HNSW upper-hierarchy approximation) the beam starts in the query's
-# own region and recall rises from the fixed-uniform-seed era's
-# 0.64/0.48 to exact at the test SFs — the WALK budget (beam·hops·deg)
-# is unchanged; only entry placement moved. Measured 2026-08-16, r13.
+# graph-ANN recall ratchet (VERDICT r12 item #6): coarse-quantizer entry
+# (beam seeds AT the query's nearest centroids — the HNSW upper-layer
+# descent; serve cost = centroid-table dots + the flat walk, measured
+# SERVE-FLAT under 40x corpus growth by tools/ann_serve_scale_curve.py)
+# + a deg-8 walk graph (HNSW's M — deg 3 capped the beam at 0.60
+# regardless of hops; only the ANN rung pays the denser graph). Recall
+# rises from the fixed-uniform-seed era's 0.64/0.48. An earlier r13 cut
+# hit 1.0/1.0 by joining the probed lists' MEMBERS — an O(N·nlists)
+# corpus assignment at serve time, reverted as corpus-bound (46x at 40x
+# corpus). Measured 2026-08-17, r13.
 GRAPH_ANN_EXPECTED = {
-    "sf0.001": (25, 25, 25, 1.0),
-    "sf0.01": (25, 25, 25, 1.0),
+    "sf0.001": (25, 25, 23, 0.92),
+    "sf0.01": (25, 25, 22, 0.88),
 }
 
 
