@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 BPE_MERGES = 12
+# trainer-loop checkpoint mode; see bpe_merges' r13 note (module-level so
+# the interleaved A/B in the optimization round could flip it in-session)
+_CKPT_EAGER = False
 
 
 def _chars(word):
@@ -117,13 +120,21 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", _chars(F.col("w")).alias("syms"))
     )
+    # LAZY checkpoints throughout the trainer (r13): each round's 1-row
+    # argmax job is the only place a result is actually needed, and a
+    # lazy localCheckpoint materializes (and truncates) inside that job
+    # — so a round costs ONE job instead of three barrier jobs
+    # (pc ckpt + wf ckpt + argmax; wordpiece paid four). Values are
+    # unchanged — a checkpoint never changes data — and the plan still
+    # stays O(1) deep: round N's argmax materializes pc_N and wf_{N-1},
+    # so no plan ever nests more than one un-truncated round.
     if word_partitions is not None:
         wf = wf.coalesce(word_partitions)
-    wf = wf.localCheckpoint(eager=True)
+    wf = wf.localCheckpoint(eager=_CKPT_EAGER)
     pc = _pair_counts(wf)
     if word_partitions is not None:
         pc = pc.coalesce(word_partitions)
-    pc = pc.localCheckpoint(eager=True)
+    pc = pc.localCheckpoint(eager=_CKPT_EAGER)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
@@ -153,7 +164,7 @@ def bpe_merges(
         )
         if word_partitions is not None:
             pc = pc.coalesce(word_partitions)
-        pc = pc.localCheckpoint(eager=True)
+        pc = pc.localCheckpoint(eager=_CKPT_EAGER)
         # SINGLE projection, not filter(~p) ∪ merged: a union concatenates
         # partition lists, so the word frame's partition count would DOUBLE
         # every round (2^rounds tasks — measured 5 s/round by round 12).
@@ -164,7 +175,7 @@ def bpe_merges(
             F.when(has_pair, _apply_merge(F.col("syms"), a, b))
             .otherwise(F.col("syms"))
             .alias("syms"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=_CKPT_EAGER)
     return spark.createDataFrame(merges, "rank int, left string, right string, pair_count long")
 
 

@@ -22,6 +22,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -293,12 +295,41 @@ KNN_GRAPH_BUCKET_CAP = 4096  # max vectors per scored (band, bucket) group
 _BUCKET_CAP_MAX_EXTRA = 16  # deepest re-band: 2^16 sub-buckets per band value
 
 
+def _static_row_bound(df: DataFrame) -> int | None:
+    """Upper bound on df's row count from parquet FOOTER metadata alone —
+    no Spark job. Returns None when the bound is unknowable (non-file
+    source, non-parquet, non-local scheme). Any relational pipeline over
+    a scan yields at most the scan's rows unless it contains a
+    fan-out (join/explode/union), so callers must only use this on
+    frames they know are row-preserving projections/filters of the scan
+    — true for the quantized-corpus frames the ANN family builds."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. checkpointed/foreign plans
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+        if not os.path.isfile(p) or not p.endswith(".parquet"):
+            return None
+        try:
+            total += _pq.ParquetFile(p).metadata.num_rows
+        except Exception:  # noqa: BLE001 — unreadable footer ⇒ no bound
+            return None
+    return total
+
+
 def _capped_buckets(
     e: DataFrame,
     stacked: DataFrame,
     bands: int,
     rows: int,
     bucket_cap: int | None,
+    n_bound: int | None = None,
 ) -> DataFrame:
     """(vec_id, bi, bv, sub, sub2, q, n2) with every (bi, bv, sub, sub2)
     group bounded to ~bucket_cap members — the hot-bucket guard for
@@ -329,13 +360,24 @@ def _capped_buckets(
     uniformity of vec_id — so per-group matmul cost is O(cap²·d)
     regardless of corpus pathology.
 
-    Short-circuit: one tiny count-aggregate job (map-side-combined
-    (bi, bv) pairs → a 1-row max, the driver-sees-a-scalar discipline)
+    Short-circuit, two rungs (r13): a bucket is a subset of the corpus,
+    so when the PARQUET FOOTERS already prove N ≤ bucket_cap (callers
+    pass `n_bound` from `_static_row_bound` on the pre-projection scan)
+    no bucket can overflow and the guard is decided for FREE — no job at
+    all. This matters because the probe job ran at PLAN-CONSTRUCTION
+    time inside every graph-family query (knn_graph, components/LP/PR/
+    triangles, both graph-ANN rungs): ~1.6 s per query at sf0.1, pure
+    fixed overhead at test scale. When the bound is inconclusive (real
+    corpora: N ≫ cap, or a non-parquet source), fall through to the
+    original one-row count-aggregate probe (map-side-combined (bi, bv)
+    pairs → a 1-row max, the driver-sees-a-scalar discipline) that
     decides whether ANY bucket overflows; the common no-overflow case
     then keeps the original plan — without this, the overflow branch's
     empty-input stages still scheduled (+~2 s per graph query at sf0.1)
     and its subtrees bloated every consumer's plan."""
     bucketed = stacked.join(e, "vec_id")
+    if bucket_cap is not None and n_bound is not None and n_bound <= bucket_cap:
+        bucket_cap = None  # provably no over-cap bucket — footer bound
     if bucket_cap is not None:
         sizes = stacked.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("bcnt"))
         mx = sizes.agg(F.max("bcnt")).first()[0]
@@ -457,6 +499,10 @@ def knn_graph(
     import numpy as np
     import pandas as pd
 
+    # footer-derived row bound BEFORE any transform (the checkpointed
+    # frame below no longer reports its input files): lets the hot-bucket
+    # guard skip its probe job when N ≤ cap is already provable
+    n_bound = _static_row_bound(embeddings)
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     # lazy localCheckpoint, not persist(): this frame feeds banding AND
     # the bucket matmuls, but a persist() is CacheManager-pinned past the
@@ -465,7 +511,7 @@ def knn_graph(
     # drops checkpoint blocks once the frame is unreachable)
     e = e.withColumn("n2", _idot(F.col("q"), F.col("q"))).localCheckpoint(eager=False)
     stacked = sign_band_frame(e, bands, rows)
-    bucketed = _capped_buckets(e, stacked, bands, rows, bucket_cap)
+    bucketed = _capped_buckets(e, stacked, bands, rows, bucket_cap, n_bound=n_bound)
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -572,20 +618,23 @@ def graph_ann_search(
     construction — the property that makes graph ANN the default at
     serving time. Recall is audited in `graph_ann_eval`; determinism
     makes the whole walk hash-gateable, not just bounded."""
-    # checkpointed (lazily): every hop joins the symmetrized edge list —
+    # checkpointed EAGERLY: every hop joins the symmetrized edge list —
     # without lineage truncation the per-hop plan re-embeds the ENTIRE
     # graph-construction subtree (LSH banding + bucket matmuls) once per
     # hop (measured 20 s vs ~3 s at sf0.1 for hops=5), and the compounded
     # plan TREE itself grows geometrically (a default-heap session OOMs
-    # just rendering its explain string). localCheckpoint truncates to a
-    # leaf; eager=False keeps plan construction side-effect free — the
-    # ranking-primitive contract (executor loss after materialization
-    # fails loud; the frame is |E| edge pairs, graph-sized not corpus-sized)
+    # just rendering its explain string). eager=True (r13): a LAZY
+    # checkpoint only truncates at materialization, so plan CONSTRUCTION
+    # still analyzed the geometric tree on the driver — measured 7.4 s of
+    # pure py4j/Catalyst analysis per call at sf0.1 (vs 0.3 s execution)
+    # and 10 MiB serialized task binaries; truncating at construction
+    # makes each hop's analysis start from a leaf (build 7.4 s → sub-1 s,
+    # values unchanged — a checkpoint never changes data)
     sym = edges.select("src_id", "nbr_id").unionByName(
         edges.select(
             F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
         )
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     qs = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -596,9 +645,14 @@ def graph_ann_search(
     )
 
     def score_top(cands: DataFrame, width: int) -> DataFrame:
+        # broadcast the FRONTIER into the store, not the store into the
+        # frontier: the candidate set is |Q|·beam·(deg+1) rows by
+        # construction (bounded by the query batch, like `qs`), while
+        # the vector store is corpus-sized — a plain equi-join here
+        # could shuffle the store once per hop at scale; broadcasting
+        # the small side pins the store to a scan + hash probe
         scored = (
-            cands.distinct()
-            .join(cand_store, "cand")
+            cand_store.join(F.broadcast(cands.distinct()), "cand")
             .join(F.broadcast(qs), "query_id")
             .filter(F.col("cand") != F.col("query_id"))
             .select(
@@ -636,17 +690,24 @@ def graph_ann_search(
     c0 = _ivf_probes(qvecs, cents, entry_probes).select(
         "query_id", F.col("list_id").alias("cand")
     )
-    # each beam checkpoints (lazily): hop i's plan otherwise nests hop
-    # i-1's whole plan (windows + joins compound ×hops); the frames are
-    # |Q|·beam rows — leaf-sized
-    b = score_top(c0, beam).localCheckpoint(eager=False)
+    # The entry beam checkpoints EAGERLY (truncating the centroid-probe
+    # subtree out of every hop plan), then each hop checkpoints LAZILY:
+    # `b` is consumed twice per hop so the un-truncated tree still
+    # doubles per hop, but after the two eager cuts above it doubles over
+    # LEAF-sized scans (2^hops × a handful of plan nodes — cheap to
+    # analyze), while execution stays one pipelined job (lazy checkpoints
+    # materialize inside it; no per-hop barrier). Measured at sf0.1:
+    # all-lazy = 4.6 s of driver analysis (geometric over the FULL
+    # graph+probe subtrees, 10 MiB task binaries); all-eager = 6 barrier
+    # jobs, 5.7 s; this split = the cheap side of both.
+    b = score_top(c0, beam).localCheckpoint(eager=True)
     for _ in range(hops):
         nbrs = b.join(
             sym, b["cand"] == sym["src_id"]
         ).select("query_id", F.col("nbr_id").alias("cand"))
         b = score_top(
             b.select("query_id", "cand").unionByName(nbrs), beam
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     return _rank_topk(
         b.select("query_id", F.col("cand").alias("neighbor_id"), "cosine"), k, "cosine"
     )
@@ -1036,6 +1097,12 @@ def embedding_dedup(embeddings: DataFrame, threshold: float = EMB_DEDUP_THRESHOL
 
 KM_CENT_MOD = 29  # seed centroids: vec_id % mod == 1 (~N/29 clusters)
 KM_ITERS = 2  # centroid updates; iters+1 assignment passes total
+# Lloyd/PQ centroid-frame checkpoint mode (r13): False = lazy, the frame
+# materializes inside the next consuming job (broadcast build or the
+# final action) instead of paying one barrier job per training round.
+# Values are unchanged either way; module-level so the optimization
+# round's interleaved A/B could flip it in-session.
+_CKPT_EAGER = False
 SEMDEDUP_THRESHOLD = 0.42  # testdata has no planted dups; ≈ top intra-cluster pairs
 
 
@@ -1117,7 +1184,7 @@ def _kmeans_state(
             )
             .select(F.col("cluster").alias("cent_id"), "cq")
             .withColumn("cn2", _idot(F.col("cq"), F.col("cq")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=_CKPT_EAGER)
         )
         assign = _assign_to_cents(e, cents)
     return e, assign, cents
@@ -1538,7 +1605,7 @@ def _pq_codebook(assigned: DataFrame) -> DataFrame:
             ).alias("cv")
         )
         .withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=_CKPT_EAGER)
     )
 
 

@@ -43,6 +43,9 @@ from ..functions.text import tokens
 from .bpe import _adj_pairs, _apply_merge, _pair_counts
 
 WP_MERGES = 12
+# trainer-loop checkpoint mode; see bpe_merges' r13 note (module-level so
+# the interleaved A/B in the optimization round could flip it in-session)
+_CKPT_EAGER = False
 WP_CONT = "##"
 
 
@@ -89,13 +92,19 @@ def wordpiece_vocab(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", _wp_syms(F.col("w")).alias("syms"))
     )
+    # LAZY checkpoints (r13, bpe_merges' rationale): the per-round 1-row
+    # argmax is the only consumer that needs data, and a lazy
+    # localCheckpoint materializes (and truncates) inside that job —
+    # one job per merge round instead of four barriers (pc + sc + wf
+    # checkpoints + argmax). Values unchanged; round N's argmax
+    # materializes pc_N, sc_N and wf_{N-1}, so plans stay O(1) deep.
     if word_partitions is not None:
         wf = wf.coalesce(word_partitions)
-    wf = wf.localCheckpoint(eager=True)
+    wf = wf.localCheckpoint(eager=_CKPT_EAGER)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return (df.coalesce(word_partitions) if word_partitions is not None else df).localCheckpoint(
-            eager=True
+            eager=_CKPT_EAGER
         )
 
     pc = _ckpt(_pair_counts(wf))
@@ -148,7 +157,7 @@ def wordpiece_vocab(
             F.when(has_pair, _apply_merge(F.col("syms"), a, b, tok))
             .otherwise(F.col("syms"))
             .alias("syms"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=_CKPT_EAGER)
     return spark.createDataFrame(
         rows,
         "rank int, left string, right string, token string, "
