@@ -517,8 +517,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
     # materialize the pair list before the symmetrizing union references
     # it twice — an expensive upstream builder (the LSH band join, or
     # knn_graph's banded matmul when components_knn passes similarity
-    # edges) must run once, not once per union branch
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    # edges) must run once, not once per union branch. pairs/labels are
+    # LAZY (r13): the single eager barrier on `edges` materializes the
+    # pair builder once and truncates it out of the loop's plans; labels
+    # (a distinct over the edges leaf) materializes inside iteration 1's
+    # probe job — one setup barrier instead of three
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -530,7 +534,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("canonical_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -561,9 +565,15 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None, max_iters: i
                 F.col("j_canon").alias("canonical_id"),
                 (F.col("j_canon") != F.col("old_label")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter("chg").limit(1).count()  # any-change probe
+        # any-change probe doubles as the checkpoint's materializing job
+        # (ONE job per iteration, r13 — was eager-ckpt + probe, two).
+        # Full count, NOT limit(1).count(): a limit can finish without
+        # computing every partition, and the lazy checkpoint then runs a
+        # BACKFILL job for the missed partitions before truncating — two
+        # jobs again; the full count computes every partition in one.
+        changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:
             break

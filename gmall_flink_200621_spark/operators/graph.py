@@ -77,10 +77,13 @@ def label_propagation(
         .withColumn(
             "seed_label", F.when(F.col("is_seed"), F.col("true_label"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # materialize upstream edges once — the symmetrizing union references
-    # them twice, which would otherwise run an expensive builder twice
+    # them twice, which would otherwise run an expensive builder twice.
+    # Only `edges` is an eager barrier (it truncates the builder out of
+    # the loop's doubling plans); base/und build on leaves and are LAZY
+    # (r13), materializing inside iteration 1's vote job.
     edges = edges.select("src_id", "nbr_id").localCheckpoint(eager=True)
     und = (
         edges.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
@@ -91,7 +94,7 @@ def label_propagation(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = base.select("vertex_id", F.col("seed_label").alias("label"))
     w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
@@ -268,18 +271,19 @@ def pagerank(
     85 · Σ fits int64 with ~9 orders of headroom at any corpus size
     (hub in-degree would need to exceed ~10⁸·k to overflow)."""
     vcol = vertices.columns[0]
+    # verts/ed are LAZY (r13): they build on leaves (the vertex scan, the
+    # edges checkpoint) and materialize inside iteration 1's job — the
+    # single eager barrier stays on `edges`, which truncates the
+    # expensive upstream builder (knn_graph's banded matmul) out of every
+    # iteration's plan and runs it once, not once per plan branch
     verts = (
         vertices.select(F.col(vcol).alias("vertex_id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # materialize the edge list BEFORE deriving deg: the degree aggregate
-    # and the join below both consume it, and an expensive upstream
-    # builder (knn_graph's banded matmul) must run once, not once per
-    # plan branch
     edges = edges.select("src_id", "nbr_id").localCheckpoint(eager=True)
     deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src_id").localCheckpoint(eager=True)
+    ed = edges.join(deg, "src_id").localCheckpoint(eager=False)
     ranks = verts.select("vertex_id", F.lit(PR_SCALE).cast("long").alias("r"))
     for it in range(iters):
         contribs = (

@@ -1695,6 +1695,50 @@ def hadamard_q(qcol, dim: int = DIM):
     )
 
 
+def hadamard_rotate(e: DataFrame, dim: int = DIM) -> DataFrame:
+    """Arrow-vectorized twin of `hadamard_q`: rotates a (vec_id, q0)
+    frame to (vec_id, q, n2) with r = H·q as ONE exact int64 numpy
+    matmul per Arrow batch — the same documented Pandas-UDF exception as
+    knn_graph's bucket matmul (BLAS-shaped integer math the expression
+    path can only express badly: the `hadamard_q` form folds the 64×64
+    ±1 matrix in as 4096 literals, and Catalyst analysis + codegen of
+    that tree measured ~2.6 s per query at sf0.1 — pure plan overhead,
+    ~64 KB of generated code, zero data). Values are IDENTICAL to
+    `hadamard_q` (integer adds/subtracts in both paths; pinned in
+    TestHadamard), so the DuckDB oracle's ±1-matvec replay is unchanged.
+    ‖r‖² = d·‖q‖² ≤ 64·64·(0.53·2²⁴)² ≈ 3·10¹⁷ < 2⁶³ — every
+    intermediate stays exact int64 (the `hadamard_q` overflow note).
+    Map-only: zero shuffle, O(batch·d²) per batch through BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    def rotate(batches):
+        idx = np.arange(dim)
+        par = np.bitwise_and.outer(idx, idx)
+        # popcount parity of (i & j) via 8-bit lookup (dim ≤ 256 ⇒ one byte)
+        pop = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
+        h = np.where(pop[par & 0xFF] % 2 == 0, 1, -1).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "q": [], "n2": []}).astype(
+                    {"vec_id": "int64", "n2": "int64"}
+                )
+                continue
+            m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q0"]])
+            r = m @ h.T  # r[i] = Σⱼ h[i,j]·q[j], exact int64
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "q": list(r),
+                    "n2": (r * r).sum(axis=1),
+                }
+            )
+
+    return e.select("vec_id", "q0").mapInPandas(
+        rotate, "vec_id long, q array<long>, n2 long"
+    )
+
+
 def knn_pq_rotated(
     embeddings: DataFrame,
     k: int = KNN_K,
@@ -1726,11 +1770,9 @@ def knn_pq_rotated(
     e = _fan_out(embeddings).select(
         "vec_id", quantize(F.col("embedding")).alias("q0")
     )
-    e = (
-        e.select("vec_id", hadamard_q(F.col("q0")).alias("q"))
-        .withColumn("n2", _idot(F.col("q"), F.col("q")))
-        .persist()
-    )
+    # Arrow twin of hadamard_q — identical int64 values, ~2.6 s less
+    # Catalyst analysis/codegen per call (r13; see hadamard_rotate)
+    e = hadamard_rotate(e).persist()
     qs = e.filter(F.col("vec_id") % query_mod == 0)
     codes, cb = _pq_train_encode(e, code_mod, iters)
     lut = _pq_query_luts(qs, cb)

@@ -2798,3 +2798,34 @@ class TestHadamardRotation:
         rows = r.collect()
         assert all(x.parseval for x in rows)
         assert all(all(x.inv) for x in rows)
+
+    def test_arrow_twin_matches_expression(self, spark, sf_dir):
+        """`hadamard_rotate` (the r13 Arrow-matmul twin knn_pq_rotated
+        serves from) must equal `hadamard_q` element-for-element, and its
+        carried n2 must equal the exact ‖r‖² — the values the DuckDB
+        oracle's ±1-matvec replay assumes."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators.similarity import (
+            _idot,
+            hadamard_q,
+            hadamard_rotate,
+            quantize,
+        )
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .limit(50)
+            .select("vec_id", quantize(F.col("embedding")).alias("q0"))
+        )
+        want = {
+            r.vec_id: (list(r.r), r.n2)
+            for r in e.select(
+                "vec_id", hadamard_q(F.col("q0")).alias("r")
+            )
+            .withColumn("n2", _idot(F.col("r"), F.col("r")))
+            .collect()
+        }
+        got = {r.vec_id: (list(r.q), r.n2) for r in hadamard_rotate(e).collect()}
+        assert got == want
