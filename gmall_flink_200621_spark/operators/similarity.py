@@ -696,10 +696,12 @@ def graph_ann_search(
     # doubles per hop, but after the two eager cuts above it doubles over
     # LEAF-sized scans (2^hops × a handful of plan nodes — cheap to
     # analyze), while execution stays one pipelined job (lazy checkpoints
-    # materialize inside it; no per-hop barrier). Measured at sf0.1:
-    # all-lazy = 4.6 s of driver analysis (geometric over the FULL
-    # graph+probe subtrees, 10 MiB task binaries); all-eager = 6 barrier
-    # jobs, 5.7 s; this split = the cheap side of both.
+    # materialize inside it; no per-hop barrier). Measured at sf0.1,
+    # interleaved in one session under bench methodology: this split
+    # (5.93 s) beats all-eager (6.07 s — six barrier jobs, and 1.60×
+    # in the full-bench context) and all-lazy (6.47 s — geometric
+    # analysis over the FULL graph+probe subtrees, 10 MiB task
+    # binaries; the shape that measured 7.4 s of pure driver analysis).
     b = score_top(c0, beam).localCheckpoint(eager=True)
     for _ in range(hops):
         nbrs = b.join(
@@ -707,7 +709,7 @@ def graph_ann_search(
         ).select("query_id", F.col("nbr_id").alias("cand"))
         b = score_top(
             b.select("query_id", "cand").unionByName(nbrs), beam
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return _rank_topk(
         b.select("query_id", F.col("cand").alias("neighbor_id"), "cosine"), k, "cosine"
     )
