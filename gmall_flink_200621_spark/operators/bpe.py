@@ -34,9 +34,9 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 BPE_MERGES = 12
-# trainer-loop checkpoint mode; see bpe_merges' r13 note (module-level so
-# the interleaved A/B in the optimization round could flip it in-session)
-_CKPT_EAGER = False
+# trainer-loop checkpoints are LAZY (eager=False below, r13 A/B: lazy
+# won or tied twice — the next round's argmax materializes them in its
+# own job, so a round costs ONE job instead of three barrier jobs)
 
 
 def _chars(word):
@@ -84,6 +84,73 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merge_py(syms: list[str], a: str, b: str, tok: str) -> list[str]:
+    """Python twin of `_apply_merge` — the identical left-to-right
+    non-overlapping greedy pass (also the loop bpe_encode's Arrow path
+    runs, pinned bit-identical to the expression fold at the
+    BPE_ENCODE_EXPR_MAX boundary)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(tok)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _count_frame(
+    src: DataFrame, merge: tuple[str, str, str] | None, with_syms: bool
+) -> DataFrame:
+    """Partition-local signed (pair[, symbol]) recount of a (freq, syms)
+    word frame as ONE map-only Arrow pass — no exchange: each partition
+    emits its partial (kind, a, b, d) sums (kind 0 = adjacent pair,
+    kind 1 = symbol) and the DRIVER nets them (exact int sums, order-
+    free). With `merge=None` counts are positive (the trainer's initial
+    state); with `merge=(a, b, tok)` each word contributes its
+    post-merge counts MINUS its pre-merge counts — the per-round delta,
+    recounted per affected word so greedy-overlap cases stay exact.
+    Output rows are pair-vocabulary-bounded per partition (the same
+    bounded-driver-read class as the centroid tables)."""
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        cnt: Counter = Counter()
+        for pdf in batches:
+            for freq, syms in zip(pdf["freq"], pdf["syms"]):
+                freq = int(freq)
+                syms = list(syms)
+                if merge is not None:
+                    new = _apply_merge_py(syms, merge[0], merge[1], merge[2])
+                    for p in zip(syms, syms[1:]):
+                        cnt[(0, p[0], p[1])] -= freq
+                    for p in zip(new, new[1:]):
+                        cnt[(0, p[0], p[1])] += freq
+                    if with_syms:
+                        for s in syms:
+                            cnt[(1, s, "")] -= freq
+                        for s in new:
+                            cnt[(1, s, "")] += freq
+                else:
+                    for p in zip(syms, syms[1:]):
+                        cnt[(0, p[0], p[1])] += freq
+                    if with_syms:
+                        for s in syms:
+                            cnt[(1, s, "")] += freq
+        rows = [(k, a, b, d) for (k, a, b), d in cnt.items() if d != 0]
+        yield pd.DataFrame(
+            rows or None, columns=["kind", "a", "b", "d"]
+        ).astype({"kind": "int32", "a": "object", "b": "object", "d": "int64"})
+
+    return src.select("freq", "syms").mapInPandas(
+        gen, "kind int, a string, b string, d long"
+    )
+
+
 def bpe_merges(
     docs: DataFrame, n_merges: int = BPE_MERGES, word_partitions: int | None = None
 ) -> DataFrame:
@@ -120,51 +187,54 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", _chars(F.col("w")).alias("syms"))
     )
-    # LAZY checkpoints throughout the trainer (r13): each round's 1-row
-    # argmax job is the only place a result is actually needed, and a
-    # lazy localCheckpoint materializes (and truncates) inside that job
-    # — so a round costs ONE job instead of three barrier jobs
-    # (pc ckpt + wf ckpt + argmax; wordpiece paid four). Values are
-    # unchanged — a checkpoint never changes data — and the plan still
-    # stays O(1) deep: round N's argmax materializes pc_N and wf_{N-1},
-    # so no plan ever nests more than one un-truncated round.
     if word_partitions is not None:
         wf = wf.coalesce(word_partitions)
-    wf = wf.localCheckpoint(eager=_CKPT_EAGER)
-    pc = _pair_counts(wf)
-    if word_partitions is not None:
-        pc = pc.coalesce(word_partitions)
-    pc = pc.localCheckpoint(eager=_CKPT_EAGER)
+    wf = wf.localCheckpoint(eager=False)
+    # DRIVER-HELD pair-count state (r14, guide §1.2/§5): the (a, b, cnt)
+    # table is the trainer's working state and is PAIR-VOCABULARY-bounded
+    # (distinct observed adjacent symbol pairs ≤ (alphabet + n_merges)²,
+    # corpus-size-independent — the same bounded-driver-read class as the
+    # centroid tables, and exactly the state every production BPE trainer
+    # (SentencePiece, HF tokenizers) holds in memory). Keeping it
+    # distributed cost 4 scheduler jobs + a fresh Catalyst analysis of the
+    # argmax-join-sort plan EVERY round (measured ~0.5 s/round at sf0.1 —
+    # 52 jobs for a 12-merge train); the data plane now runs exactly ONE
+    # map-only job per round (`_count_frame`: the affected words'
+    # signed recount, netted partition-locally, no exchange), and the
+    # argmax is a driver-side min() over the dict.
+    # Exactness: counts are exact int64 sums either way; the tie-break
+    # (cnt desc, a asc, b asc) compares strings as UTF-8 BYTES to match
+    # Spark's binary string ordering. Merge-for-merge parity with the
+    # distributed form stays pinned in TestBpe.
+    pc: dict[tuple[str, str], int] = {}
+    for r in _count_frame(wf, None, with_syms=False).collect():
+        pc[(r.a, r.b)] = pc.get((r.a, r.b), 0) + r.d
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        top = pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
-        if not top:
+        if not pc:
             break
-        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode())
+        )
         merges.append((rank, a, b, int(cnt)))
         has_pair = F.exists(
             _adj_pairs(F.col("syms")),
             lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
         )
-        affected = wf.filter(has_pair)
-        merged = affected.select(
-            "freq", _apply_merge(F.col("syms"), a, b).alias("syms")
-        )
-        # delta = (post-merge pairs) − (pre-merge pairs) of affected words;
-        # counts can only net ≥ 0 (retraction ≤ prior contribution), pairs
-        # netting 0 — including the merged (a, b) itself — drop out
-        delta = _pair_counts(merged).unionByName(
-            _pair_counts(affected).withColumn("cnt", -F.col("cnt"))
-        )
-        pc = (
-            pc.unionByName(delta)
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") > 0)
-        )
-        if word_partitions is not None:
-            pc = pc.coalesce(word_partitions)
-        pc = pc.localCheckpoint(eager=_CKPT_EAGER)
+        # delta = (post-merge pairs) − (pre-merge pairs) of affected words
+        # — a full recount of affected words, so neighbor-pair shifts and
+        # greedy-overlap cases like 'a a a' stay exact by construction.
+        # One map-only job, which also materializes wf's lazy checkpoint
+        # inside itself.
+        delta = _count_frame(wf.filter(has_pair), (a, b, a + b), with_syms=False)
+        for r in delta.collect():
+            nv = pc.get((r.a, r.b), 0) + r.d
+            if nv > 0:
+                pc[(r.a, r.b)] = nv
+            else:
+                # netting to 0 deletes (retraction ≤ prior contribution,
+                # so < 0 is impossible) — including the merged (a, b)
+                pc.pop((r.a, r.b), None)
         # SINGLE projection, not filter(~p) ∪ merged: a union concatenates
         # partition lists, so the word frame's partition count would DOUBLE
         # every round (2^rounds tasks — measured 5 s/round by round 12).
@@ -175,7 +245,7 @@ def bpe_merges(
             F.when(has_pair, _apply_merge(F.col("syms"), a, b))
             .otherwise(F.col("syms"))
             .alias("syms"),
-        ).localCheckpoint(eager=_CKPT_EAGER)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(merges, "rank int, left string, right string, pair_count long")
 
 

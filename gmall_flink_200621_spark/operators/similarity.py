@@ -295,19 +295,36 @@ KNN_GRAPH_BUCKET_CAP = 4096  # max vectors per scored (band, bucket) group
 _BUCKET_CAP_MAX_EXTRA = 16  # deepest re-band: 2^16 sub-buckets per band value
 
 
-def _static_row_bound(df: DataFrame) -> int | None:
+_ROW_BOUND_MAX_FILES = 64  # driver-side footer reads are sequential I/O
+
+
+def _static_row_bound(df: DataFrame, cap: int | None = None) -> int | None:
     """Upper bound on df's row count from parquet FOOTER metadata alone —
     no Spark job. Returns None when the bound is unknowable (non-file
-    source, non-parquet, non-local scheme). Any relational pipeline over
-    a scan yields at most the scan's rows unless it contains a
-    fan-out (join/explode/union), so callers must only use this on
-    frames they know are row-preserving projections/filters of the scan
-    — true for the quantized-corpus frames the ANN family builds."""
+    source, non-parquet, non-local scheme, or more than
+    _ROW_BOUND_MAX_FILES files — at 100 TB the input is 10⁵-10⁶ files and
+    a full footer sweep is minutes of sequential driver I/O spent to
+    learn the bound is useless, so give up after a bounded prefix).
+    When `cap` is given, stops at the FIRST file that pushes the running
+    total past it and returns that partial total — only valid for
+    testing `bound > cap`, not as a full-count upper bound.
+
+    Any relational pipeline over a scan yields at most the scan's rows
+    unless it contains a fan-out (join/explode/union), so the bound is
+    only sound on row-preserving projections/filters of the scan. That
+    invariant is ENFORCED here (not left to callers): any fan-out node
+    in the analyzed plan ⇒ None."""
     try:
         files = df.inputFiles()
+        # fan-out guard: a Join/Generate/Union/Expand above the scan can
+        # multiply rows past the footer total, silently disabling the
+        # hot-bucket cap. Current callers pass raw scans; enforce anyway.
+        plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — e.g. checkpointed/foreign plans
         return None
-    if not files:
+    if not files or len(files) > _ROW_BOUND_MAX_FILES:
+        return None
+    if any(t in plan for t in ("Join", "Generate", "Union", "Expand")):
         return None
     import pyarrow.parquet as _pq
 
@@ -320,6 +337,8 @@ def _static_row_bound(df: DataFrame) -> int | None:
             total += _pq.ParquetFile(p).metadata.num_rows
         except Exception:  # noqa: BLE001 — unreadable footer ⇒ no bound
             return None
+        if cap is not None and total > cap:
+            return total  # early exit: enough to prove the bound fails
     return total
 
 
@@ -502,7 +521,7 @@ def knn_graph(
     # footer-derived row bound BEFORE any transform (the checkpointed
     # frame below no longer reports its input files): lets the hot-bucket
     # guard skip its probe job when N ≤ cap is already provable
-    n_bound = _static_row_bound(embeddings)
+    n_bound = _static_row_bound(embeddings, cap=bucket_cap)
     e = _fan_out(embeddings).select("vec_id", quantize(F.col("embedding")).alias("q"))
     # lazy localCheckpoint, not persist(): this frame feeds banding AND
     # the bucket matmuls, but a persist() is CacheManager-pinned past the
@@ -650,7 +669,14 @@ def graph_ann_search(
         # construction (bounded by the query batch, like `qs`), while
         # the vector store is corpus-sized — a plain equi-join here
         # could shuffle the store once per hop at scale; broadcasting
-        # the small side pins the store to a scan + hash probe
+        # the small side pins the store to a scan + hash probe.
+        # CEILING (shared with the qs broadcast below): |Q| here is
+        # N/query_mod, so both hints assume a bounded query BATCH, not a
+        # corpus-proportional one — at |Q|·beam·(deg+1) ≳ 10⁸ rows the
+        # broadcast hits the 8 GB / 512M-row relation cap and the hint
+        # must be dropped (the equi-join degrades gracefully to a
+        # store-side shuffle per hop). Serving at 100 TB batches queries
+        # well under that; the mod-sampled eval harness is test-scale.
         scored = (
             cand_store.join(F.broadcast(cands.distinct()), "cand")
             .join(F.broadcast(qs), "query_id")
@@ -1099,12 +1125,10 @@ def embedding_dedup(embeddings: DataFrame, threshold: float = EMB_DEDUP_THRESHOL
 
 KM_CENT_MOD = 29  # seed centroids: vec_id % mod == 1 (~N/29 clusters)
 KM_ITERS = 2  # centroid updates; iters+1 assignment passes total
-# Lloyd/PQ centroid-frame checkpoint mode (r13): False = lazy, the frame
-# materializes inside the next consuming job (broadcast build or the
-# final action) instead of paying one barrier job per training round.
-# Values are unchanged either way; module-level so the optimization
-# round's interleaved A/B could flip it in-session.
-_CKPT_EAGER = False
+# Lloyd/PQ centroid-frame checkpoints are LAZY (eager=False at the call
+# sites, r13 A/B): the frame materializes inside the next consuming job
+# (broadcast build or the final action) instead of paying one barrier
+# job per training round. Values are unchanged either way.
 SEMDEDUP_THRESHOLD = 0.42  # testdata has no planted dups; ≈ top intra-cluster pairs
 
 
@@ -1186,7 +1210,7 @@ def _kmeans_state(
             )
             .select(F.col("cluster").alias("cent_id"), "cq")
             .withColumn("cn2", _idot(F.col("cq"), F.col("cq")))
-            .localCheckpoint(eager=_CKPT_EAGER)
+            .localCheckpoint(eager=False)
         )
         assign = _assign_to_cents(e, cents)
     return e, assign, cents
@@ -1607,7 +1631,7 @@ def _pq_codebook(assigned: DataFrame) -> DataFrame:
             ).alias("cv")
         )
         .withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
-        .localCheckpoint(eager=_CKPT_EAGER)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1715,6 +1739,9 @@ def hadamard_rotate(e: DataFrame, dim: int = DIM) -> DataFrame:
     import pandas as pd
 
     def rotate(batches):
+        # the 8-bit popcount lookup below masks (i & j) to one byte, so a
+        # dim > 256 would silently build the WRONG ±1 matrix — fail instead
+        assert dim <= 256, f"hadamard_rotate popcount table is 8-bit; dim={dim}"
         idx = np.arange(dim)
         par = np.bitwise_and.outer(idx, idx)
         # popcount parity of (i & j) via 8-bit lookup (dim ≤ 256 ⇒ one byte)

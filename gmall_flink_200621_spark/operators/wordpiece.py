@@ -14,12 +14,12 @@ a+b without the marker (so vocabulary entries are real substrings).
 
 Spark decomposition — `bpe_merges`' incremental-delta machinery with one
 extra maintained aggregate: alongside the (a, b, cnt) pair frame the
-trainer keeps the (s, scnt) symbol-frequency frame, both updated by
+trainer keeps the (s, scnt) symbol-frequency table, both updated by
 retract-and-add deltas over only the words containing the merged pair
 (a full recount of affected words, so greedy-overlap cases like
-'s s s' — 2 adjacencies but 1 applied merge — stay exact). The scoring
-join is pair-vocabulary-sized (never corpus-sized), the argmax is the
-house one-row-per-round driver scalar, and the merge application is a
+'s s s' — 2 adjacencies but 1 applied merge — stay exact). Both tables
+are vocabulary-bounded driver-held state (see bpe_merges), the scoring
+argmax is a Python min() over them, and the merge application is a
 shuffle-free conditional projection. The score division is a per-row
 pure double over exact int64 counts (no cross-row float reduction), so
 training is bit-deterministic under any partitioning — pinned in tests
@@ -40,12 +40,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .bpe import _adj_pairs, _apply_merge, _pair_counts
+from .bpe import _adj_pairs, _apply_merge, _count_frame
 
 WP_MERGES = 12
-# trainer-loop checkpoint mode; see bpe_merges' r13 note (module-level so
-# the interleaved A/B in the optimization round could flip it in-session)
-_CKPT_EAGER = False
+# trainer-loop checkpoints are LAZY (eager=False below; see bpe.py's
+# r13 note — one job per merge round instead of four)
 WP_CONT = "##"
 
 
@@ -66,16 +65,6 @@ def _merged_token(a: str, b: str) -> str:
     return a + (b[len(WP_CONT) :] if b.startswith(WP_CONT) else b)
 
 
-def _sym_counts(wf: DataFrame) -> DataFrame:
-    """(s, scnt) frequency-weighted symbol counts over a (freq, syms)
-    word frame — the unigram denominator of the WordPiece score."""
-    return (
-        wf.select("freq", F.explode("syms").alias("s"))
-        .groupBy("s")
-        .agg(F.sum("freq").alias("scnt"))
-    )
-
-
 def wordpiece_vocab(
     docs: DataFrame, n_merges: int = WP_MERGES, word_partitions: int | None = None
 ) -> DataFrame:
@@ -92,72 +81,69 @@ def wordpiece_vocab(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", _wp_syms(F.col("w")).alias("syms"))
     )
-    # LAZY checkpoints (r13, bpe_merges' rationale): the per-round 1-row
-    # argmax is the only consumer that needs data, and a lazy
-    # localCheckpoint materializes (and truncates) inside that job —
-    # one job per merge round instead of four barriers (pc + sc + wf
-    # checkpoints + argmax). Values unchanged; round N's argmax
-    # materializes pc_N, sc_N and wf_{N-1}, so plans stay O(1) deep.
     if word_partitions is not None:
         wf = wf.coalesce(word_partitions)
-    wf = wf.localCheckpoint(eager=_CKPT_EAGER)
+    wf = wf.localCheckpoint(eager=False)
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return (df.coalesce(word_partitions) if word_partitions is not None else df).localCheckpoint(
-            eager=_CKPT_EAGER
-        )
-
-    pc = _ckpt(_pair_counts(wf))
-    sc = _ckpt(_sym_counts(wf))
+    # DRIVER-HELD pair/symbol-count state (r14 — bpe_merges' rationale,
+    # see the note there): both tables are vocabulary-bounded working
+    # state (pairs ≤ (alphabet + n_merges)², symbols ≤ alphabet +
+    # n_merges), so the per-round scoring join + argmax runs as a Python
+    # min() over the dicts instead of an 8-scheduler-job Catalyst plan
+    # (measured ~0.85 s/round at sf0.1 — 101 jobs for a 12-merge train).
+    # The data plane keeps exactly ONE map-only job per round
+    # (`bpe._count_frame` with with_syms=True: the affected words' signed
+    # pair+symbol recount, netted partition-locally, no exchange).
+    # Exactness: the score cnt/(ca·cb) is float(int64)/float(int64·int64)
+    # in BOTH engines (Spark's Divide casts each side long→double; ca·cb
+    # multiplies as int64 first), and ties break on UTF-8 byte order to
+    # match Spark's binary string ordering. Merge-for-merge parity with
+    # the distributed form stays pinned in TestWordPiece.
+    pc: dict[tuple[str, str], int] = {}
+    sc: dict[str, int] = {}
+    for r in _count_frame(wf, None, with_syms=True).collect():
+        if r.kind == 0:
+            pc[(r.a, r.b)] = pc.get((r.a, r.b), 0) + r.d
+        else:
+            sc[r.a] = sc.get(r.a, 0) + r.d
     rows: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        la = sc.select(F.col("s").alias("a"), F.col("scnt").alias("ca"))
-        lb = sc.select(F.col("s").alias("b"), F.col("scnt").alias("cb"))
-        top = (
-            pc.join(la, "a")
-            .join(lb, "b")
-            .withColumn("score", F.col("cnt") / (F.col("ca") * F.col("cb")))
-            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        if not pc:
             break
-        a, b, cnt, ca, cb = top[0].a, top[0].b, int(top[0].cnt), int(top[0].ca), int(top[0].cb)
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / float(sc[kv[0][0]] * sc[kv[0][1]])),
+                kv[0][0].encode(),
+                kv[0][1].encode(),
+            ),
+        )
+        ca, cb = int(sc[a]), int(sc[b])
+        cnt = int(cnt)
         tok = _merged_token(a, b)
         rows.append((rank, a, b, tok, cnt, ca, cb, round(cnt / (ca * cb), 9)))
         has_pair = F.exists(
             _adj_pairs(F.col("syms")),
             lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
         )
-        affected = wf.filter(has_pair)
-        merged = affected.select("freq", _apply_merge(F.col("syms"), a, b, tok).alias("syms"))
-        pc = _ckpt(
-            pc.unionByName(
-                _pair_counts(merged).unionByName(
-                    _pair_counts(affected).withColumn("cnt", -F.col("cnt"))
-                )
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") > 0)
-        )
-        sc = _ckpt(
-            sc.unionByName(
-                _sym_counts(merged).unionByName(
-                    _sym_counts(affected).withColumn("scnt", -F.col("scnt"))
-                )
-            )
-            .groupBy("s")
-            .agg(F.sum("scnt").alias("scnt"))
-            .filter(F.col("scnt") > 0)
-        )
+        # delta = (post-merge pairs+symbols) − (pre-merge) of affected
+        # words — one map-only job, which also materializes wf's lazy
+        # checkpoint inside itself.
+        delta = _count_frame(wf.filter(has_pair), (a, b, tok), with_syms=True)
+        for r in delta.collect():
+            tgt = pc if r.kind == 0 else sc
+            key = (r.a, r.b) if r.kind == 0 else r.a
+            nv = tgt.get(key, 0) + r.d
+            if nv > 0:
+                tgt[key] = nv
+            else:
+                tgt.pop(key, None)
         wf = wf.select(
             "freq",
             F.when(has_pair, _apply_merge(F.col("syms"), a, b, tok))
             .otherwise(F.col("syms"))
             .alias("syms"),
-        ).localCheckpoint(eager=_CKPT_EAGER)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         rows,
         "rank int, left string, right string, token string, "

@@ -497,6 +497,84 @@ class TestSimilarity:
         assert hits == (727 if sf_dir.endswith("sf0.001") else 672), hits
 
 
+class TestStaticRowBound:
+    """r14 (verdict item 2): the footer-derived row bound must not sweep
+    every parquet footer at scale — it early-exits once the running total
+    proves the cap fails, refuses inputs with more than
+    _ROW_BOUND_MAX_FILES files, and refuses fan-out plans (union/join/
+    explode can multiply rows past the footer total)."""
+
+    def _many_file_scan(self, spark, tmp_path, n_files=10, rows_per_file=100):
+        p = str(tmp_path / "many.parquet")
+        spark.range(n_files * rows_per_file).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(p)
+        return spark.read.parquet(p)
+
+    def test_early_exit_reads_bounded_footers(self, spark, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+
+        from gmall_flink_200621_spark.operators import similarity as sim
+
+        df = self._many_file_scan(spark, tmp_path)
+        n_files = len(df.inputFiles())
+        assert n_files >= 8  # the premise: genuinely many files
+
+        calls = {"n": 0}
+        real = pq.ParquetFile
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(pq, "ParquetFile", counting)
+        # cap far below one file's rows: the FIRST footer already proves
+        # the bound fails, so at most 2 footers may be read (files are
+        # not size-sorted; allow one slack for an undersized first file)
+        bound = sim._static_row_bound(df, cap=10)
+        assert bound is not None and bound > 10
+        assert calls["n"] <= 2, calls["n"]
+
+        # without a cap the full (exact) total is still available
+        calls["n"] = 0
+        assert sim._static_row_bound(df) == 1000
+        assert calls["n"] == n_files
+
+    def test_too_many_files_gives_up_without_reading(self, spark, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+
+        from gmall_flink_200621_spark.operators import similarity as sim
+
+        df = self._many_file_scan(spark, tmp_path)
+        monkeypatch.setattr(sim, "_ROW_BOUND_MAX_FILES", 4)
+        calls = {"n": 0}
+        real = pq.ParquetFile
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(pq, "ParquetFile", counting)
+        assert sim._static_row_bound(df) is None
+        assert calls["n"] == 0
+
+    def test_fan_out_plans_refused(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_200621_spark.operators import similarity as sim
+
+        df = self._many_file_scan(spark, tmp_path, n_files=2)
+        assert sim._static_row_bound(df.select("id")) == 200  # projection ok
+        assert sim._static_row_bound(df.union(df)) is None
+        assert sim._static_row_bound(df.join(df.select("id"), "id")) is None
+        assert (
+            sim._static_row_bound(
+                df.select(F.explode(F.array(F.lit(1), F.lit(2))))
+            )
+            is None
+        )
+
+
 class TestKnnGraphBucketCap:
     def test_cap_inert_below_threshold(self, spark, sf_dir):
         """With the default cap (4096) every test-SF bucket is far under

@@ -8,7 +8,9 @@ For each query, measures with the SAME session shape as bench.py:
     loops, collects and sidecar writes happen here — bench.py charges
     them to the query too, inside the timed region)
   - exec_s:  wall time of the noop-sink materialization (min over passes)
-  - jobs/stages/tasks: scheduler work per execution pass (pass 1)
+  - jobs/stages: scheduler work for execution PASS 1 ONLY (the job group
+    is set around the noop sink, so trainer-loop jobs issued during
+    build — before setJobGroup — are not counted)
 and optionally writes `<plandir>/<query>_<suffix>.txt` with the
 formatted physical plan (the judge-facing evidence files).
 
