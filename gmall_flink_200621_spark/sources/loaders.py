@@ -18,6 +18,52 @@ from pyspark.sql import functions as F
 from ..schemas import TESTDATA_TABLES
 
 
+# (realpath(sf_dir), table) → the Spark read schema derived from ONE
+# pyarrow footer read (~0.1 ms, no JVM). This is reader METADATA, not
+# data or results: every action still scans the parquet. Spark's own
+# schema inference costs ~65-75 ms of driver time PER read.parquet()
+# call (file listing + a JVM footer pass), and the bench constructs
+# every query's scans fresh each pass — ~200 load_table calls per bench
+# pass made inference alone ~10-15 s of pure fixed cost (guide §6: give
+# the reader an explicit schema; the repo's schemaless-source loaders
+# already require one for exactly this reason).
+_READ_SCHEMAS: dict[tuple[str, str], object] = {}
+
+def _read_schema_for(path: str):
+    """StructType twin of Spark's inferred schema for `path`, from the
+    pyarrow footer — replicating what inference yields under
+    nanosAsLong=true + inferTimestampNTZ=false (all fields nullable).
+    Strict whitelist: returns None on any column type outside it (caller
+    falls back to the inferred read)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    spark_type = {
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "large_string": T.StringType(),
+        "timestamp[us]": T.TimestampType(),
+        "timestamp[ns]": T.LongType(),  # TIMESTAMP(NANOS) under nanosAsLong
+    }
+
+    fields = []
+    for f in pq.read_schema(path):
+        ts = str(f.type)
+        if ts in spark_type:
+            fields.append(T.StructField(f.name, spark_type[ts], True))
+        elif ts.startswith("list<") and str(f.type.value_type) in spark_type:
+            fields.append(
+                T.StructField(f.name, T.ArrayType(spark_type[str(f.type.value_type)], True), True)
+            )
+        else:
+            return None
+    return T.StructType(fields)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Parquet scan → full pushdown/pruning.
 
@@ -29,11 +75,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session is pinned to UTC, so the wall-clock values are identical to
     what DuckDB sees). Older generator versions wrote `events.ts` as
     TIMESTAMP(NANOS); the nanosAsLong + rebuild path below keeps those
-    readable too.
-    """
+    readable too (the footer-derived schema surfaces them as bigint,
+    exactly as inference does under the legacy flag)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.realpath(sf_dir), name)
+    if key not in _READ_SCHEMAS:
+        try:
+            _READ_SCHEMAS[key] = _read_schema_for(path)
+        except Exception:  # noqa: BLE001 — any probe failure → inferred read
+            _READ_SCHEMAS[key] = None
+    st = _READ_SCHEMAS[key]
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

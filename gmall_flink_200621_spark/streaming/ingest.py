@@ -2501,6 +2501,20 @@ def _ivm_epoch(
     ).unionByName(
         proj(o_state_t2.join(F.broadcast(d_l), F.col("o_orderkey") == F.col("l_orderkey")))
     )
+    # ΔV is written FIRST and every aggregate consumer reads this epoch's
+    # partition BACK from the table (r14, guide §1.2/§2): the ΔV tree
+    # (two state joins + the delete anti-joins) used to be re-derived
+    # inside EVERY maintained MV's write plan — the grouped top-K epoch
+    # alone embedded it ~5× via the partial frame, measured ~28 s/epoch
+    # of duplicated subtree execution at sf0.001. A parquet roundtrip is
+    # value-exact (IEEE doubles and DECIMALs are stored losslessly) and
+    # every consumer is order-insensitive (sums/max/window ranks).
+    # Replay-safe for the same reason replay itself is: the retire scan
+    # below reads v_t with `epoch != epoch_id`, so the already-written
+    # in-flight partition is invisible to it — exactly the replay case
+    # (where the partition pre-exists) that the design already handles.
+    _ivm_write_epoch(s, d_v, v_t, epoch_id)
+    d_v = s.table(v_t).filter(F.col("epoch") == epoch_id).drop("epoch")
 
     # ---- shared retire computation (agg and mx both consume it) ----
     # gate the O(accumulated-view) retire scan on the micro-batch actually
@@ -2572,6 +2586,9 @@ def _ivm_epoch(
         retired = parts[0]
         for p in parts[1:]:
             retired = retired.unionByName(p)
+        # delta-sized by the retire bound; persisted because up to four
+        # MV partials consume it (unpersisted at the end of the epoch)
+        retired = retired.persist()
         post_live = rest  # live pre-epoch rows after this batch's deletes/upserts
 
     if agg_t is not None:
@@ -2589,12 +2606,14 @@ def _ivm_epoch(
             .cast("decimal(18,6)")
             .alias("rev"),
         )
-        # writes are strictly ordered: insertInto(agg_t) executes the
-        # retire scan of v_t to completion before v_t's own epoch write
-        # below starts, and the scan's epoch != epoch_id filter keeps a
-        # replay (where v_t's partition already exists) read-identical
+        # the retire scan reads v_t with epoch != epoch_id, so the
+        # already-written in-flight ΔV partition is invisible to it
+        # (replay-identical reads — see the ΔV write note above)
         _ivm_write_epoch(s, partial, agg_t, epoch_id)
         if tk_t is not None:
+            # the top-K epoch consumes the partial it can now READ BACK
+            # (several references → table scans, not plan copies)
+            partial = s.table(agg_t).filter(F.col("epoch") == epoch_id).drop("epoch")
             _ivm_topk_epoch(s, partial, agg_t, tk_t, topk_k, epoch_id)
     if tkg_t is not None:
         signed_g = d_v.select(
@@ -2615,6 +2634,11 @@ def _ivm_epoch(
             .alias("rev"),
         )
         _ivm_write_epoch(s, partial_g, aggg_t, epoch_id)
+        # read the just-written partial back: the grouped top-K epoch
+        # references it ~5× (touched keys/groups, pool, rebase) — as a
+        # table scan each reference is cheap; as the signed_g plan it
+        # re-executed the ΔV+retire tree per reference
+        partial_g = s.table(aggg_t).filter(F.col("epoch") == epoch_id).drop("epoch")
         _ivm_topk_grouped_epoch(s, partial_g, aggg_t, tkg_t, topkg_k, epoch_id)
     if mx_t is not None:
         # insert partial: max over ΔV per customer (inserts only raise a
@@ -2663,7 +2687,6 @@ def _ivm_epoch(
             F.sum("sign").cast("long").alias("c")
         )
         _ivm_write_epoch(s, partial_dc, dc_t, epoch_id)
-    _ivm_write_epoch(s, d_v, v_t, epoch_id)
     _ivm_write_epoch(s, d_o, o_t, epoch_id)
     _ivm_write_epoch(s, d_l, l_t, epoch_id)
     if d_t is not None:
@@ -2674,6 +2697,8 @@ def _ivm_epoch(
         if d_u is None:
             d_u = s.createDataFrame([], "o_orderkey long, ue long")
         _ivm_write_epoch(s, d_u, u_t, epoch_id)
+    if retired is not None:
+        retired.unpersist()
 
 
 def _ivm_agg_merge(df: DataFrame) -> DataFrame:

@@ -702,3 +702,52 @@ class TestPythonDataSource:
         assert nxt == 120  # advances exactly one batch past the restore
         ids = [i for p in r2.partitions({"offset": 80}, {"offset": nxt}) for i in range(p.start, p.end)]
         assert ids == list(range(80, 120))  # no recommitted id re-emitted
+
+
+class TestLoaderSchemaTwin:
+    """r14: load_table passes an explicit footer-derived schema to the
+    parquet reader (skipping Spark's ~70 ms/call schema inference). The
+    derived schema must be bit-identical to what inference yields, or the
+    loader must fall back to inference."""
+
+    def test_footer_schema_matches_inference(self, spark, sf_dir):
+        from gmall_flink_200621_spark.schemas import TESTDATA_TABLES
+        from gmall_flink_200621_spark.sources.loaders import _read_schema_for
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        for t in TESTDATA_TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(p):
+                continue
+            st = _read_schema_for(p)
+            assert st is not None, f"{t}: footer types left the whitelist"
+            assert st == spark.read.parquet(p).schema, t
+
+    def test_unknown_type_falls_back(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_200621_spark.sources.loaders import _read_schema_for
+
+        p = str(tmp_path / "dec.parquet")
+        pq.write_table(
+            pa.table({"d": pa.array([1], type=pa.decimal128(10, 2))}), p
+        )
+        assert _read_schema_for(p) is None  # decimal → inferred read
+
+    def test_load_table_values_identical(self, spark, sf_dir):
+        """The explicit-schema read returns the same rows as inference
+        (events exercises the ts normalization path)."""
+        from gmall_flink_200621_spark.sources.loaders import load_table
+
+        df = load_table(spark, sf_dir, "events")
+        inferred = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(inferred.dtypes).get("ts") == "bigint":
+            inferred = inferred.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        assert df.schema == inferred.schema
+        a = df.orderBy("event_id").limit(100).collect()
+        b = inferred.orderBy("event_id").limit(100).collect()
+        assert a == b
