@@ -64,26 +64,6 @@ def _apply_merge(syms, a: str, b: str, merged: str | None = None):
     )
 
 
-def _adj_pairs(syms):
-    """Adjacent symbol pairs of a word as array<struct<a,b>> (pairs only,
-    no single-character explode)."""
-    n = F.size(syms)
-    return F.arrays_zip(
-        F.slice(syms, 1, n - 1).alias("a"), F.slice(syms, 2, n - 1).alias("b")
-    )
-
-
-def _pair_counts(wf: DataFrame) -> DataFrame:
-    """(a, b, cnt) frequency-weighted adjacent-pair counts over a
-    (freq, syms) word frame."""
-    return (
-        wf.filter(F.size("syms") >= 2)
-        .select("freq", F.explode(_adj_pairs(F.col("syms"))).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.sum("freq").alias("cnt"))
-    )
-
-
 def _apply_merge_py(syms: list[str], a: str, b: str, tok: str) -> list[str]:
     """Python twin of `_apply_merge` — the identical left-to-right
     non-overlapping greedy pass (also the loop bpe_encode's Arrow path
@@ -101,18 +81,26 @@ def _apply_merge_py(syms: list[str], a: str, b: str, tok: str) -> list[str]:
 
 
 def _count_frame(
-    src: DataFrame, merge: tuple[str, str, str] | None, with_syms: bool
+    src: DataFrame,
+    merges: list[tuple[str, str, str]] | None,
+    with_syms: bool,
 ) -> DataFrame:
     """Partition-local signed (pair[, symbol]) recount of a (freq, syms)
     word frame as ONE map-only Arrow pass — no exchange: each partition
-    emits its partial (kind, a, b, d) sums (kind 0 = adjacent pair,
-    kind 1 = symbol) and the DRIVER nets them (exact int sums, order-
-    free). With `merge=None` counts are positive (the trainer's initial
-    state); with `merge=(a, b, tok)` each word contributes its
-    post-merge counts MINUS its pre-merge counts — the per-round delta,
-    recounted per affected word so greedy-overlap cases stay exact.
-    Output rows are pair-vocabulary-bounded per partition (the same
-    bounded-driver-read class as the centroid tables)."""
+    emits its partial (step, kind, a, b, d) sums (kind 0 = adjacent
+    pair, kind 1 = symbol) and the DRIVER nets them (exact int sums,
+    order-free). With `merges=None` counts are positive at step 0 (the
+    trainer's initial state); with a SPECULATIVE candidate ladder
+    `merges=[(a, b, tok), ...]` each word applies the candidates
+    SEQUENTIALLY and step i carries (counts after merges 0..i) MINUS
+    (counts after merges 0..i−1) — a full word recount per step, so
+    greedy-overlap cases stay exact by construction, and the driver can
+    accept any PREFIX of the ladder (step i's delta is exactly round
+    i's delta iff steps 0..i−1 were accepted). Words a step leaves
+    unchanged contribute nothing to it. Output rows are
+    pair-vocabulary-bounded per partition (the bounded-driver-read
+    class of the centroid tables)."""
+    mg = merges
 
     def gen(batches):
         from collections import Counter
@@ -120,39 +108,97 @@ def _count_frame(
         import pandas as pd
 
         cnt: Counter = Counter()
+
+        def bump(step, syms, freq, sgn):
+            for p in zip(syms, syms[1:]):
+                cnt[(step, 0, p[0], p[1])] += sgn * freq
+            if with_syms:
+                for sym in syms:
+                    cnt[(step, 1, sym, "")] += sgn * freq
+
         for pdf in batches:
             for freq, syms in zip(pdf["freq"], pdf["syms"]):
                 freq = int(freq)
                 syms = list(syms)
-                if merge is not None:
-                    new = _apply_merge_py(syms, merge[0], merge[1], merge[2])
-                    for p in zip(syms, syms[1:]):
-                        cnt[(0, p[0], p[1])] -= freq
-                    for p in zip(new, new[1:]):
-                        cnt[(0, p[0], p[1])] += freq
-                    if with_syms:
-                        for s in syms:
-                            cnt[(1, s, "")] -= freq
-                        for s in new:
-                            cnt[(1, s, "")] += freq
-                else:
-                    for p in zip(syms, syms[1:]):
-                        cnt[(0, p[0], p[1])] += freq
-                    if with_syms:
-                        for s in syms:
-                            cnt[(1, s, "")] += freq
-        rows = [(k, a, b, d) for (k, a, b), d in cnt.items() if d != 0]
+                if mg is None:
+                    bump(0, syms, freq, 1)
+                    continue
+                for step, (a, b, tok) in enumerate(mg):
+                    new = _apply_merge_py(syms, a, b, tok)
+                    if len(new) != len(syms):
+                        bump(step, syms, freq, -1)
+                        bump(step, new, freq, 1)
+                        syms = new
+        rows = [(st, k, a, b, d) for (st, k, a, b), d in cnt.items() if d != 0]
         yield pd.DataFrame(
-            rows or None, columns=["kind", "a", "b", "d"]
-        ).astype({"kind": "int32", "a": "object", "b": "object", "d": "int64"})
+            rows or None, columns=["step", "kind", "a", "b", "d"]
+        ).astype(
+            {"step": "int32", "kind": "int32", "a": "object", "b": "object", "d": "int64"}
+        )
 
     return src.select("freq", "syms").mapInPandas(
-        gen, "kind int, a string, b string, d long"
+        gen, "step int, kind int, a string, b string, d long"
     )
 
 
+def _apply_merges_frame(wf: DataFrame, merges: list[tuple[str, str, str]]) -> DataFrame:
+    """Apply an ACCEPTED merge sequence to the (freq, syms) word frame as
+    one Arrow map — `_apply_merge_py` per word per merge, the python twin
+    pinned bit-identical to the expression fold. Replaces the per-round
+    conditional-fold projection (whose `when(exists…, aggregate…)`
+    expression cost a fresh Catalyst analysis every round and cannot
+    chain k merges without 3^k expression growth)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                for a, b, tok in merges:
+                    syms = _apply_merge_py(syms, a, b, tok)
+                out.append(syms)
+            yield pd.DataFrame({"freq": pdf["freq"], "syms": out})
+
+    return wf.select("freq", "syms").mapInPandas(gen, "freq long, syms array<string>")
+
+
+def _net_step(tgt: dict, rows, step: int, with_syms: bool, sc: dict | None = None) -> None:
+    """Net one accepted step's collected delta rows into the driver-held
+    count dicts (pairs into `tgt`, symbols into `sc`), deleting keys
+    whose count nets to zero (retraction ≤ prior contribution, so < 0 is
+    impossible)."""
+    for r in rows:
+        if r.step != step:
+            continue
+        if r.kind == 0:
+            key, d = (r.a, r.b), tgt
+        else:
+            key, d = r.a, sc
+        nv = d.get(key, 0) + r.d
+        if nv > 0:
+            d[key] = nv
+        else:
+            d.pop(key, None)
+
+
+# speculative lookahead width: each round's ONE delta job recounts the
+# top-J candidate merges applied sequentially; the driver accepts the
+# longest prefix that stays argmax-consistent (always ≥ 1 — candidate 0
+# IS the current argmax), so a 12-merge train needs between 12/J and 12
+# jobs instead of exactly 12. J trades per-job recount work (each word
+# is re-merged up to J times) against scheduler round-trips; 4 measured
+# best at the ~0.25 s/job local floor and is harmless at scale (the
+# recount stays one corpus-free map over the word table).
+SPEC_LOOKAHEAD = 4
+
+
 def bpe_merges(
-    docs: DataFrame, n_merges: int = BPE_MERGES, word_partitions: int | None = None
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    word_partitions: int | None = None,
+    lookahead: int = SPEC_LOOKAHEAD,
 ) -> DataFrame:
     """Train a BPE merge table on the corpus; returns
     (rank, left, right, pair_count) — rank 1 is the first (most frequent)
@@ -160,25 +206,25 @@ def bpe_merges(
 
     INCREMENTAL pair counts (the change that makes a 32k–50k-merge
     production vocabulary feasible, vs full re-aggregation per round):
-    the (a, b, cnt) frame is materialized once from the whole word table,
-    then maintained by DELTA after each merge — only words containing the
-    merged pair adjacency recount (their old pairs retracted, their
-    post-merge pairs added; a full word recount, so neighbor-pair shifts
-    and overlap cases like 'a a a' are exact by construction), and the
-    delta folds into the count frame with one pair-vocabulary-sized
-    union+sum. Per round the pair SHUFFLE carries O(affected words'
-    pairs + |distinct pairs|) rows instead of every word's pairs; the
-    merge application is a shuffle-free conditional projection over the
-    word frame; the driver still sees exactly one 1-row argmax per round
-    (the driver-sees-a-scalar discipline).
+    the (a, b)→cnt table is materialized once from the whole word table,
+    then maintained by DELTA after each merge — each affected word fully
+    recounts (old pairs retracted, post-merge pairs added), so
+    neighbor-pair shifts and overlap cases like 'a a a' are exact by
+    construction. The count table is pair-vocabulary-bounded and lives
+    on the DRIVER (see the note below); per round the cluster runs ONE
+    map-only Arrow pass (`_count_frame` — partition-local netting, no
+    exchange) and the merge application is one Arrow projection over the
+    word frame. `lookahead` J speculates the top-J candidates per job
+    and accepts the longest argmax-consistent prefix — values are
+    bit-identical at every J (collision pin in tests), only the job
+    count changes.
 
-    `word_partitions`: optional coalesce target for the word-frequency and
-    pair-count frames. Per-round wall time on a SMALL word table (the
-    sampled-trainer case) is dominated by task scheduling — 32 shuffle
-    partitions × 3 jobs/round of near-empty tasks — so the sampled caller
-    coalesces to a handful of partitions sized to its word count.
-    Coalesce never changes values, only task count; the full-corpus
-    default (None) keeps the session's shuffle parallelism."""
+    `word_partitions`: optional coalesce target for the word-frequency
+    frame. Per-round wall time on a SMALL word table (the
+    sampled-trainer case) is dominated by task scheduling, so the
+    sampled caller coalesces to a handful of partitions sized to its
+    word count. Coalesce never changes values, only task count; the
+    full-corpus default (None) keeps the session's parallelism."""
     spark = docs.sparkSession
     wf = (
         docs.select(F.explode(tokens("text")).alias("w"))
@@ -198,10 +244,10 @@ def bpe_merges(
     # (SentencePiece, HF tokenizers) holds in memory). Keeping it
     # distributed cost 4 scheduler jobs + a fresh Catalyst analysis of the
     # argmax-join-sort plan EVERY round (measured ~0.5 s/round at sf0.1 —
-    # 52 jobs for a 12-merge train); the data plane now runs exactly ONE
-    # map-only job per round (`_count_frame`: the affected words'
-    # signed recount, netted partition-locally, no exchange), and the
-    # argmax is a driver-side min() over the dict.
+    # 52 jobs for a 12-merge train); the data plane now runs ONE map-only
+    # job per ACCEPTED SPECULATION BATCH (`_count_frame`: the affected
+    # words' signed recount, netted partition-locally, no exchange), and
+    # the argmax is a driver-side min() over the dict.
     # Exactness: counts are exact int64 sums either way; the tie-break
     # (cnt desc, a asc, b asc) compares strings as UTF-8 BYTES to match
     # Spark's binary string ordering. Merge-for-merge parity with the
@@ -209,43 +255,41 @@ def bpe_merges(
     pc: dict[tuple[str, str], int] = {}
     for r in _count_frame(wf, None, with_syms=False).collect():
         pc[(r.a, r.b)] = pc.get((r.a, r.b), 0) + r.d
+    key = lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode())  # noqa: E731
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        if not pc:
-            break
-        (a, b), cnt = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode())
-        )
-        merges.append((rank, a, b, int(cnt)))
-        has_pair = F.exists(
-            _adj_pairs(F.col("syms")),
-            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
-        )
-        # delta = (post-merge pairs) − (pre-merge pairs) of affected words
-        # — a full recount of affected words, so neighbor-pair shifts and
-        # greedy-overlap cases like 'a a a' stay exact by construction.
-        # One map-only job, which also materializes wf's lazy checkpoint
-        # inside itself.
-        delta = _count_frame(wf.filter(has_pair), (a, b, a + b), with_syms=False)
-        for r in delta.collect():
-            nv = pc.get((r.a, r.b), 0) + r.d
-            if nv > 0:
-                pc[(r.a, r.b)] = nv
-            else:
-                # netting to 0 deletes (retraction ≤ prior contribution,
-                # so < 0 is impossible) — including the merged (a, b)
-                pc.pop((r.a, r.b), None)
-        # SINGLE projection, not filter(~p) ∪ merged: a union concatenates
-        # partition lists, so the word frame's partition count would DOUBLE
-        # every round (2^rounds tasks — measured 5 s/round by round 12).
-        # The conditional projection keeps the partitioning fixed and the
-        # fold evaluates only where the pair is present.
-        wf = wf.select(
-            "freq",
-            F.when(has_pair, _apply_merge(F.col("syms"), a, b))
-            .otherwise(F.col("syms"))
-            .alias("syms"),
-        ).localCheckpoint(eager=False)
+    while len(merges) < n_merges and pc:
+        # SPECULATIVE ladder (r14, guide §1.2): candidate 0 is the true
+        # argmax; candidates 1..J−1 are the next-best pairs by CURRENT
+        # counts. One map-only job recounts all J applied sequentially,
+        # step-tagged; the driver then replays the deltas and accepts
+        # the longest prefix whose every next candidate is still the
+        # argmax after the previous steps' netting — bit-identical to
+        # the one-merge-per-job loop, in ~J× fewer scheduler jobs when
+        # the count ranking is locally stable (it usually is: a merge
+        # only perturbs pairs sharing its symbols).
+        ladder = [
+            (a, b, a + b)
+            for (a, b), _ in sorted(pc.items(), key=key)[
+                : max(1, min(lookahead, n_merges - len(merges)))
+            ]
+        ]
+        rows = _count_frame(wf, ladder, with_syms=False).collect()
+        accepted: list[tuple[str, str, str]] = []
+        for i, (a, b, tok) in enumerate(ladder):
+            if i > 0 and min(pc.items(), key=key)[0] != (a, b):
+                break  # speculation collided — discard steps i..J−1
+            merges.append((len(merges) + 1, a, b, int(pc[(a, b)])))
+            accepted.append((a, b, tok))
+            # delta = (post-merge) − (pre-merge) full recount of affected
+            # words, so neighbor-pair shifts and greedy-overlap cases
+            # like 'a a a' stay exact by construction
+            _net_step(pc, rows, i, with_syms=False)
+            if not pc:
+                break
+        # ONE Arrow projection applies the accepted prefix; the lazy
+        # checkpoint materializes inside the next round's delta job
+        # (partition count stays fixed — never a union)
+        wf = _apply_merges_frame(wf, accepted).localCheckpoint(eager=False)
     return spark.createDataFrame(merges, "rank int, left string, right string, pair_count long")
 
 

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .bpe import _adj_pairs, _apply_merge, _count_frame
+from .bpe import SPEC_LOOKAHEAD, _apply_merges_frame, _count_frame, _net_step
 
 WP_MERGES = 12
 # trainer-loop checkpoints are LAZY (eager=False below; see bpe.py's
@@ -66,7 +66,10 @@ def _merged_token(a: str, b: str) -> str:
 
 
 def wordpiece_vocab(
-    docs: DataFrame, n_merges: int = WP_MERGES, word_partitions: int | None = None
+    docs: DataFrame,
+    n_merges: int = WP_MERGES,
+    word_partitions: int | None = None,
+    lookahead: int = SPEC_LOOKAHEAD,
 ) -> DataFrame:
     """Train a WordPiece merge table; returns (rank, left, right, token,
     pair_count, left_count, right_count, score) — rank 1 is the first
@@ -91,9 +94,9 @@ def wordpiece_vocab(
     # n_merges), so the per-round scoring join + argmax runs as a Python
     # min() over the dicts instead of an 8-scheduler-job Catalyst plan
     # (measured ~0.85 s/round at sf0.1 — 101 jobs for a 12-merge train).
-    # The data plane keeps exactly ONE map-only job per round
-    # (`bpe._count_frame` with with_syms=True: the affected words' signed
-    # pair+symbol recount, netted partition-locally, no exchange).
+    # The data plane keeps ONE map-only job per accepted speculation
+    # batch (`bpe._count_frame` with with_syms=True: the affected words'
+    # signed pair+symbol recount, netted partition-locally, no exchange).
     # Exactness: the score cnt/(ca·cb) is float(int64)/float(int64·int64)
     # in BOTH engines (Spark's Divide casts each side long→double; ca·cb
     # multiplies as int64 first), and ties break on UTF-8 byte order to
@@ -106,44 +109,37 @@ def wordpiece_vocab(
             pc[(r.a, r.b)] = pc.get((r.a, r.b), 0) + r.d
         else:
             sc[r.a] = sc.get(r.a, 0) + r.d
+    key = lambda kv: (  # noqa: E731 — likelihood score, Spark byte tie-break
+        -(float(kv[1]) / float(sc[kv[0][0]] * sc[kv[0][1]])),
+        kv[0][0].encode(),
+        kv[0][1].encode(),
+    )
     rows: list[tuple] = []
-    for rank in range(1, n_merges + 1):
-        if not pc:
-            break
-        (a, b), cnt = min(
-            pc.items(),
-            key=lambda kv: (
-                -(float(kv[1]) / float(sc[kv[0][0]] * sc[kv[0][1]])),
-                kv[0][0].encode(),
-                kv[0][1].encode(),
-            ),
-        )
-        ca, cb = int(sc[a]), int(sc[b])
-        cnt = int(cnt)
-        tok = _merged_token(a, b)
-        rows.append((rank, a, b, tok, cnt, ca, cb, round(cnt / (ca * cb), 9)))
-        has_pair = F.exists(
-            _adj_pairs(F.col("syms")),
-            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
-        )
-        # delta = (post-merge pairs+symbols) − (pre-merge) of affected
-        # words — one map-only job, which also materializes wf's lazy
-        # checkpoint inside itself.
-        delta = _count_frame(wf.filter(has_pair), (a, b, tok), with_syms=True)
-        for r in delta.collect():
-            tgt = pc if r.kind == 0 else sc
-            key = (r.a, r.b) if r.kind == 0 else r.a
-            nv = tgt.get(key, 0) + r.d
-            if nv > 0:
-                tgt[key] = nv
-            else:
-                tgt.pop(key, None)
-        wf = wf.select(
-            "freq",
-            F.when(has_pair, _apply_merge(F.col("syms"), a, b, tok))
-            .otherwise(F.col("syms"))
-            .alias("syms"),
-        ).localCheckpoint(eager=False)
+    while len(rows) < n_merges and pc:
+        # speculative candidate ladder by CURRENT score (bpe_merges' r14
+        # shape — see the note there): one step-tagged delta job for the
+        # top-J candidates applied sequentially; accept the longest
+        # argmax-consistent prefix. Bit-identical to one-merge-per-job.
+        ladder = [
+            (a, b, _merged_token(a, b))
+            for (a, b), _ in sorted(pc.items(), key=key)[
+                : max(1, min(lookahead, n_merges - len(rows)))
+            ]
+        ]
+        drows = _count_frame(wf, ladder, with_syms=True).collect()
+        accepted: list[tuple[str, str, str]] = []
+        for i, (a, b, tok) in enumerate(ladder):
+            if i > 0 and min(pc.items(), key=key)[0] != (a, b):
+                break  # a prior step moved the score ranking — discard tail
+            ca, cb, cnt = int(sc[a]), int(sc[b]), int(pc[(a, b)])
+            rows.append(
+                (len(rows) + 1, a, b, tok, cnt, ca, cb, round(cnt / (ca * cb), 9))
+            )
+            accepted.append((a, b, tok))
+            _net_step(pc, drows, i, with_syms=True, sc=sc)
+            if not pc:
+                break
+        wf = _apply_merges_frame(wf, accepted).localCheckpoint(eager=False)
     return spark.createDataFrame(
         rows,
         "rank int, left string, right string, token string, "

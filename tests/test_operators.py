@@ -1728,6 +1728,28 @@ class TestBpe:
         # round 2 words: [aa,aa]×2, [aa,b] → (aa,aa)=2, (aa,b)=1
         assert out[1] == ("aa", "aa", 2)
 
+    def test_speculative_ladder_rolls_back_on_collision(self, spark):
+        """r14 speculation pin: candidates are chosen by PRE-round counts,
+        so a merge that mints a new dominant pair must invalidate the
+        speculated tail and the trainer must fall back to one accepted
+        step — bit-identically to the unspeculated loop. Corpus: 'dec'×30
+        ranks (d,e)=30, (e,c)=30, (a,b)=20; merging (d,e) kills (e,c) and
+        mints (de,c)=30, so speculated step 2 (e,c) MUST be rejected and
+        the final table must match the from-scratch reference at every
+        lookahead width."""
+        from gmall_flink_200621_spark.operators.bpe import bpe_merges
+
+        text = " ".join(["dec"] * 30 + ["ab"] * 20)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        expected = self._py_bpe({"dec": 30, "ab": 20}, 3)
+        for la in (1, 2, 4):
+            got = [
+                (r.rank, r.left, r.right, r.pair_count)
+                for r in bpe_merges(docs, n_merges=3, lookahead=la).collect()
+            ]
+            assert got == expected, f"lookahead={la}"
+        assert expected == [(1, "d", "e", 30), (2, "de", "c", 30), (3, "a", "b", 20)]
+
     def test_sampled_trainer_at_full_rate_is_exact(self, spark, sf_dir):
         """rate=1000‰ keeps every document, so the sampled trainer must
         reproduce the full trainer merge-for-merge — this also proves the
@@ -2067,6 +2089,25 @@ class TestWordPiece:
         wp_cmp = [(a.replace("##", "", 1) if a.startswith("##") else a,
                    b.replace("##", "", 1) if b.startswith("##") else b) for a, b in wp]
         assert wp_cmp != bp
+
+    def test_speculative_ladder_rolls_back_on_collision(self, spark):
+        """r14 speculation pin, likelihood-objective twin: a merge moves
+        its symbols' counts (every score with a or b in the denominator
+        shifts), so speculated tails collide more often than BPE's — the
+        accepted prefix must still reproduce the from-scratch reference
+        at every lookahead width."""
+        from gmall_flink_200621_spark.operators.wordpiece import wordpiece_vocab
+
+        text = " ".join(["dec"] * 30 + ["ab"] * 20 + ["ba"] * 7)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        expected = self._py_wordpiece({"dec": 30, "ab": 20, "ba": 7}, 4)
+        for la in (1, 2, 4):
+            got = [
+                (r.rank, r.left, r.right, r.token, r.pair_count, r.left_count,
+                 r.right_count)
+                for r in wordpiece_vocab(docs, n_merges=4, lookahead=la).collect()
+            ]
+            assert got == expected, f"lookahead={la}"
 
     def test_sampled_trainer_at_full_rate_is_exact(self, spark, sf_dir):
         """rate=1000‰ keeps every document, so the sampled WordPiece
