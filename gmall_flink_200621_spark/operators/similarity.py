@@ -649,11 +649,11 @@ def graph_ann_search(
     # and 10 MiB serialized task binaries; truncating at construction
     # makes each hop's analysis start from a leaf (build 7.4 s → sub-1 s,
     # values unchanged — a checkpoint never changes data)
-    sym = edges.select("src_id", "nbr_id").unionByName(
+    sym_lazy = edges.select("src_id", "nbr_id").unionByName(
         edges.select(
             F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
         )
-    ).localCheckpoint(eager=True)
+    )
     qs = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -728,7 +728,21 @@ def graph_ann_search(
     # in the full-bench context) and all-lazy (6.47 s — geometric
     # analysis over the FULL graph+probe subtrees, 10 MiB task
     # binaries; the shape that measured 7.4 s of pure driver analysis).
-    b = score_top(c0, beam).localCheckpoint(eager=True)
+    # The two eager checkpoints are INDEPENDENT subtrees (the symmetrized
+    # edge list embeds the knn_graph build; the entry beam embeds the
+    # centroid probe + first re-score — neither references the other), so
+    # their barrier jobs run in PARALLEL threads (r14, guide §1.2:
+    # sequential barriers serialized ~1.5 s of graph build behind ~1 s of
+    # beam scoring on an otherwise idle scheduler; interleaved A/B at
+    # sf0.1: 6.08 s -> 5.44 s min-of-5). Spark job submission is
+    # thread-safe; values are unchanged — a checkpoint never changes data.
+    from concurrent.futures import ThreadPoolExecutor
+
+    b_lazy = score_top(c0, beam)
+    with ThreadPoolExecutor(2) as _ex:
+        _fsym = _ex.submit(lambda: sym_lazy.localCheckpoint(eager=True))
+        _fb = _ex.submit(lambda: b_lazy.localCheckpoint(eager=True))
+        sym, b = _fsym.result(), _fb.result()
     for _ in range(hops):
         nbrs = b.join(
             sym, b["cand"] == sym["src_id"]
